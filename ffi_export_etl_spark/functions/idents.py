@@ -1,0 +1,150 @@
+"""Business-key synthesis as native Column expressions (no UDFs).
+
+The reference builds PlotID / EventID / ProjectID / VisitID with row-wise
+``DataFrame.apply`` lambdas (/root/reference/parser/xml.py:138-195,
+529-547, 723-731); every one of them is expressible as a Column expression
+chain, so the whole key-synthesis layer runs inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_ident(col: Column | str) -> Column:
+    """Uppercase + strip ``' '``, ``'_'``, ``'-'``, ``'.'``
+    (parser/xml.py:158-159)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.upper(F.translate(c, " _-.", ""))
+
+
+def plot_id(admin_unit_name: Column | str, plot_name: Column | str) -> Column:
+    """PlotID = first 5 chars of normalized admin-unit name + normalized
+    plot name (parser/xml.py:151-160)."""
+    return F.concat(
+        F.substring(normalize_ident(admin_unit_name), 1, 5),
+        normalize_ident(plot_name),
+    )
+
+
+def event_date_compact(sample_event_date: Column | str) -> Column:
+    """yyyymmdd extracted from a SampleEvent_Date string
+    (parser/xml.py:172-174: regex date extract, dashes removed)."""
+    c = (
+        F.col(sample_event_date)
+        if isinstance(sample_event_date, str)
+        else sample_event_date
+    )
+    return F.translate(
+        F.regexp_extract(c, r"(\d{4}-\d{2}-\d{2})", 1), "-", ""
+    )
+
+
+def event_id(plot_id_col: Column | str, sample_event_date: Column | str) -> Column:
+    """EventID = PlotID + yyyymmdd; empty string when the plot lookup
+    failed (parser/xml.py:163-177: '' default, rows later dropped)."""
+    p = F.col(plot_id_col) if isinstance(plot_id_col, str) else plot_id_col
+    return F.when(p.isNull() | (p == ""), F.lit("")).otherwise(
+        F.concat(p, event_date_compact(sample_event_date))
+    )
+
+
+def project_id(project_unit_name: Column | str) -> Column:
+    """ProjectID = ProjectUnit_Name minus '_' and ' '
+    (parser/xml.py:723-727)."""
+    c = (
+        F.col(project_unit_name)
+        if isinstance(project_unit_name, str)
+        else project_unit_name
+    )
+    return F.translate(c, "_ ", "")
+
+
+def visit_id(
+    project_id_col: Column,
+    visit_year: Column,
+    prefix: Column,
+    base: Column,
+    suffix: Column,
+) -> Column:
+    """VisitID synthesis (parser/xml.py:529-547), the reference's nested
+    ternaries as a when-chain:
+
+    - year contributes only when non-null;
+    - Base contributes only when == 'Fire';
+    - suffix: null -> nothing, 'Immediate' -> first 3 chars ('Imm'),
+      anything else -> itself.
+    """
+    year_part = F.when(
+        visit_year.isNull(), F.lit("")
+    ).otherwise(visit_year.cast("int").cast("string"))
+    base_part = F.when(base == "Fire", F.coalesce(base, F.lit(""))).otherwise(
+        F.lit("")
+    )
+    suffix_part = (
+        F.when(suffix.isNull(), F.lit(""))
+        .when(suffix == "Immediate", F.substring(suffix, 1, 3))
+        .otherwise(suffix)
+    )
+    return F.concat(
+        project_id_col,
+        year_part,
+        F.coalesce(prefix, F.lit("")),
+        base_part,
+        suffix_part,
+    )
+
+
+def parse_list_val(col: Column | str) -> Column:
+    """Multi-delimiter personnel-list split (parser/xml.py:375-395).
+
+    Exact reference delimiter choice: comma wins when it yields >1 token;
+    else space when it yields >1; else slash when it yields >1; else the
+    whole (trimmed) value. Null/'nan'/''/' ' -> empty list. Items are
+    trimmed; empties dropped (reference keeps ''-items only in the
+    degenerate single-token case, where trimming makes it moot).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    by_comma = F.split(c, ",")
+    by_space = F.split(c, " ")
+    by_slash = F.split(c, "/")
+    chosen = (
+        F.when(F.size(by_comma) > 1, by_comma)
+        .when(F.size(by_space) > 1, by_space)
+        .when(F.size(by_slash) > 1, by_slash)
+        .otherwise(by_comma)
+    )
+    cleaned = F.filter(
+        F.transform(chosen, lambda x: F.trim(x)), lambda x: x != ""
+    )
+    empty_ish = (
+        c.isNull() | (c == "nan") | (c == "") | (c == " ")
+    )
+    return F.when(empty_ish, F.array().cast("array<string>")).otherwise(cleaned)
+
+
+def combine_teams(*cols: Column | str) -> Column:
+    """Union of personnel lists across columns -> sorted, deduped,
+    comma-joined string (parser/xml.py:413-450).
+
+    The reference joins a Python ``set`` — nondeterministic order (quirk
+    Q9); we sort (array_sort) so output is deterministic and set-equal.
+    """
+    arrays = [parse_list_val(c) for c in cols]
+    combined = arrays[0]
+    for a in arrays[1:]:
+        combined = F.concat(combined, a)
+    return F.array_join(F.array_sort(F.array_distinct(combined)), ", ")
+
+
+def upper_guid(col: Column | str) -> Column:
+    """GUID normalization: uppercase (parser/xml.py:119-121)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.upper(c)
+
+
+def generated_guid() -> Column:
+    """Per-row uppercase UUID (parser/xml.py:340-341 — which has an axis
+    bug producing all-NaN, quirk Q3; this is the intended semantics)."""
+    return F.upper(F.expr("uuid()"))

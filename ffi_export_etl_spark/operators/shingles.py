@@ -1,0 +1,82 @@
+"""Shingling + n-gram Jaccard similarity — the exact (non-approximate)
+near-duplicate path.
+
+All steps are native Column expressions (JVM-side, whole-stage codegen):
+tokenize -> word n-gram shingles -> explode -> self-join on shingle ->
+integer Jaccard test. The self-join is the classic candidate-pair explosion
+(quadratic in the worst case) — correct at small scale, and the reason the
+MinHash-LSH path (operators/minhash.py) exists for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (empty array if too short).
+
+    element_at is 1-indexed; sequence(1, size-n+1) guarded so short texts
+    yield [] instead of a negative-range error.
+    """
+    t = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(F.size(t) >= n, make).otherwise(F.array()))
+
+
+def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) long table, one row per distinct shingle per doc."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 20,
+) -> DataFrame:
+    """All doc pairs with n-gram Jaccard >= threshold_pct/100.
+
+    Jaccard is tested in *integer* arithmetic (inter*100 >= pct*union) so
+    results are bit-identical across engines. Returns
+    (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .filter(F.col("n_inter") * 100 >= threshold_pct * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""SimHash near-duplicate detection over 64-bit token-hash fingerprints.
+
+simhash(doc) = for each of 64 bit positions, sign of the sum over tokens of
+(+1 if xxhash64(token) has the bit set else -1). Near-duplicates = pairs
+with small Hamming distance, found without an all-pairs scan by banding the
+64-bit fingerprint into 16-bit chunks (pigeonhole: hamming <= 3 implies at
+least one of 4 chunks equal) and joining only within chunk buckets.
+
+All native Column exprs (bit ops, windows, joins) — deterministic, no UDFs,
+linear shuffle volume + bucket-pair blowup. The scale profile matches
+MinHash-LSH; SimHash trades shingle sets for weighted token bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit fingerprint per document."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # One row per (doc, bit): +1/-1 contribution of each token to each bit.
+    # (SQL expr because shiftright's bit count must be a column here.)
+    bits = toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), b -> "
+                "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
+            )
+        ).alias("bit", "contrib"),
+    )
+    per_bit = bits.groupBy("id", "bit").agg(F.sum("contrib").alias("s"))
+    # SQL expr: shiftleft's bit count must be a column here.
+    return per_bit.groupBy("id").agg(
+        F.expr(
+            "sum(CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
+
+    Banding into ceil(64/16)=4 16-bit chunks guarantees recall for
+    max_hamming <= 3 (pigeonhole); larger thresholds need more chunks.
+    """
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    chunks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", "cv.chunk", "cv.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

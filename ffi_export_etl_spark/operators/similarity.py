@@ -1,0 +1,181 @@
+"""Vector similarity: exact cosine + LSH-bucketed approximate search.
+
+Embeddings are ``array<float>`` columns. All math happens JVM-side through
+higher-order functions (zip_with / aggregate) in DOUBLE precision with
+sequential accumulation — deterministic and engine-portable (matches a
+left-to-right SQL-side sum over unnested elements).
+
+Scale design:
+- brute-force top-k broadcasts the (tiny) query vector set against the
+  corpus: one scan, no shuffle for k-per-query via window over query id.
+- random-hyperplane LSH buckets vectors by sign pattern; querying probes
+  only matching buckets. Hyperplane coefficients are derived from xxhash64
+  so the "random" planes are deterministic and need no stored model.
+- all-pairs cosine (dedup use) is quadratic — gated behind the LSH bucket
+  join exactly like MinHash for text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential (left-to-right) double dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, embedding). The query side is broadcast — the
+    corpus is scanned once with no shuffle until the final per-query top-k
+    window (partitioned by query_id, deterministic tiebreak on id).
+    Cosine is rounded before ranking so rank order is engine-portable.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "cos", "rnk")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1).
+
+    Derived from xxhash64(plane, dim_index) — no stored model, identical on
+    every executor and every run.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(plane) * 1000 + d), F.lit(2000)) - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Sign-pattern bucket id (0..2^planes-1) of a vector."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bit = F.when(dot(vec, _hyperplane(dim, p)) >= 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    planes: int = 8,
+    probe_hamming: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share (or nearly share) the query's
+    LSH bucket.
+
+    With ``planes`` sign bits the corpus splits into 2^planes buckets.
+    Multi-probe: the (tiny, broadcast) QUERY side is exploded to every
+    bucket within ``probe_hamming`` bit flips — recall rises steeply for
+    zero extra cost on the corpus side, which is the side that matters at
+    scale. probe_hamming=1 probes planes+1 of 2^planes buckets.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes))
+    if probe_hamming >= 1:
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
+        ]
+        if probe_hamming >= 2:
+            flips += [
+                F.col("bucket")
+                .bitwiseXOR(F.lit(1 << p))
+                .bitwiseXOR(F.lit(1 << r))
+                for p in range(planes)
+                for r in range(p + 1, planes)
+            ]
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    scored = (
+        v.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .drop("bucket")
+        .dropDuplicates(["query_id", "nbr_id"])
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "cos", "rnk")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-pairs cosine >= threshold (exact; quadratic — small corpora /
+    oracle checks; at scale bucket first via lsh_bucket)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

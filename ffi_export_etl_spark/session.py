@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference executes everything in one Python thread with eager pandas
+(/root/reference/xml_to_rdb.py:39-49); here the session is the unit of
+parallelism and all tuning is declarative config that Catalyst/AQE act on.
+
+All settings below are *runtime* SQL confs (safe to set on an existing
+session) except master/memory which only apply when we build the session
+ourselves. The driver harness may hand us its own session; ``tune()`` is
+idempotent and touches only runtime confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs that hold at any scale: AQE re-plans partition counts and
+# skew joins from actual stats, so one static shuffle-partition number does
+# not have to be right for both sf0.001 and 100 TB.
+_RUNTIME_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
+    # rejects; read as epoch-nanos BIGINT and do event-time arithmetic in
+    # exact integers (also removes every timezone-rendering hazard).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down — keep going, defaults are sane
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "ffi-export-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured. On a real cluster this arg is
+    left to spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

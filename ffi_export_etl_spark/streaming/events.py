@@ -1,0 +1,102 @@
+"""Structured Streaming over the events table (SURVEY.md section 2.8
+extension surface: the reference is batch-only; its processed-file
+tracking xml_to_rdb.py:51-56 and append-only audit log parser/xml.py:
+681-695 are natively covered by the file source + sinks here).
+
+Patterns provided:
+- file-source reader with explicit schema (streams never infer),
+- tumbling/sliding window aggregation with optional watermark,
+- run-to-completion helper (availableNow + memory sink) that turns a
+  bounded stream into a DataFrame — used for oracle-checked streaming
+  queries and tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ts arrives as epoch-nanos BIGINT (nanosAsLong, see session.py); the
+# stream derives a microsecond TimestampType column for event-time ops.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stage_as_dir(path: str) -> str:
+    """The file stream source requires a *directory*; stage a single file
+    behind a temp dir of symlinks (no data copy)."""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over parquet events (one file per micro-batch
+    by default; maxFilesPerTrigger tunes ingest pacing). Adds ``ts_micro``
+    (TimestampType) derived from the epoch-nanos ``ts``."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(stage_as_dir(path))
+        .withColumn("ts_micro", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) window counts + value sums per event_type."""
+    src = stream.withWatermark("ts_micro", watermark) if watermark else stream
+    win = (
+        F.window("ts_micro", window, slide)
+        if slide
+        else F.window("ts_micro", window)
+    )
+    return src.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("value_sum"),
+    )
+
+
+def run_to_completion(
+    aggregated: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a bounded stream (availableNow) into a memory sink and return
+    the final result as a batch DataFrame. Complete mode emits every
+    window regardless of watermark — deterministic on bounded input."""
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    q = (
+        aggregated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = aggregated.sparkSession
+    return spark.table(name)

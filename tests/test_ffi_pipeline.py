@@ -1,0 +1,159 @@
+"""Golden tests for the FFI export pipeline (XML -> EAV -> wide tables),
+mirroring the reference's implicit assertions (SURVEY.md section 5.2):
+pivot-key uniqueness, keep-first dedup, ident synthesis, unit fan-out,
+team combination, VisitID branches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ffi_export_etl_spark.plans.ffi_pipeline import FFIPipeline
+from ffi_export_etl_spark.sources.xml import discover_tags, read_ffi_export
+from tests.ffi_fixture import build_export_xml, write_export_xml
+
+
+@pytest.fixture(scope="module")
+def export_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ffi") / "export1.xml"
+    return write_export_xml(str(p))
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, export_path):
+    tables = read_ffi_export(spark, export_path)
+    pipe = FFIPipeline(spark, tables)
+    pipe.run()
+    return pipe
+
+
+def test_discover_tags(export_path):
+    ns, tags = discover_tags(export_path)
+    assert ns == "http://tempuri.org/FFIExport.xsd"
+    assert "MacroPlot" in tags and "AttributeData" in tags
+    assert len(tags) == len(set(tags))
+
+
+def test_ingest_strings_and_guid_upper(spark, export_path):
+    tables = read_ffi_export(spark, export_path)
+    mp = tables["MacroPlot"]
+    assert dict(mp.dtypes)["MacroPlot_GUID"] == "string"
+    guids = {r[0] for r in mp.select("MacroPlot_GUID").collect()}
+    assert guids == {"MP-0001", "MP-0002", "MP-0003"}
+
+
+def test_plot_dedup_and_plot_id(pipeline):
+    rows = pipeline.tables["MacroPlot"].collect()
+    # MP2 deduped (same PlotID, later DateIn), MP3 dropped (null DateIn)
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["PlotID"] == "NORTHPLOT1"
+    assert r["MacroPlot_GUID"] == "MP-0001"
+    assert r["AdminUnit"] == "North Rim Unit"
+
+
+def test_event_ids(pipeline):
+    se = pipeline.tables["SampleEvent"]
+    ids = {r["EventID"] for r in se.select("EventID").collect()}
+    # orphan event dropped; -06:00 offset rendered in UTC stays same day
+    assert ids == {"NORTHPLOT120230515", "NORTHPLOT120240601"}
+
+
+def test_trees_species_and_stemnum(pipeline):
+    trees = pipeline.tables["Trees_Individuals_Attribute"]
+    rows = {r["AttributeData_DataRow_GUID"]: r.asDict() for r in trees.collect()}
+    assert len(rows) == 3
+    assert rows["DR-0001"]["Species"] == "PIPO"
+    assert rows["DR-0003"]["Species"] == "ABCO"
+    # same (event, species, tag) -> StemNum sequence by DataRow_GUID
+    assert rows["DR-0001"]["StemNum"] == 1
+    assert rows["DR-0002"]["StemNum"] == 2
+    assert rows["DR-0003"]["StemNum"] == 1
+    assert "Method_UnitSystem" not in trees.columns  # single-unit drop
+
+
+def test_witness_tree_dedup(pipeline):
+    wit = pipeline.tables["PlotInfoWitTreesComments3_Attribute"]
+    rows = wit.collect()
+    assert len(rows) == 1  # one per event, min WitDBH kept
+    r = rows[0].asDict()
+    assert r["WitDBH"] == "12"
+    # tag numbers are assigned BEFORE the min-DBH dedup (reference order:
+    # cumcount then sort+keep-first), so the kept row carries tag 2
+    assert r["WitTreeTagNo"] == 2
+
+
+def test_unit_system_fanout(pipeline):
+    english = pipeline.tables["SurfaceFuels_Fine_Attribute"]
+    metric = pipeline.tables["SurfaceFuels_Fine_Metric_Attribute"]
+    assert [r["Hits"] for r in english.select("Hits").collect()] == ["7"]
+    assert [r["Hits"] for r in metric.select("Hits").collect()] == ["18"]
+    # multi-unit attribute tables retain the unit column (reference quirk)
+    assert "Method_UnitSystem" in english.columns
+
+
+def test_transect_derivation(pipeline):
+    t = pipeline.tables["Transect"].collect()
+    assert len(t) == 1
+    r = t[0].asDict()
+    assert (r["Transect"], r["Azimuth"], r["Slope"], r["Length"]) == (
+        "T1", "120", "10", 75,
+    )
+
+
+def test_team_combination(pipeline):
+    se = pipeline.tables["SampleEvent"]
+    by_event = {r["EventID"]: r.asDict() for r in se.collect()}
+    e1 = by_event["NORTHPLOT120230515"]
+    # Duff field "Gil Perez, Ana Diaz" (comma) + Fine field space-split
+    assert e1["FuelsObserver"] == "Ana, Ana Diaz, Chen, Diaz, Gil Perez, Mo"
+    assert e1["FuelsRecorder"] == "Ana, Chen, Diaz, Mo"
+    assert e1["TreeObserver"] == "Gil Perez, Rosa Lee"
+    assert e1["TreeRecorder"] == "Lee, Rosa"  # space-split of "Rosa Lee"
+    # event with no sample rows -> empty strings
+    e4 = by_event["NORTHPLOT120240601"]
+    assert e4["FuelsObserver"] == ""
+
+
+def test_visit_id(pipeline):
+    pv = pipeline.tables["ProjectVisit"].collect()
+    assert len(pv) == 1
+    assert pv[0]["VisitID"] == "FireProject1202301FireImm"
+    se = pipeline.tables["SampleEvent"]
+    visits = {r["EventID"]: r["VisitID"] for r in se.collect()}
+    assert visits["NORTHPLOT120230515"] == "FireProject1202301FireImm"
+    assert visits["NORTHPLOT120240601"] is None
+
+
+def test_sample_guid_generated(pipeline):
+    s = pipeline.tables["Trees_Individuals_Sample"].collect()
+    assert len(s) == 1
+    guid = s[0]["SampleData_Original_GUID"]
+    # Q3 fixed: real uppercase UUID, not NaN
+    assert guid is not None and guid == guid.upper() and len(guid) == 36
+
+
+def test_eav_bases_dropped(pipeline):
+    for t in ("SampleData", "SampleRow", "AttributeRow", "AttributeData"):
+        assert t not in pipeline.tables
+
+
+def test_pivot_uniqueness_assertion(spark):
+    from ffi_export_etl_spark.operators.pivot import (
+        DuplicatePivotKeyError,
+        assert_unique_pivot_keys,
+        eav_pivot,
+    )
+
+    df = spark.createDataFrame(
+        [("e1", "f1", "v1"), ("e1", "f1", "v2"), ("e1", "f2", "v3")],
+        ["k", "f", "v"],
+    )
+    with pytest.raises(DuplicatePivotKeyError):
+        assert_unique_pivot_keys(df, ["k"], "f")
+    wide = eav_pivot(
+        df.filter("v <> 'v2'"), ["k"], "f", "v", field_names=["f1", "f2"],
+        strict=True,
+    )
+    row = wide.collect()[0]
+    assert (row["f1"], row["f2"]) == ("v1", "v3")

@@ -1,0 +1,48 @@
+"""The core correctness gate, run exactly the way the driver runs it:
+every ``queries()`` entry with an ``oracle_sql()`` twin is executed on
+Spark and DuckDB at sf0.01 and compared value-by-value (order-insensitive,
+columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_utils import compare_to_oracle
+
+QUERIES = entrymod.queries()
+ORACLE = entrymod.oracle_sql()
+
+WITH_ORACLE = sorted(set(QUERIES) & set(ORACLE))
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["n_name", "revenue"]
+
+
+def test_oracle_coverage():
+    # every oracle key must have a query; rows-only set stays intentional
+    assert set(ORACLE) <= set(QUERIES)
+    expected_rows_only = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_topk_lsh",
+    }
+    assert set(ROWS_ONLY) == expected_rows_only
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, sf_oracle, name):
+    df = QUERIES[name](spark, sf_oracle)
+    compare_to_oracle(df, ORACLE[name], sf_oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_oracle, name):
+    df = QUERIES[name](spark, sf_oracle)
+    assert df.count() >= 0

@@ -1,0 +1,117 @@
+"""Sink-layer tests: MERGE SQL generation, FK topological ordering,
+count-delta audit, parquet upsert, processed-file ledger."""
+
+from __future__ import annotations
+
+import pytest
+
+from ffi_export_etl_spark.sinks.files import ProcessedLedger, parquet_upsert
+from ffi_export_etl_spark.sinks.jdbc_merge import (
+    MergeLoader,
+    TableMeta,
+    merge_sql,
+    topological_load_order,
+)
+
+
+def _metas():
+    return {
+        "AdminUnit": TableMeta("AdminUnit", ["AdminUnit"]),
+        "Plot": TableMeta(
+            "Plot", ["PlotID"],
+            {"AdminUnit": [("AdminUnit", "AdminUnit")]},
+        ),
+        "Event": TableMeta(
+            "Event", ["EventID"], {"PlotID": [("Plot", "PlotID")]}
+        ),
+        "TreesIndv": TableMeta(
+            "TreesIndv", ["EventID", "TagNo", "StemNum"],
+            {"EventID": [("Event", "EventID")]},
+        ),
+    }
+
+
+def test_topological_order_respects_fks():
+    order = topological_load_order(
+        ["TreesIndv", "Event", "Plot", "AdminUnit"], _metas()
+    )
+    assert order.index("AdminUnit") < order.index("Plot")
+    assert order.index("Plot") < order.index("Event")
+    assert order.index("Event") < order.index("TreesIndv")
+
+
+def test_topological_order_detects_cycles():
+    metas = {
+        "A": TableMeta("A", ["id"], {"b": [("B", "id")]}),
+        "B": TableMeta("B", ["id"], {"a": [("A", "id")]}),
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        topological_load_order(["A", "B"], metas)
+
+
+def test_merge_sql_tsql_and_postgres():
+    tsql = merge_sql("Plot", "staging_Plot", ["PlotID", "Elev"], ["PlotID"])
+    assert "MERGE INTO Plot AS t USING staging_Plot AS s" in tsql
+    assert "WHEN NOT MATCHED THEN INSERT (PlotID, Elev)" in tsql
+    pg = merge_sql(
+        "Plot", "staging_Plot", ["PlotID", "Elev"], ["PlotID"], "postgres"
+    )
+    assert "ON CONFLICT (PlotID) DO NOTHING" in pg
+    with pytest.raises(ValueError):
+        merge_sql("Plot", "s", ["a"], [])
+
+
+def test_merge_loader_orders_audits_and_isolates_failures():
+    executed: list[str] = []
+    counts = {"AdminUnit": [0, 1], "Plot": [5, 7], "Event": [2, 2]}
+
+    def execute(sql: str) -> None:
+        if "Event" in sql and sql.startswith("MERGE"):
+            raise RuntimeError("boom")
+        executed.append(sql)
+
+    def scalar(sql: str) -> int:
+        table = sql.rsplit(" ", 1)[-1]
+        return counts[table].pop(0)
+
+    staged: list[str] = []
+    loader = MergeLoader(
+        _metas(), execute, scalar, lambda name, df: staged.append(name)
+    )
+    frames = {"Plot": object(), "AdminUnit": object(), "Event": object()}
+    cols = {t: ["a", "b"] for t in frames}
+    results = loader.load(frames, cols)
+
+    assert [r.table for r in results] == ["AdminUnit", "Plot", "Event"]
+    assert loader.insert_failed == ["Event"]
+    assert "ROLLBACK;" in executed
+    audit = loader.audit_rows("tester", "2026-01-01")
+    assert {(a["Table"], a["ChangeType"], a["Changes"]) for a in audit} == {
+        ("AdminUnit", "INSERT", 1),
+        ("Plot", "INSERT", 2),
+    }
+
+
+def test_parquet_upsert_insert_if_absent(spark, tmp_path):
+    target = str(tmp_path / "warehouse" / "plot")
+    df1 = spark.createDataFrame(
+        [("P1", "a"), ("P2", "b")], ["PlotID", "attr"]
+    )
+    assert parquet_upsert(spark, df1, target, ["PlotID"]) == 2
+    # second batch: one dup key, one new, one internal dup
+    df2 = spark.createDataFrame(
+        [("P2", "changed"), ("P3", "c"), ("P3", "c2")], ["PlotID", "attr"]
+    )
+    assert parquet_upsert(spark, df2, target, ["PlotID"]) == 1
+    final = spark.read.parquet(target)
+    assert final.count() == 3
+    vals = {r["PlotID"]: r["attr"] for r in final.collect()}
+    assert vals["P2"] == "b"  # WHEN NOT MATCHED: existing row untouched
+
+
+def test_processed_ledger(tmp_path):
+    ledger = ProcessedLedger(str(tmp_path / "ledger.jsonl"))
+    assert ledger.pending(["f1.xml", "f2.xml"]) == ["f1.xml", "f2.xml"]
+    assert ledger.mark("f1.xml") is True
+    assert ledger.mark("f2.xml", failed_tables=["Plot"]) is False
+    assert ledger.pending(["f1.xml", "f2.xml"]) == ["f2.xml"]
