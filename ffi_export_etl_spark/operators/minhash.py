@@ -18,20 +18,8 @@ from pyspark.sql import functions as F
 from .shingles import jaccard_pairs, shingle_table
 
 
-def minhash_signatures(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_perm: int = 32,
-) -> DataFrame:
-    """(id, sig: array<bigint>[num_perm]) MinHash signatures.
-
-    One permutation = min over shingles of xxhash64(shingle, seed=i).
-    Aggregated with groupBy().agg(min...) — map-side partial aggregation
-    keeps the shuffle tiny at scale.
-    """
-    sh = shingle_table(docs, id_col, text_col, n)
+def signatures_from_shingles(sh: DataFrame, num_perm: int = 32) -> DataFrame:
+    """MinHash signatures from an (id, shingle) table."""
     mins = sh.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -41,6 +29,22 @@ def minhash_signatures(
     return mins.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) MinHash signatures.
+
+    One permutation = min over shingles of xxhash64(shingle, seed-col=i).
+    Aggregated with groupBy().agg(min...) — map-side partial aggregation
+    keeps the shuffle tiny at scale.
+    """
+    return signatures_from_shingles(shingle_table(docs, id_col, text_col, n), num_perm)
 
 
 def lsh_candidate_pairs(
@@ -103,10 +107,13 @@ def minhash_near_duplicates(
     brute-force jaccard_pairs).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    # ONE shingle pass feeds signatures, sizes, and pair verification —
+    # cached because three downstream plans consume it.
+    sh = shingle_table(docs, id_col, text_col, n)
+    sh.persist()
+    sigs = signatures_from_shingles(sh, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
 
-    sh = shingle_table(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b"))

@@ -21,22 +21,35 @@ def tokens(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` (empty array if too short).
 
-    element_at is 1-indexed; sequence(1, size-n+1) guarded so short texts
-    yield [] instead of a negative-range error.
+    Built from n shifted array slices folded with zip_with — O(len) per
+    document. (The naive transform(sequence, i -> element_at(toks, i+j))
+    formulation re-evaluates the split() for every element access because
+    Catalyst inlines the unaliased expression into the lambda — O(len^2)
+    and 10x wall-clock on real documents.)
     """
     t = tokens(text)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(F.when(F.size(t) >= n, make).otherwise(F.array()))
+    length = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    shingle = F.slice(t, 1, length)
+    for j in range(1, n):
+        shingle = F.zip_with(
+            shingle,
+            F.slice(t, 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(shingle)
 
 
 def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long table, one row per distinct shingle per doc."""
-    return docs.select(
+    """(id, shingle) long table, one row per distinct shingle per doc.
+
+    Repartitions by id first: document corpora often arrive as few large
+    files (locally: ONE parquet file -> one partition), and shingling is
+    the CPU-heavy step — without the spread it runs on one core. At scale
+    the same holds after heavy upstream filters; AQE coalesces if the
+    shuffle is unnecessary.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -56,6 +69,7 @@ def jaccard_pairs(
     (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
     """
     sh = shingle_table(docs, id_col, text_col, n)
+    sh.persist()  # feeds sizes + both sides of the self-join
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

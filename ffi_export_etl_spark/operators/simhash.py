@@ -21,7 +21,8 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, simhash: bigint) — 64-bit fingerprint per document."""
-    toks = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
