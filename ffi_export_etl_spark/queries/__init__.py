@@ -16,10 +16,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup_q, events_q, relational, similarity_q, streaming_q, text_q
+from . import (
+    dedup_q,
+    events_q,
+    relational,
+    relational2,
+    similarity_q,
+    streaming_q,
+    text_q,
+)
 
-
-_MODULES = (relational, events_q, dedup_q, similarity_q, text_q, streaming_q)
+_MODULES = (
+    relational,
+    relational2,
+    events_q,
+    dedup_q,
+    similarity_q,
+    text_q,
+    streaming_q,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,57 @@
+"""End-to-end batch driver test: two export files -> warehouse parquet,
+idempotent reruns via the ledger, MERGE semantics on replayed data."""
+
+from __future__ import annotations
+
+import os
+
+from ffi_export_etl_spark.plans.batch_driver import process_exports
+from tests.ffi_fixture import build_export_xml, write_export_xml
+
+
+def _second_export(path: str) -> str:
+    """Second file: same plots (dup keys -> merged away) plus one new
+    event on the existing plot."""
+    xml = build_export_xml().replace(
+        "<SampleEvent_GUID>se-0004</SampleEvent_GUID>",
+        "<SampleEvent_GUID>se-0005</SampleEvent_GUID>",
+    ).replace(
+        "<SampleEvent_Date>2024-06-01T09:30:00</SampleEvent_Date>",
+        "<SampleEvent_Date>2025-07-01T09:30:00</SampleEvent_Date>",
+    )
+    with open(path, "w") as f:
+        f.write(xml)
+    return path
+
+
+def test_process_exports_end_to_end(spark, tmp_path):
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    write_export_xml(str(exports / "export1.xml"))
+    _second_export(str(exports / "export2.xml"))
+    warehouse = str(tmp_path / "warehouse")
+
+    results = process_exports(spark, str(exports / "*.xml"), warehouse)
+    assert len(results) == 2
+
+    events = spark.read.parquet(os.path.join(warehouse, "SampleEvent"))
+    ids = sorted(r["EventID"] for r in events.select("EventID").collect())
+    # file1: 2 events; file2 adds one new (2025) event, replays the 2023 one
+    assert ids == [
+        "NORTHPLOT120230515",
+        "NORTHPLOT120240601",
+        "NORTHPLOT120250701",
+    ]
+    plots = spark.read.parquet(os.path.join(warehouse, "MacroPlot"))
+    assert plots.count() == 1  # same PlotID merged across files
+
+    # rerun: ledger skips both files, warehouse unchanged
+    again = process_exports(spark, str(exports / "*.xml"), warehouse)
+    assert again == {}
+    assert (
+        spark.read.parquet(os.path.join(warehouse, "SampleEvent")).count() == 3
+    )
+
+    # audit log recorded inserts
+    audit = spark.read.parquet(os.path.join(warehouse, "UpdateLog"))
+    assert audit.filter("Table = 'SampleEvent'").count() >= 2

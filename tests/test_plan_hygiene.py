@@ -1,0 +1,77 @@
+"""Physical-plan hygiene: the properties that decide whether these plans
+survive a 100x scale-up. Asserts on .explain output, not timings:
+
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema),
+- constant-size dims join via BroadcastHashJoin,
+- aggregations get map-side partial aggregation (two HashAggregate),
+- no Python UDFs (BatchEvalPython/ArrowEvalPython) anywhere in the
+  hot-path query plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name, sf="/root/testdata/sf0.001"):
+    df = QUERIES[name](spark, sf)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "s1_scan_filter_project")
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "p2_rename_project")
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "c_acctbal" not in read_schema  # unused column pruned from scan
+
+
+def test_broadcast_join_for_constant_dims(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # partial + final HashAggregate pair = map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q5_local_supplier_volume",
+        "dedup_minhash_lsh",
+        "ann_topk_bruteforce",
+        "text_quality_scores",
+        "evt_sessionize",
+        "f13_split_dedup_join",
+    ],
+)
+def test_no_python_udfs_in_hot_paths(spark, name):
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE shows codegen only in the executed final plan; whole-stage
+    # codegen spans are the "*(n)" stage markers in simple mode
+    df = QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "*(1)" in plan and "isFinalPlan=true" in plan

@@ -1,0 +1,154 @@
+"""Structured Streaming tests: windowed aggregation parity with batch,
+sliding windows, watermark+append, streaming dedup, stateful
+sessionization vs the batch oracle, foreachBatch -> upsert idempotence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_export_etl_spark.sinks.files import parquet_upsert
+from ffi_export_etl_spark.sources.parquet import table_path
+from ffi_export_etl_spark.streaming.events import (
+    read_events_stream,
+    run_to_completion,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_path():
+    return table_path(SF, "events")
+
+
+def test_tumbling_equals_batch(spark):
+    stream = read_events_stream(spark, _events_path())
+    result = run_to_completion(windowed_counts(stream, "5 minutes"))
+    batch = spark.read.parquet(_events_path()).withColumn(
+        "ts_micro", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    expected = batch.groupBy(
+        F.window("ts_micro", "5 minutes"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n_events"]
+        for r in result.collect()
+    }
+    want = {
+        (r["window"]["start"], r["event_type"]): r["n_events"]
+        for r in expected.collect()
+    }
+    assert got == want
+
+
+def test_sliding_window_double_counts(spark):
+    stream = read_events_stream(spark, _events_path())
+    slid = run_to_completion(
+        windowed_counts(stream, "10 minutes", slide="5 minutes")
+    )
+    tumb = run_to_completion(windowed_counts(stream, "5 minutes"))
+    # every event lands in exactly 2 sliding windows
+    assert (
+        sum(r["n_events"] for r in slid.collect())
+        == 2 * sum(r["n_events"] for r in tumb.collect())
+    )
+
+
+def test_watermark_append_subset_of_complete(spark):
+    stream = read_events_stream(spark, _events_path())
+    agg = windowed_counts(stream, "5 minutes", watermark="10 minutes")
+    appended = run_to_completion(agg, output_mode="append")
+    complete = run_to_completion(
+        windowed_counts(stream, "5 minutes"), output_mode="complete"
+    )
+    a = {
+        (r["window"]["start"], r["event_type"], r["n_events"])
+        for r in appended.collect()
+    }
+    c = {
+        (r["window"]["start"], r["event_type"], r["n_events"])
+        for r in complete.collect()
+    }
+    # append emits only watermark-closed windows; whatever it emits must
+    # agree with the complete-mode truth
+    assert a <= c
+
+
+def test_streaming_dedup(spark):
+    stream = read_events_stream(spark, _events_path())
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    result = run_to_completion(
+        deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        output_mode="complete",
+    )
+    batch = spark.read.parquet(_events_path())
+    expected = {
+        r["event_type"]: r["n"]
+        for r in batch.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["event_type"]: r["n"] for r in result.collect()}
+    assert got == expected
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark):
+    from ffi_export_etl_spark.queries.events_q import evt_sessionize
+    from ffi_export_etl_spark.streaming.stateful import sessionize_stream
+
+    stream = read_events_stream(spark, _events_path()).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    sessions = run_to_completion(
+        sessionize_stream(stream.select("user_id", "ts_us")),
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in sessions.collect()
+    }
+    batch = evt_sessionize(spark, SF)
+    want_all = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in batch.collect()
+    }
+    # the stream holds each user's trailing OPEN session in state; all
+    # emitted (closed) sessions must match batch sessions exactly, and
+    # only the final session per user may be missing
+    assert got <= want_all
+    last_per_user = {}
+    for u, s, e, n in want_all:
+        if u not in last_per_user or s > last_per_user[u][1]:
+            last_per_user[u] = (u, s, e, n)
+    open_sessions = set(last_per_user.values())
+    assert want_all - got <= open_sessions
+    assert len(got) >= len(want_all) - len(open_sessions)
+
+
+def test_foreachbatch_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "events_warehouse")
+
+    def run_once():
+        stream = read_events_stream(spark, _events_path())
+
+        def sink(batch_df, batch_id):
+            parquet_upsert(spark, batch_df.drop("ts_micro"), target, ["event_id"])
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{run_once.n}"))
+            .start()
+        )
+        q.awaitTermination()
+        run_once.n += 1
+
+    run_once.n = 0
+    run_once()
+    first = spark.read.parquet(target).count()
+    run_once()  # fresh checkpoint -> reprocesses the same file
+    second = spark.read.parquet(target).count()
+    assert first == second  # MERGE semantics: replay adds nothing
+    assert first == spark.read.parquet(_events_path()).count()
