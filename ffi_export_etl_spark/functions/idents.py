@@ -43,11 +43,15 @@ def event_date_compact(sample_event_date: Column | str) -> Column:
 
 def event_id(plot_id_col: Column | str, sample_event_date: Column | str) -> Column:
     """EventID = PlotID + yyyymmdd; empty string when the plot lookup
-    failed (parser/xml.py:163-177: '' default, rows later dropped)."""
+    failed (parser/xml.py:163-177: '' default, rows later dropped) OR the
+    date has no yyyy-mm-dd part (divergence: the reference raises
+    IndexError there, xml.py:172-173; '' routes the row into the same
+    drop path as a missing plot)."""
     p = F.col(plot_id_col) if isinstance(plot_id_col, str) else plot_id_col
-    return F.when(p.isNull() | (p == ""), F.lit("")).otherwise(
-        F.concat(p, event_date_compact(sample_event_date))
-    )
+    d = event_date_compact(sample_event_date)
+    return F.when(
+        p.isNull() | (p == "") | d.isNull() | (d == ""), F.lit("")
+    ).otherwise(F.concat(p, d))
 
 
 def project_id(project_unit_name: Column | str) -> Column:

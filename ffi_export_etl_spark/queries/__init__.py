@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     dedup_q,
     events_q,
+    multimodal_q,
     relational,
     relational2,
     similarity_q,
@@ -34,6 +35,7 @@ _MODULES = (
     similarity_q,
     text_q,
     streaming_q,
+    multimodal_q,
 )
 
 

@@ -112,11 +112,45 @@ def evt_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (30-min gap) in batch mode — same semantics
+    as evt_sessionize but expressed through Spark's built-in session
+    windows (works identically over a stream). Window end = last event +
+    gap, so the oracle adds the gap to its computed session end."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.withColumn("ts_micro", ts)
+        .groupBy(F.session_window("ts_micro", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def evt_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema -> typed struct column (the typed
+    sibling of get_json_object; schema-on-read at scan time)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        (parsed.getField("k") % 10).alias("k_mod10"),
+    )
+
+
 QUERIES = {
     "evt_json_extract": evt_json_extract,
     "evt_hourly_rollup": evt_hourly_rollup,
     "evt_sessionize": evt_sessionize,
     "evt_asof_last_click": evt_asof_last_click,
+    "evt_session_window_native": evt_session_window_native,
+    "evt_json_typed_struct": evt_json_typed_struct,
 }
 
 ORACLE = {
@@ -163,5 +197,33 @@ ORACLE = {
         ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events
                         WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "evt_session_window_native": f"""
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > {1800 * US_PER_SEC}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), sess AS (
+            SELECT user_id, ts_us,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts_us) AS start_us,
+               max(ts_us) + {1800 * US_PER_SEC} AS end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "evt_json_typed_struct": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+        FROM events
     """,
 }

@@ -146,6 +146,31 @@ def test_visit_id_branches(spark):
     assert got == ["PRJ202301FireImm", "PRJ02Late", "PRJ2024Fire"]
 
 
+def test_salted_join_equals_plain_join(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_oracle}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, cust, "o_custkey", replication=4).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_oracle):
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
 def test_multimodal_feature_extract(spark):
     from ffi_export_etl_spark.operators.multimodal import (
         extract_features,
