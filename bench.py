@@ -30,14 +30,18 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_bi_nation_volume",
     "q10_returned_items",
+    "q18_large_orders",
     "a1_pivot_counts",
     "a4_keep_first_per_key",
     "w1_topk_per_group",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk_bruteforce",
     "evt_sessionize",
+    "evt_asof_last_click",
     "text_quality_scores",
 ]
 

@@ -22,6 +22,7 @@ from . import (
     multimodal_q,
     relational,
     relational2,
+    relational3,
     similarity_q,
     streaming_q,
     text_q,
@@ -30,6 +31,7 @@ from . import (
 _MODULES = (
     relational,
     relational2,
+    relational3,
     events_q,
     dedup_q,
     similarity_q,

@@ -1,0 +1,59 @@
+"""Bucketed-join test: same-bucketed tables join without a shuffle
+(no Exchange in the final plan) and match the plain-join result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffi_export_etl_spark.sinks.bucketed import bucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_small):
+    # warehouse.dir is a static conf; the session default (spark-warehouse
+    # under cwd) is fine for test tables, dropped on teardown
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        ["o_orderkey"],
+        8,
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    # disable broadcast so the join exercises the bucketed SMJ path (at
+    # real scale both sides are too big to broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, ["o_orderkey"]).select(
+            "o_orderkey", "l_linenumber", "o_totalprice"
+        )
+        joined.collect()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_small, bucketed_tables):
+    lt, rt = bucketed_tables
+    bucketed_count = bucketed_join(spark, lt, rt, ["o_orderkey"]).count()
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    plain_count = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    assert bucketed_count == plain_count
