@@ -159,6 +159,86 @@ def lsh_topk(
     )
 
 
+def dimension_centroids(
+    vectors: DataFrame,
+    dim: int,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, centroid: array<double>) — dimension-wise mean per cell.
+
+    64 avg-aggregates in one pass (map-side combined). With no natural
+    cell column, seed cells via lsh_bucket and iterate Lloyd's algorithm —
+    the aggregation shape is identical."""
+    v = vectors.select(F.col(cell_col).alias("cell"), as_double(F.col(vec_col)).alias("v"))
+    aggs = [
+        F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)
+    ]
+    return (
+        v.groupBy("cell")
+        .agg(*aggs)
+        .select(
+            "cell", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_col: str = "label",
+    k: int = 10,
+    nprobe: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    cells around centroids, probe only the ``nprobe`` cells nearest each
+    query.
+
+    Cells here come from ``cell_col`` (one Lloyd's-iteration k-means is a
+    drop-in replacement via dimension_centroids). Corpus-side cost at
+    scale: ONE scan to assign cells (vs tiny broadcast centroids) + a
+    narrow cell-equi-join per query batch — same profile as sign-LSH but
+    with data-adaptive cells, which is why IVF recalls better on
+    clustered embeddings.
+    """
+    cents = dimension_centroids(vectors, dim, cell_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(cell_col).alias("cell"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    # rank cells per query by centroid cosine; keep nprobe nearest
+    qc = (
+        q.join(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("qv"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        v.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "cos", "rnk")
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

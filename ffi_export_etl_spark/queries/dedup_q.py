@@ -70,12 +70,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD)
 
 
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: transitive closure over the exact Jaccard
+    pairs via iterative min-label propagation (operators/components.py).
+    Every doc gets (cluster_id = min doc_id in component, is_keeper).
+    Oracle: recursive CTE reachability over the same pairs."""
+    from ..operators.components import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=JACCARD_PCT)
+    return dedup_clusters(d, pairs.select("id_a", "id_b"), "doc_id")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 _DUCK_SHINGLES = """
@@ -110,6 +123,37 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
+    """,
+    "dedup_connected_components": f"""
+        WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS cluster_id,
+               d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
     """,
     "dedup_embedding_cosine": f"""
         WITH v AS (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.parquet import load_table
 
 TOPK = 10
@@ -45,9 +45,44 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, computed dimension-wise with
+    posexplode + avg (pure JVM; no Python). Rounded to 6 digits so the
+    (order-dependent) double summation matches the oracle bit-for-bit in
+    practice. The IVF scale path builds on exactly this: centroids ->
+    assign -> probe nearest cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import as_double
+
+    return (
+        e.select(
+            "label",
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: probe the 3 nearest of 10 cells per query
+    (operators/similarity.py ivf_topk). Rows-only check; recall vs brute
+    force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, _queries_df(e), DIM, "vec_id", "embedding", "query_id",
+        cell_col="label", k=TOPK, nprobe=3,
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
+    "ann_label_centroids": ann_label_centroids,
 }
 
 ORACLE = {
@@ -73,5 +108,17 @@ ORACLE = {
                           ORDER BY cos DESC, nbr_id) AS rnk
             FROM scored
         ) WHERE rnk <= {TOPK}
+    """,
+    "ann_label_centroids": """
+        WITH flat AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT label, pos, round(avg(x), 6) AS centroid_val,
+               count(*) AS n_vectors
+        FROM flat GROUP BY label, pos
     """,
 }

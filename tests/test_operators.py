@@ -108,6 +108,23 @@ def test_lsh_topk_recall(spark, sf_oracle):
     assert len(exact_set) == 15
 
 
+def test_ivf_topk_recall(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    ivf = ivf_topk(emb, queries, dim=64, k=5, nprobe=3)
+    exact_set = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    ivf_set = {(r["query_id"], r["nbr_id"]) for r in ivf.collect()}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    # 3 of 10 label-cells probed; embeddings cluster by label, so IVF
+    # should recover a solid share of true neighbors
+    assert recall >= 0.4, f"recall {recall}"
+
+
 def test_parse_list_val_delimiters(spark):
     df = spark.createDataFrame(
         [("a, b",), ("a b",), ("a/b",), ("solo",), ("",), (None,), ("nan",)],
@@ -144,6 +161,32 @@ def test_visit_id_branches(spark):
         ).collect()
     ]
     assert got == ["PRJ202301FireImm", "PRJ02Late", "PRJ2024Fire"]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from ffi_export_etl_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                 ["doc_id"])
+    clusters = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(docs, edges.filter("id_a < 10"), "doc_id").collect()
+    }
+    assert clusters[99] == (99, True)  # singleton keeps itself
+    assert clusters[4] == (1, False)
+    assert clusters[1] == (1, True)
 
 
 def test_salted_join_equals_plain_join(spark, sf_oracle):

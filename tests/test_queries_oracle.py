@@ -32,6 +32,7 @@ def test_oracle_coverage():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_topk_lsh",
+        "ann_topk_ivf",
         "mm_feature_extract",
     }
     assert set(ROWS_ONLY) == expected_rows_only
