@@ -183,6 +183,52 @@ def dimension_centroids(
     )
 
 
+def lloyd_cells(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means cell assignment: (id, cell).
+
+    Init: the k vectors with smallest xxhash64(id) become centroids
+    (deterministic pseudo-random seeding, no RNG state). Each Lloyd
+    iteration = one broadcast-join assignment pass (argmax cosine over k
+    centroids) + one dimension-wise mean aggregation. Per iteration the
+    corpus is scanned once; centroids stay tiny and broadcast."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    v.persist()
+    # seed selection via global TakeOrdered (no single-partition window);
+    # k centroid vectors are model-sized -> collected and re-broadcast
+    seed_rows = (
+        v.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    cents = vectors.sparkSession.createDataFrame(
+        [(i, list(r["v"])) for i, r in enumerate(seed_rows)],
+        "cell int, centroid array<double>",
+    )
+    assign = None
+    for _ in range(max(iters, 1)):
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "ccos", cosine(F.col("v"), F.col("centroid"))
+        )
+        wv = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell"))
+        assign = (
+            scored.withColumn("_rk", F.row_number().over(wv))
+            .filter(F.col("_rk") == 1)
+            .select("id", "cell", "v")
+        )
+        cents = dimension_centroids(assign, dim, "cell", "v")
+    v.unpersist()
+    return assign.select("id", "cell")
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -23,6 +23,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    relational4,
     similarity_q,
     streaming_q,
     text_q,
@@ -32,6 +33,7 @@ _MODULES = (
     relational,
     relational2,
     relational3,
+    relational4,
     events_q,
     dedup_q,
     similarity_q,

@@ -135,7 +135,35 @@ def f2_datetime_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics), rounded to cents. The scale path
+    swaps in percentile_approx (t-digest sketch) when exactness can be
+    traded for a single-pass bounded-memory plan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        money(F.max(dec("o_totalprice")), "max_price"),
+    )
+
+
+def f_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact string-distance functions (levenshtein) — integer outputs,
+    engine-portable; the fuzzy-matching primitive for entity resolution."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    probe = F.lit("Customer#000000001")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), probe).alias("lev_dist"),
+        (F.length("c_name") - F.length(probe)).alias("len_delta"),
+    )
+
+
 QUERIES = {
+    "a10_percentiles": a10_percentiles,
+    "f_edit_distance": f_edit_distance,
     "a1_eav_roundtrip": a1_eav_roundtrip,
     "a9_rollup": a9_rollup,
     "s3_union_by_name": s3_union_by_name,
@@ -145,6 +173,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a10_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+               CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "f_edit_distance": """
+        SELECT c_custkey,
+               CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER)
+                   AS lev_dist,
+               CAST(length(c_name) - length('Customer#000000001') AS INTEGER)
+                   AS len_delta
+        FROM customer WHERE c_custkey <= 500
+    """,
     "a1_eav_roundtrip": """
         WITH long AS (
             SELECT l_orderkey, l_linenumber, 'qty' AS field,

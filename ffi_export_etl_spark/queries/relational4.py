@@ -1,0 +1,188 @@
+"""Fourth batch: correlated-subquery shapes (Catalyst decorrelates these
+into joins — the optimizer capability layer the reference entirely lacks)
+and the SQL-string API surface over registered temp views.
+
+q17: correlated scalar AVG subquery (decorrelated to an aggregate join)
+q21: multi-EXISTS / NOT-EXISTS (semi + anti join stack)
+q22: scalar subquery + anti join
+sql:  the same engine driven through spark.sql over temp views
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from ._util import DUCK_REVENUE, dec, money, revenue
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lines below 50% of their part's average quantity —
+    correlated AVG subquery expressed as aggregate + join (exactly what
+    Catalyst decorrelates a subquery into; written explicitly so the plan
+    is deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "_avg_qty"
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty"))
+        .agg(money(F.sum(dec("l_extendedprice")), "small_qty_revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with lines in multi-supplier F-status orders where they
+    are the ONLY supplier shipping after 1999 — EXISTS + NOT EXISTS
+    stacked as semi + anti joins (TPC-H q21 shape on available columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = li.filter(F.col("l_shipdate") >= F.lit("1999-01-01"))
+    l1 = late.alias("l1")
+    # exists: another supplier in the same order (any shipdate)
+    l2 = li.select("l_orderkey", F.col("l_suppkey").alias("s2")).alias("l2")
+    # not exists: another supplier ALSO late in the same order
+    l3 = late.select("l_orderkey", F.col("l_suppkey").alias("s3")).alias("l3")
+    cand = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.s3")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no orders (scalar subquery +
+    anti join, TPC-H q22 shape): per nation-key-bucket counts and total
+    balance."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .withColumn("nation_bucket", (F.col("c_nationkey") % 5).cast("int"))
+        .groupBy("nation_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money(F.sum(dec("c_acctbal")), "totacctbal"),
+        )
+    )
+
+
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's dual-API promise (SURVEY section 1.1): every table
+    is a temp view, so the engine is drivable from pure SQL text. Same
+    exactness conventions as the DataFrame plans."""
+    for name in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM v_lineitem
+        JOIN v_orders   ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+QUERIES = {
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_waiting_orders": q21_waiting_orders,
+    "q22_idle_customers": q22_idle_customers,
+    "sql_interface_revenue": sql_interface_revenue,
+}
+
+ORACLE = {
+    "q17_small_quantity_revenue": """
+        WITH avgq AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       / count(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS small_qty_revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avgq ON avgq.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#5'
+          AND l_quantity < 0.5 * avg_qty
+    """,
+    "q21_waiting_orders": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate >= TIMESTAMP '1999-01-01'
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l1.l_orderkey
+                        AND o_orderstatus = 'F')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >= TIMESTAMP '1999-01-01')
+        GROUP BY s_name
+    """,
+    "q22_idle_customers": """
+        SELECT CAST(c_nationkey % 5 AS INTEGER) AS nation_bucket,
+               count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*)
+              FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey % 5
+    """,
+    "sql_interface_revenue": f"""
+        SELECT n_name AS nation,
+               CAST(sum({DUCK_REVENUE}) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+}

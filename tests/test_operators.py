@@ -125,6 +125,23 @@ def test_ivf_topk_recall(spark, sf_oracle):
     assert recall >= 0.4, f"recall {recall}"
 
 
+def test_lloyd_cells_partition_and_ivf_without_labels(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.similarity import lloyd_cells
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cells = lloyd_cells(emb, dim=64, k=8, iters=2)
+    rows = cells.collect()
+    assert len(rows) == emb.count()  # every vector assigned
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], 0)
+        by_cell[r["cell"]] += 1
+    assert len(by_cell) >= 4  # clustering didn't collapse
+    # deterministic: same inputs -> same assignment
+    again = {(r["id"], r["cell"]) for r in lloyd_cells(emb, 64, 8, 2).collect()}
+    assert again == {(r["id"], r["cell"]) for r in rows}
+
+
 def test_parse_list_val_delimiters(spark):
     df = spark.createDataFrame(
         [("a, b",), ("a b",), ("a/b",), ("solo",), ("",), (None,), ("nan",)],
