@@ -1,0 +1,55 @@
+"""Property-based parity (hypothesis): randomly generated inputs run
+through the Spark Column kernels in ONE job per example and are compared
+to pure-Python oracles implementing the reference semantics.
+
+Few examples, large batches — each example costs a Spark job, so the
+strategy generates LISTS of inputs (the batch is the example).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ffi_export_etl_spark.operators.shingles import word_shingles
+from tests.test_reference_parity_funcs import py_parse_list_val
+
+TOKEN = st.text(
+    alphabet="abcdefgh XY/.,'-", min_size=0, max_size=24
+)
+
+
+def py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = __import__("re").split(r"\s+", text)
+    if len(toks) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - n + 1):
+        seen[" ".join(toks[i : i + n])] = None
+    return list(seen)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TOKEN, min_size=1, max_size=40))
+def test_word_shingles_property(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r[0]
+        for r in df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    ]
+    want = [py_shingles(t) for t in texts]
+    assert [sorted(g) for g in got] == [sorted(w) for w in want]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TOKEN, min_size=1, max_size=40))
+def test_parse_list_val_property(spark, vals):
+    from ffi_export_etl_spark.functions.idents import parse_list_val
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(parse_list_val("v").alias("x")).collect()]
+    want = [py_parse_list_val(v) for v in vals]
+    assert got == want
