@@ -24,6 +24,7 @@ from . import (
     relational2,
     relational3,
     relational4,
+    relational5,
     similarity_q,
     streaming_q,
     text_q,
@@ -34,6 +35,7 @@ _MODULES = (
     relational2,
     relational3,
     relational4,
+    relational5,
     events_q,
     dedup_q,
     similarity_q,

@@ -180,6 +180,29 @@ def test_visit_id_branches(spark):
     assert got == ["PRJ202301FireImm", "PRJ02Late", "PRJ2024Fire"]
 
 
+def test_tolerance_join_equals_naive(spark):
+    from ffi_export_etl_spark.operators.rangejoin import tolerance_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 990)], ["lid", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(10, 90), (11, 199), (12, 301), (13, 2000)], ["rid", "rts"]
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in tolerance_join(left, right, "lts", "rts", 100).collect()
+    }
+    naive = {
+        (lr["lid"], rr["rid"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if abs(lr["lts"] - rr["rts"]) <= 100
+    }
+    assert got == naive
+    assert (1, 11) in got and (3, 13) not in got
+
+
 def test_connected_components_chain_and_islands(spark):
     from ffi_export_etl_spark.operators.components import (
         connected_components,

@@ -33,6 +33,7 @@ def test_oracle_coverage():
         "dedup_simhash",
         "ann_topk_lsh",
         "ann_topk_ivf",
+        "ann_topk_kmeans",
         "mm_feature_extract",
     }
     assert set(ROWS_ONLY) == expected_rows_only
