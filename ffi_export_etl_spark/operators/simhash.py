@@ -26,25 +26,26 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    # One row per (doc, bit): +1/-1 contribution of each token to each bit.
-    # (SQL expr because shiftright's bit count must be a column here.)
-    bits = toks.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 63), b -> "
-                "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
-            )
-        ).alias("bit", "contrib"),
+    # 64 conditional-sum aggregates over token rows — one pass, map-side
+    # combined. (The explode-per-bit formulation shuffles 64x the rows:
+    # ~100M rows at 5k docs; this shuffles one 64-column row per doc.)
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
     )
-    per_bit = bits.groupBy("id", "bit").agg(F.sum("contrib").alias("s"))
-    # SQL expr: shiftleft's bit count must be a column here.
-    return per_bit.groupBy("id").agg(
-        F.expr(
-            "sum(CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-            "ELSE CAST(0 AS BIGINT) END)"
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"b{b}") >= 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -127,6 +127,68 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark):
     assert len(got) >= len(want_all) - len(open_sessions)
 
 
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with an event-time interval condition
+    (purchases x errors within 60s) — watermarks bound both sides' state.
+    On bounded availableNow input the result equals the batch tolerance
+    join."""
+    from ffi_export_etl_spark.operators.rangejoin import tolerance_join
+
+    # stream-stream joins REQUIRE an equality predicate — supplied by the
+    # same bucket+refine trick as the batch tolerance join (equi on a
+    # 60s bucket, right side exploded to +-1 buckets, exact refine)
+    s = read_events_stream(spark, _events_path())
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("ts_micro").alias("p_ts"))
+        .withWatermark("p_ts", "2 minutes")
+        .withColumn("_b", F.expr("unix_micros(p_ts) div 60000000"))
+    )
+    errors = (
+        read_events_stream(spark, _events_path())
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"),
+                F.col("ts_micro").alias("e_ts"))
+        .withWatermark("e_ts", "2 minutes")
+        .withColumn(
+            "_b",
+            F.explode(
+                F.array(
+                    F.expr("unix_micros(e_ts) div 60000000 - 1"),
+                    F.expr("unix_micros(e_ts) div 60000000"),
+                    F.expr("unix_micros(e_ts) div 60000000 + 1"),
+                )
+            ),
+        )
+    )
+    joined = purchases.join(
+        errors,
+        (purchases._b == errors._b)
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 seconds"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 60 seconds")),
+    )
+    got_rows = run_to_completion(
+        joined.select("purchase_id", "error_id"), output_mode="append"
+    )
+    got = {(r["purchase_id"], r["error_id"]) for r in got_rows.collect()}
+
+    ev = spark.read.parquet(_events_path()).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("pt")
+    )
+    e = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), F.col("ts_us").alias("et")
+    )
+    want = {
+        (r["purchase_id"], r["error_id"])
+        for r in tolerance_join(p, e, "pt", "et", 60 * 10**6).collect()
+    }
+    assert got == want
+
+
 def test_foreachbatch_upsert_idempotent(spark, tmp_path):
     target = str(tmp_path / "events_warehouse")
 
