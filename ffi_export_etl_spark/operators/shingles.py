@@ -49,9 +49,23 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     shuffle is unnecessary.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    # Two-step projection: materialize the token array ONCE, then build
+    # shingles from the attribute — word_shingles references its input
+    # n+1 times, and CollapseProject keeps the split un-inlined only when
+    # it is already a separate multi-referenced alias.
+    toks = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    length = F.greatest(F.size("_toks") - (n - 1), F.lit(0))
+    shingle = F.slice("_toks", 1, length)
+    for j in range(1, n):
+        shingle = F.zip_with(
+            shingle,
+            F.slice("_toks", 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return toks.select(
+        "id", F.explode(F.array_distinct(shingle)).alias("shingle")
     )
 
 
