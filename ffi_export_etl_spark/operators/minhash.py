@@ -48,12 +48,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate (id_a, id_b) pairs sharing >= 1 LSH band bucket.
 
     Bucket key = hash of one band's slice of the signature; the self-join is
     on (band, bucket) so only same-bucket docs ever meet.
+
+    ``max_bucket_size`` caps the worst case: a degenerate bucket of B docs
+    contributes B^2/2 pairs (e.g. a boilerplate string shared by millions
+    of documents). Buckets above the cap are dropped — their members are
+    near-identical to so many others that the remaining bands still pair
+    them, and the quadratic blowup is bounded. Off by default.
     """
     num_perm = bands * rows_per_band
     banded = signatures.select(
@@ -75,6 +84,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -82,6 +82,21 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert high <= approx
 
 
+def test_lsh_bucket_cap_bounds_candidates(docs):
+    from ffi_export_etl_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "doc_id", "text", 3, 32)
+    uncapped = lsh_candidate_pairs(sigs, 8, 4).count()
+    # cap of 1 drops every shared bucket -> no candidates survive
+    capped = lsh_candidate_pairs(sigs, 8, 4, max_bucket_size=1).count()
+    assert capped == 0 and uncapped > 0
+    # generous cap changes nothing
+    assert lsh_candidate_pairs(sigs, 8, 4, max_bucket_size=100).count() == uncapped
+
+
 def test_simhash_finds_near_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"])
