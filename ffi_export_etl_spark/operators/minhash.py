@@ -1,13 +1,20 @@
 """MinHash + LSH banding near-duplicate detection — the 100 TB dedup path.
 
-shingle -> per-permutation min of xxhash64(shingle, seed) -> band the
-signature -> group by (band_id, band_hash) -> candidate pairs only within
-buckets -> verify with exact Jaccard. Cost is linear in corpus size plus
-the (small) bucket-pair blowup, instead of the quadratic shingle self-join.
+shingle -> 32-bit portable hash -> per-permutation min of (a_i*x+b_i) % P
+-> band the signature -> group by (band, bucket) -> candidate pairs only
+within buckets -> verify with exact Jaccard. Cost is linear in corpus size
+plus the (small, capped) bucket-pair blowup, instead of the quadratic
+shingle self-join.
 
-Everything is deterministic: xxhash64 is a fixed function of its input, so
-signatures are stable across runs/partitionings (driver rows-only checks
-stay reproducible). All steps are native Column exprs — no Python UDFs.
+Hashing is the engine-portable md5 family (functions/porthash.py): ONE md5
+per shingle feeds all permutations through cheap modular arithmetic —
+faster than hashing per permutation, and the DuckDB oracle can replay the
+sketch exactly, so the driver gets a full value-hash check instead of a
+rows-only one. All steps are native Column exprs — no Python UDFs.
+
+Reference parity: the reference engine has no near-dup operator; this is
+extension surface (SURVEY.md section 2.8) modeled on the standard MMDS
+banding construction.
 """
 
 from __future__ import annotations
@@ -15,19 +22,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .shingles import jaccard_pairs, shingle_table
+from ..functions.porthash import (
+    MERSENNE31,
+    md5_long,
+    perm_coefficients,
+    spark_perm,
+)
+from .shingles import shingle_table
+
+# A bucket of B members contributes B^2/2 candidate pairs; a degenerate
+# bucket (boilerplate shared by millions of docs) is the one quadratic
+# risk in the plan, so capping is ON by default. Members of a dropped
+# bucket still meet through their other bands unless they collide there
+# too — the standard recall/cost trade.
+DEFAULT_MAX_BUCKET = 100
 
 
 def signatures_from_shingles(sh: DataFrame, num_perm: int = 32) -> DataFrame:
-    """MinHash signatures from an (id, shingle) table."""
-    mins = sh.groupBy("id").agg(
+    """MinHash signatures (id, h0..h{num_perm-1}) from an (id, shingle)
+    table. One md5 per shingle; permutations are modular arithmetic."""
+    x = (md5_long(F.col("shingle"), 8) % MERSENNE31).alias("x")
+    hashed = sh.select("id", x)
+    return hashed.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_perm)
+            F.min(spark_perm(F.col("x"), a, b)).alias(f"h{i}")
+            for i, (a, b) in enumerate(perm_coefficients(num_perm))
         ]
-    )
-    return mins.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -40,43 +60,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) MinHash signatures.
 
-    One permutation = min over shingles of xxhash64(shingle, seed-col=i).
     Aggregated with groupBy().agg(min...) — map-side partial aggregation
     keeps the shuffle tiny at scale.
     """
-    return signatures_from_shingles(shingle_table(docs, id_col, text_col, n), num_perm)
+    wide = signatures_from_shingles(
+        shingle_table(docs, id_col, text_col, n), num_perm
+    )
+    return wide.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 8,
-    rows_per_band: int = 4,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """Distinct candidate (id_a, id_b) pairs sharing >= 1 LSH band bucket.
-
-    Bucket key = hash of one band's slice of the signature; the self-join is
-    on (band, bucket) so only same-bucket docs ever meet.
-
-    ``max_bucket_size`` caps the worst case: a degenerate bucket of B docs
-    contributes B^2/2 pairs (e.g. a boilerplate string shared by millions
-    of documents). Buckets above the cap are dropped — their members are
-    near-identical to so many others that the remaining bands still pair
-    them, and the quadratic blowup is bounded. Off by default.
-    """
-    num_perm = bands * rows_per_band
-    banded = signatures.select(
+def _banded(wide_sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) — bucket key is the joined band slice (string
+    equality join key; portable across engines, no second-level hashing)."""
+    return wide_sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.concat_ws(
+                            "_",
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
-                            ]
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -84,6 +94,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    wide_sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs sharing >= 1 LSH band bucket.
+
+    The self-join is on (band, bucket) so only same-bucket docs ever meet.
+    Buckets larger than ``max_bucket_size`` are dropped before pairing
+    (see DEFAULT_MAX_BUCKET; pass None to disable).
+    """
+    banded = _banded(wide_sigs, bands, rows_per_band)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bn")
@@ -115,6 +140,7 @@ def minhash_near_duplicates(
     num_perm: int = 32,
     bands: int = 8,
     threshold_pct: int = 20,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold_pct/100.
 
@@ -130,7 +156,7 @@ def minhash_near_duplicates(
     sh = shingle_table(docs, id_col, text_col, n)
     sh.persist()
     sigs = signatures_from_shingles(sh, num_perm)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
 
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))

@@ -1,13 +1,18 @@
-"""SimHash near-duplicate detection over 64-bit token-hash fingerprints.
+"""SimHash near-duplicate detection over 60-bit token-hash fingerprints.
 
-simhash(doc) = for each of 64 bit positions, sign of the sum over tokens of
-(+1 if xxhash64(token) has the bit set else -1). Near-duplicates = pairs
+simhash(doc) = for each of 60 bit positions, sign of the sum over tokens of
+(+1 if md5-hash(token) has the bit set else -1). Near-duplicates = pairs
 with small Hamming distance, found without an all-pairs scan by banding the
-64-bit fingerprint into 16-bit chunks (pigeonhole: hamming <= 3 implies at
+60-bit fingerprint into 15-bit chunks (pigeonhole: hamming <= 3 implies at
 least one of 4 chunks equal) and joining only within chunk buckets.
 
-All native Column exprs (bit ops, windows, joins) — deterministic, no UDFs,
-linear shuffle volume + bucket-pair blowup. The scale profile matches
+Token hashing is the portable md5 family (functions/porthash.py): 60 bits
+= 15 hex chars, non-negative in a signed 64-bit in Spark, DuckDB, and
+Python alike, so the DuckDB oracle replays the fingerprints exactly and
+the driver gets a full value-hash check.
+
+All native Column exprs (bit ops, joins) — deterministic, no UDFs, linear
+shuffle volume + bucket-pair blowup. The scale profile matches
 MinHash-LSH; SimHash trades shingle sets for weighted token bits.
 """
 
@@ -16,19 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.porthash import md5_long
+
+BITS = 60  # 15 hex chars of md5 -> non-negative BIGINT in every engine
+CHUNKS = 4  # 15-bit chunks; pigeonhole covers max_hamming <= 3
+CHUNK_BITS = BITS // CHUNKS
+CHUNK_MASK = (1 << CHUNK_BITS) - 1
+
 
 def simhash_fingerprints(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, simhash: bigint) — 64-bit fingerprint per document."""
+    """(id, simhash: bigint) — 60-bit fingerprint per document."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    # 64 conditional-sum aggregates over token rows — one pass, map-side
-    # combined. (The explode-per-bit formulation shuffles 64x the rows:
-    # ~100M rows at 5k docs; this shuffles one 64-column row per doc.)
+    ).withColumn("h", md5_long(F.col("tok"), 15))
+    # 60 conditional-sum aggregates over token rows — one pass, map-side
+    # combined. (The explode-per-bit formulation shuffles 60x the rows;
+    # this shuffles one 60-column row per doc.)
     bit_sums = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -36,14 +48,14 @@ def simhash_fingerprints(
                     F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(BITS)
         ]
     )
     fingerprint = None
-    for b in range(64):
-        term = F.when(
-            F.col(f"b{b}") >= 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    for b in range(BITS):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fingerprint = term if fingerprint is None else fingerprint + term
     return bit_sums.select("id", fingerprint.alias("simhash"))
 
@@ -53,8 +65,8 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
-    Banding into ceil(64/16)=4 16-bit chunks guarantees recall for
-    max_hamming <= 3 (pigeonhole); larger thresholds need more chunks.
+    Banding into 4 15-bit chunks guarantees recall for max_hamming <= 3
+    (pigeonhole); larger thresholds need more chunks.
     """
     fp = simhash_fingerprints(docs, id_col, text_col)
     chunks = fp.select(
@@ -65,11 +77,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * CHUNK_BITS)
+                        .bitwiseAND(F.lit(CHUNK_MASK))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(CHUNKS)
                 ]
             )
         ).alias("cv"),

@@ -1,24 +1,35 @@
-"""Vector similarity: exact cosine + LSH-bucketed approximate search.
+"""Vector similarity: exact cosine + LSH/IVF approximate search.
 
 Embeddings are ``array<float>`` columns. All math happens JVM-side through
 higher-order functions (zip_with / aggregate) in DOUBLE precision with
-sequential accumulation — deterministic and engine-portable (matches a
-left-to-right SQL-side sum over unnested elements).
+sequential accumulation — deterministic and engine-portable (matches the
+DuckDB list_dot_product convention used by every cosine oracle here).
 
 Scale design:
 - brute-force top-k broadcasts the (tiny) query vector set against the
   corpus: one scan, no shuffle for k-per-query via window over query id.
 - random-hyperplane LSH buckets vectors by sign pattern; querying probes
-  only matching buckets. Hyperplane coefficients are derived from xxhash64
-  so the "random" planes are deterministic and need no stored model.
-- all-pairs cosine (dedup use) is quadratic — gated behind the LSH bucket
-  join exactly like MinHash for text.
+  only matching buckets. Hyperplane coefficients are md5-derived Python
+  constants (functions/porthash.py) embedded as literals — identical in
+  the Spark plan, the DuckDB oracle, and across executors, with zero
+  per-row hashing cost.
+- all-pairs cosine (dedup use) is quadratic — the registered dedup path
+  goes through banded sign-LSH buckets (lsh_banded_pairs), the direct
+  all-pairs form exists for small corpora and recall tests.
+- IVF partitions the corpus into cells (a label column or k-means cells)
+  and probes only the nprobe nearest cells per query.
+
+Determinism conventions (shared with the oracles): every score that feeds
+a ranking or a sign test is rounded to 6 digits first; centroid components
+are rounded to 6 digits; all rankings tiebreak on an id column.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.porthash import hyperplane_coefficients, md5_long
 
 
 def as_double(vec: Column) -> Column:
@@ -44,6 +55,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def plane_lit(coefs: list[float]) -> Column:
+    """A hyperplane as a literal array<double> (constant-folded, no per-row
+    hashing)."""
+    return F.array(*[F.lit(c) for c in coefs])
 
 
 def brute_force_topk(
@@ -80,26 +97,18 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane coefficients in [-1, 1).
+def lsh_bucket(
+    vec: Column, dim: int, planes: int = 8, round_digits: int = 6
+) -> Column:
+    """Sign-pattern bucket id (0..2^planes-1) of a vector.
 
-    Derived from xxhash64(plane, dim_index) — no stored model, identical on
-    every executor and every run.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(F.xxhash64(F.lit(plane) * 1000 + d), F.lit(2000)) - 1000
-        ).cast("double")
-        / 1000.0,
-    )
-
-
-def lsh_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
-    """Sign-pattern bucket id (0..2^planes-1) of a vector."""
+    The sign test uses the ROUNDED dot product so bucket assignment is
+    engine-portable even when the last accumulated bit differs."""
+    coefs = hyperplane_coefficients(dim, planes)
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        bit = F.when(dot(vec, _hyperplane(dim, p)) >= 0, 1).otherwise(0)
+        d = F.round(dot(vec, plane_lit(coefs[p])), round_digits)
+        bit = F.when(d >= 0, 1).otherwise(0)
         bucket = bucket + F.shiftleft(bit.cast("long"), p)
     return bucket
 
@@ -127,10 +136,10 @@ def lsh_topk(
     """
     v = vectors.select(
         F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, planes))
+    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, planes, round_digits))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes, round_digits))
     if probe_hamming >= 1:
         flips = [F.col("bucket")] + [
             F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
@@ -159,20 +168,104 @@ def lsh_topk(
     )
 
 
+def lsh_banded_pairs(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    planes_per_table: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs sharing a sign-LSH bucket in
+    at least one of ``tables`` independent hash tables — the cosine analog
+    of MinHash banding, and the scale-safe candidate generator for
+    embedding dedup (linear scan + per-bucket joins, never all-pairs).
+
+    Recall for a pair with angular similarity s is 1-(1-s^p)^L: more
+    tables buy recall, more planes-per-table buy precision (smaller
+    buckets)."""
+    coefs = hyperplane_coefficients(dim, tables * planes_per_table)
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    arms = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes_per_table):
+            d = F.round(
+                dot(F.col("v"), plane_lit(coefs[t * planes_per_table + p])),
+                round_digits,
+            )
+            bit = F.when(d >= 0, 1).otherwise(0)
+            bucket = bucket + F.shiftleft(bit.cast("long"), p)
+        arms.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    banded = v.select(
+        "id", F.explode(F.array(*arms)).alias("tb")
+    ).select("id", "tb.tbl", "tb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_pairs_bucketed(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    tables: int = 4,
+    planes_per_table: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs: banded sign-LSH candidates verified by
+    exact cosine >= threshold. The registered scale path — candidate count
+    is bucket-bounded, and verification touches candidates only."""
+    cands = lsh_banded_pairs(
+        vectors, dim, id_col, vec_col, tables, planes_per_table, round_digits
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def dimension_centroids(
     vectors: DataFrame,
     dim: int,
     cell_col: str = "label",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
-    """(cell, centroid: array<double>) — dimension-wise mean per cell.
+    """(cell, centroid: array<double>) — dimension-wise mean per cell,
+    each component rounded so downstream rankings are engine-portable.
 
-    64 avg-aggregates in one pass (map-side combined). With no natural
-    cell column, seed cells via lsh_bucket and iterate Lloyd's algorithm —
-    the aggregation shape is identical."""
-    v = vectors.select(F.col(cell_col).alias("cell"), as_double(F.col(vec_col)).alias("v"))
+    ``dim`` avg-aggregates in one pass (map-side combined). With no
+    natural cell column, seed cells via lsh_bucket and iterate Lloyd's
+    algorithm — the aggregation shape is identical."""
+    v = vectors.select(
+        F.col(cell_col).alias("cell"), as_double(F.col(vec_col)).alias("v")
+    )
     aggs = [
-        F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)
+        F.round(F.avg(F.element_at("v", i + 1)), round_digits).alias(f"c{i}")
+        for i in range(dim)
     ]
     return (
         v.groupBy("cell")
@@ -190,14 +283,16 @@ def lloyd_cells(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
-    """Deterministic k-means cell assignment: (id, cell).
+    """Deterministic, engine-portable k-means cell assignment: (id, cell).
 
-    Init: the k vectors with smallest xxhash64(id) become centroids
-    (deterministic pseudo-random seeding, no RNG state). Each Lloyd
-    iteration = one broadcast-join assignment pass (argmax cosine over k
-    centroids) + one dimension-wise mean aggregation. Per iteration the
-    corpus is scanned once; centroids stay tiny and broadcast."""
+    Init: the k vectors with smallest (md5-hash(id), id) become centroids
+    cell 0..k-1 (portable pseudo-random seeding — the DuckDB oracle picks
+    the identical seeds). Each Lloyd iteration = one broadcast-join
+    assignment pass (argmax ROUNDED cosine over k centroids, tiebreak on
+    cell) + one dimension-wise ROUNDED mean aggregation. Per iteration the
+    corpus is scanned once; centroids stay model-sized and broadcast."""
     v = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -205,7 +300,7 @@ def lloyd_cells(
     # seed selection via global TakeOrdered (no single-partition window);
     # k centroid vectors are model-sized -> collected and re-broadcast
     seed_rows = (
-        v.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        v.orderBy(md5_long(F.col("id").cast("string"), 15), F.col("id"))
         .limit(k)
         .collect()
     )
@@ -216,7 +311,7 @@ def lloyd_cells(
     assign = None
     for _ in range(max(iters, 1)):
         scored = v.join(F.broadcast(cents)).withColumn(
-            "ccos", cosine(F.col("v"), F.col("centroid"))
+            "ccos", F.round(cosine(F.col("v"), F.col("centroid")), round_digits)
         )
         wv = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell"))
         assign = (
@@ -224,7 +319,7 @@ def lloyd_cells(
             .filter(F.col("_rk") == 1)
             .select("id", "cell", "v")
         )
-        cents = dimension_centroids(assign, dim, "cell", "v")
+        cents = dimension_centroids(assign, dim, "cell", "v", round_digits)
     v.unpersist()
     return assign.select("id", "cell")
 
@@ -245,14 +340,13 @@ def ivf_topk(
     cells around centroids, probe only the ``nprobe`` cells nearest each
     query.
 
-    Cells here come from ``cell_col`` (one Lloyd's-iteration k-means is a
-    drop-in replacement via dimension_centroids). Corpus-side cost at
-    scale: ONE scan to assign cells (vs tiny broadcast centroids) + a
-    narrow cell-equi-join per query batch — same profile as sign-LSH but
-    with data-adaptive cells, which is why IVF recalls better on
-    clustered embeddings.
+    Cells here come from ``cell_col`` (lloyd_cells output is a drop-in).
+    Corpus-side cost at scale: ONE scan to assign cells (vs tiny broadcast
+    centroids) + a narrow cell-equi-join per query batch — same profile as
+    sign-LSH but with data-adaptive cells, which is why IVF recalls better
+    on clustered embeddings.
     """
-    cents = dimension_centroids(vectors, dim, cell_col, vec_col)
+    cents = dimension_centroids(vectors, dim, cell_col, vec_col, round_digits)
     v = vectors.select(
         F.col(id_col).alias("nbr_id"),
         F.col(cell_col).alias("cell"),
@@ -261,10 +355,12 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    # rank cells per query by centroid cosine; keep nprobe nearest
+    # rank cells per query by ROUNDED centroid cosine; keep nprobe nearest
     qc = (
         q.join(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "ccos", F.round(cosine(F.col("qv"), F.col("centroid")), round_digits)
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
     probes = (
@@ -292,8 +388,9 @@ def cosine_pairs(
     threshold: float = 0.95,
     round_digits: int = 6,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold (exact; quadratic — small corpora /
-    oracle checks; at scale bucket first via lsh_bucket)."""
+    """All-pairs cosine >= threshold (exact; quadratic — small corpora and
+    recall tests only; the registered dedup path is
+    cosine_pairs_bucketed)."""
     v = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )

@@ -1,12 +1,19 @@
 """Deduplication queries over the documents/embeddings tables (extension
 surface): exact hash dedup, n-gram Jaccard, MinHash-LSH, SimHash,
-embedding-cosine near-dup.
+embedding-cosine near-dup, and connected-components clustering.
 
-Exact + Jaccard + cosine have full DuckDB oracles (integer Jaccard tests
-and sequential double sums keep both engines bit-identical). MinHash-LSH
-and SimHash are genuinely non-SQL-expressible at oracle fidelity (engine
-hash functions differ) -> rows-only driver check + pytest recall tests
-against the exact oracles.
+Every query has a full DuckDB oracle. The sketch queries (MinHash, SimHash,
+banded sign-LSH) use the engine-portable md5 hash family
+(functions/porthash.py), so the oracle REPLAYS the sketch bit-for-bit —
+signatures, banding, bucket caps, candidate pairs, verification — instead
+of settling for a rows-only check. The oracle SQL below is generated
+programmatically from the same constants the Spark plans embed.
+
+Scale notes: dedup_jaccard_pairs is the EXACT path (quadratic shingle
+self-join) kept for verification and small corpora; the registered scale
+paths are minhash (text) and banded sign-LSH (embeddings), both linear
+scan + per-bucket joins with capped bucket sizes, and the clustering query
+consumes MinHash edges, not exact-Jaccard edges.
 """
 
 from __future__ import annotations
@@ -14,14 +21,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.minhash import minhash_near_duplicates
+from ..functions.porthash import (
+    MERSENNE31,
+    hyperplane_coefficients,
+    perm_coefficients,
+)
+from ..operators.minhash import DEFAULT_MAX_BUCKET, minhash_near_duplicates
 from ..operators.shingles import jaccard_pairs
-from ..operators.similarity import cosine_pairs
+from ..operators.simhash import BITS as SIMHASH_BITS
+from ..operators.simhash import CHUNK_BITS, CHUNK_MASK, CHUNKS
 from ..operators.simhash import simhash_near_duplicates
+from ..operators.similarity import cosine_pairs_bucketed
 from ..sources.parquet import load_table
 
 JACCARD_PCT = 20  # word-trigram Jaccard >= 0.20 => near-duplicate
 COSINE_THRESHOLD = 0.4  # synthetic 64-d embeddings: max off-diag cos ~0.51
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+COS_TABLES = 4
+COS_PLANES = 8
+EMB_DIM = 64
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,57 +59,78 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard near-dup pairs (operators/shingles.py)."""
+    """Exact word-trigram Jaccard near-dup pairs (operators/shingles.py).
+
+    This is the EXACT/verification path — the shingle self-join is
+    quadratic in the worst case and deliberately so; at scale run
+    dedup_minhash_lsh, which verifies candidates against the same Jaccard
+    definition without ever forming all pairs."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=JACCARD_PCT)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms)+LSH(8 bands) candidates verified by exact Jaccard
-    (operators/minhash.py). Rows-only driver check; recall vs the exact
-    pairs is asserted in tests."""
+    (operators/minhash.py), buckets capped at DEFAULT_MAX_BUCKET. Full
+    oracle: DuckDB replays the identical md5-family sketch."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        d, "doc_id", "text", n=3, num_perm=32, bands=8, threshold_pct=JACCARD_PCT
+        d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
+        threshold_pct=JACCARD_PCT,
     )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs with Hamming <= 3 (operators/simhash.py).
-    Rows-only driver check."""
+    """SimHash-60 near-dup pairs with Hamming <= 3 (operators/simhash.py).
+    Full oracle: DuckDB recomputes the identical fingerprints."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (operators/similarity.py).
+    """Embedding near-dup pairs via banded sign-LSH buckets + exact cosine
+    verification (operators/similarity.py cosine_pairs_bucketed) — the
+    scale path: linear scan, per-bucket joins, candidates only.
 
     Threshold 0.4 fits the synthetic embeddings (max off-diagonal cosine
-    ~0.51); real corpora use ~0.95 with LSH bucketing first."""
+    ~0.51); real corpora use ~0.95, where banded-LSH recall is high. The
+    all-pairs exact form stays available as cosine_pairs for recall
+    tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD)
+    return cosine_pairs_bucketed(
+        e, "vec_id", "embedding", dim=EMB_DIM, threshold=COSINE_THRESHOLD,
+        tables=COS_TABLES, planes_per_table=COS_PLANES,
+    )
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: transitive closure over the exact Jaccard
-    pairs via iterative min-label propagation (operators/components.py).
-    Every doc gets (cluster_id = min doc_id in component, is_keeper).
-    Oracle: recursive CTE reachability over the same pairs."""
+    """Near-dup clustering: transitive closure over the MINHASH near-dup
+    edges (the scale-safe edge set) via iterative min-label propagation
+    (operators/components.py). Every doc gets (cluster_id = min doc_id in
+    component, is_keeper). Oracle: recursive CTE reachability over the
+    replayed minhash pairs."""
     from ..operators.components import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=JACCARD_PCT)
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
+        threshold_pct=JACCARD_PCT,
+    )
     return dedup_clusters(d, pairs.select("id_a", "id_b"), "doc_id")
 
 
 QUERIES = {
     "dedup_exact": dedup_exact,
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
 }
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (generated from the same constants the Spark plans embed)
+# ---------------------------------------------------------------------------
 
 _DUCK_SHINGLES = """
     SELECT doc_id,
@@ -100,6 +141,131 @@ _DUCK_SHINGLES = """
           FROM documents)
     WHERE len(t) >= 3
 """
+
+_DUCK_MD5_8 = "CAST(CONCAT('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+_DUCK_MD5_15 = "CAST(CONCAT('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_pairs_sql() -> str:
+    """DuckDB CTE chain replaying minhash_near_duplicates exactly."""
+    perms = perm_coefficients(NUM_PERM)
+    sig_cols = ",\n               ".join(
+        f"min((CAST({a} AS BIGINT) * x + {b}) % {MERSENNE31}) AS h{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_arms = "\n            UNION ALL\n            ".join(
+        "SELECT id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    x = _DUCK_MD5_8.format(s="shingle")
+    return f"""
+        sh AS ({_DUCK_SHINGLES}),
+        shi AS (SELECT doc_id AS id, {x} % {MERSENNE31} AS x FROM sh),
+        sig AS (SELECT id,
+               {sig_cols}
+            FROM shi GROUP BY id),
+        bands AS (
+            {band_arms}
+        ),
+        kept AS (SELECT band, bucket FROM bands
+                 GROUP BY band, bucket HAVING count(*) <= {DEFAULT_MAX_BUCKET}),
+        bk AS (SELECT bands.id, bands.band, bands.bucket
+               FROM bands JOIN kept USING (band, bucket)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bk a JOIN bk b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        ),
+        mh_pairs AS (
+            SELECT id_a, id_b, n_inter,
+                   sa.n_sh + sb.n_sh - n_inter AS n_union,
+                   n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
+        )"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB CTE chain replaying simhash_near_duplicates exactly."""
+    h = _DUCK_MD5_15.format(s="tok")
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = "\n                 + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_arms = "\n            UNION ALL\n            ".join(
+        f"SELECT id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * CHUNK_BITS}) & {CHUNK_MASK} AS val FROM fp"
+        for c in range(CHUNKS)
+    )
+    return f"""
+        toks AS (SELECT doc_id AS id,
+                        unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                 FROM documents),
+        th AS (SELECT id, {h} AS h FROM toks),
+        bs AS (SELECT id,
+               {bit_sums}
+            FROM th GROUP BY id),
+        fp AS (SELECT id,
+                 {fp}
+               AS simhash FROM bs),
+        chunks AS (
+            {chunk_arms}
+        )"""
+
+
+def _duck_bucket_expr(table: int, vec: str = "vv") -> str:
+    """Sign-LSH bucket expression for one hash table (literal planes)."""
+    coefs = hyperplane_coefficients(EMB_DIM, COS_TABLES * COS_PLANES)
+    terms = []
+    for p in range(COS_PLANES):
+        plane = coefs[table * COS_PLANES + p]
+        lits = ", ".join(repr(c) for c in plane)
+        terms.append(
+            f"(CASE WHEN round(list_dot_product({vec}, [{lits}]), 6) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return "\n                 + ".join(terms)
+
+
+def _cosine_bucketed_sql() -> str:
+    arms = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {t} AS tbl,\n                 "
+        + _duck_bucket_expr(t)
+        + "\n               AS bucket FROM v"
+        for t in range(COS_TABLES)
+    )
+    return f"""
+        v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+        banded AS (
+            {arms}
+        ),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id),
+        n AS (SELECT vec_id, vv,
+                     sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
+              FROM v)"""
+
 
 ORACLE = {
     "dedup_exact": """
@@ -124,25 +290,34 @@ ORACLE = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
     """,
+    "dedup_minhash_lsh": f"""
+        WITH {_minhash_pairs_sql()}
+        SELECT id_a, id_b, n_inter, n_union, jaccard FROM mh_pairs
+    """,
+    "dedup_simhash": f"""
+        WITH {_simhash_sql()}
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH {_cosine_bucketed_sql()}
+        SELECT c.id_a, c.id_b,
+               round(list_dot_product(a.vv, b.vv) / (a.nrm * b.nrm), 6) AS cos
+        FROM cand c
+        JOIN n a ON a.vec_id = c.id_a
+        JOIN n b ON b.vec_id = c.id_b
+        WHERE round(list_dot_product(a.vv, b.vv) / (a.nrm * b.nrm), 6)
+              >= {COSINE_THRESHOLD}
+    """,
     "dedup_connected_components": f"""
-        WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        ),
-        pairs AS (
-            SELECT id_a, id_b FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
-        ),
+        WITH RECURSIVE {_minhash_pairs_sql()},
         edges AS (
-            SELECT id_a AS u, id_b AS v FROM pairs
+            SELECT id_a AS u, id_b AS v FROM mh_pairs
             UNION
-            SELECT id_b, id_a FROM pairs
+            SELECT id_b, id_a FROM mh_pairs
         ),
         reach(id, r) AS (
             SELECT u, u FROM edges
@@ -154,21 +329,5 @@ ORACLE = {
                coalesce(c.component, d.doc_id) AS cluster_id,
                d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-    """,
-    "dedup_embedding_cosine": f"""
-        WITH v AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-            FROM embeddings
-        ), n AS (
-            SELECT vec_id, vv,
-                   sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
-            FROM v
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.vv, b.vv) / (a.nrm * b.nrm), 6) AS cos
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.vv, b.vv) / (a.nrm * b.nrm), 6)
-              >= {COSINE_THRESHOLD}
     """,
 }
