@@ -45,7 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins of ``queries()``. Keys absent here
-    (minhash/simhash/LSH — engine-hash-dependent) get the driver's
-    rows-only check."""
+    """DuckDB-runnable ANSI SQL twins of ``queries()`` — one per query,
+    including the sketch/ANN/multimodal paths (engine-portable md5-family
+    hashing makes them SQL-replayable; no rows-only fallbacks)."""
     return all_oracle_sql()

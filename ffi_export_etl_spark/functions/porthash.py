@@ -76,6 +76,28 @@ def duck_perm(x_expr: str, a: int, b: int) -> str:
     return f"(CAST({a} AS BIGINT) * {x_expr} + {b}) % {MERSENNE31}"
 
 
+def duck_sign_bucket(
+    dim: int,
+    plane_offset: int,
+    planes: int,
+    vec: str = "vv",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB SQL fragment: sign-LSH bucket id over literal hyperplanes
+    ``plane_offset .. plane_offset+planes-1`` — matches the Spark
+    operators' rounded-dot sign convention bit for bit."""
+    coefs = hyperplane_coefficients(dim, plane_offset + planes)
+    terms = []
+    for p in range(planes):
+        lits = ", ".join(repr(c) for c in coefs[plane_offset + p])
+        terms.append(
+            f"(CASE WHEN round(list_dot_product({vec}, [{lits}]), "
+            f"{round_digits}) >= 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE 0 END)"
+        )
+    return "(" + "\n                 + ".join(terms) + ")"
+
+
 def hyperplane_coefficients(dim: int, planes: int) -> list[list[float]]:
     """Sign-LSH hyperplane components in [-1, 1], step 1/1000.
 

@@ -57,13 +57,18 @@ FEATURE_SCHEMA = StructType(
 def _fake_decode(content: bytes, kind: str) -> dict:
     """Deterministic stand-in for a real decoder (PIL/ffmpeg absent here).
 
-    Derives fake-but-stable dimensions from the byte content so tests have
-    real assertions; swap via set_decoder() in production.
+    Derives fake-but-stable dimensions from md5 hex prefixes of the byte
+    content — the same engine-portable construction as
+    functions/porthash.py, so the driver's DuckDB oracle can replay the
+    "decode" exactly. Swap via set_decoder() in production.
     """
-    h = 0
-    for b in content[:64]:
-        h = (h * 131 + b) % 10**9
-    return {"width": 64 + h % 1024, "height": 64 + (h // 1024) % 1024}
+    import hashlib
+
+    hx = hashlib.md5(content).hexdigest()
+    return {
+        "width": 64 + int(hx[:4], 16) % 1024,
+        "height": 64 + int(hx[4:8], 16) % 1024,
+    }
 
 
 _decoder: Callable[[bytes, str], dict] = _fake_decode

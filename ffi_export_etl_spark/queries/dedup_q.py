@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.porthash import (
     MERSENNE31,
-    hyperplane_coefficients,
+    duck_sign_bucket,
     perm_coefficients,
 )
 from ..operators.minhash import DEFAULT_MAX_BUCKET, minhash_near_duplicates
@@ -230,24 +230,10 @@ def _simhash_sql() -> str:
         )"""
 
 
-def _duck_bucket_expr(table: int, vec: str = "vv") -> str:
-    """Sign-LSH bucket expression for one hash table (literal planes)."""
-    coefs = hyperplane_coefficients(EMB_DIM, COS_TABLES * COS_PLANES)
-    terms = []
-    for p in range(COS_PLANES):
-        plane = coefs[table * COS_PLANES + p]
-        lits = ", ".join(repr(c) for c in plane)
-        terms.append(
-            f"(CASE WHEN round(list_dot_product({vec}, [{lits}]), 6) >= 0 "
-            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        )
-    return "\n                 + ".join(terms)
-
-
 def _cosine_bucketed_sql() -> str:
     arms = "\n            UNION ALL\n            ".join(
         f"SELECT vec_id, {t} AS tbl,\n                 "
-        + _duck_bucket_expr(t)
+        + duck_sign_bucket(EMB_DIM, t * COS_PLANES, COS_PLANES)
         + "\n               AS bucket FROM v"
         for t in range(COS_TABLES)
     )

@@ -78,31 +78,10 @@ def j_tolerance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over UNLABELED data: Lloyd k-means cells (deterministic
-    hash-seeded init, 2 iterations) feed the same nprobe probing as
-    ann_topk_ivf. Rows-only check; determinism pinned in tests."""
-    from ..operators.similarity import ivf_topk, lloyd_cells
-
-    e = load_table(spark, sf_dir, "embeddings")
-    cells = lloyd_cells(e, dim=64, k=8, iters=2)
-    with_cells = e.join(cells, e.vec_id == cells.id).select(
-        "vec_id", "embedding", "cell"
-    )
-    queries = with_cells.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(
-        with_cells, queries, 64, "vec_id", "embedding", "query_id",
-        cell_col="cell", k=10, nprobe=3,
-    )
-
-
 QUERIES = {
     "a11_cube": a11_cube,
     "f_array_map_pack": f_array_map_pack,
     "j_tolerance_pairs": j_tolerance_pairs,
-    "ann_topk_kmeans": ann_topk_kmeans,
 }
 
 ORACLE = {

@@ -85,11 +85,12 @@ def test_minhash_lsh_recall_vs_exact(docs):
 def test_lsh_bucket_cap_bounds_candidates(docs):
     from ffi_export_etl_spark.operators.minhash import (
         lsh_candidate_pairs,
-        minhash_signatures,
+        signatures_from_shingles,
     )
+    from ffi_export_etl_spark.operators.shingles import shingle_table
 
-    sigs = minhash_signatures(docs, "doc_id", "text", 3, 32)
-    uncapped = lsh_candidate_pairs(sigs, 8, 4).count()
+    sigs = signatures_from_shingles(shingle_table(docs, "doc_id", "text", 3), 32)
+    uncapped = lsh_candidate_pairs(sigs, 8, 4, max_bucket_size=None).count()
     # cap of 1 drops every shared bucket -> no candidates survive
     capped = lsh_candidate_pairs(sigs, 8, 4, max_bucket_size=1).count()
     assert capped == 0 and uncapped > 0

@@ -26,17 +26,11 @@ def test_entry_smoke(spark):
 
 
 def test_oracle_coverage():
-    # every oracle key must have a query; rows-only set stays intentional
+    # every oracle key must have a query, and EVERY query has an oracle:
+    # the sketch queries use the portable md5 hash family specifically so
+    # the DuckDB oracle can replay them (no rows-only fallbacks left).
     assert set(ORACLE) <= set(QUERIES)
-    expected_rows_only = {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "ann_topk_lsh",
-        "ann_topk_ivf",
-        "ann_topk_kmeans",
-        "mm_feature_extract",
-    }
-    assert set(ROWS_ONLY) == expected_rows_only
+    assert set(ROWS_ONLY) == set()
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
