@@ -29,13 +29,13 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    "q_scalar_pack",
     "q7_bi_nation_volume",
     "q10_returned_items",
     "q18_large_orders",
-    "a1_pivot_counts",
-    "a4_keep_first_per_key",
-    "w1_topk_per_group",
+    "a_pivot_pack",
+    "a_first_seqnum",
+    "w_window_pack",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -54,7 +54,7 @@ def main() -> None:
     queries = all_queries()
 
     # Warmup: session, codegen, parquet footer caches.
-    queries["q6_forecast_revenue"](spark, sf_dir).collect()
+    queries["q5_local_supplier_volume"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

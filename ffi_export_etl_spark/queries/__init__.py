@@ -20,6 +20,7 @@ from . import (
     dedup_q,
     events_q,
     multimodal_q,
+    packs,
     relational,
     relational2,
     relational3,
@@ -30,18 +31,23 @@ from . import (
     text_q,
 )
 
+# Extension surface (dedup/ann/text/evt/stream/mm) registers FIRST: the
+# driver verifies the first 50 queries() entries, and these are the rows
+# that pin the LLM-pipeline operators. The whole registry is kept <= 50
+# (asserted in tests/test_queries_oracle.py) so order is belt-and-braces.
 _MODULES = (
+    dedup_q,
+    similarity_q,
+    text_q,
+    events_q,
+    streaming_q,
+    multimodal_q,
     relational,
     relational2,
     relational3,
     relational4,
     relational5,
-    events_q,
-    dedup_q,
-    similarity_q,
-    text_q,
-    streaming_q,
-    multimodal_q,
+    packs,
 )
 
 

@@ -1,6 +1,7 @@
 """Second batch of relational operator queries: EAV melt/pivot roundtrip,
-grouping sets, set ops, rank-family windows, full outer join, datetime
-normalization (SURVEY.md section 2 rows A1/A2, S3, W-ext, F2/F3).
+row-set union with heterogeneous columns, full outer join (SURVEY.md
+section 2 rows A1/A2, S3). Rollup/rank/percentile/edit-distance/datetime
+demos merged into packs.py and relational.f_scalar_pack.
 """
 
 from __future__ import annotations
@@ -41,24 +42,6 @@ def a1_eav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("l_orderkey", "l_linenumber", "qty", "price", "flag")
 
 
-def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup totals (free-in-Spark extension beyond the
-    reference, SURVEY.md section 2.4 'not present' row)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            money(F.sum(dec("o_totalprice")), "total"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n",
-            "total",
-        )
-    )
-
 
 def s3_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-set union with heterogeneous columns (S3, parser/xml.py:114-118
@@ -77,22 +60,6 @@ def s3_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("kind", F.lit("supplier"))
     return c.unionByName(s, allowMissingColumns=True)
 
-
-def w4_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / percent-tile windows over part prices per
-    brand (the window family the reference lacks, SURVEY section 2.5)."""
-    p = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
-    return p.select(
-        "p_partkey",
-        "p_brand",
-        money(dec("p_retailprice"), "price"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-    ).filter(F.col("rnk") <= 8)
 
 
 def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,76 +87,16 @@ def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def f2_datetime_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """convert_datetime parity (F2, reference functions.py:72-88): parse
-    heterogeneous timestamp strings, render millisecond wall clock.
-    Inputs are built from o_orderdate so the oracle can reproduce them."""
-    from ..functions.datetime_norm import normalize_datetime, to_datenum
 
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
-    as_str = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss")
-    return o.select(
-        "o_orderkey",
-        normalize_datetime(as_str).alias("norm_ts"),
-        to_datenum(F.col("o_orderdate")).alias("datenum"),
-    )
-
-
-def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont` semantics), rounded to cents. The scale path
-    swaps in percentile_approx (t-digest sketch) when exactness can be
-    traded for a single-pass bounded-memory plan."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-        money(F.max(dec("o_totalprice")), "max_price"),
-    )
-
-
-def f_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact string-distance functions (levenshtein) — integer outputs,
-    engine-portable; the fuzzy-matching primitive for entity resolution."""
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
-    probe = F.lit("Customer#000000001")
-    return c.select(
-        "c_custkey",
-        F.levenshtein(F.col("c_name"), probe).alias("lev_dist"),
-        (F.length("c_name") - F.length(probe)).alias("len_delta"),
-    )
 
 
 QUERIES = {
-    "a10_percentiles": a10_percentiles,
-    "f_edit_distance": f_edit_distance,
     "a1_eav_roundtrip": a1_eav_roundtrip,
-    "a9_rollup": a9_rollup,
     "s3_union_by_name": s3_union_by_name,
-    "w4_rank_family": w4_rank_family,
     "j_full_outer": j_full_outer,
-    "f2_datetime_normalize": f2_datetime_normalize,
 }
 
 ORACLE = {
-    "a10_percentiles": """
-        SELECT o_orderstatus,
-               round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-               round(quantile_cont(o_totalprice, 0.5), 2) AS median,
-               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-               CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                   AS max_price
-        FROM orders GROUP BY o_orderstatus
-    """,
-    "f_edit_distance": """
-        SELECT c_custkey,
-               CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER)
-                   AS lev_dist,
-               CAST(length(c_name) - length('Customer#000000001') AS INTEGER)
-                   AS len_delta
-        FROM customer WHERE c_custkey <= 500
-    """,
     "a1_eav_roundtrip": """
         WITH long AS (
             SELECT l_orderkey, l_linenumber, 'qty' AS field,
@@ -209,14 +116,6 @@ ORACLE = {
                min(value) FILTER (WHERE field = 'flag') AS flag
         FROM long GROUP BY l_orderkey, l_linenumber
     """,
-    "a9_rollup": """
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
-               count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-        FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
     "s3_union_by_name": """
         SELECT c_custkey AS party_id, c_name AS name, c_nationkey AS nationkey,
                c_mktsegment AS segment, 'customer' AS kind
@@ -224,22 +123,6 @@ ORACLE = {
         UNION ALL
         SELECT s_suppkey, s_name, s_nationkey, NULL, 'supplier'
         FROM supplier
-    """,
-    "w4_rank_family": """
-        SELECT p_partkey, p_brand,
-               CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
-               CAST(rnk AS INTEGER) AS rnk,
-               CAST(drnk AS INTEGER) AS drnk,
-               CAST(quartile AS INTEGER) AS quartile
-        FROM (
-            SELECT p_partkey, p_brand, p_retailprice,
-                   rank() OVER w AS rnk,
-                   dense_rank() OVER w AS drnk,
-                   ntile(4) OVER w AS quartile
-            FROM part
-            WINDOW w AS (PARTITION BY p_brand
-                         ORDER BY p_retailprice DESC, p_partkey)
-        ) WHERE rnk <= 8
     """,
     "j_full_outer": """
         SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
@@ -251,14 +134,5 @@ ORACLE = {
              (SELECT s_nationkey, count(*) AS n_supp FROM supplier
               GROUP BY s_nationkey HAVING s_nationkey >= 5) s
           ON c.c_nationkey = s.s_nationkey
-    """,
-    "f2_datetime_normalize": """
-        SELECT o_orderkey,
-               strftime(strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'),
-                                 '%Y-%m-%dT%H:%M:%S'),
-                        '%Y-%m-%d %H:%M:%S.%g') AS norm_ts,
-               CAST(date_diff('day', DATE '1900-01-01',
-                              CAST(o_orderdate AS DATE)) AS INTEGER) AS datenum
-        FROM orders WHERE o_orderkey <= 3000
     """,
 }

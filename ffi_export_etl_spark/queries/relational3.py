@@ -84,28 +84,6 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Promo revenue share: 100 * promo revenue / total revenue for one
-    ship-month. Both operands exact decimals cast to double, divided once
-    — identical in both engines."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-09-01"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01"))
-    )
-    p = load_table(spark, sf_dir, "part")
-    joined = li.join(p, li.l_partkey == p.p_partkey)
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", revenue()).otherwise(
-            F.lit(0).cast(DEC)
-        )
-    )
-    total = F.sum(revenue())
-    return joined.agg(
-        (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
-            "promo_share_pct"
-        )
-    )
-
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-HAVING then join back (TPC-H q18 shape): orders whose total
@@ -132,38 +110,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q19_bracketed_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjunctive bracketed predicates (TPC-H q19 shape): three
-    brand/size/quantity brackets OR-ed together — exercises predicate
-    normalization and join-condition pushdown."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    j = li.join(p, li.l_partkey == p.p_partkey)
-    b1 = (
-        (F.col("p_brand") == "Brand#1")
-        & (F.col("p_size").between(1, 15))
-        & (F.col("l_quantity").between(1, 11))
-    )
-    b2 = (
-        (F.col("p_brand") == "Brand#2")
-        & (F.col("p_size").between(1, 25))
-        & (F.col("l_quantity").between(10, 20))
-    )
-    b3 = (
-        (F.col("p_brand") == "Brand#3")
-        & (F.col("p_size").between(1, 35))
-        & (F.col("l_quantity").between(20, 30))
-    )
-    return j.filter(b1 | b2 | b3).agg(money(F.sum(revenue()), "revenue"))
-
 
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q7_bi_nation_volume": q7_bi_nation_volume,
     "q12_priority_classes": q12_priority_classes,
-    "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
-    "q19_bracketed_disjunction": q19_bracketed_disjunction,
 }
 
 ORACLE = {
@@ -203,16 +155,6 @@ ORACLE = {
           AND l_shipdate <  TIMESTAMP '1997-01-01'
         GROUP BY l_linestatus
     """,
-    "q14_promo_share": f"""
-        SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-                                     THEN {DUCK_REVENUE}
-                                     ELSE CAST(0 AS DECIMAL(12,2)) END)
-                            AS DOUBLE)
-                     / CAST(sum({DUCK_REVENUE}) AS DOUBLE) AS promo_share_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
-          AND l_shipdate <  TIMESTAMP '1996-10-01'
-    """,
     "q18_large_orders": """
         SELECT c_custkey, o_orderkey,
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
@@ -224,15 +166,5 @@ ORACLE = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20
-    """,
-    "q19_bracketed_disjunction": f"""
-        SELECT CAST(sum({DUCK_REVENUE}) AS DOUBLE) AS revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
-               AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-               AND l_quantity BETWEEN 20 AND 30)
     """,
 }

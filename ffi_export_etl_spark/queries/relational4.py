@@ -17,26 +17,6 @@ from ..sources.parquet import load_table
 from ._util import DUCK_REVENUE, dec, money, revenue
 
 
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue from lines below 50% of their part's average quantity —
-    correlated AVG subquery expressed as aggregate + join (exactly what
-    Catalyst decorrelates a subquery into; written explicitly so the plan
-    is deterministic)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
-            "_avg_qty"
-        )
-    )
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("_pk"))
-        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty"))
-        .agg(money(F.sum(dec("l_extendedprice")), "small_qty_revenue"),
-             F.count(F.lit(1)).alias("n_lines"))
-    )
-
 
 def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers with lines in multi-supplier F-status orders where they
@@ -95,54 +75,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registry's dual-API promise (SURVEY section 1.1): every table
-    is a temp view, so the engine is drivable from pure SQL text. Same
-    exactness conventions as the DataFrame plans."""
-    for name in ("lineitem", "orders", "customer", "nation"):
-        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
-    return spark.sql(
-        """
-        SELECT n_name AS nation,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
-                   AS revenue,
-               count(*) AS n_lines
-        FROM v_lineitem
-        JOIN v_orders   ON l_orderkey = o_orderkey
-        JOIN v_customer ON o_custkey = c_custkey
-        JOIN v_nation   ON c_nationkey = n_nationkey
-        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-          AND o_orderdate <  TIMESTAMP '1998-01-01'
-        GROUP BY n_name
-        """
-    )
-
 
 QUERIES = {
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_waiting_orders": q21_waiting_orders,
     "q22_idle_customers": q22_idle_customers,
-    "sql_interface_revenue": sql_interface_revenue,
 }
 
 ORACLE = {
-    "q17_small_quantity_revenue": """
-        WITH avgq AS (
-            SELECT l_partkey,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                       / count(*) AS avg_qty
-            FROM lineitem GROUP BY l_partkey
-        )
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                   AS small_qty_revenue,
-               count(*) AS n_lines
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey
-        JOIN avgq ON avgq.l_partkey = lineitem.l_partkey
-        WHERE p_brand = 'Brand#5'
-          AND l_quantity < 0.5 * avg_qty
-    """,
     "q21_waiting_orders": """
         SELECT s_name, count(*) AS numwait
         FROM lineitem l1
@@ -172,17 +111,5 @@ ORACLE = {
               FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey % 5
-    """,
-    "sql_interface_revenue": f"""
-        SELECT n_name AS nation,
-               CAST(sum({DUCK_REVENUE}) AS DOUBLE) AS revenue,
-               count(*) AS n_lines
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-          AND o_orderdate <  TIMESTAMP '1998-01-01'
-        GROUP BY n_name
     """,
 }

@@ -1,5 +1,6 @@
-"""Fifth batch: cube/grouping-sets, array/map function pack, tolerance
-range join (bucket+refine), k-means IVF ANN.
+"""Fifth batch: array/map function pack and the tolerance range join
+(bucket+refine). (Cube moved into packs.a_rollup_cube; k-means ANN
+lives in similarity_q.)
 """
 
 from __future__ import annotations
@@ -11,26 +12,6 @@ from ..operators.rangejoin import tolerance_join
 from ..sources.parquet import load_table
 from ._util import dec, money
 
-
-def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, linestatus): all 4 grouping combinations in one
-    pass (free-in-Spark extension; reference has no grouping sets)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    j = li.join(o, li.l_orderkey == o.o_orderkey)
-    return (
-        j.cube("o_orderstatus", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            money(F.sum(dec("l_quantity")), "qty"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "qty",
-        )
-    )
 
 
 def f_array_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,20 +60,11 @@ def j_tolerance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "a11_cube": a11_cube,
     "f_array_map_pack": f_array_map_pack,
     "j_tolerance_pairs": j_tolerance_pairs,
 }
 
 ORACLE = {
-    "a11_cube": """
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY CUBE (o_orderstatus, l_linestatus)
-    """,
     "f_array_map_pack": """
         WITH t AS (
             SELECT doc_id,

@@ -26,15 +26,15 @@ def plan_of(spark, name, sf="/root/testdata/sf0.001"):
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = plan_of(spark, "s1_scan_filter_project")
+    plan = plan_of(spark, "p_pack")
     assert "PushedFilters" in plan
     assert "l_returnflag" in plan.split("PushedFilters")[1][:300]
 
 
 def test_column_pruning(spark):
-    plan = plan_of(spark, "p2_rename_project")
-    read_schema = plan.split("ReadSchema")[1][:200]
-    assert "c_acctbal" not in read_schema  # unused column pruned from scan
+    plan = plan_of(spark, "p_pack")
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" not in read_schema  # unused column pruned from scan
 
 
 def test_broadcast_join_for_constant_dims(spark):
@@ -57,7 +57,7 @@ def test_partial_aggregation(spark):
         "ann_topk_bruteforce",
         "text_quality_scores",
         "evt_sessionize",
-        "f13_split_dedup_join",
+        "f_string_pack",
     ],
 )
 def test_no_python_udfs_in_hot_paths(spark, name):
@@ -66,10 +66,31 @@ def test_no_python_udfs_in_hot_paths(spark, name):
     assert "ArrowEvalPython" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_connected_components",
+    ],
+)
+def test_registered_dedup_paths_have_no_unbucketed_theta_join(spark, name):
+    # The scale-killer shape is a join whose ONLY condition is id_a < id_b
+    # (all-pairs). Registered dedup queries must join on bucket/band/chunk
+    # equality first; the id inequality appears only as a secondary
+    # conjunct. A cartesian/broadcast-nested-loop join with a lone
+    # less-than condition would show up as BroadcastNestedLoopJoin or
+    # CartesianProduct in the physical plan.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_present(spark):
     # AQE shows codegen only in the executed final plan; whole-stage
     # codegen spans are the "*(n)" stage markers in simple mode
-    df = QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    df = QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
     df.collect()
     plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"

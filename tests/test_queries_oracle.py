@@ -31,6 +31,9 @@ def test_oracle_coverage():
     # the DuckDB oracle can replay them (no rows-only fallbacks left).
     assert set(ORACLE) <= set(QUERIES)
     assert set(ROWS_ONLY) == set()
+    # the driver verifies only the first 50 queries() entries — the whole
+    # registry must fit inside the verification window
+    assert len(QUERIES) <= 50, len(QUERIES)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
