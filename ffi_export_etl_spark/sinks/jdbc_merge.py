@@ -127,9 +127,11 @@ def merge_sql(
         )
     if dialect == "postgres":
         pklist = ", ".join(primary_key)
+        # WHERE true disambiguates the upsert clause after a SELECT (a
+        # sqlite parser requirement, harmless on postgres)
         return (
             f"INSERT INTO {target} ({collist}) "
-            f"SELECT {collist} FROM {staging} "
+            f"SELECT {collist} FROM {staging} WHERE true "
             f"ON CONFLICT ({pklist}) DO NOTHING;"
         )
     raise ValueError(f"unknown dialect: {dialect}")
@@ -190,7 +192,10 @@ class MergeLoader:
                 after = self.scalar(f"SELECT COUNT(*) FROM {table}")
                 self.results.append(MergeResult(table, before, after))
             except Exception as exc:  # per-table isolation (xml.py:699-707)
-                self.execute("ROLLBACK;")
+                try:
+                    self.execute("ROLLBACK;")
+                except Exception:
+                    pass  # failure before BEGIN -> nothing to roll back
                 self.insert_failed.append(table)
                 self.results.append(
                     MergeResult(table, 0, 0, failed=True, error=str(exc))

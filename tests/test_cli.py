@@ -1,0 +1,50 @@
+"""CLI entry-point parity test (reference xml_to_rdb.py main()): config
+file -> export scan -> pipeline -> keyed parquet warehouse, idempotent on
+rerun via the ledger."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ffi_export_etl_spark.__main__ import main
+from tests.ffi_fixture import write_export_xml
+
+
+def test_cli_main_processes_exports(spark, tmp_path, capsys):
+    exports = tmp_path / "data"
+    exports.mkdir()
+    write_export_xml(str(exports / "export1.xml"))
+    warehouse = tmp_path / "warehouse"
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        f"[Paths]\ndata = {exports}\nwarehouse = {warehouse}\n"
+    )
+
+    assert main(["--config", str(ini)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "export1.xml" in out
+    assert out["export1.xml"].get("SampleEvent", 0) > 0
+    assert os.path.isdir(warehouse / "SampleEvent")
+
+    # rerun: ledger makes the file a no-op
+    assert main(["--config", str(ini)]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {}
+
+
+def test_cli_jdbc_flag_requires_db_section(tmp_path, capsys):
+    ini = tmp_path / "config.ini"
+    ini.write_text("[Paths]\ndata = x\n")
+    assert main(["--config", str(ini), "--jdbc"]) == 2
+
+
+def test_cli_jdbc_flag_builds_url(tmp_path, capsys):
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[SQLServer]\ntype = SQLServer\nserver = dbhost\n"
+        "database = FFI\nuser = u\npassword = p\n"
+    )
+    assert main(["--config", str(ini), "--jdbc"]) == 2
+    err = capsys.readouterr().err
+    assert "jdbc:sqlserver://dbhost:1433;databaseName=FFI" in err

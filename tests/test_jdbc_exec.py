@@ -1,0 +1,104 @@
+"""Integration test for the concrete JDBC executor adapters: MergeLoader
+driven end-to-end against a REAL database (sqlite3 over DBAPI — the
+postgres-dialect INSERT ... ON CONFLICT DO NOTHING runs verbatim on
+sqlite >= 3.24), exercising staging writes, explicit transactions,
+FK-ordered loads, count-delta audits, idempotent re-runs, and per-table
+failure isolation with rollback (reference parser/xml.py:663-707)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from ffi_export_etl_spark.sinks.jdbc_exec import (
+    DbApiExecutor,
+    dbapi_staging_writer,
+    sqlite_merge_loader,
+)
+from ffi_export_etl_spark.sinks.jdbc_merge import TableMeta
+
+METAS = {
+    "plots": TableMeta("plots", ["plot_id"]),
+    "events": TableMeta(
+        "events", ["event_id"], {"plot_id": [("plots", "plot_id")]}
+    ),
+}
+
+
+@pytest.fixture()
+def conn():
+    # autocommit mode (isolation_level=None): MergeLoader drives BEGIN /
+    # COMMIT / ROLLBACK itself, like the reference's engine.begin()
+    c = sqlite3.connect(":memory:", isolation_level=None)
+    c.execute("CREATE TABLE plots (plot_id TEXT PRIMARY KEY, name TEXT)")
+    c.execute(
+        "CREATE TABLE events (event_id TEXT PRIMARY KEY, plot_id TEXT "
+        "REFERENCES plots(plot_id), note TEXT)"
+    )
+    yield c
+    c.close()
+
+
+def test_dbapi_executor_scalar(conn):
+    ex = DbApiExecutor(conn)
+    ex.execute("INSERT INTO plots VALUES ('p1', 'one')")
+    assert ex.scalar("SELECT COUNT(*) FROM plots") == 1
+
+
+def test_merge_loader_against_live_db(spark, conn):
+    plots = spark.createDataFrame(
+        [("p1", "one"), ("p2", "two")], ["plot_id", "name"]
+    )
+    events = spark.createDataFrame(
+        [("e1", "p1", "first"), ("e2", "p2", "second")],
+        ["event_id", "plot_id", "note"],
+    )
+    cols = {"plots": plots.columns, "events": events.columns}
+    frames = {"events": events, "plots": plots}
+
+    loader = sqlite_merge_loader(METAS, conn)
+    results = loader.load(frames, cols)
+
+    # FK order: plots (referenced) before events
+    assert [r.table for r in results] == ["plots", "events"]
+    assert [(r.before, r.after) for r in results] == [(0, 2), (0, 2)]
+    assert {r["Table"]: r["Changes"] for r in loader.audit_rows("u", "t")} \
+        == {"plots": 2, "events": 2}
+
+    # idempotent replay + one genuinely new row -> delta exactly 1
+    plots2 = spark.createDataFrame(
+        [("p1", "changed"), ("p3", "three")], ["plot_id", "name"]
+    )
+    loader2 = sqlite_merge_loader(METAS, conn)
+    loader2.load({"plots": plots2}, {"plots": plots2.columns})
+    assert [(r.before, r.after) for r in loader2.results] == [(2, 3)]
+    ex = DbApiExecutor(conn)
+    # WHEN NOT MATCHED semantics: existing p1 row untouched
+    assert ex.scalar(
+        "SELECT COUNT(*) FROM plots WHERE plot_id='p1' AND name='one'"
+    ) == 1
+
+
+def test_merge_loader_rolls_back_failed_table_only(spark, conn):
+    plots = spark.createDataFrame([("p1", "one")], ["plot_id", "name"])
+    ghosts = spark.createDataFrame([("g1",)], ["ghost_id"])
+    metas = dict(METAS)
+    metas["ghosts"] = TableMeta("ghosts", ["ghost_id"])  # no such table
+    loader = sqlite_merge_loader(metas, conn)
+    results = loader.load(
+        {"ghosts": ghosts, "plots": plots},
+        {"ghosts": ghosts.columns, "plots": plots.columns},
+    )
+    by_table = {r.table: r for r in results}
+    assert by_table["ghosts"].failed and loader.insert_failed == ["ghosts"]
+    # the healthy table still loaded despite the earlier failure
+    assert (by_table["plots"].before, by_table["plots"].after) == (0, 1)
+
+
+def test_dbapi_staging_writer_roundtrip(spark, conn):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["k", "v"])
+    dbapi_staging_writer(conn)("staging_x", df)
+    ex = DbApiExecutor(conn)
+    assert ex.scalar("SELECT COUNT(*) FROM staging_x") == 2
+    assert ex.scalar("SELECT COUNT(*) FROM staging_x WHERE v IS NULL") == 1
