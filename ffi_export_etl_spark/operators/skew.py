@@ -27,12 +27,16 @@ def salted_join(
 ) -> DataFrame:
     """Join ``big`` to ``small`` on ``key`` with salt-based key splitting.
 
-    The salt on the big side is derived from xxhash64 of the whole row's
-    key + a spread column so one hot key fans across ``replication``
-    reducers; the small side is exploded ``replication`` times (only
-    acceptable because it is small — that is the contract).
+    The salt on the big side is xxhash64 over the ROW CONTENT (all
+    columns), so one hot key fans across ``replication`` reducers and the
+    salt is stable under task retries (monotonically_increasing_id is
+    not — a retried task would re-salt rows differently); the small side
+    is exploded ``replication`` times (only acceptable because it is
+    small — that is the contract).
     """
-    salt = (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(replication))).cast("int")
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(replication))
+    ).cast("int")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(replication)]))

@@ -274,21 +274,19 @@ class FFIPipeline:
             if r[0] is not None
         ]
         # Known pivot domain per method (scale path: no distinct-collect
-        # inside the pivot; schema is stable and declared).
+        # inside the pivot; schema is stable and declared). ONE aggregated
+        # collect builds every method's field list — not one Spark job per
+        # method — with a sorted (deterministic) pivot-column order.
         fields_by_method = {
-            m: [
-                r[0]
-                for r in self.tables["MethodAttribute"]
-                .join(
-                    self.tables["Method"],
-                    F.col("MethodAtt_Method_GUID") == F.col("Method_GUID"),
-                )
-                .filter(F.col("Method_Name") == m)
-                .select("MethodAtt_FieldName")
-                .distinct()
-                .collect()
-            ]
-            for m in methods
+            r["Method_Name"]: sorted(r["fields"])
+            for r in self.tables["MethodAttribute"]
+            .join(
+                self.tables["Method"],
+                F.col("MethodAtt_Method_GUID") == F.col("Method_GUID"),
+            )
+            .groupBy("Method_Name")
+            .agg(F.collect_set("MethodAtt_FieldName").alias("fields"))
+            .collect()
         }
         species = self.tables.get("LocalSpecies")
         for method in methods:
@@ -303,7 +301,7 @@ class FFIPipeline:
                 ],
                 field_col="MethodAtt_FieldName",
                 value_col="AttributeData_Value",
-                field_names=fields_by_method[method],
+                field_names=fields_by_method.get(method, []),
             )
             wide = self._species_join(wide, species)
             if method == "Trees - Individuals":
@@ -420,20 +418,17 @@ class FFIPipeline:
             for r in sample_long.select("Method_Name").distinct().collect()
             if r[0] is not None
         ]
+        # ONE aggregated collect (see _attr_to_many) — not a job per method.
         fields_by_method = {
-            m: [
-                r[0]
-                for r in self.tables["SampleAttribute"]
-                .join(
-                    self.tables["Method"],
-                    F.col("SampleAtt_Method_GUID") == F.col("Method_GUID"),
-                )
-                .filter(F.col("Method_Name") == m)
-                .select("SampleAtt_FieldName")
-                .distinct()
-                .collect()
-            ]
-            for m in methods
+            r["Method_Name"]: sorted(r["fields"])
+            for r in self.tables["SampleAttribute"]
+            .join(
+                self.tables["Method"],
+                F.col("SampleAtt_Method_GUID") == F.col("Method_GUID"),
+            )
+            .groupBy("Method_Name")
+            .agg(F.collect_set("SampleAtt_FieldName").alias("fields"))
+            .collect()
         }
         for method in methods:
             subset = sample_long.filter(F.col("Method_Name") == method)
@@ -450,7 +445,7 @@ class FFIPipeline:
                 ],
                 field_col="SampleAtt_FieldName",
                 value_col="SampleData_Value",
-                field_names=fields_by_method[method],
+                field_names=fields_by_method.get(method, []),
             )
             # Q3: one generated GUID per pivoted sample row. The reference
             # generates per LONG row (and its axis bug yields NaN); doing

@@ -9,10 +9,13 @@ the whole DOM on one thread; here:
    depth-1 start events only — no DOM, O(file) bytes, O(#tags) memory).
    The XML namespace is discovered from the root tag exactly like the
    reference's regex (parser/xml.py:41, functions.py:111-121).
-2. **Per-tag extraction** uses Spark's native XML reader (Spark 4), one
-   ``rowTag`` read per discovered tag — each read is a distributed JVM
-   parse, and heterogeneous rows of one tag union their columns the same
-   way the reference's pd.concat NaN-fills (schema union).
+2. **Extraction** uses Spark's native XML reader (Spark 4) in a SINGLE
+   pass: one ``rowTag`` read at the ROOT tag parses the whole document
+   once (distributed JVM parse), is cached, and every per-tag table is a
+   cheap explode/flatten of the cached frame — ~30x fewer parses per
+   export than a read-per-tag. Heterogeneous rows of one tag union their
+   columns the same way the reference's pd.concat NaN-fills (schema
+   union).
 3. **Ingest casts** mirror parser/xml.py:119-123: every value is a string;
    ``*_GUID*`` columns uppercased, Date/Time columns normalized.
 
@@ -41,10 +44,11 @@ def strip_namespace(tag: str) -> str:
     return _NS_RE.sub("", tag, count=1)
 
 
-def discover_tags(path: str) -> tuple[str | None, list[str]]:
+def discover_structure(path: str) -> tuple[str | None, str | None, list[str]]:
     """Stream the file once on the driver; return (namespace URI or None,
-    ordered distinct depth-1 tags). Never builds a DOM."""
+    root tag, ordered distinct depth-1 tags). Never builds a DOM."""
     ns: str | None = None
+    root: str | None = None
     tags: dict[str, None] = {}
     depth = 0
     for event, elem in ET.iterparse(path, events=("start", "end")):
@@ -53,13 +57,20 @@ def discover_tags(path: str) -> tuple[str | None, list[str]]:
             if depth == 1:
                 m = _NS_RE.match(elem.tag)
                 ns = m.group(1) if m else None
+                root = strip_namespace(elem.tag)
             elif depth == 2:
                 tags[strip_namespace(elem.tag)] = None
         else:
             depth -= 1
             if depth >= 1:
                 elem.clear()  # keep memory O(1)
-    return ns, list(tags)
+    return ns, root, list(tags)
+
+
+def discover_tags(path: str) -> tuple[str | None, list[str]]:
+    """(namespace URI or None, depth-1 tags) — see discover_structure."""
+    ns, _root, tags = discover_structure(path)
+    return ns, tags
 
 
 def ingest_casts(df: DataFrame) -> DataFrame:
@@ -84,21 +95,52 @@ def read_ffi_export(
 ) -> dict[str, DataFrame]:
     """Read one FFI export (or a glob of exports) into {table: DataFrame}.
 
+    SINGLE-PASS: the document is parsed once with ``rowTag`` = the root
+    element (one row per file, children nested as arrays of structs),
+    cached, and each table is an explode + flatten of the cached frame —
+    N tags cost one distributed parse, not N. The cached frame is one row
+    per FILE (like the reference's whole-DOM parse, parser/xml.py:39-41);
+    the unit of scale-out is the file, exactly the batch driver's glob.
+
     All columns are StringType (no inference), matching the reference's
     stringly-typed ingest (parser/xml.py:115). Tags absent from a given
-    file simply produce empty frames.
+    file contribute no rows (null array -> explode drops them).
     """
+    from pyspark.sql.types import ArrayType, StructType
+
+    _, root, discovered = discover_structure(path)
     if tags is None:
-        _, tags = discover_tags(path)
+        tags = discovered
+    rootdf = (
+        spark.read.format("xml")
+        .option("rowTag", root)
+        .option("inferSchema", "false")
+        .option("ignoreNamespace", "true")
+        .load(path)
+    )
+    # ONE distributed parse feeds every per-tag select below (storage is
+    # MEMORY_AND_DISK; evicted LRU once the batch driver moves on).
+    rootdf.persist()
+    field_types = {f.name: f.dataType for f in rootdf.schema.fields}
     out: dict[str, DataFrame] = {}
     for tag in tags:
-        df = (
-            spark.read.format("xml")
-            .option("rowTag", tag)
-            .option("inferSchema", "false")
-            .option("ignoreNamespace", "true")
-            .load(path)
-        )
+        dt = field_types.get(tag)
+        if dt is None:
+            continue  # not in any file of this glob
+        if isinstance(dt, ArrayType):
+            rows = rootdf.select(F.explode(F.col(tag)).alias("_r"))
+        elif isinstance(dt, StructType):
+            # tag appears at most once per file -> plain struct column
+            rows = rootdf.select(F.col(tag).alias("_r")).filter(
+                F.col("_r").isNotNull()
+            )
+        else:  # value-only element
+            df = rootdf.select(F.col(tag).cast("string").alias(tag)).filter(
+                F.col(tag).isNotNull()
+            )
+            out[tag] = ingest_casts(df) if apply_casts else df
+            continue
+        df = rows.select("_r.*")
         # Native XML may surface attributes (none in FFI exports) or value
         # columns; keep string typing uniform.
         df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])

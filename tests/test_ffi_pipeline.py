@@ -42,6 +42,24 @@ def test_ingest_strings_and_guid_upper(spark, export_path):
     assert guids == {"MP-0001", "MP-0002", "MP-0003"}
 
 
+def test_single_pass_read(spark, export_path, monkeypatch):
+    # N discovered tags must cost exactly ONE spark XML load (the root-tag
+    # parse is cached; per-tag frames are explodes of it)
+    import pyspark.sql.readwriter as rw
+
+    calls = []
+    orig = rw.DataFrameReader.load
+
+    def counting_load(self, *a, **kw):
+        calls.append(a)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "load", counting_load)
+    tables = read_ffi_export(spark, export_path)
+    assert len(tables) > 5
+    assert len(calls) == 1
+
+
 def test_plot_dedup_and_plot_id(pipeline):
     rows = pipeline.tables["MacroPlot"].collect()
     # MP2 deduped (same PlotID, later DateIn), MP3 dropped (null DateIn)
