@@ -104,30 +104,33 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate (id_a, id_b) pairs sharing >= 1 LSH band bucket.
 
-    The self-join is on (band, bucket) so only same-bucket docs ever meet.
-    Buckets larger than ``max_bucket_size`` are dropped before pairing
-    (see DEFAULT_MAX_BUCKET; pass None to disable).
+    Pair generation is ONE shuffle: group each (band, bucket) to a sorted
+    id array, drop buckets above ``max_bucket_size`` (see
+    DEFAULT_MAX_BUCKET; pass None to disable — then a degenerate bucket
+    can blow up, which is why the cap defaults ON), and emit intra-array
+    pairs with array expressions (id_a < id_b by the sort). The
+    equivalent banded self-join costs three shuffles of the banded table;
+    arrays here are bounded by the cap, so per-row memory is bounded too.
     """
     banded = _banded(wide_sigs, bands, rows_per_band)
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bn")
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        banded = (
-            banded.join(sizes, ["band", "bucket"])
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

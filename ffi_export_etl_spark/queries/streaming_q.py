@@ -30,8 +30,27 @@ def stream_5min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup of an at-least-once source: distinct
+    (user_id, event_type) keys via dropDuplicatesWithinWatermark — the
+    state-bounded streaming dedup operator (state for a key is evicted
+    once the watermark passes it, so unbounded streams hold bounded
+    state). Run to completion on the bounded events table; only the key
+    columns are emitted, so the result is deterministic and
+    batch-oracle-checkable (SELECT DISTINCT)."""
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    deduped = (
+        stream.select("user_id", "event_type", "ts_micro")
+        .withWatermark("ts_micro", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    result = run_to_completion(deduped, output_mode="append")
+    return result.select("user_id", "event_type")
+
+
 QUERIES = {
     "stream_5min_counts": stream_5min_counts,
+    "stream_dedup_keys": stream_dedup_keys,
 }
 
 ORACLE = {
@@ -43,5 +62,8 @@ ORACLE = {
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         FROM events
         GROUP BY 1, 2
+    """,
+    "stream_dedup_keys": """
+        SELECT DISTINCT user_id, event_type FROM events
     """,
 }
