@@ -23,6 +23,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces batch shuffles from stats, but STREAMING stateful ops
+    # pin state to exactly spark.sql.shuffle.partitions tasks and AQE
+    # does not apply — 200 (the default) is wrong on local[32] and on a
+    # vanilla driver session alike. Runtime-settable, AQE overrides it
+    # for batch anyway.
+    "spark.sql.shuffle.partitions": "32",
     # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
     # rejects; read as epoch-nanos BIGINT and do event-time arithmetic in
     # exact integers (also removes every timezone-rendering hazard).
