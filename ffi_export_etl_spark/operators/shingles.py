@@ -2,15 +2,21 @@
 near-duplicate path.
 
 All steps are native Column expressions (JVM-side, whole-stage codegen):
-tokenize -> word n-gram shingles -> explode -> self-join on shingle ->
-integer Jaccard test. The self-join is the classic candidate-pair explosion
-(quadratic in the worst case) — correct at small scale, and the reason the
-MinHash-LSH path (operators/minhash.py) exists for 100 TB.
+tokenize -> word n-gram shingles -> explode -> candidate join -> integer
+Jaccard test. Candidate generation uses PREFIX FILTERING (the AllPairs /
+PPJoin family, Bayardo et al. WWW'07): under a global rarest-first token
+order, two documents with Jaccard >= t MUST share a token inside each
+other's first n - ceil(t*n) + 1 tokens, so the self-join touches only
+prefix tokens (typically the rarest few per document) instead of every
+shingle. Exact — zero false negatives — with candidate volume bounded by
+rare-token co-occurrence rather than all shingle collisions. MinHash-LSH
+(operators/minhash.py) remains the approximate path when even exact
+verification is too much.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,28 +82,61 @@ def jaccard_pairs(
     n: int = 3,
     threshold_pct: int = 20,
 ) -> DataFrame:
-    """All doc pairs with n-gram Jaccard >= threshold_pct/100.
+    """All doc pairs with n-gram Jaccard >= threshold_pct/100 — EXACT.
 
-    Jaccard is tested in *integer* arithmetic (inter*100 >= pct*union) so
-    results are bit-identical across engines. Returns
-    (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
+    Candidates come from a prefix-filtered join: shingles are ranked
+    rarest-first globally (document frequency, shingle tiebreak); doc a
+    keeps its first n_a - ceil(t*n_a) + 1 shingles as the prefix. If
+    J(a,b) >= t then the shared-shingle count o satisfies o >= ceil(t*n_a)
+    and o >= ceil(t*n_b), which forces a common shingle inside BOTH
+    prefixes (AllPairs prefix-filter theorem) — so joining prefix rows
+    only loses nothing. Verification then counts the FULL intersection
+    for candidates and applies the integer test (inter*100 >= pct*union),
+    bit-identical across engines. Returns (id_a, id_b, n_inter, n_union,
+    jaccard) with id_a < id_b.
+
+    Scale shape: one global doc-frequency aggregation + per-doc window to
+    rank + a join on rare prefix tokens (small fan-out by construction) +
+    candidate-pinned verification — linear-ish in practice; the truly
+    quadratic regime (everything near-duplicate) is quadratic in the
+    OUTPUT, which no exact algorithm avoids.
     """
     sh = shingle_table(docs, id_col, text_col, n)
-    sh.persist()  # feeds sizes + both sides of the self-join
+    sh.persist()  # feeds ranking, sizes, and verification
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    # prefix length = n - ceil(pct*n/100) + 1, in integer arithmetic
+    need = (F.col("n_sh") * threshold_pct + 99) / 100
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("n_sh") - F.floor(need).cast("long") + 1
+    ).select("id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         .filter(F.col("n_inter") * 100 >= threshold_pct * F.col("n_union"))
         .select(

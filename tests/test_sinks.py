@@ -115,3 +115,18 @@ def test_processed_ledger(tmp_path):
     assert ledger.mark("f1.xml") is True
     assert ledger.mark("f2.xml", failed_tables=["Plot"]) is False
     assert ledger.pending(["f1.xml", "f2.xml"]) == ["f2.xml"]
+
+
+def test_csv_dump_debug_sink(spark, tmp_path):
+    from ffi_export_etl_spark.sinks.files import csv_dump
+
+    df = spark.createDataFrame([("P1", 1), ("P2", 2)], ["PlotID", "n"])
+    csv_dump({"Plots": df}, str(tmp_path / "csv"))
+    back = (
+        spark.read.option("header", True)
+        .csv(str(tmp_path / "csv" / "Plots"))
+    )
+    assert sorted((r["PlotID"], int(r["n"])) for r in back.collect()) == [
+        ("P1", 1),
+        ("P2", 2),
+    ]
