@@ -87,6 +87,22 @@ def test_registered_dedup_paths_have_no_unbucketed_theta_join(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_no_row_udfs_anywhere_in_registry(spark):
+    # Sweep EVERY registered query (not just hand-picked hot paths):
+    # no row-at-a-time Python (BatchEvalPython) in any plan; Arrow-batched
+    # Python (MapInPandas) only in the multimodal decode query, where
+    # per-item Python is the point. Streaming queries execute on build
+    # (run_to_completion) and are covered by test_streaming instead.
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_"):
+            continue
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        if name != "mm_feature_extract":
+            assert "MapInPandas" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+
 def test_whole_stage_codegen_present(spark):
     # AQE shows codegen only in the executed final plan; whole-stage
     # codegen spans are the "*(n)" stage markers in simple mode
