@@ -56,13 +56,24 @@ def main() -> None:
     # Warmup: session, codegen, parquet footer caches.
     queries["q5_local_supplier_volume"](spark, sf_dir).collect()
 
+    # cold pass (first plan + scan) and warm pass (codegen/footers cached)
+    # per query: the warm/cold split separates steady-state engine cost
+    # from one-time JIT/planning, making cross-round ratios meaningful.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        t1 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t1, 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s cold / {warm[name]:.3f}s warm "
+            f"({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -72,6 +83,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
