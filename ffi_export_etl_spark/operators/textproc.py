@@ -1,0 +1,43 @@
+"""Text scrubbing / normalization for training-data pipelines.
+
+Pretraining corpora scrub personally-identifying strings and normalize
+whitespace before dedup/tokenization. Everything here is chained native
+``regexp_replace`` Column expressions — JVM-side, whole-stage codegen,
+zero Python per row — so a 100 TB scrub is exactly one scan of the text
+column. Patterns are deliberately conservative (high precision): the goal
+is redaction of obvious machine-recognizable identifiers, not NER.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement) applied in order; order matters (emails before
+# bare domains would, e.g., double-redact).
+SCRUB_RULES: tuple[tuple[str, str], ...] = (
+    # email addresses
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # URLs (http/https/www)
+    (r"(https?://|www\.)[^\s]+", "<URL>"),
+    # IPv4 addresses
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # phone-like: +country / (area) / separator digit runs, >= 7 digits
+    (r"\+?\d[\d\s().-]{5,}\d", "<PHONE>"),
+)
+
+
+def scrub_text(col: Column | str) -> Column:
+    """Redact emails, URLs, IPs, and phone-like digit runs with typed
+    placeholder tokens."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in SCRUB_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    """Collapse whitespace runs to single spaces and trim — the canonical
+    pre-shingling normalization (stabilizes every dedup fingerprint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

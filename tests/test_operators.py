@@ -290,3 +290,71 @@ def test_multimodal_feature_extract(spark):
     frames = frame_sample_plan(media, every_n=30).collect()
     vid = [r for r in frames if r["media_id"] == 2]
     assert [r["frame_index"] for r in vid] == [0, 30]
+
+
+def test_scrub_text_redacts_identifiers(spark):
+    from ffi_export_etl_spark.operators.textproc import (
+        normalize_whitespace,
+        scrub_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@example.org today",),
+            ("see https://example.com/a?b=1 and www.foo.io/x",),
+            ("server 10.0.42.7 answered",),
+            ("call +1 (505) 555-0199 now",),
+            ("plain text stays untouched",),
+        ],
+        ["text"],
+    )
+    out = [r[0] for r in df.select(scrub_text("text")).collect()]
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "see <URL> and <URL>"
+    assert out[2] == "server <IP> answered"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "plain text stays untouched"
+
+    ws = spark.createDataFrame([("  a\t b \n c  ",)], ["text"])
+    assert ws.select(normalize_whitespace("text")).collect()[0][0] == "a b c"
+
+
+def test_quantized_ann_recall(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.quantize import (
+        dequantize_embedding,
+        max_abs,
+        quantize_embedding,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        quantize_embedding(F.col("embedding")).alias("q"),
+    )
+    # reconstruction error bounded by scale/254 per component
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                dequantize_embedding(F.col("q")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        (max_abs(F.col("embedding")) / 127.0).alias("step"),
+    )
+    bad = err.filter(F.col("max_err") > F.col("step")).count()
+    assert bad == 0
+
+    # top-10 ANN recall on dequantized vectors >= 8/10 per query
+    deq = q.select("vec_id", dequantize_embedding(F.col("q")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", "query_id", 10)
+    approx = brute_force_topk(deq, queries, "vec_id", "embedding", "query_id", 10)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    assert len(e & a) >= 40  # >= 8/10 average over 5 queries
