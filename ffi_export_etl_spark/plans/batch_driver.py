@@ -63,9 +63,17 @@ def process_exports(
     results: dict[str, dict[str, int]] = {}
     files = sorted(globmod.glob(export_glob))
     for path in ledger.pending(files):
-        tables = read_ffi_export(spark, path)
-        pipe = FFIPipeline(spark, tables)
-        pipe.run()
+        try:
+            tables = read_ffi_export(spark, path)
+            pipe = FFIPipeline(spark, tables)
+            pipe.run()
+        except Exception:
+            # file-level isolation: a malformed export must not abort the
+            # batch (the reference's loop would crash here,
+            # xml_to_rdb.py:39-49). Not marked in the ledger -> retried
+            # on the next run once fixed.
+            results[path] = {}
+            continue
         loaded: dict[str, int] = {}
         failed: list[str] = []
         for name in list(pipe.tables):

@@ -55,3 +55,19 @@ def test_process_exports_end_to_end(spark, tmp_path):
     # audit log recorded inserts
     audit = spark.read.parquet(os.path.join(warehouse, "UpdateLog"))
     assert audit.filter("Table = 'SampleEvent'").count() >= 2
+
+
+def test_corrupted_export_isolated(spark, tmp_path):
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    write_export_xml(str(exports / "good.xml"))
+    (exports / "bad.xml").write_text("<FFIData><MacroPlot>truncated")
+    warehouse = str(tmp_path / "warehouse")
+
+    results = process_exports(spark, str(exports / "*.xml"), warehouse)
+    # the bad file records an empty result, the good one loads fully
+    assert results[str(exports / "bad.xml")] == {}
+    assert results[str(exports / "good.xml")].get("SampleEvent", 0) > 0
+    # the bad file stays pending (retried once fixed), the good one not
+    results2 = process_exports(spark, str(exports / "*.xml"), warehouse)
+    assert list(results2) == [str(exports / "bad.xml")]
