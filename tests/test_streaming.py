@@ -214,3 +214,62 @@ def test_foreachbatch_upsert_idempotent(spark, tmp_path):
     second = spark.read.parquet(target).count()
     assert first == second  # MERGE semantics: replay adds nothing
     assert first == spark.read.parquet(_events_path()).count()
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Real multi-batch watermark semantics: the watermark advanced by
+    batch 0 takes effect one batch later (Spark's documented lag), so a
+    row arriving in batch 2 with event time far behind the watermark is
+    DROPPED from the aggregation, and append mode emits only
+    watermark-closed windows. The availableNow single-batch runs
+    elsewhere never exercise cross-batch watermark advancement."""
+    import os
+    import time as _t
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = StructType(
+        [StructField("ts", LongType()), StructField("k", LongType())]
+    )
+    base = 1_700_000_000_000_000  # epoch micros
+
+    def write_one(name, rows, age_s):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        out = tmp_path / name
+        df.write.mode("overwrite").parquet(str(out))
+        part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+        dst = src / f"{name}.parquet"
+        os.rename(out / part, dst)
+        os.utime(dst, (_t.time() - age_s,) * 2)  # file order = batch order
+        return dst
+
+    # batch 0: t=0min and t=60min -> watermark becomes 60min - 10min
+    write_one("a_early", [(base, 1), (base + 3600 * 10**6, 1)], 3600)
+    # batch 1: filler (58min) — lets batch 0's watermark take effect
+    write_one("b_mid", [(base + 3480 * 10**6, 1)], 1800)
+    # batch 2: t=5min (far behind watermark 50min -> DROPPED) + t=55min
+    write_one("c_late", [(base + 300 * 10**6, 1),
+                         (base + 3300 * 10**6, 1)], 0)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+        .withColumn("ts_micro", F.timestamp_micros(F.col("ts")))
+    )
+    agg = (
+        stream.withWatermark("ts_micro", "10 minutes")
+        .groupBy(F.window("ts_micro", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    result = run_to_completion(agg, output_mode="append")
+    offsets = sorted(
+        int(r["window"][0].timestamp() * 1e6) - base for r in result.collect()
+    )
+    # only the closed early window appears (base is not 5-min aligned, so
+    # its window starts 200s before); the late 5-min row was dropped, and
+    # the 55/58/60-min windows are still open at end of input
+    assert offsets == [-200 * 10**6]
