@@ -53,3 +53,40 @@ def test_parse_list_val_property(spark, vals):
     got = [r[0] for r in df.select(parse_list_val("v").alias("x")).collect()]
     want = [py_parse_list_val(v) for v in vals]
     assert got == want
+
+
+def py_jaccard_pairs(docs: list[tuple[int, str]], n: int, pct: int):
+    """Pure-Python exact Jaccard oracle over word n-gram shingle sets."""
+    sets = {i: set(py_shingles(t, n)) for i, t in docs}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 100 >= pct * union:
+                out.add((a, b))
+    return out
+
+
+DOC = st.text(alphabet="ab cd", min_size=0, max_size=60)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(DOC, min_size=2, max_size=12), st.sampled_from([20, 50, 80]))
+def test_prefix_filtered_jaccard_is_exact(spark, texts, pct):
+    """The AllPairs prefix filter must lose NOTHING: compare the
+    prefix-filtered Spark jaccard_pairs against a brute-force pure-Python
+    oracle on adversarially tiny vocabularies (maximum shingle
+    collision)."""
+    from ffi_export_etl_spark.operators.shingles import jaccard_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(df, "doc_id", "text", 3, pct).collect()
+    }
+    assert got == py_jaccard_pairs(docs, 3, pct)
