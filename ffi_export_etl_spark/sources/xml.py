@@ -106,11 +106,22 @@ def read_ffi_export(
     stringly-typed ingest (parser/xml.py:115). Tags absent from a given
     file contribute no rows (null array -> explode drops them).
     """
+    import glob as globmod
+
     from pyspark.sql.types import ArrayType, StructType
 
-    _, root, discovered = discover_structure(path)
+    # driver-side structure discovery handles globs by unioning tag sets
+    # across matches (cheap streaming scan; pass ``tags=`` explicitly to
+    # skip discovery entirely for very large file sets)
+    matches = sorted(globmod.glob(path)) or [path]
+    root = None
+    discovered: dict[str, None] = {}
+    for m in matches:
+        _, root, file_tags = discover_structure(m)
+        for t in file_tags:
+            discovered[t] = None
     if tags is None:
-        tags = discovered
+        tags = list(discovered)
     rootdf = (
         spark.read.format("xml")
         .option("rowTag", root)

@@ -175,3 +175,24 @@ def test_pivot_uniqueness_assertion(spark):
     )
     row = wide.collect()[0]
     assert (row["f1"], row["f2"]) == ("v1", "v3")
+
+
+def test_glob_read_unions_files(spark, tmp_path):
+    # a glob of exports reads as ONE parse; per-tag rows union across
+    # files and tags absent from one file contribute no rows for it
+    from tests.ffi_fixture import build_export_xml
+
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "e1.xml").write_text(build_export_xml())
+    (d / "e2.xml").write_text(
+        build_export_xml().replace(
+            "<MacroPlot_GUID>mp-0001</MacroPlot_GUID>",
+            "<MacroPlot_GUID>mp-9001</MacroPlot_GUID>",
+        )
+    )
+    tables = read_ffi_export(spark, str(d / "*.xml"))
+    guids = {r[0] for r in tables["MacroPlot"].select("MacroPlot_GUID").collect()}
+    assert "MP-9001" in guids and "MP-0002" in guids
+    # both files contribute full row sets
+    assert tables["MacroPlot"].count() == 6
