@@ -29,35 +29,57 @@ CHUNK_BITS = BITS // CHUNKS
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
 
 
+# 16-bit counter lanes: 4 bit-counters packed per 64-bit sum. Safe while
+# every document has < 2^16 tokens (pretraining docs are chunked far
+# below that; the classic weighted-simhash needs per-bit ints anyway).
+LANES_PER_SUM = 4
+LANE_BITS = 16
+LANE_MASK = (1 << LANE_BITS) - 1
+MAX_TOKENS_PER_DOC = LANE_MASK
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, simhash: bigint) — 60-bit fingerprint per document."""
+    """(id, simhash: bigint) — 60-bit fingerprint per document.
+
+    Per-bit set-counts are aggregated PACKED: each 64-bit sum carries 4
+    independent 16-bit counter lanes ((h>>b)&1 shifted into its lane), so
+    the group-by runs 15 sum-aggregates + a token count instead of 60 —
+    one pass, map-side combined, ~4x less aggregation state. Bit b of the
+    fingerprint is set iff 2*count_b >= n_tokens (identically the sign of
+    the +1/-1 sum the oracle computes)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok"), 15))
-    # 60 conditional-sum aggregates over token rows — one pass, map-side
-    # combined. (The explode-per-bit formulation shuffles 60x the rows;
-    # this shuffles one 60-column row per doc.)
-    bit_sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(BITS)
-        ]
+    n_sums = BITS // LANES_PER_SUM
+    packed_aggs = []
+    for s in range(n_sums):
+        lanes = None
+        for k in range(LANES_PER_SUM):
+            b = s * LANES_PER_SUM + k
+            lane = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("bigint"),
+                k * LANE_BITS,
+            )
+            lanes = lane if lanes is None else lanes + lane
+        packed_aggs.append(F.sum(lanes).alias(f"s{s}"))
+    sums = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n"), *packed_aggs
     )
     fingerprint = None
     for b in range(BITS):
-        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        s, k = divmod(b, LANES_PER_SUM)
+        count_b = F.shiftright(F.col(f"s{s}"), k * LANE_BITS).bitwiseAND(
+            F.lit(LANE_MASK)
         )
+        term = F.when(
+            count_b * 2 >= F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return bit_sums.select("id", fingerprint.alias("simhash"))
+    return sums.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_near_duplicates(
