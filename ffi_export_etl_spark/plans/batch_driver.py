@@ -21,7 +21,8 @@ import glob as globmod
 import os
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..plans.ffi_pipeline import EXCLUDED_TABLES, FFIPipeline
 from ..plans.fieldmap import LoadMaps
@@ -113,3 +114,91 @@ def process_exports(
         ledger.mark(path, failed_tables=failed)
         results[path] = loaded
     return results
+
+
+def process_exports_batched(
+    spark: SparkSession,
+    export_glob: str,
+    warehouse_dir: str,
+    maps: LoadMaps | None = None,
+) -> dict[str, int]:
+    """Batch-mode loading: transform every pending file, UNION each table
+    across files, and upsert ONCE per table.
+
+    The per-file mode above issues files x tables upserts (each upsert =
+    read existing + anti-join + append); with thousands of small exports
+    that write amplification dominates. Batch mode collapses it to one
+    upsert per TABLE — the scale shape — at the cost of coarser failure
+    isolation (a bad file is still skipped at transform time, but a
+    failed table load fails the whole batch's ledger mark for that
+    table's files). Returns {table: rows_inserted}.
+
+    Dedup note: cross-file duplicate keys resolve by parquet_upsert's
+    keep-first within the unioned frame, matching the replay semantics of
+    sequential per-file loads in file order.
+    """
+    os.makedirs(warehouse_dir, exist_ok=True)
+    ledger = ProcessedLedger(os.path.join(warehouse_dir, "_processed.jsonl"))
+    files = sorted(globmod.glob(export_glob))
+    pending = ledger.pending(files)
+    merged: dict[str, list] = {}
+    ok_files: list[str] = []
+    for path in pending:
+        try:
+            tables = read_ffi_export(spark, path)
+            pipe = FFIPipeline(spark, tables)
+            pipe.run()
+        except Exception:
+            continue  # stays pending; retried next run
+        seq = len(ok_files)
+        ok_files.append(path)
+        for name in list(pipe.tables):
+            if name in EXCLUDED_TABLES:
+                continue
+            merged.setdefault(name, []).append(
+                pipe.tables[name].withColumn("_file_seq", F.lit(seq))
+            )
+    loaded: dict[str, int] = {}
+    failed: list[str] = []
+    for name, frames in merged.items():
+        df = frames[0]
+        for other in frames[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        keys = _keys_for(name, [c for c in df.columns if c != "_file_seq"])
+        if keys is None:
+            continue
+        # earliest file wins on cross-file duplicate keys — identical to
+        # sequential per-file loads (later files' dup keys anti-join away)
+        w = Window.partitionBy(*keys).orderBy("_file_seq")
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_file_seq")
+        )
+        target_name = (maps.target_for(name) if maps else None) or name
+        if maps:
+            df = maps.project(df, target_name)
+        try:
+            loaded[target_name] = parquet_upsert(
+                spark, df, os.path.join(warehouse_dir, target_name), list(keys)
+            )
+        except Exception:
+            failed.append(target_name)
+    audit_log_append(
+        spark,
+        [
+            {
+                "User": os.environ.get("USER", "spark"),
+                "Time": str(int(time.time())),
+                "Table": t,
+                "ChangeType": "INSERT",
+                "Changes": n,
+            }
+            for t, n in loaded.items()
+            if n
+        ],
+        os.path.join(warehouse_dir, "UpdateLog"),
+    )
+    for path in ok_files:
+        ledger.mark(path, failed_tables=failed)
+    return loaded

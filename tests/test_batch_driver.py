@@ -71,3 +71,33 @@ def test_corrupted_export_isolated(spark, tmp_path):
     # the bad file stays pending (retried once fixed), the good one not
     results2 = process_exports(spark, str(exports / "*.xml"), warehouse)
     assert list(results2) == [str(exports / "bad.xml")]
+
+
+def test_batched_mode_matches_sequential(spark, tmp_path):
+    """process_exports_batched must land the exact same warehouse rows as
+    the sequential per-file loop (earliest file wins duplicate keys),
+    with ONE upsert per table instead of files x tables."""
+    import os
+
+    from ffi_export_etl_spark.plans.batch_driver import process_exports_batched
+
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    write_export_xml(str(exports / "export1.xml"))
+    _second_export(str(exports / "export2.xml"))
+
+    wh_seq = str(tmp_path / "wh_seq")
+    wh_bat = str(tmp_path / "wh_bat")
+    process_exports(spark, str(exports / "*.xml"), wh_seq)
+    loaded = process_exports_batched(spark, str(exports / "*.xml"), wh_bat)
+    assert loaded.get("SampleEvent", 0) > 0
+
+    for table in ("SampleEvent", "MacroPlot", "ProjectVisit"):
+        a = spark.read.parquet(os.path.join(wh_seq, table))
+        b = spark.read.parquet(os.path.join(wh_bat, table))
+        rows_a = sorted(map(str, a.collect()))
+        rows_b = sorted(map(str, b.select(*a.columns).collect()))
+        assert rows_a == rows_b, table
+
+    # rerun is a ledger no-op
+    assert process_exports_batched(spark, str(exports / "*.xml"), wh_bat) == {}
