@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jdbc", action="store_true",
                     help="load into the configured database via MERGE "
                          "instead of the parquet warehouse")
+    ap.add_argument("--batched", action="store_true",
+                    help="batch mode: union tables across files, one "
+                         "upsert per table (faster for many small "
+                         "exports; coarser failure isolation)")
     args = ap.parse_args(argv)
 
     config = configparser.ConfigParser()
@@ -95,14 +99,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
 
-    from .plans.batch_driver import process_exports
+    from .plans.batch_driver import process_exports, process_exports_batched
     from .session import get_spark, tune
 
     spark = tune(get_spark(app_name="ffi-export-etl"))
     spark.sparkContext.setLogLevel("ERROR")
-    results = process_exports(
-        spark, os.path.join(data_dir, "*.xml"), warehouse
-    )
+    glob_pat = os.path.join(data_dir, "*.xml")
+    if args.batched:
+        print(json.dumps(process_exports_batched(spark, glob_pat, warehouse),
+                         sort_keys=True))
+        return 0
+    results = process_exports(spark, glob_pat, warehouse)
     print(json.dumps(
         {os.path.basename(f): tables for f, tables in results.items()},
         sort_keys=True,
