@@ -41,3 +41,43 @@ def normalize_whitespace(col: Column | str) -> Column:
     pre-shingling normalization (stabilizes every dedup fingerprint)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def chunk_documents(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token-window chunks — the
+    long-document -> training-sample fan-out.
+
+    One row per chunk: (id, chunk_index 0.., chunk_n_tokens, chunk_text).
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk may be short; empty
+    docs produce one empty chunk. Pure Column expressions (split /
+    sequence / slice / posexplode) — the fan-out happens executor-side
+    with no Python and no shuffle (narrow explode).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # 1-based slice starts: 1, 1+stride, ... while start <= n - overlap
+    # (so no chunk is a pure suffix of the previous one)
+    last_start = F.greatest(n - F.lit(overlap), F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s, chunk_tokens)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_index", "_chunk"),
+    ).select(
+        "id",
+        "chunk_index",
+        F.size("_chunk").alias("chunk_n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )

@@ -358,3 +358,29 @@ def test_quantized_ann_recall(spark, sf_oracle):
     e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
     assert len(e & a) >= 40  # >= 8/10 average over 5 queries
+
+
+def test_chunk_documents_windows(spark):
+    from ffi_export_etl_spark.operators.textproc import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "a b"), (3, "solo")],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(
+            (r["chunk_index"], r["chunk_n_tokens"], r["chunk_text"])
+        )
+    # doc1: stride 3 -> starts 1,4,7 (last_start = 10-1=9 -> 7 is last <=9)
+    assert by_doc[1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+    ]
+    # short docs: one (possibly short) chunk
+    assert by_doc[2] == [(0, 2, "a b")]
+    assert by_doc[3] == [(0, 1, "solo")]
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    c = by_doc[1]
+    assert c[0][2].split()[-1:] == c[1][2].split()[:1]
