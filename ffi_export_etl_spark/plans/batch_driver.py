@@ -164,6 +164,11 @@ def process_exports_batched(
         df = frames[0]
         for other in frames[1:]:
             df = df.unionByName(other, allowMissingColumns=True)
+        target_name = (maps.target_for(name) if maps else None) or name
+        if maps:
+            # project first (matching the sequential loop), threading the
+            # file-sequence bookkeeping column through the whitelist
+            df = maps.project(df, target_name, keep_cols=("_file_seq",))
         keys = _keys_for(name, [c for c in df.columns if c != "_file_seq"])
         if keys is None:
             continue
@@ -175,9 +180,6 @@ def process_exports_batched(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_file_seq")
         )
-        target_name = (maps.target_for(name) if maps else None) or name
-        if maps:
-            df = maps.project(df, target_name)
         try:
             loaded[target_name] = parquet_upsert(
                 spark, df, os.path.join(warehouse_dir, target_name), list(keys)

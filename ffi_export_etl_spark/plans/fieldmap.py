@@ -51,9 +51,13 @@ class LoadMaps:
     def target_for(self, source_table: str) -> str | None:
         return self.table_map.get(source_table)
 
-    def project(self, df: DataFrame, target_table: str) -> DataFrame:
+    def project(
+        self, df: DataFrame, target_table: str, keep_cols: tuple[str, ...] = ()
+    ) -> DataFrame:
         """Whitelist+rename projection for one warehouse table; mapped
-        columns absent from ``df`` come back as NULL strings."""
+        columns absent from ``df`` come back as NULL strings.
+        ``keep_cols`` pass through unmapped (bookkeeping columns like the
+        batch loader's file sequence)."""
         pairs = self.field_maps.get(target_table)
         if not pairs:
             return df
@@ -64,4 +68,7 @@ class LoadMaps:
                 cols.append(F.col(src).alias(dst))
             else:
                 cols.append(F.lit(None).cast("string").alias(dst))
+        for c in keep_cols:
+            if c in present:
+                cols.append(F.col(c))
         return df.select(*cols)

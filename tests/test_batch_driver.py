@@ -101,3 +101,29 @@ def test_batched_mode_matches_sequential(spark, tmp_path):
 
     # rerun is a ledger no-op
     assert process_exports_batched(spark, str(exports / "*.xml"), wh_bat) == {}
+
+
+def test_batched_mode_with_fieldmaps(spark, tmp_path):
+    """Batched mode applies FieldMap projection BEFORE key derivation,
+    exactly like the sequential loop (keys resolve against renamed
+    columns; the file-seq bookkeeping threads through the whitelist)."""
+    import os
+
+    from ffi_export_etl_spark.plans.batch_driver import process_exports_batched
+    from ffi_export_etl_spark.plans.fieldmap import LoadMaps
+
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    write_export_xml(str(exports / "export1.xml"))
+    maps = LoadMaps(
+        table_map={"SampleEvent": "EventFact"},
+        field_maps={"EventFact": [("EventID", "EventID"),
+                                  ("PlotID", "PlotID")]},
+    )
+    wh = str(tmp_path / "wh")
+    loaded = process_exports_batched(
+        spark, str(exports / "*.xml"), wh, maps=maps
+    )
+    assert loaded.get("EventFact", 0) == 2
+    back = spark.read.parquet(os.path.join(wh, "EventFact"))
+    assert sorted(back.columns) == ["EventID", "PlotID"]
