@@ -135,6 +135,69 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_signature_store(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, bucket) — the persistable LSH index of a corpus.
+
+    At scale this table is written bucketed by (band, bucket) so
+    incremental batches join against it WITHOUT re-sketching the corpus:
+    the daily-increment shape for a 100 TB collection."""
+    sigs = signatures_from_shingles(
+        shingle_table(docs, id_col, text_col, n), num_perm
+    )
+    return _banded(sigs, bands, num_perm // bands)
+
+
+def incremental_candidate_pairs(
+    new_banded: DataFrame,
+    stored_banded: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING a new batch: new x stored pairs
+    via a bucket equi-join against the persisted index, plus new x new
+    pairs — never touching stored x stored (already deduped). Returns
+    (id_a, id_b) with id_a < id_b, distinct.
+
+    Equals the full-recompute candidate set restricted to pairs with at
+    least one new id (pinned by test). The bucket cap applies to the
+    COMBINED bucket population, like the one-shot path."""
+    combined = stored_banded.unionByName(new_banded)
+    if max_bucket_size is not None:
+        sizes = combined.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        keep = sizes.filter(F.col("_bn") <= max_bucket_size).select(
+            "band", "bucket"
+        )
+        new_banded = new_banded.join(keep, ["band", "bucket"])
+        stored_banded = stored_banded.join(keep, ["band", "bucket"])
+    nw = new_banded.alias("n")
+    st = stored_banded.alias("s")
+    cross = nw.join(
+        st,
+        (F.col("n.band") == F.col("s.band"))
+        & (F.col("n.bucket") == F.col("s.bucket")),
+    ).select(
+        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
+        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    a = nw
+    b = new_banded.alias("m")
+    within = a.join(
+        b,
+        (F.col("n.band") == F.col("m.band"))
+        & (F.col("n.bucket") == F.col("m.bucket"))
+        & (F.col("n.id") < F.col("m.id")),
+    ).select(F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b"))
+    return cross.unionByName(within).distinct()
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str,

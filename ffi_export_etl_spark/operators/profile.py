@@ -1,0 +1,36 @@
+"""One-pass table profiling — data-quality stats for pipeline audits.
+
+The reference audits row-count deltas only (parser/xml.py:665-697); a
+training-data pipeline also wants per-column health: null ratios and
+cardinality estimates, computed in ONE scan regardless of column count.
+Distinct counts use the HLL++ sketch (approx_count_distinct) — bounded
+memory at any scale; exact distinct per column would be one shuffle EACH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """(column, n_rows, n_nonnull, approx_distinct) — one aggregation job
+    over all columns (2 aggregates per column + one count, map-side
+    combined), then a driver-side unpivot of the single result row."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd).alias(f"ad_{c}")
+        )
+    row = df.agg(*aggs)
+    stack_args = []
+    for c in df.columns:
+        stack_args += [F.lit(c), F.col(f"nn_{c}"), F.col(f"ad_{c}")]
+    n_cols = len(df.columns)
+    return row.select(
+        F.col("_n").alias("n_rows"),
+        F.stack(
+            F.lit(n_cols), *stack_args
+        ).alias("column", "n_nonnull", "approx_distinct"),
+    ).select("column", "n_rows", "n_nonnull", "approx_distinct")

@@ -384,3 +384,48 @@ def test_chunk_documents_windows(spark):
     # overlap invariant: consecutive chunks share exactly `overlap` tokens
     c = by_doc[1]
     assert c[0][2].split()[-1:] == c[1][2].split()[:1]
+
+
+def test_incremental_minhash_matches_full_recompute(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.minhash import (
+        incremental_candidate_pairs,
+        lsh_candidate_pairs,
+        minhash_signature_store,
+        signatures_from_shingles,
+    )
+    from ffi_export_etl_spark.operators.shingles import shingle_table
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    stored_docs = d.filter(F.col("doc_id") % 5 != 0)
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    stored = minhash_signature_store(stored_docs, "doc_id", "text")
+    newb = minhash_signature_store(new_docs, "doc_id", "text")
+
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_candidate_pairs(newb, stored).collect()
+    }
+    full_sigs = signatures_from_shingles(shingle_table(d, "doc_id", "text", 3), 32)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(full_sigs, 8, 4).collect()
+    }
+    involving_new = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == involving_new
+    assert inc  # the split corpus actually produces candidates
+
+
+def test_profile_table_one_pass(spark):
+    from ffi_export_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, None, 6.0), (4, "b", 6.0)],
+        ["k", "s", "v"],
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 4
+    assert prof["k"]["n_nonnull"] == 4
+    assert prof["s"]["n_nonnull"] == 3
+    assert prof["v"]["n_nonnull"] == 3
+    assert prof["s"]["approx_distinct"] == 2
+    assert prof["v"]["approx_distinct"] == 2
