@@ -68,9 +68,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="load into the configured database via MERGE "
                          "instead of the parquet warehouse")
     ap.add_argument("--batched", action="store_true",
-                    help="batch mode: union tables across files, one "
-                         "upsert per table (faster for many small "
-                         "exports; coarser failure isolation)")
+                    help="batch mode: per-file pipelines, tables unioned "
+                         "across files, one upsert per table (coarser "
+                         "failure isolation)")
+    ap.add_argument("--glob", action="store_true",
+                    help="whole-glob mode: ONE parse + ONE pipeline over "
+                         "all pending files (fastest at many files; "
+                         "pipeline dedup rules apply across files)")
     args = ap.parse_args(argv)
 
     config = configparser.ConfigParser()
@@ -99,12 +103,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
 
-    from .plans.batch_driver import process_exports, process_exports_batched
+    from .plans.batch_driver import (
+        process_exports,
+        process_exports_batched,
+        process_exports_glob,
+    )
     from .session import get_spark, tune
 
     spark = tune(get_spark(app_name="ffi-export-etl"))
     spark.sparkContext.setLogLevel("ERROR")
     glob_pat = os.path.join(data_dir, "*.xml")
+    if args.glob:
+        print(json.dumps(process_exports_glob(spark, glob_pat, warehouse),
+                         sort_keys=True))
+        return 0
     if args.batched:
         print(json.dumps(process_exports_batched(spark, glob_pat, warehouse),
                          sort_keys=True))

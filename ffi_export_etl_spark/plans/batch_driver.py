@@ -204,3 +204,70 @@ def process_exports_batched(
     for path in ok_files:
         ledger.mark(path, failed_tables=failed)
     return loaded
+
+
+def process_exports_glob(
+    spark: SparkSession,
+    export_glob: str,
+    warehouse_dir: str,
+    maps: LoadMaps | None = None,
+) -> dict[str, int]:
+    """Whole-glob loading: ALL pending exports are read as ONE XML parse
+    (the reader's glob mode — one row per file) and transformed by ONE
+    pipeline run, then upserted once per table.
+
+    This is the true 100 TB shape: per-file driver overhead (method
+    discovery, per-table jobs) is paid once per BATCH, not once per file,
+    and the cluster sees one big distributed parse instead of thousands
+    of small ones. Semantics: the union of files is treated as one
+    export, so cross-file duplicate keys resolve by the PIPELINE's own
+    deterministic rules (e.g. latest-DateIn plot wins) — the reference's
+    rules applied globally rather than in file-arrival order. Failure
+    isolation is batch-level; use process_exports for per-file isolation.
+    Returns {table: rows_inserted}.
+    """
+    os.makedirs(warehouse_dir, exist_ok=True)
+    ledger = ProcessedLedger(os.path.join(warehouse_dir, "_processed.jsonl"))
+    files = sorted(globmod.glob(export_glob))
+    pending = ledger.pending(files)
+    if not pending:
+        return {}
+    tables = read_ffi_export(spark, pending)
+    pipe = FFIPipeline(spark, tables)
+    pipe.run()
+    loaded: dict[str, int] = {}
+    failed: list[str] = []
+    for name in list(pipe.tables):
+        if name in EXCLUDED_TABLES:
+            continue
+        df = pipe.tables[name]
+        target_name = (maps.target_for(name) if maps else None) or name
+        if maps:
+            df = maps.project(df, target_name)
+        keys = _keys_for(name, df.columns)
+        if keys is None:
+            continue
+        try:
+            loaded[target_name] = parquet_upsert(
+                spark, df, os.path.join(warehouse_dir, target_name), list(keys)
+            )
+        except Exception:
+            failed.append(target_name)
+    audit_log_append(
+        spark,
+        [
+            {
+                "User": os.environ.get("USER", "spark"),
+                "Time": str(int(time.time())),
+                "Table": t,
+                "ChangeType": "INSERT",
+                "Changes": n,
+            }
+            for t, n in loaded.items()
+            if n
+        ],
+        os.path.join(warehouse_dir, "UpdateLog"),
+    )
+    for path in pending:
+        ledger.mark(path, failed_tables=failed)
+    return loaded

@@ -89,7 +89,7 @@ def ingest_casts(df: DataFrame) -> DataFrame:
 
 def read_ffi_export(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     tags: Iterable[str] | None = None,
     apply_casts: bool = True,
 ) -> dict[str, DataFrame]:
@@ -110,10 +110,13 @@ def read_ffi_export(
 
     from pyspark.sql.types import ArrayType, StructType
 
-    # driver-side structure discovery handles globs by unioning tag sets
-    # across matches (cheap streaming scan; pass ``tags=`` explicitly to
-    # skip discovery entirely for very large file sets)
-    matches = sorted(globmod.glob(path)) or [path]
+    # driver-side structure discovery handles globs and explicit file
+    # lists by unioning tag sets across matches (cheap streaming scan;
+    # pass ``tags=`` explicitly to skip discovery for very large sets)
+    if isinstance(path, list):
+        matches = path
+    else:
+        matches = sorted(globmod.glob(path)) or [path]
     root = None
     discovered: dict[str, None] = {}
     for m in matches:

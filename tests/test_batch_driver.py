@@ -127,3 +127,27 @@ def test_batched_mode_with_fieldmaps(spark, tmp_path):
     assert loaded.get("EventFact", 0) == 2
     back = spark.read.parquet(os.path.join(wh, "EventFact"))
     assert sorted(back.columns) == ["EventID", "PlotID"]
+
+
+def test_glob_mode_single_pipeline(spark, tmp_path):
+    """Whole-glob mode: one parse + one pipeline for all pending files;
+    same SampleEvent keys as sequential; rerun is a ledger no-op."""
+    import os
+
+    from ffi_export_etl_spark.plans.batch_driver import process_exports_glob
+
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    write_export_xml(str(exports / "export1.xml"))
+    _second_export(str(exports / "export2.xml"))
+    wh = str(tmp_path / "wh_glob")
+    loaded = process_exports_glob(spark, str(exports / "*.xml"), wh)
+    assert loaded.get("SampleEvent", 0) == 3  # 2 events + file2's new one
+    ev = spark.read.parquet(os.path.join(wh, "SampleEvent"))
+    ids = sorted(r["EventID"] for r in ev.select("EventID").collect())
+    assert ids == [
+        "NORTHPLOT120230515",
+        "NORTHPLOT120240601",
+        "NORTHPLOT120250701",
+    ]
+    assert process_exports_glob(spark, str(exports / "*.xml"), wh) == {}
