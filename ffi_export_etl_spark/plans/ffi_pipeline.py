@@ -92,6 +92,25 @@ def method_table_name(method: str) -> str:
     )
 
 
+def _methods_and_units(
+    long: DataFrame,
+) -> tuple[list[str], dict[str, list[str]]]:
+    """ONE distinct-collect over (Method_Name, Method_UnitSystem) yields
+    both the method list and each method's unit systems — the unit
+    fan-out then needs no further Spark jobs (A6 distinct-collect is
+    driver-side by design; it should cost one job, not one per method)."""
+    pairs = long.select("Method_Name", "Method_UnitSystem").distinct().collect()
+    units_by_method: dict[str, set] = {}
+    for r in pairs:
+        if r[0] is not None:
+            units_by_method.setdefault(r[0], set()).add(r[1])
+    methods = sorted(units_by_method)
+    return methods, {
+        m: sorted(u for u in us if u is not None)
+        for m, us in units_by_method.items()
+    }
+
+
 def _backfill(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """Typed-NULL backfill for audit columns absent from the XML
     (xml.py:233-241, 329-336; P8)."""
@@ -268,11 +287,10 @@ class FFIPipeline:
         attr_long = self._attr_long()
         # cache: every per-method branch filters this same plan
         attr_long.persist()
-        methods = [
-            r[0]
-            for r in attr_long.select("Method_Name").distinct().collect()
-            if r[0] is not None
-        ]
+        # ONE collect discovers methods AND their unit systems (A6
+        # distinct-collect; previously the unit fan-out re-collected per
+        # method — a Spark job each)
+        methods, units_by_method = _methods_and_units(attr_long)
         # Known pivot domain per method (scale path: no distinct-collect
         # inside the pivot; schema is stable and declared). ONE aggregated
         # collect builds every method's field list — not one Spark job per
@@ -326,7 +344,8 @@ class FFIPipeline:
             wide = wide.na.drop(subset=["EventID"])
             self._register_by_unit(wide, method, suffix="Attribute",
                                    drop_unit_when_single=True,
-                                   drop_unit_when_multi=False)
+                                   drop_unit_when_multi=False,
+                                   units=units_by_method[method])
 
     def _species_join(self, wide: DataFrame, species: DataFrame | None) -> DataFrame:
         """J8: every 'Spp' pivot column resolves to a USDA symbol via
@@ -356,11 +375,14 @@ class FFIPipeline:
         suffix: str,
         drop_unit_when_single: bool,
         drop_unit_when_multi: bool,
+        units: list[str] | None = None,
     ) -> None:
         """Unit-system fan-out (xml.py:290-302, 355-367): one table per
-        unit system when several exist; English keeps the bare name."""
+        unit system when several exist; English keeps the bare name.
+        ``units`` passes the (already-collected) unit list so the split
+        issues no extra Spark job."""
         table_name = method_table_name(method)
-        units = split_by_column_values(wide, "Method_UnitSystem")
+        units = split_by_column_values(wide, "Method_UnitSystem", units)
         if len(units) > 1:
             for unit, df in units.items():
                 if not drop_unit_when_multi:
@@ -413,11 +435,7 @@ class FFIPipeline:
     def _sample_to_many(self) -> None:
         sample_long = self._sample_long()
         sample_long.persist()
-        methods = [
-            r[0]
-            for r in sample_long.select("Method_Name").distinct().collect()
-            if r[0] is not None
-        ]
+        methods, units_by_method = _methods_and_units(sample_long)
         # ONE aggregated collect (see _attr_to_many) — not a job per method.
         fields_by_method = {
             r["Method_Name"]: sorted(r["fields"])
@@ -453,7 +471,8 @@ class FFIPipeline:
             wide = wide.withColumn("SampleData_Original_GUID", generated_guid())
             self._register_by_unit(wide, method, suffix="Sample",
                                    drop_unit_when_single=True,
-                                   drop_unit_when_multi=True)
+                                   drop_unit_when_multi=True,
+                                   units=units_by_method[method])
 
     # -- events: 8-way join + team combination (xml.py:369-508) ---------
 
