@@ -1,0 +1,46 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample`` draws from a seeded RNG over partition contents — results
+change with partitioning, retries, and engine version, which makes
+curation runs irreproducible. These samplers decide membership from the
+ROW KEY via the portable md5 family (functions/porthash.py), so the same
+row makes the same cut on any cluster, any partitioning, any engine (the
+decision is even SQL-replayable for audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.porthash import MERSENNE31, md5_long
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows where the key's md5 hash
+    falls under ``fraction`` of the hash space. Stable across runs and
+    partitionings; vary ``salt`` for independent samples of the same
+    data. One scan, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    h = md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")), 15)
+    threshold = int(fraction * (1 << 60))
+    return df.filter(h < F.lit(threshold))
+
+
+def stratified_take(
+    df: DataFrame, label_col: str, key_col: str, n_per_label: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per label, chosen by deterministic
+    md5 order with a key tiebreak — reproducible class balancing. One
+    shuffle on the label (window), no RNG state."""
+    h = md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")), 15)
+    w = Window.partitionBy(label_col).orderBy(h % MERSENNE31, key_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_label)
+        .drop("_rk")
+    )

@@ -429,3 +429,44 @@ def test_profile_table_one_pass(spark):
     assert prof["v"]["n_nonnull"] == 3
     assert prof["s"]["approx_distinct"] == 2
     assert prof["v"]["approx_distinct"] == 2
+
+
+def test_hash_sample_deterministic_and_proportional(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.sampling import hash_sample
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).collect()}
+    # same rows on a repartitioned input (partitioning-independent)
+    s2 = {
+        r["doc_id"]
+        for r in hash_sample(d.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert s1 == s2 and s1
+    # roughly proportional (md5 is uniform; 500 docs, loose bounds)
+    assert 0.2 <= len(s1) / d.count() <= 0.4
+    # different salt -> a genuinely different sample
+    s3 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3, salt="x").collect()}
+    assert s3 != s1
+    # nested: a 0.1 sample is NOT generally a subset of the 0.3 sample's
+    # complement — but smaller fraction of SAME salt is a subset
+    s4 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.1).collect()}
+    assert s4 <= s1
+
+
+def test_stratified_take_exact_counts(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.sampling import stratified_take
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    out = stratified_take(e, "label", "vec_id", 5)
+    counts = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 5 for n in counts.values())
+    # deterministic under repartitioning
+    a = {(r["label"], r["vec_id"]) for r in out.collect()}
+    b = {
+        (r["label"], r["vec_id"])
+        for r in stratified_take(e.repartition(11), "label", "vec_id", 5).collect()
+    }
+    assert a == b
