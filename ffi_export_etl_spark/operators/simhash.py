@@ -29,11 +29,17 @@ CHUNK_BITS = BITS // CHUNKS
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
 
 
-# 16-bit counter lanes: 4 bit-counters packed per 64-bit sum. Safe while
-# every document has < 2^16 tokens (pretraining docs are chunked far
-# below that; the classic weighted-simhash needs per-bit ints anyway).
-LANES_PER_SUM = 4
-LANE_BITS = 16
+# 20-bit counter lanes, 3 packed per 64-bit sum (top lane shifted by 40).
+# Each token contributes at most 2^40 + 2^20 + 1 < 2^41 to a sum, so under
+# ANSI mode (Spark 4 default, which throws on 64-bit overflow instead of
+# wrapping) the running sum stays below 2^63 for any document up to 2^22
+# tokens, and a lane counter cannot carry into its neighbour until it
+# reaches 2^20. The binding bound is therefore the lane width:
+# MAX_TOKENS_PER_DOC = 2^20 - 1, ENFORCED by slicing the token array
+# before explode (deterministic first-N truncation; replayed nowhere in
+# the oracle because no real document approaches a million tokens).
+LANES_PER_SUM = 3
+LANE_BITS = 20
 LANE_MASK = (1 << LANE_BITS) - 1
 MAX_TOKENS_PER_DOC = LANE_MASK
 
@@ -43,16 +49,21 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(id, simhash: bigint) — 60-bit fingerprint per document.
 
-    Per-bit set-counts are aggregated PACKED: each 64-bit sum carries 4
-    independent 16-bit counter lanes ((h>>b)&1 shifted into its lane), so
-    the group-by runs 15 sum-aggregates + a token count instead of 60 —
-    one pass, map-side combined, ~4x less aggregation state. Bit b of the
-    fingerprint is set iff 2*count_b >= n_tokens (identically the sign of
-    the +1/-1 sum the oracle computes)."""
+    Per-bit set-counts are aggregated PACKED: each 64-bit sum carries 3
+    independent 20-bit counter lanes ((h>>b)&1 shifted into its lane), so
+    the group-by runs 20 sum-aggregates + a token count instead of 60 —
+    one pass, map-side combined, ~3x less aggregation state, and every
+    intermediate stays under 2^63 (ANSI-overflow-safe, see lane constants
+    above). Bit b of the fingerprint is set iff 2*count_b >= n_tokens
+    (identically the sign of the +1/-1 sum the oracle computes)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        F.explode(
+            F.slice(
+                F.split(F.col(text_col), r"\s+"), 1, MAX_TOKENS_PER_DOC
+            )
+        ).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok"), 15))
     n_sums = BITS // LANES_PER_SUM
     packed_aggs = []

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.porthash import hyperplane_coefficients, md5_long
+from .minhash import DEFAULT_MAX_BUCKET
 
 
 def as_double(vec: Column) -> Column:
@@ -168,6 +169,36 @@ def lsh_topk(
     )
 
 
+def scaled_lsh_config(
+    n_vectors: int,
+    target_bucket: int = 64,
+    base_tables: int = 4,
+    base_planes: int = 8,
+    recall_p: float = 0.9,
+) -> tuple[int, int]:
+    """(tables, planes_per_table) sized for a corpus of ``n_vectors``.
+
+    Planes grow with log2(n / target_bucket) so the EXPECTED bucket
+    population n/2^planes stays near ``target_bucket`` as the corpus
+    grows — at 10^9 vectors that is ~24 planes, not the 8 that fit a
+    640-row test table. Each extra plane multiplies per-table match
+    probability by p (the per-plane agreement probability of a pair at
+    the dedup threshold, ~0.9 for cosine >= 0.8), so tables scale by
+    (1/p)^extra_planes to hold overall recall 1-(1-p^planes)^L roughly
+    level. The registered gate query pins the small-corpus constants so
+    the DuckDB oracle can replay them as literals; production callers
+    size with this helper."""
+    import math
+
+    planes = max(
+        base_planes,
+        math.ceil(math.log2(max(n_vectors, 1) / max(target_bucket, 1))),
+    )
+    planes = min(planes, 62)  # bucket id must fit a signed 64-bit int
+    tables = math.ceil(base_tables * (1.0 / recall_p) ** (planes - base_planes))
+    return tables, planes
+
+
 def lsh_banded_pairs(
     vectors: DataFrame,
     dim: int,
@@ -176,11 +207,21 @@ def lsh_banded_pairs(
     tables: int = 4,
     planes_per_table: int = 8,
     round_digits: int = 6,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Distinct candidate (id_a, id_b) pairs sharing a sign-LSH bucket in
     at least one of ``tables`` independent hash tables — the cosine analog
     of MinHash banding, and the scale-safe candidate generator for
     embedding dedup (linear scan + per-bucket joins, never all-pairs).
+
+    Pair generation mirrors minhash.lsh_candidate_pairs: ONE shuffle
+    groups each (table, bucket) to a sorted id array, buckets above
+    ``max_bucket_size`` are dropped (cap ON by default — a degenerate
+    sign pattern, e.g. a pile of near-zero or boilerplate-identical
+    vectors, is the one quadratic risk; members of a dropped bucket can
+    still meet through their other tables), and intra-array pairs are
+    emitted with array expressions. Size tables/planes for the corpus
+    with scaled_lsh_config.
 
     Recall for a pair with angular similarity s is 1-(1-s^p)^L: more
     tables buy recall, more planes-per-table buy precision (smaller
@@ -203,16 +244,24 @@ def lsh_banded_pairs(
     banded = v.select(
         "id", F.explode(F.array(*arms)).alias("tb")
     ).select("id", "tb.tbl", "tb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    buckets = banded.groupBy("tbl", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -226,12 +275,15 @@ def cosine_pairs_bucketed(
     tables: int = 4,
     planes_per_table: int = 8,
     round_digits: int = 6,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-dup pairs: banded sign-LSH candidates verified by
     exact cosine >= threshold. The registered scale path — candidate count
-    is bucket-bounded, and verification touches candidates only."""
+    is bucket-bounded (capped at max_bucket_size per bucket), and
+    verification touches candidates only."""
     cands = lsh_banded_pairs(
-        vectors, dim, id_col, vec_col, tables, planes_per_table, round_digits
+        vectors, dim, id_col, vec_col, tables, planes_per_table,
+        round_digits, max_bucket_size,
     )
     v = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")

@@ -100,6 +100,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_bucketed(
         e, "vec_id", "embedding", dim=EMB_DIM, threshold=COSINE_THRESHOLD,
         tables=COS_TABLES, planes_per_table=COS_PLANES,
+        max_bucket_size=DEFAULT_MAX_BUCKET,
     )
 
 
@@ -231,6 +232,9 @@ def _simhash_sql() -> str:
 
 
 def _cosine_bucketed_sql() -> str:
+    """Replays lsh_banded_pairs INCLUDING the bucket-size cap (a bucket
+    with more than DEFAULT_MAX_BUCKET members is dropped on both
+    engines)."""
     arms = "\n            UNION ALL\n            ".join(
         f"SELECT vec_id, {t} AS tbl,\n                 "
         + duck_sign_bucket(EMB_DIM, t * COS_PLANES, COS_PLANES)
@@ -244,8 +248,13 @@ def _cosine_bucketed_sql() -> str:
         banded AS (
             {arms}
         ),
+        ckept AS (SELECT tbl, bucket FROM banded
+                  GROUP BY tbl, bucket
+                  HAVING count(*) <= {DEFAULT_MAX_BUCKET}),
+        cbk AS (SELECT banded.vec_id, banded.tbl, banded.bucket
+                FROM banded JOIN ckept USING (tbl, bucket)),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM banded a JOIN banded b
+                 FROM cbk a JOIN cbk b
                    ON a.tbl = b.tbl AND a.bucket = b.bucket
                   AND a.vec_id < b.vec_id),
         n AS (SELECT vec_id, vv,

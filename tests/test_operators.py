@@ -470,3 +470,50 @@ def test_stratified_take_exact_counts(spark, sf_oracle):
         for r in stratified_take(e.repartition(11), "label", "vec_id", 5).collect()
     }
     assert a == b
+
+
+def test_simhash_large_doc_no_ansi_overflow(spark):
+    """A ~40k-token document must fingerprint without ARITHMETIC_OVERFLOW.
+
+    Regression for the packed-lane bound: with 16-bit lanes 4-per-sum the
+    top lane was shifted by 48 bits, so a lane counter of 32768 pushed the
+    ANSI 64-bit sum past 2^63. The 20-bit/3-per-sum packing keeps every
+    intermediate below 2^63 up to MAX_TOKENS_PER_DOC = 2^20 - 1 tokens.
+    All tokens identical => every set bit of h gets count n, so the
+    fingerprint must equal md5_long('x', 15) exactly.
+    """
+    import hashlib
+
+    from ffi_export_etl_spark.operators.simhash import simhash_fingerprints
+
+    n_tokens = 40_000
+    doc = spark.createDataFrame(
+        [(1, " ".join(["x"] * n_tokens))], "doc_id: int, text: string"
+    )
+    [row] = simhash_fingerprints(doc, "doc_id", "text").collect()
+    expected = int(hashlib.md5(b"x").hexdigest()[:15], 16)
+    assert row["simhash"] == expected
+
+
+def test_lsh_banded_pairs_bucket_cap_and_config(spark, sf_oracle):
+    """The sign-LSH candidate generator must honor max_bucket_size, and
+    the corpus-sizing helper must widen planes/tables with N."""
+    from ffi_export_etl_spark.operators.similarity import (
+        lsh_banded_pairs,
+        scaled_lsh_config,
+    )
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    uncapped = lsh_banded_pairs(e, 64, max_bucket_size=None).count()
+    # a tight cap strictly reduces candidates on this corpus (640 vectors
+    # over 4x256 buckets -> some buckets exceed 2)
+    capped = lsh_banded_pairs(e, 64, max_bucket_size=2).count()
+    assert capped < uncapped
+    # generous cap changes nothing
+    assert lsh_banded_pairs(e, 64, max_bucket_size=10_000).count() == uncapped
+
+    # config helper: small corpora keep the base; 10^9 vectors get ~24
+    # planes and more tables to hold recall
+    assert scaled_lsh_config(640) == (4, 8)
+    tables, planes = scaled_lsh_config(1_000_000_000)
+    assert planes == 24 and tables > 4

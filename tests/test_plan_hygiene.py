@@ -87,6 +87,20 @@ def test_registered_dedup_paths_have_no_unbucketed_theta_join(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_embedding_cosine"]
+)
+def test_registered_dedup_bucket_cap_in_plan(spark, name):
+    # Both sketch dedup paths must carry the bucket-size cap in the
+    # physical plan: pair expansion happens only for buckets whose sorted
+    # id array passes size(ids) <= DEFAULT_MAX_BUCKET. Without it one
+    # degenerate bucket (boilerplate docs / near-zero vectors) reinstates
+    # the quadratic blowup at scale.
+    plan = plan_of(spark, name)
+    assert "size(ids" in plan, name
+    assert "<= 100" in plan, name
+
+
 def test_no_row_udfs_anywhere_in_registry(spark):
     # Sweep EVERY registered query (not just hand-picked hot paths):
     # no row-at-a-time Python (BatchEvalPython) in any plan; Arrow-batched
