@@ -15,6 +15,22 @@ from pyspark.sql import functions as F
 
 from ..functions.porthash import MERSENNE31, md5_long
 
+# NULL keys hash like this sentinel instead of being silently dropped
+# (concat(salt, NULL) is NULL, md5(NULL) is NULL, and a NULL comparison
+# would filter the row out) — a curation run must not lose null-keyed
+# rows without a decision. The oracle replays the same coalesce.
+NULL_KEY_SENTINEL = "<null>"
+
+
+def _key_hash(key_col: str, salt: str):
+    return md5_long(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_KEY_SENTINEL)),
+        ),
+        15,
+    )
+
 
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = ""
@@ -22,10 +38,11 @@ def hash_sample(
     """Deterministic Bernoulli sample: keep rows where the key's md5 hash
     falls under ``fraction`` of the hash space. Stable across runs and
     partitionings; vary ``salt`` for independent samples of the same
-    data. One scan, no shuffle."""
+    data. One scan, no shuffle. NULL keys participate via
+    NULL_KEY_SENTINEL (all null-keyed rows make the same cut)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    h = md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")), 15)
+    h = _key_hash(key_col, salt)
     threshold = int(fraction * (1 << 60))
     return df.filter(h < F.lit(threshold))
 
@@ -36,8 +53,9 @@ def stratified_take(
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per label, chosen by deterministic
     md5 order with a key tiebreak — reproducible class balancing. One
-    shuffle on the label (window), no RNG state."""
-    h = md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")), 15)
+    shuffle on the label (window), no RNG state. NULL keys rank via
+    NULL_KEY_SENTINEL instead of silently dropping."""
+    h = _key_hash(key_col, salt)
     w = Window.partitionBy(label_col).orderBy(h % MERSENNE31, key_col)
     return (
         df.withColumn("_rk", F.row_number().over(w))

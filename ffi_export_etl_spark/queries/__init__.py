@@ -26,6 +26,7 @@ from . import (
     relational3,
     relational4,
     relational5,
+    sampling_q,
     similarity_q,
     streaming_q,
     text_q,
@@ -41,6 +42,7 @@ _MODULES = (
     text_q,
     events_q,
     streaming_q,
+    sampling_q,
     multimodal_q,
     relational,
     relational2,

@@ -104,6 +104,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEW_BATCH_MOD = 10  # doc_id % 10 == 0 plays the "today's increment" batch
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates: the daily-increment shape that
+    matters at 100 TB. Documents split deterministically into a STORED
+    corpus (doc_id % 10 != 0, already sketched into a persistable
+    (id, band, bucket) signature store) and a NEW batch (doc_id % 10 == 0);
+    candidates come from new x stored bucket joins against the store plus
+    new x new — never stored x stored (operators/minhash.py:138-198).
+
+    Equals the full-recompute candidate set restricted to pairs involving
+    at least one new id (the bucket cap applies to the COMBINED bucket
+    population, identical to the one-shot path), which is exactly what the
+    DuckDB oracle replays."""
+    from ..operators.minhash import (
+        incremental_candidate_pairs,
+        minhash_signature_store,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    stored_docs = d.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    stored = minhash_signature_store(
+        stored_docs, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS
+    )
+    new_banded = minhash_signature_store(
+        new_docs, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS
+    )
+    return incremental_candidate_pairs(
+        new_banded, stored, max_bucket_size=DEFAULT_MAX_BUCKET
+    )
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: transitive closure over the MINHASH near-dup
     edges (the scale-safe edge set) via iterative min-label propagation
@@ -120,13 +154,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, pairs.select("id_a", "id_b"), "doc_id")
 
 
+# dedup_jaccard_pairs (the exact quadratic path) is deliberately NOT
+# registered: it exists for verification/small corpora and stays
+# oracle-pinned by tests/test_dedup_extra.py; its former window slot pins
+# the incremental path instead, which is the shape that matters at scale.
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
 }
 
 # ---------------------------------------------------------------------------
@@ -147,8 +185,9 @@ _DUCK_MD5_8 = "CAST(CONCAT('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
 _DUCK_MD5_15 = "CAST(CONCAT('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
 
 
-def _minhash_pairs_sql() -> str:
-    """DuckDB CTE chain replaying minhash_near_duplicates exactly."""
+def _minhash_cand_sql() -> str:
+    """DuckDB CTE chain replaying minhash candidate generation exactly
+    (shingles -> signatures -> banding -> capped buckets -> cand)."""
     perms = perm_coefficients(NUM_PERM)
     sig_cols = ",\n               ".join(
         f"min((CAST({a} AS BIGINT) * x + {b}) % {MERSENNE31}) AS h{i}"
@@ -179,7 +218,13 @@ def _minhash_pairs_sql() -> str:
                FROM bands JOIN kept USING (band, bucket)),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                  FROM bk a JOIN bk b
-                   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)"""
+
+
+def _minhash_pairs_sql() -> str:
+    """DuckDB CTE chain replaying minhash_near_duplicates exactly
+    (candidates + exact-Jaccard verification)."""
+    return f"""{_minhash_cand_sql()},
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
             SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -262,32 +307,41 @@ def _cosine_bucketed_sql() -> str:
               FROM v)"""
 
 
+# Oracle for the demoted exact-Jaccard path — no longer a registered gate
+# query (the quadratic shingle self-join must not be a registered plan at
+# scale) but still oracle-pinned by tests/test_dedup_extra.py.
+JACCARD_PAIRS_ORACLE = f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           sa.n_sh + sb.n_sh - n_inter AS n_union,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
+"""
+
 ORACLE = {
     "dedup_exact": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
-    "dedup_jaccard_pairs": f"""
-        WITH sh AS ({_DUCK_SHINGLES}),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT id_a, id_b, n_inter,
-               sa.n_sh + sb.n_sh - n_inter AS n_union,
-               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
-    """,
     "dedup_minhash_lsh": f"""
         WITH {_minhash_pairs_sql()}
         SELECT id_a, id_b, n_inter, n_union, jaccard FROM mh_pairs
+    """,
+    "dedup_incremental_minhash": f"""
+        WITH {_minhash_cand_sql()}
+        SELECT id_a, id_b FROM cand
+        WHERE id_a % {NEW_BATCH_MOD} = 0 OR id_b % {NEW_BATCH_MOD} = 0
     """,
     "dedup_simhash": f"""
         WITH {_simhash_sql()}

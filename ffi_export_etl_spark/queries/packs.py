@@ -57,22 +57,48 @@ def p_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi (customers with an F-status order) and left-anti
-    (customers with no orders) joins, union-tagged into one result."""
+    """Left-semi (customers with an F-status order), left-anti (customers
+    with no orders), and full-outer (per-nation customer vs supplier
+    counts) joins, union-tagged into one result — the J-family outer/semi
+    pack. The tagged shape (kind, k, name, n_a, n_b) lets three join
+    types share one driver CORRECTNESS row."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    null_b = F.lit(None).cast("bigint")
     o_f = o.filter(F.col("o_orderstatus") == "F")
-    semi = (
-        c.join(o_f, c.c_custkey == o_f.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .withColumn("kind", F.lit("has_f_order"))
+    semi = c.join(o_f, c.c_custkey == o_f.o_custkey, "left_semi").select(
+        F.lit("has_f_order").alias("kind"),
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_name").alias("name"),
+        null_b.alias("n_a"),
+        null_b.alias("n_b"),
     )
-    anti = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .withColumn("kind", F.lit("no_orders"))
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("kind"),
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_name").alias("name"),
+        null_b.alias("n_a"),
+        null_b.alias("n_b"),
     )
-    return semi.unionByName(anti)
+    cn = (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("c_nationkey") < 20)
+    )
+    sn = (
+        s.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("s_nationkey") >= 5)
+    )
+    full = cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer").select(
+        F.lit("nation_counts").alias("kind"),
+        F.coalesce("c_nationkey", "s_nationkey").cast("bigint").alias("k"),
+        F.lit(None).cast("string").alias("name"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_a"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_b"),
+    )
+    return semi.unionByName(anti).unionByName(full)
 
 
 _EVENT_KINDS = ["click", "error", "purchase", "signup", "view"]
@@ -323,12 +349,26 @@ ORACLE = {
           AND l_shipdate IS NOT NULL
     """,
     "j_semi_anti": """
-        SELECT c_custkey, c_name, 'has_f_order' AS kind FROM customer
+        SELECT 'has_f_order' AS kind, CAST(c_custkey AS BIGINT) AS k,
+               c_name AS name, CAST(NULL AS BIGINT) AS n_a,
+               CAST(NULL AS BIGINT) AS n_b
+        FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         UNION ALL
-        SELECT c_custkey, c_name, 'no_orders' AS kind FROM customer
+        SELECT 'no_orders', CAST(c_custkey AS BIGINT), c_name, NULL, NULL
+        FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT 'nation_counts',
+               CAST(coalesce(c.c_nationkey, s.s_nationkey) AS BIGINT),
+               NULL, coalesce(n_cust, 0), coalesce(n_supp, 0)
+        FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+              GROUP BY c_nationkey HAVING c_nationkey < 20) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+              GROUP BY s_nationkey HAVING s_nationkey >= 5) s
+          ON c.c_nationkey = s.s_nationkey
     """,
     "a_pivot_pack": _pivot_oracle(),
     "a_first_seqnum": """

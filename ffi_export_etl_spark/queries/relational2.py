@@ -62,38 +62,15 @@ def s3_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join: per-nation customer vs supplier counts, keeping
-    nations present on either side only."""
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-        .filter(F.col("c_nationkey") < 20)
-    )
-    s = (
-        load_table(spark, sf_dir, "supplier")
-        .groupBy("s_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"))
-        .filter(F.col("s_nationkey") >= 5)
-    )
-    return (
-        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
-        .select(
-            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
-            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
-            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
-        )
-    )
-
-
+# j_full_outer folded into packs.j_semi_anti (round 3) as the
+# 'nation_counts' arm — the full-outer join stays driver-pinned there
+# while freeing a verification-window slot.
 
 
 
 QUERIES = {
     "a1_eav_roundtrip": a1_eav_roundtrip,
     "s3_union_by_name": s3_union_by_name,
-    "j_full_outer": j_full_outer,
 }
 
 ORACLE = {
@@ -123,16 +100,5 @@ ORACLE = {
         UNION ALL
         SELECT s_suppkey, s_name, s_nationkey, NULL, 'supplier'
         FROM supplier
-    """,
-    "j_full_outer": """
-        SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
-               coalesce(n_cust, 0) AS n_cust,
-               coalesce(n_supp, 0) AS n_supp
-        FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
-              GROUP BY c_nationkey HAVING c_nationkey < 20) c
-        FULL OUTER JOIN
-             (SELECT s_nationkey, count(*) AS n_supp FROM supplier
-              GROUP BY s_nationkey HAVING s_nationkey >= 5) s
-          ON c.c_nationkey = s.s_nationkey
     """,
 }

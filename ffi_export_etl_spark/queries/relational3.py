@@ -84,6 +84,26 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_count_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 (EXISTS semijoin count per priority) and q12 (conditional-sum
+    classification) union-tagged into one counting-aggregation pack
+    (kind, k, n_a, n_b) — two TPC-H counting shapes, one driver row."""
+    null_b = F.lit(None).cast("bigint")
+    q4 = q4_order_priority(spark, sf_dir).select(
+        F.lit("q4_order_priority").alias("kind"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("order_count").alias("n_a"),
+        null_b.alias("n_b"),
+    )
+    q12 = q12_priority_classes(spark, sf_dir).select(
+        F.lit("q12_priority_classes").alias("kind"),
+        F.col("l_linestatus").alias("k"),
+        F.col("high_line_count").cast("bigint").alias("n_a"),
+        F.col("low_line_count").cast("bigint").alias("n_b"),
+    )
+    return q4.unionByName(q12)
+
+
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-HAVING then join back (TPC-H q18 shape): orders whose total
@@ -111,16 +131,18 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# q4/q12 register through q_count_pack (round 3) — both shapes stay
+# driver-pinned in one window slot.
 QUERIES = {
-    "q4_order_priority": q4_order_priority,
+    "q_count_pack": q_count_pack,
     "q7_bi_nation_volume": q7_bi_nation_volume,
-    "q12_priority_classes": q12_priority_classes,
     "q18_large_orders": q18_large_orders,
 }
 
 ORACLE = {
-    "q4_order_priority": """
-        SELECT o_orderpriority, count(*) AS order_count
+    "q_count_pack": """
+        SELECT 'q4_order_priority' AS kind, o_orderpriority AS k,
+               count(*) AS n_a, CAST(NULL AS BIGINT) AS n_b
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
@@ -129,6 +151,16 @@ ORACLE = {
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'q12_priority_classes', l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
     """,
     "q7_bi_nation_volume": f"""
         SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
@@ -143,17 +175,6 @@ ORACLE = {
         WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
         GROUP BY ns.n_name, nc.n_name, year(l_shipdate)
-    """,
-    "q12_priority_classes": """
-        SELECT l_linestatus,
-               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-        GROUP BY l_linestatus
     """,
     "q18_large_orders": """
         SELECT c_custkey, o_orderkey,

@@ -13,7 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import table_path
-from ..streaming.events import read_events_stream, run_to_completion, windowed_counts
+from ..streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_to_completion,
+    stage_with_late_filler,
+    windowed_counts,
+)
 
 
 def stream_5min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,9 +54,48 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("user_id", "event_type")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (10 min window / 5 min slide) counts in APPEND mode
+    with a 30-minute watermark — the late-data-bounded streaming shape:
+    only windows the watermark has closed are emitted, exactly once, and
+    state for them is evicted (bounded state on unbounded streams).
+
+    Emission semantics this oracle replays (pinned empirically and by
+    tests/test_streaming.py): a window is emitted iff
+    window.end <= max(event_time) - delay, computed in MICROSECONDS
+    (Spark's watermark works on the micro-truncated event time). The
+    source is staged with a trailing all-late filler batch
+    (streaming/events.py stage_with_late_filler) because the watermark
+    advances one micro-batch late — without a second batch an
+    availableNow run terminates before emitting anything. The filler row
+    is excluded from the aggregation by predicate."""
+    src_dir = stage_with_late_filler(table_path(sf_dir, "events"))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .withColumn("ts_micro", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_counts(
+        stream.filter(F.col("event_type") != "__filler__"),
+        window="10 minutes",
+        slide="5 minutes",
+        watermark="30 minutes",
+    )
+    result = run_to_completion(agg, output_mode="append")
+    return result.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
 QUERIES = {
     "stream_5min_counts": stream_5min_counts,
     "stream_dedup_keys": stream_dedup_keys,
+    "stream_sliding_counts": stream_sliding_counts,
 }
 
 ORACLE = {
@@ -65,5 +110,27 @@ ORACLE = {
     """,
     "stream_dedup_keys": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # Sliding windows: each event belongs to two 10-min windows (its 5-min
+    # bucket start and the one 5 min earlier). Append-mode emission:
+    # window end <= watermark = micro-truncated max event time - 30 min
+    # (integer microsecond arithmetic; <= is the pinned Spark behavior).
+    "stream_sliding_counts": """
+        WITH m AS (SELECT epoch_ns(max(ts)) // 1000 AS max_us FROM events),
+        w AS (
+            SELECT event_type, value,
+                   unnest([
+                       time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts)
+                           - INTERVAL '5 minutes'
+                   ]) AS win_start
+            FROM events
+        )
+        SELECT epoch_us(win_start) AS window_start_us, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM w, m
+        GROUP BY 1, 2, m.max_us
+        HAVING epoch_us(win_start) + 600000000 <= max_us - 1800000000
     """,
 }

@@ -52,6 +52,46 @@ def stage_as_dir(path: str) -> str:
     return d
 
 
+def stage_with_late_filler(path: str) -> str:
+    """Stage a single parquet file as a TWO-file stream-source dir: the
+    real file plus a tiny filler file whose only row is maximally late
+    (ts = epoch 0), mtime-ordered strictly after the real file.
+
+    Why: Spark advances the event-time watermark at micro-batch
+    boundaries — one batch late. A bounded single-file availableNow
+    stream therefore terminates with the watermark still at its initial
+    value and an append-mode windowed aggregation emits NOTHING. With
+    maxFilesPerTrigger=1 the filler forms a second micro-batch that runs
+    under the watermark computed from the real data, flushing every
+    closed window; the filler row itself falls far below that watermark
+    and is discarded by the late-data filter, so it never appears in any
+    aggregate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="stream_src_wm_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    filler = os.path.join(d, "zz_late_filler.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([0], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__filler__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        ),
+        filler,
+    )
+    # the file source orders batches by modification time; pin the filler
+    # into the future so it is always the LAST micro-batch
+    future = os.stat(os.path.abspath(path)).st_mtime + 3600
+    os.utime(filler, (future, future))
+    return d
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over parquet events (one file per micro-batch
     by default; maxFilesPerTrigger tunes ingest pacing). Adds ``ts_micro``

@@ -517,3 +517,22 @@ def test_lsh_banded_pairs_bucket_cap_and_config(spark, sf_oracle):
     assert scaled_lsh_config(640) == (4, 8)
     tables, planes = scaled_lsh_config(1_000_000_000)
     assert planes == 24 and tables > 4
+
+
+def test_sampling_null_keys_not_dropped(spark):
+    """Null-keyed rows must participate (via NULL_KEY_SENTINEL), not
+    silently vanish from a curation run."""
+    from ffi_export_etl_spark.operators.sampling import (
+        hash_sample,
+        stratified_take,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "a"), (None, "b")],
+        "k: int, label: string",
+    )
+    # fraction=1.0 keeps everything — including both null-keyed rows
+    assert hash_sample(df, "k", 1.0).count() == 4
+    # stratified take large enough to keep all rows must not lose nulls
+    out = stratified_take(df, "label", "k", 10)
+    assert out.count() == 4
