@@ -22,8 +22,19 @@ SCRUB_RULES: tuple[tuple[str, str], ...] = (
     (r"(https?://|www\.)[^\s]+", "<URL>"),
     # IPv4 addresses
     (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # phone-like: +country / (area) / separator digit runs, >= 7 digits
-    (r"\+?\d[\d\s().-]{5,}\d", "<PHONE>"),
+    # phone-like, high precision: a bare space-separated digit run (year
+    # lists, tabular numbers) must NOT match. A match needs one of the
+    # phone-specific shapes: a parenthesized area code, a +country
+    # prefix, dash/dot-grouped digits starting with a 3-digit group
+    # (dates' (4,2,2)/(2,2,4) groupings stay untouched), or a single
+    # uninterrupted 9-15 digit run.
+    (
+        r"(?:\+\d{1,3}[ .-]?)?\(\d{1,4}\)[ .-]?\d{2,4}(?:[ .-]\d{2,4}){1,3}"
+        r"|\+\d{1,3}(?:[ .-]?\d{2,4}){2,4}"
+        r"|\b\d{3}[.-]\d{3,4}(?:[.-]\d{2,4})?\b"
+        r"|\b\d{9,15}\b",
+        "<PHONE>",
+    ),
 )
 
 

@@ -71,10 +71,27 @@ def spark_staging_writer(url: str, properties: Mapping[str, str],
     return write
 
 
-def dbapi_staging_writer(connection):
+def _dbapi_placeholder(connection, placeholder: str | None) -> str:
+    """Positional placeholder for the connection's DBAPI paramstyle:
+    qmark (sqlite3/pyodbc) -> '?', format/pyformat (psycopg2, MySQLdb)
+    -> '%s'. Explicit ``placeholder`` wins; otherwise the connection's
+    defining module advertises ``paramstyle`` (PEP 249)."""
+    if placeholder is not None:
+        return placeholder
+    mod = type(connection).__module__.split(".")[0]
+    style = getattr(__import__(mod), "paramstyle", "qmark") if mod else "qmark"
+    return {"qmark": "?", "format": "%s", "pyformat": "%s",
+            "numeric": "?"}.get(style, "?")
+
+
+def dbapi_staging_writer(connection, placeholder: str | None = None):
     """Driver-side staging writer (no JDBC jar needed): DROP/CREATE the
     staging table typelessly and executemany the collected rows. Test and
-    tiny-dimension path only — rows pass through the driver."""
+    tiny-dimension path only — rows pass through the driver. The
+    parameter placeholder follows the connection module's PEP 249
+    paramstyle (qmark and format/pyformat both supported); pass
+    ``placeholder`` explicitly for exotic drivers."""
+    ph = _dbapi_placeholder(connection, placeholder)
 
     def write(staging: str, df) -> None:
         rows = df.collect()
@@ -83,7 +100,7 @@ def dbapi_staging_writer(connection):
         try:
             cur.execute(f"DROP TABLE IF EXISTS {staging}")
             cur.execute(f"CREATE TABLE {staging} ({', '.join(cols)})")
-            placeholders = ", ".join("?" for _ in cols)
+            placeholders = ", ".join(ph for _ in cols)
             cur.executemany(
                 f"INSERT INTO {staging} VALUES ({placeholders})",
                 [tuple(r[c] for c in cols) for r in rows],

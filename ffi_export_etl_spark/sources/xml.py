@@ -73,6 +73,15 @@ def discover_tags(path: str) -> tuple[str | None, list[str]]:
     return ns, tags
 
 
+def discover_root(path: str) -> str:
+    """Root tag only: iterparse stops after the FIRST start event, so the
+    cost is O(header bytes), not O(file) — the fast path when ``tags=``
+    is passed explicitly and full discovery would scan every file."""
+    for _event, elem in ET.iterparse(path, events=("start",)):
+        return strip_namespace(elem.tag)
+    raise ValueError(f"no root element in {path}")
+
+
 def ingest_casts(df: DataFrame) -> DataFrame:
     """Reference per-column ingest rules (parser/xml.py:119-123):
     uppercase GUID columns, normalize Date/Time columns."""
@@ -111,19 +120,23 @@ def read_ffi_export(
     from pyspark.sql.types import ArrayType, StructType
 
     # driver-side structure discovery handles globs and explicit file
-    # lists by unioning tag sets across matches (cheap streaming scan;
-    # pass ``tags=`` explicitly to skip discovery for very large sets)
+    # lists by unioning tag sets across matches (cheap streaming scan).
+    # With ``tags=`` passed explicitly, discovery is SKIPPED entirely:
+    # only the root tag is needed, read from the first file's header.
     if isinstance(path, list):
         matches = path
     else:
         matches = sorted(globmod.glob(path)) or [path]
-    root = None
-    discovered: dict[str, None] = {}
-    for m in matches:
-        _, root, file_tags = discover_structure(m)
-        for t in file_tags:
-            discovered[t] = None
-    if tags is None:
+    if tags is not None:
+        root = discover_root(matches[0])
+        tags = list(tags)
+    else:
+        root = None
+        discovered: dict[str, None] = {}
+        for m in matches:
+            _, root, file_tags = discover_structure(m)
+            for t in file_tags:
+                discovered[t] = None
         tags = list(discovered)
     rootdf = (
         spark.read.format("xml")

@@ -60,6 +60,20 @@ def test_single_pass_read(spark, export_path, monkeypatch):
     assert len(calls) == 1
 
 
+def test_explicit_tags_skip_full_discovery(spark, export_path, monkeypatch):
+    # passing tags= must not stream every file through discover_structure;
+    # only the first file's root element is read (discover_root)
+    import ffi_export_etl_spark.sources.xml as xmlmod
+
+    def boom(path):
+        raise AssertionError("full discovery must be skipped with tags=")
+
+    monkeypatch.setattr(xmlmod, "discover_structure", boom)
+    tables = read_ffi_export(spark, export_path, tags=["MacroPlot"])
+    assert set(tables) == {"MacroPlot"}
+    assert tables["MacroPlot"].count() == 3
+
+
 def test_plot_dedup_and_plot_id(pipeline):
     rows = pipeline.tables["MacroPlot"].collect()
     # MP2 deduped (same PlotID, later DateIn), MP3 dropped (null DateIn)

@@ -102,3 +102,46 @@ def test_dbapi_staging_writer_roundtrip(spark, conn):
     ex = DbApiExecutor(conn)
     assert ex.scalar("SELECT COUNT(*) FROM staging_x") == 2
     assert ex.scalar("SELECT COUNT(*) FROM staging_x WHERE v IS NULL") == 1
+
+
+def test_dbapi_placeholder_follows_paramstyle():
+    import sqlite3
+
+    from ffi_export_etl_spark.sinks.jdbc_exec import _dbapi_placeholder
+
+    con = sqlite3.connect(":memory:")
+    try:
+        assert _dbapi_placeholder(con, None) == "?"  # sqlite3 is qmark
+        assert _dbapi_placeholder(con, "%s") == "%s"  # explicit wins
+
+        class FakeConn:  # module without paramstyle -> safe default
+            pass
+
+        FakeConn.__module__ = "collections"
+        assert _dbapi_placeholder(FakeConn(), None) == "?"
+    finally:
+        con.close()
+
+
+def test_spark_staging_writer_executes_when_jar_present(spark, tmp_path):
+    """The scale-path staging writer (df.write.jdbc from executors) runs
+    end-to-end whenever a JDBC driver jar is on the Spark classpath; in a
+    jarless sandbox this skips WITH REASON instead of silently passing.
+    COVERAGE.md section 2.1 S7 documents the sandbox limitation."""
+    import pytest
+
+    from ffi_export_etl_spark.sinks.jdbc_exec import spark_staging_writer
+
+    try:
+        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
+    except Exception:
+        pytest.skip(
+            "no JDBC driver jar on the Spark classpath (sandbox); "
+            "spark_staging_writer is executed when one is present"
+        )
+    url = f"jdbc:sqlite:{tmp_path / 'staging.db'}"
+    props = {"driver": "org.sqlite.JDBC"}
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id: int, v: string")
+    spark_staging_writer(url, props)("staging_t", df)
+    back = spark.read.jdbc(url, "staging_t", properties=props)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}

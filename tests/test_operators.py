@@ -305,6 +305,11 @@ def test_scrub_text_redacts_identifiers(spark):
             ("server 10.0.42.7 answered",),
             ("call +1 (505) 555-0199 now",),
             ("plain text stays untouched",),
+            ("years 1999 2000 2021 listed",),
+            ("totals 123 4567 89 in the table",),
+            ("released 2023-10-05 and 12.31.1999",),
+            ("dial 555-123-4567 or +44 20 7946 0958",),
+            ("order 123456789012 shipped",),
         ],
         ["text"],
     )
@@ -314,6 +319,15 @@ def test_scrub_text_redacts_identifiers(spark):
     assert out[2] == "server <IP> answered"
     assert out[3] == "call <PHONE> now"
     assert out[4] == "plain text stays untouched"
+    # space-separated digit runs are NOT phones (precision contract)
+    assert out[5] == "years 1999 2000 2021 listed"
+    assert out[6] == "totals 123 4567 89 in the table"
+    # dash/dot DATES keep their (4,2,2)/(2,2,4) groupings untouched
+    assert out[7] == "released 2023-10-05 and 12.31.1999"
+    # real phone shapes are redacted
+    assert out[8] == "dial <PHONE> or <PHONE>"
+    # a long uninterrupted digit run is an identifier -> redacted
+    assert out[9] == "order <PHONE> shipped"
 
     ws = spark.createDataFrame([("  a\t b \n c  ",)], ["text"])
     assert ws.select(normalize_whitespace("text")).collect()[0][0] == "a b c"
