@@ -145,20 +145,32 @@ def read_ffi_export(
         .option("ignoreNamespace", "true")
         .load(path)
     )
+    field_types = {f.name: f.dataType for f in rootdf.schema.fields}
+    # Multi-file reads must FILE-SCOPE the surrogate integer ids
+    # (MethodAtt_ID, SampleRow_ID, ...): the reference assigns them per
+    # export, so two files reuse the same numbers for unrelated rows and
+    # a union parse would fan every id equi-join out across files. Each
+    # ``*_ID`` value gets a '#<md5-8 of its file path>' suffix — ids are
+    # join-only plumbing (no warehouse output keeps an *_ID column), so
+    # the scoping is invisible downstream. Derived business keys
+    # (PlotID/EventID/VisitID) contain no '_ID' suffix and are untouched.
+    multi = len(matches) > 1
+    if multi:
+        rootdf = rootdf.withColumn("_file", F.input_file_name())
     # ONE distributed parse feeds every per-tag select below (storage is
     # MEMORY_AND_DISK; evicted LRU once the batch driver moves on).
     rootdf.persist()
-    field_types = {f.name: f.dataType for f in rootdf.schema.fields}
     out: dict[str, DataFrame] = {}
+    lead = ["_file"] if multi else []
     for tag in tags:
         dt = field_types.get(tag)
         if dt is None:
             continue  # not in any file of this glob
         if isinstance(dt, ArrayType):
-            rows = rootdf.select(F.explode(F.col(tag)).alias("_r"))
+            rows = rootdf.select(*lead, F.explode(F.col(tag)).alias("_r"))
         elif isinstance(dt, StructType):
             # tag appears at most once per file -> plain struct column
-            rows = rootdf.select(F.col(tag).alias("_r")).filter(
+            rows = rootdf.select(*lead, F.col(tag).alias("_r")).filter(
                 F.col("_r").isNotNull()
             )
         else:  # value-only element
@@ -167,9 +179,20 @@ def read_ffi_export(
             )
             out[tag] = ingest_casts(df) if apply_casts else df
             continue
-        df = rows.select("_r.*")
+        df = rows.select(*lead, "_r.*")
         # Native XML may surface attributes (none in FFI exports) or value
         # columns; keep string typing uniform.
-        df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+        cols = [c for c in df.columns if c != "_file"]
+        if multi:
+            fid = F.substring(F.md5(F.col("_file")), 1, 8)
+            exprs = [
+                F.concat(F.col(c).cast("string"), F.lit("#"), fid).alias(c)
+                if c.endswith("_ID")
+                else F.col(c).cast("string").alias(c)
+                for c in cols
+            ]
+        else:
+            exprs = [F.col(c).cast("string").alias(c) for c in cols]
+        df = df.select(*exprs)
         out[tag] = ingest_casts(df) if apply_casts else df
     return out

@@ -240,8 +240,43 @@ def build_export_xml() -> str:
     return f'<?xml version="1.0"?>\n<FFIData xmlns="{NS}">\n{body}\n</FFIData>\n'
 
 
-def write_export_xml(path: str) -> str:
+# every GUID-ish constant that must be distinct across synthetic files
+_UNIQ_GUIDS = (
+    RU1, MP1, MP2, MP3, SE1, SE4, "se-orphan", "mp-absent",
+    M1, M2A, M2B, M3, M4, LS1, LS2, PU1, MS1,
+    "sr-guid-1", "sr-guid-2", "sr-guid-3", "sr-guid-4", "sr-guid-5",
+    "dr-0001", "dr-0002", "dr-0003", "dr-0004", "dr-0005", "dr-0006",
+    "dr-0007",
+)
+# plot/project names feed PlotID/ProjectID normalization; uniquifying
+# them keeps the intra-file dedup behavior while making the derived keys
+# distinct across files
+_UNIQ_NAMES = ("Plot-1", "Plot 1", "Plot_2", "Fire_Project 1")
+
+
+def uniquify_export_xml(xml: str, uniq: str) -> str:
+    """Suffix every cross-file-identifying value with ``uniq`` so N
+    synthetic exports carry disjoint keys (multi-file batch tests and the
+    FFI loader bench). GUIDs are replaced case-sensitively in both their
+    original and uppercased ingest forms."""
+    for g in _UNIQ_GUIDS:
+        # replace each DISTINCT case form once (the fixture uses original,
+        # uppercased, and lowercased spellings of the same GUID; a naive
+        # double replace would re-suffix already-replaced text)
+        forms = {g: f"{g}-{uniq}"}
+        forms.setdefault(g.upper(), f"{g}-{uniq}".upper())
+        forms.setdefault(g.lower(), f"{g}-{uniq}".lower())
+        for src, repl in forms.items():
+            xml = xml.replace(src, repl)
+    for name in _UNIQ_NAMES:
+        xml = xml.replace(f">{name}<", f">{name}{uniq}<")
+    return xml
+
+
+def write_export_xml(path: str, uniq: str = "") -> str:
     xml = build_export_xml()
+    if uniq:
+        xml = uniquify_export_xml(xml, uniq)
     with open(path, "w") as f:
         f.write(xml)
     return path

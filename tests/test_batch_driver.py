@@ -151,3 +151,33 @@ def test_glob_mode_single_pipeline(spark, tmp_path):
         "NORTHPLOT120250701",
     ]
     assert process_exports_glob(spark, str(exports / "*.xml"), wh) == {}
+
+
+def test_glob_mode_file_scoped_surrogate_ids(spark, tmp_path):
+    """Reference exports assign surrogate integer ids (MethodAtt_ID,
+    SampleRow_ID, ...) PER FILE, so two files reuse the same numbers for
+    unrelated rows. Glob mode (union parse) must file-scope them or every
+    id equi-join fans out across files — with two disjoint-key files the
+    Trees attribute table would get 12 rows instead of 6. Pin exact
+    per-table equality between the sequential loop and glob mode."""
+    from tests.ffi_fixture import write_export_xml as wx
+
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    for i in range(2):
+        wx(str(exports / f"e{i}.xml"), uniq=f"f{i}")
+
+    from ffi_export_etl_spark.plans.batch_driver import process_exports_glob
+
+    per_file = process_exports(
+        spark, str(exports / "*.xml"), str(tmp_path / "wh_seq")
+    )
+    totals: dict[str, int] = {}
+    for tabs in per_file.values():
+        for t, n in tabs.items():
+            totals[t] = totals.get(t, 0) + n
+    glob_loaded = process_exports_glob(
+        spark, str(exports / "*.xml"), str(tmp_path / "wh_glob")
+    )
+    assert glob_loaded == totals
+    assert glob_loaded["Trees_Individuals_Attribute"] == 6
