@@ -75,20 +75,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # FFI batch-loader micro-bench (the reference's actual workload:
+    # many export XMLs -> 17 tables -> keyed upsert). Default is the
+    # quick glob-mode sample; the full per-file/batched/glob matrix is
+    # bench_ffi.py (results recorded in PERFORMANCE.md). Set
+    # SPARK_GRAFT_FFI_PLAN="" to skip, or pass a full plan string.
+    ffi = None
+    ffi_plan = os.environ.get("SPARK_GRAFT_FFI_PLAN", "glob:16")
+    if ffi_plan:
+        from bench_ffi import bench_ffi
+
+        ffi = bench_ffi(spark, ffi_plan)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if ffi is not None:
+        out["ffi_batch"] = ffi
+    print(json.dumps(out))
     spark.stop()
 
 

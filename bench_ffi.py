@@ -13,8 +13,10 @@ files (disjoint keys per file via tests/ffi_fixture.uniquify_export_xml).
 Prints one JSON line: {"files": N, "modes": {mode: {"seconds": s,
 "rows": r, "rows_per_sec": rps}}}.
 
-Usage: python bench_ffi.py [n_files] (default 64; SPARK_GRAFT_CPUS
-controls local[] parallelism like bench.py).
+Usage: python bench_ffi.py [plan]
+  plan = comma-separated mode:count entries, default
+  "per_file:16,batched:16,glob:8,glob:16,glob:64"
+  (SPARK_GRAFT_CPUS controls local[] parallelism like bench.py).
 """
 
 from __future__ import annotations
@@ -28,14 +30,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 from ffi_export_etl_spark.plans.batch_driver import (  # noqa: E402
     process_exports,
     process_exports_batched,
     process_exports_glob,
 )
-from ffi_export_etl_spark.session import tune  # noqa: E402
+from ffi_export_etl_spark.session import get_spark, tune  # noqa: E402
 from tests.ffi_fixture import write_export_xml  # noqa: E402
 
 MODES = {
@@ -43,6 +43,8 @@ MODES = {
     "batched": process_exports_batched,
     "glob": process_exports_glob,
 }
+
+DEFAULT_PLAN = "per_file:16,batched:16,glob:8,glob:16,glob:64"
 
 
 def _gen_files(root: str, n: int) -> str:
@@ -62,38 +64,46 @@ def _total_rows(result) -> int:
     return sum(result.values())  # batch modes: {table: rows}
 
 
-def run(n_files: int) -> dict:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("bench_ffi")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    tune(spark)
-    out: dict[str, dict] = {}
+def bench_ffi(spark, plan: str = DEFAULT_PLAN) -> list[dict]:
+    out: list[dict] = []
     work = tempfile.mkdtemp(prefix="bench_ffi_")
     try:
-        for mode, fn in MODES.items():
-            mode_dir = os.path.join(work, mode)
-            os.makedirs(mode_dir)
-            glob_pat = _gen_files(mode_dir, n_files)
-            warehouse = os.path.join(mode_dir, "warehouse")
+        for entry in plan.split(","):
+            mode, n_s = entry.strip().split(":")
+            n_files = int(n_s)
+            run_dir = os.path.join(work, f"{mode}_{n_files}")
+            os.makedirs(run_dir)
+            glob_pat = _gen_files(run_dir, n_files)
+            warehouse = os.path.join(run_dir, "warehouse")
             t0 = time.monotonic()
-            result = fn(spark, glob_pat, warehouse)
+            result = MODES[mode](spark, glob_pat, warehouse)
             secs = round(time.monotonic() - t0, 3)
             rows = _total_rows(result)
-            out[mode] = {
-                "seconds": secs,
-                "rows": rows,
-                "rows_per_sec": round(rows / secs, 1) if secs else None,
-            }
-            print(f"# {mode}: {secs}s ({rows} rows)", file=sys.stderr)
+            out.append(
+                {
+                    "mode": mode,
+                    "files": n_files,
+                    "seconds": secs,
+                    "rows": rows,
+                    "files_per_sec": round(n_files / secs, 2) if secs else None,
+                }
+            )
+            print(f"# ffi {mode} x{n_files}: {secs}s ({rows} rows)",
+                  file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return {"files": n_files, "modes": out}
+    return out
+
+
+def main() -> None:
+    plan = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_PLAN
+    # get_spark: 8g driver heap (the local-mode driver IS the executor;
+    # the default 1g OOMs on the 64-file matrix), UI off, AQE on
+    spark = get_spark(app_name="bench_ffi")
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    print(json.dumps({"ffi_batch": bench_ffi(spark, plan)}))
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    print(json.dumps(run(n)))
+    main()

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob as globmod
 import os
+import shutil
 import time
 
 from pyspark.sql import SparkSession, Window
@@ -113,6 +114,11 @@ def process_exports(
         )
         ledger.mark(path, failed_tables=failed)
         results[path] = loaded
+        # release this file's cached frames (rootdf + the EAV longs are
+        # persisted for intra-file reuse; across thousands of files the
+        # cache would otherwise churn executor memory for no benefit —
+        # nothing from a finished file is ever read again)
+        spark.catalog.clearCache()
     return results
 
 
@@ -122,48 +128,63 @@ def process_exports_batched(
     warehouse_dir: str,
     maps: LoadMaps | None = None,
 ) -> dict[str, int]:
-    """Batch-mode loading: transform every pending file, UNION each table
-    across files, and upsert ONCE per table.
+    """Batch-mode loading: transform every pending file into a parquet
+    STAGING area (append per table), then upsert ONCE per table from the
+    staged scans.
 
     The per-file mode above issues files x tables upserts (each upsert =
     read existing + anti-join + append); with thousands of small exports
     that write amplification dominates. Batch mode collapses it to one
-    upsert per TABLE — the scale shape — at the cost of coarser failure
-    isolation (a bad file is still skipped at transform time, but a
-    failed table load fails the whole batch's ledger mark for that
-    table's files). Returns {table: rows_inserted}.
+    upsert per TABLE — the scale shape. Staging through parquet (rather
+    than unioning N live pipeline plans) keeps the final upsert plans
+    flat: a lazy union of N per-file pipelines makes Catalyst analysis
+    super-linear in N (measured: 16 files took LONGER than the
+    sequential loop before staging; see PERFORMANCE.md). Failure
+    isolation: a file whose transform/staging write fails stays pending
+    and is retried next run; a failed table load fails the batch's
+    ledger mark for that table's files. Returns {table: rows_inserted}.
 
-    Dedup note: cross-file duplicate keys resolve by parquet_upsert's
-    keep-first within the unioned frame, matching the replay semantics of
-    sequential per-file loads in file order.
+    Dedup note: cross-file duplicate keys resolve keep-first in file
+    order (the staged ``_file_seq`` column), matching the replay
+    semantics of sequential per-file loads.
     """
     os.makedirs(warehouse_dir, exist_ok=True)
     ledger = ProcessedLedger(os.path.join(warehouse_dir, "_processed.jsonl"))
     files = sorted(globmod.glob(export_glob))
     pending = ledger.pending(files)
-    merged: dict[str, list] = {}
+    staging_root = os.path.join(
+        warehouse_dir, f"_staging_batch_{int(time.time() * 1000)}"
+    )
+    staged: set[str] = set()
     ok_files: list[str] = []
     for path in pending:
         try:
             tables = read_ffi_export(spark, path)
             pipe = FFIPipeline(spark, tables)
             pipe.run()
+            seq = len(ok_files)
+            file_staged = []
+            for name in list(pipe.tables):
+                if name in EXCLUDED_TABLES:
+                    continue
+                pipe.tables[name].withColumn(
+                    "_file_seq", F.lit(seq)
+                ).write.mode("append").parquet(os.path.join(staging_root, name))
+                file_staged.append(name)
         except Exception:
             continue  # stays pending; retried next run
-        seq = len(ok_files)
         ok_files.append(path)
-        for name in list(pipe.tables):
-            if name in EXCLUDED_TABLES:
-                continue
-            merged.setdefault(name, []).append(
-                pipe.tables[name].withColumn("_file_seq", F.lit(seq))
-            )
+        staged.update(file_staged)
+        spark.catalog.clearCache()  # this file's cached frames are done
     loaded: dict[str, int] = {}
     failed: list[str] = []
-    for name, frames in merged.items():
-        df = frames[0]
-        for other in frames[1:]:
-            df = df.unionByName(other, allowMissingColumns=True)
+    for name in sorted(staged):
+        # mergeSchema: files may stage different column subsets; absent
+        # columns read as nulls (= unionByName(allowMissingColumns))
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(staging_root, name))
+        )
         target_name = (maps.target_for(name) if maps else None) or name
         if maps:
             # project first (matching the sequential loop), threading the
@@ -186,6 +207,7 @@ def process_exports_batched(
             )
         except Exception:
             failed.append(target_name)
+    shutil.rmtree(staging_root, ignore_errors=True)
     audit_log_append(
         spark,
         [
@@ -203,6 +225,7 @@ def process_exports_batched(
     )
     for path in ok_files:
         ledger.mark(path, failed_tables=failed)
+    spark.catalog.clearCache()  # see process_exports: release batch caches
     return loaded
 
 
@@ -270,4 +293,5 @@ def process_exports_glob(
     )
     for path in pending:
         ledger.mark(path, failed_tables=failed)
+    spark.catalog.clearCache()  # see process_exports: release batch caches
     return loaded
