@@ -1,11 +1,11 @@
 """Event-stream batch queries: JSON extraction, time rollups,
 sessionization, as-of join (extension surface, SURVEY.md section 2.8).
 
-events.ts is stored as TIMESTAMP(NANOS); we read it as epoch-nanos BIGINT
-(session.py nanosAsLong) and truncate to exact integer MICROseconds for
-all event-time arithmetic — DuckDB's TIMESTAMP is microsecond-precision,
-so integer-us math is bit-identical across engines and immune to
-session-timezone rendering.
+All event-time arithmetic happens in exact integer MICROseconds via
+functions/eventtime.py, which normalizes whichever physical encoding the
+events.ts column ships with (epoch-nanos BIGINT or TIMESTAMP_NTZ) —
+DuckDB's TIMESTAMP is microsecond-precision, so integer-us math is
+bit-identical across engines and immune to session-timezone rendering.
 """
 
 from __future__ import annotations
@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.eventtime import event_micros, event_timestamp
 from ..operators.asof import asof_join
 from ..sources.parquet import load_table
 from ._util import dec, money
@@ -22,7 +23,7 @@ US_PER_SEC = 10**6
 
 
 def _with_ts_us(ev: DataFrame) -> DataFrame:
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    return ev.withColumn("ts_us", event_micros(ev))
 
 
 def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,9 +119,8 @@ def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (works identically over a stream). Window end = last event +
     gap, so the oracle adds the gap to its computed session end."""
     ev = load_table(spark, sf_dir, "events")
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
     return (
-        ev.withColumn("ts_micro", ts)
+        ev.withColumn("ts_micro", event_timestamp(ev))
         .groupBy(F.session_window("ts_micro", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

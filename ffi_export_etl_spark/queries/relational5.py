@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.eventtime import event_micros
 from ..operators.rangejoin import tolerance_join
 from ..sources.parquet import load_table
 from ._util import dec, money
@@ -43,9 +44,8 @@ def j_tolerance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance range join (operators/rangejoin.py): error events within
     60s of each purchase, counted per purchase — bucket+refine, no cross
     product. Oracle: plain inequality join (fine at oracle scale)."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_micros(ev))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("p_ts")
     )

@@ -13,8 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import table_path
+from ..functions.eventtime import event_timestamp
 from ..streaming.events import (
-    EVENTS_SCHEMA,
+    events_stream_schema,
     read_events_stream,
     run_to_completion,
     stage_with_late_filler,
@@ -69,14 +70,15 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     advances one micro-batch late — without a second batch an
     availableNow run terminates before emitting anything. The filler row
     is excluded from the aggregation by predicate."""
-    src_dir = stage_with_late_filler(table_path(sf_dir, "events"))
+    events = table_path(sf_dir, "events")
+    src_dir = stage_with_late_filler(events)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_stream_schema(spark, events))
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(src_dir)
-        .withColumn("ts_micro", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = stream.withColumn("ts_micro", event_timestamp(stream))
     agg = windowed_counts(
         stream.filter(F.col("event_type") != "__filler__"),
         window="10 minutes",

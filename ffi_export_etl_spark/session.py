@@ -29,10 +29,16 @@ _RUNTIME_CONFS = {
     # vanilla driver session alike. Runtime-settable, AQE overrides it
     # for batch anyway.
     "spark.sql.shuffle.partitions": "32",
-    # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
-    # rejects; read as epoch-nanos BIGINT and do event-time arithmetic in
-    # exact integers (also removes every timezone-rendering hazard).
+    # Older testdata generations store events.ts as TIMESTAMP(NANOS),
+    # which the vectorized reader rejects; read those as epoch-nanos
+    # BIGINT (harmless for micro-precision files, which arrive as
+    # TIMESTAMP_NTZ). functions/eventtime.py normalizes both encodings
+    # to exact integer epoch-microseconds.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Event-time TIMESTAMP columns are derived from exact epoch micros;
+    # pinning the session timezone makes their rendering (and any
+    # NTZ<->LTZ cast) deterministic on driver-provided sessions too.
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

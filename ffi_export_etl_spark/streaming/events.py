@@ -19,27 +19,20 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import StructType
 
-# ts arrives as epoch-nanos BIGINT (nanosAsLong, see session.py); the
-# stream derives a microsecond TimestampType column for event-time ops.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..functions.eventtime import event_timestamp
+
+
+def events_stream_schema(spark: SparkSession, path: str) -> StructType:
+    """Explicit schema for the events file stream (streams never infer).
+
+    Probed from the parquet footer by a one-off batch read so the stream
+    matches whichever physical ts encoding this data generation uses
+    (epoch-nanos BIGINT under nanosAsLong, or TIMESTAMP_NTZ for
+    micro-precision files). Footer-only — no data is scanned.
+    """
+    return spark.read.parquet(path).schema
 
 
 def stage_as_dir(path: str) -> str:
@@ -70,13 +63,20 @@ def stage_with_late_filler(path: str) -> str:
     import pyarrow.parquet as pq
 
     d = tempfile.mkdtemp(prefix="stream_src_wm_")
-    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    real = os.path.abspath(path)
+    if os.path.isdir(real):
+        inner = [f for f in os.listdir(real) if f.endswith(".parquet")]
+        ts_type = pq.read_schema(os.path.join(real, inner[0])).field("ts").type
+    else:
+        ts_type = pq.read_schema(real).field("ts").type
+    os.symlink(real, os.path.join(d, os.path.basename(path)))
     filler = os.path.join(d, "zz_late_filler.parquet")
+    # filler ts matches the real file's physical type; 0 == epoch either way
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([0], pa.int64()),
+                "ts": pa.array([0]).cast(ts_type),
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["__filler__"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
@@ -95,13 +95,13 @@ def stage_with_late_filler(path: str) -> str:
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over parquet events (one file per micro-batch
     by default; maxFilesPerTrigger tunes ingest pacing). Adds ``ts_micro``
-    (TimestampType) derived from the epoch-nanos ``ts``."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    (TimestampType, exact epoch micros) whatever the physical ``ts``."""
+    stream = (
+        spark.readStream.schema(events_stream_schema(spark, path))
         .format("parquet")
         .load(stage_as_dir(path))
-        .withColumn("ts_micro", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return stream.withColumn("ts_micro", event_timestamp(stream))
 
 
 def windowed_counts(

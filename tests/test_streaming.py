@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from ffi_export_etl_spark.sinks.files import parquet_upsert
 from ffi_export_etl_spark.sources.parquet import table_path
+from ffi_export_etl_spark.functions.eventtime import (
+    event_micros,
+    event_timestamp,
+)
 from ffi_export_etl_spark.streaming.events import (
     read_events_stream,
     run_to_completion,
@@ -25,9 +29,8 @@ def _events_path():
 def test_tumbling_equals_batch(spark):
     stream = read_events_stream(spark, _events_path())
     result = run_to_completion(windowed_counts(stream, "5 minutes"))
-    batch = spark.read.parquet(_events_path()).withColumn(
-        "ts_micro", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = spark.read.parquet(_events_path())
+    batch = batch.withColumn("ts_micro", event_timestamp(batch))
     expected = batch.groupBy(
         F.window("ts_micro", "5 minutes"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -98,9 +101,8 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark):
     from ffi_export_etl_spark.queries.events_q import evt_sessionize
     from ffi_export_etl_spark.streaming.stateful import sessionize_stream
 
-    stream = read_events_stream(spark, _events_path()).withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    stream = read_events_stream(spark, _events_path())
+    stream = stream.withColumn("ts_us", event_micros(stream))
     sessions = run_to_completion(
         sessionize_stream(stream.select("user_id", "ts_us")),
         output_mode="append",
@@ -173,9 +175,8 @@ def test_stream_stream_interval_join(spark):
     )
     got = {(r["purchase_id"], r["error_id"]) for r in got_rows.collect()}
 
-    ev = spark.read.parquet(_events_path()).withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    ev = spark.read.parquet(_events_path())
+    ev = ev.withColumn("ts_us", event_micros(ev))
     p = ev.filter("event_type = 'purchase'").select(
         F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("pt")
     )
