@@ -15,8 +15,14 @@ large-star/small-star variant (Kiveris et al.) halves round counts; the
 join shape below is the same.
 
 The per-round convergence check is a count of changed labels — an action,
-so the loop materializes each round (cached) and unpersists the previous
-one; lineage stays O(1) deep instead of growing per iteration.
+so the loop materializes each round. Each round's result is
+``localCheckpoint``-ed: persist alone caches data but leaves the LOGICAL
+plan growing one join deeper per round, and ~20 rounds overflow the JVM
+stack just generating the plan tree. localCheckpoint truncates the plan
+to the materialized RDD, keeping plan depth O(1) for any round count.
+(On a real cluster with executor churn, set a reliable
+``spark.sparkContext.setCheckpointDir`` and swap in ``.checkpoint()`` —
+same truncation, fault-tolerant storage.)
 """
 
 from __future__ import annotations
@@ -51,9 +57,7 @@ def connected_components(
         adj.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-    )
-    labels.persist()
-    labels.count()
+    ).localCheckpoint()
 
     changed = 0
     for _ in range(max_iter):
@@ -70,21 +74,18 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        )
-        new_labels.persist()
+        ).localCheckpoint()  # materialize + truncate lineage (see module doc)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     adj.unpersist()
     if changed and require_convergence:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — the graph's diameter "
@@ -122,9 +123,7 @@ def connected_components_alternating(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-    )
-    e.persist()
-    e.count()
+    ).localCheckpoint()
 
     def checksum(df: DataFrame) -> tuple:
         # order-insensitive set fingerprint: count + two independent sums
@@ -188,15 +187,13 @@ def connected_components_alternating(
             )
             .distinct()
         )
-        e2.persist()
+        e2 = e2.localCheckpoint()  # truncate lineage (see module doc)
         cur = checksum(e2)
-        e.unpersist()
         e = e2
         if cur == prev:
             break
         prev = cur
     else:
-        e.unpersist()
         raise RuntimeError(
             f"alternating connected components did not converge in "
             f"{max_rounds} rounds"
@@ -209,7 +206,6 @@ def connected_components_alternating(
         .groupBy("id")
         .agg(F.min("component").alias("component"))
     )
-    e.unpersist()
     return labels
 
 
