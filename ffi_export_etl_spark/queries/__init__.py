@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    curation_q,
     dedup_q,
     events_q,
     multimodal_q,
@@ -43,6 +44,7 @@ _MODULES = (
     events_q,
     streaming_q,
     sampling_q,
+    curation_q,
     multimodal_q,
     relational,
     relational2,

@@ -26,15 +26,28 @@ def _with_ts_us(ev: DataFrame) -> DataFrame:
     return ev.withColumn("ts_us", event_micros(ev))
 
 
-def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction from the events.props string column
-    (F-ext: get_json_object stays JVM-side, no Python in the loop)."""
+def evt_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both JSON property-extraction paths over events.props, union-tagged
+    into one slot: 'extract' = get_json_object (path extraction, string
+    in/out), 'typed' = from_json with a declared schema (schema-on-read
+    typed struct). Either way JVM-side, no Python in the loop."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    extract = ev.select(
+        F.lit("extract").alias("kind"),
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.lit(None).cast("bigint").alias("k_mod10"),
     )
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    typed = ev.select(
+        F.lit("typed").alias("kind"),
+        "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") % 10).alias("k_mod10"),
+    )
+    return extract.unionByName(typed)
 
 
 def evt_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,31 +145,24 @@ def evt_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def evt_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json with a declared schema -> typed struct column (the typed
-    sibling of get_json_object; schema-on-read at scan time)."""
-    ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "k BIGINT")
-    return ev.select(
-        "event_id",
-        parsed.getField("k").alias("k_typed"),
-        (parsed.getField("k") % 10).alias("k_mod10"),
-    )
-
-
 QUERIES = {
-    "evt_json_extract": evt_json_extract,
+    "evt_json_pack": evt_json_pack,
     "evt_hourly_rollup": evt_hourly_rollup,
     "evt_sessionize": evt_sessionize,
     "evt_asof_last_click": evt_asof_last_click,
     "evt_session_window_native": evt_session_window_native,
-    "evt_json_typed_struct": evt_json_typed_struct,
 }
 
 ORACLE = {
-    "evt_json_extract": """
-        SELECT event_id, event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    "evt_json_pack": """
+        SELECT 'extract' AS kind, event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(NULL AS BIGINT) AS k_mod10
+        FROM events
+        UNION ALL
+        SELECT 'typed', event_id, CAST(NULL AS VARCHAR),
+               CAST(json_extract_string(props, '$.k') AS BIGINT),
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
         FROM events
     """,
     "evt_hourly_rollup": f"""
@@ -219,11 +225,5 @@ ORACLE = {
                max(ts_us) + {1800 * US_PER_SEC} AS end_us,
                count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
-    """,
-    "evt_json_typed_struct": """
-        SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
-        FROM events
     """,
 }
