@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "evt_sessionize",
     "evt_asof_last_click",
-    "text_quality_scores",
+    "text_stats_pack",
 ]
 
 

@@ -22,6 +22,7 @@ from . import (
     events_q,
     multimodal_q,
     packs,
+    profile_q,
     relational,
     relational2,
     relational3,
@@ -45,6 +46,7 @@ _MODULES = (
     streaming_q,
     sampling_q,
     curation_q,
+    profile_q,
     multimodal_q,
     relational,
     relational2,

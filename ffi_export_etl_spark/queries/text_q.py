@@ -1,10 +1,17 @@
 """Text-analysis queries over the documents table (extension surface):
-token counting, quality scoring, language-ID heuristic, fingerprinting.
+token counting, quality scoring, language-ID heuristic, fingerprinting,
+and PII-style scrubbing.
 
 Everything is native Column expressions — tokenization, regex extraction,
 higher-order array functions — so the hot path stays inside whole-stage
 codegen with zero Python per row. Ratios divide exact integer counts, so
-Spark and DuckDB produce bit-identical doubles.
+Spark and DuckDB produce bit-identical doubles. The scrub oracle replays
+the exact regexp_replace chain (all patterns are RE2-safe: no backrefs
+or lookaround, so Java regex and RE2 match identically).
+
+Token/quality and langid/fingerprint are merged into same-grain packs
+(one row per doc_id, all columns pinned) to keep the registry at 50
+while freeing slots for the scrub and profiling pins.
 """
 
 from __future__ import annotations
@@ -12,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textproc import normalize_whitespace, scrub_text
 from ..sources.parquet import load_table
 
 # BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols.
@@ -31,22 +39,11 @@ def _toks(col: str = "text") -> Column:
     return F.split(F.col(col), r"\s+")
 
 
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace words + BPE-ish regex tokens."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(_toks()).alias("n_words"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias(
-            "n_bpe_tokens"
-        ),
-        F.length("text").cast("int").alias("n_chars_calc"),
-    )
-
-
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / stopword-ratio / mean-word-length quality scoring with a
-    keep/drop flag — the standard pretraining-corpus filter shape."""
+def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace words + BPE-ish regex tokens) and
+    length / stopword-ratio / mean-word-length quality scoring with a
+    keep/drop flag — the standard pretraining-corpus filter shape, one
+    row per document."""
     d = load_table(spark, sf_dir, "documents")
     toks = _toks()
     n_words = F.size(toks)
@@ -57,6 +54,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").cast("int").alias("n_chars_calc"),
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stop_ratio"),
         mean_wl.alias("mean_word_len"),
@@ -66,9 +67,11 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic with deterministic argmax
-    (priority en > de > es on ties; 'und' = no markers at all)."""
+def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID with deterministic argmax (priority
+    en > de > es on ties; 'und' = no markers) plus the canonical-form
+    document fingerprint: md5 over the sorted distinct vocabulary
+    (bag-normalized dedup key) — one row per document."""
     d = load_table(spark, sf_dir, "documents")
     toks = _toks()
     scores = {}
@@ -82,6 +85,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_de >= s_es, F.lit("de"))
         .otherwise(F.lit("es"))
     )
+    vocab = F.array_sort(F.array_distinct(toks))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -89,41 +93,36 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_de.alias("score_de"),
         s_es.alias("score_es"),
         predicted.alias("predicted_lang"),
-    )
-
-
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-form document fingerprint: md5 over the sorted distinct
-    vocabulary (bag-normalized dedup key) + distinct-token count."""
-    d = load_table(spark, sf_dir, "documents")
-    vocab = F.array_sort(F.array_distinct(_toks()))
-    return d.select(
-        "doc_id",
         F.md5(F.encode(F.array_join(vocab, " "), "UTF-8")).alias("fingerprint"),
         F.size(vocab).alias("n_distinct_tokens"),
     )
 
 
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (operators/textproc.py): email/URL/IP/phone
+    redaction + whitespace normalization — one scan, chained
+    regexp_replace, the pre-dedup curation step. The oracle replays the
+    identical pattern chain in RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        normalize_whitespace(scrub_text("text")).alias("scrubbed"),
+        (normalize_whitespace(scrub_text("text")) != F.col("text")).alias(
+            "changed"
+        ),
+    )
+
+
 QUERIES = {
-    "text_token_stats": text_token_stats,
-    "text_quality_scores": text_quality_scores,
-    "text_langid": text_langid,
-    "text_fingerprint": text_fingerprint,
+    "text_stats_pack": text_stats_pack,
+    "text_langfp_pack": text_langfp_pack,
+    "text_scrub": text_scrub,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(text, '\\s+')"
 
 ORACLE = {
-    "text_token_stats": f"""
-        SELECT doc_id,
-               CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_words,
-               CAST(len(regexp_extract_all(text,
-                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER)
-                   AS n_bpe_tokens,
-               CAST(length(text) AS INTEGER) AS n_chars_calc
-        FROM documents
-    """,
-    "text_quality_scores": f"""
+    "text_stats_pack": f"""
         WITH t AS (
             SELECT doc_id, text,
                    CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_words,
@@ -132,16 +131,21 @@ ORACLE = {
                        AS n_stopwords
             FROM documents
         )
-        SELECT doc_id, n_words, n_stopwords,
+        SELECT doc_id, n_words,
+               CAST(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER)
+                   AS n_bpe_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_calc,
+               n_stopwords,
                n_stopwords / n_words AS stop_ratio,
                (length(text) - (n_words - 1)) / n_words AS mean_word_len,
                (n_words >= 20 AND n_stopwords / n_words < 0.5
                 AND (length(text) - (n_words - 1)) / n_words >= 2.0) AS keep
         FROM t
     """,
-    "text_langid": f"""
+    "text_langfp_pack": f"""
         WITH t AS (
-            SELECT doc_id, lang AS labeled_lang,
+            SELECT doc_id, lang AS labeled_lang, text,
                    CAST(len(list_filter({_DUCK_TOKS},
                         x -> x IN ('the','a','and','of'))) AS INTEGER) AS score_en,
                    CAST(len(list_filter({_DUCK_TOKS},
@@ -154,15 +158,36 @@ ORACLE = {
                CASE WHEN score_en = 0 AND score_de = 0 AND score_es = 0 THEN 'und'
                     WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
                     WHEN score_de >= score_es THEN 'de'
-                    ELSE 'es' END AS predicted_lang
-        FROM t
-    """,
-    "text_fingerprint": f"""
-        SELECT doc_id,
+                    ELSE 'es' END AS predicted_lang,
                md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' '))
                    AS fingerprint,
                CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER)
                    AS n_distinct_tokens
-        FROM documents
+        FROM t
     """,
+    # built in textproc_oracle() below from the live SCRUB_RULES chain so
+    # query and oracle can never drift
+    "text_scrub": None,  # placeholder, replaced at import time
 }
+
+
+def _scrub_oracle() -> str:
+    """Replay scrub_text + normalize_whitespace as nested DuckDB
+    regexp_replace('g') calls, generated from the SAME SCRUB_RULES the
+    Spark side uses."""
+    from ..operators.textproc import SCRUB_RULES
+
+    expr = "text"
+    for pattern, repl in SCRUB_RULES:
+        # SQL single-quoted strings pass backslashes through verbatim;
+        # only quotes need escaping
+        pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+        SELECT doc_id, {expr} AS scrubbed, {expr} != text AS changed
+        FROM documents
+    """
+
+
+ORACLE["text_scrub"] = _scrub_oracle()

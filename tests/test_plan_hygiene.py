@@ -55,7 +55,7 @@ def test_partial_aggregation(spark):
         "q5_local_supplier_volume",
         "dedup_minhash_lsh",
         "ann_topk_bruteforce",
-        "text_quality_scores",
+        "text_stats_pack",
         "evt_sessionize",
         "f_string_pack",
     ],
