@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.porthash import hyperplane_coefficients, md5_long
 from .minhash import DEFAULT_MAX_BUCKET
+from .quantize import quantize_embedding
 
 
 def as_double(vec: Column) -> Column:
@@ -428,6 +429,109 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "cos", "rnk")
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    rescore_factor: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage ANN over int8-quantized embeddings — the memory-bandwidth
+    scale path (operators/quantize.py composed with top-k search).
+
+    Stage 1 ranks candidates with INTEGER-ONLY arithmetic over the int8
+    codes: cosine over dequantized codes equals
+    ``int_dot / sqrt(int_aa * int_bb)`` because the per-vector scales
+    cancel, so the candidate scan multiplies bytes (1/4 the memory
+    traffic of the float corpus) and needs one sqrt per pair. Stage 2
+    re-scores only the top ``k * rescore_factor`` candidates per query
+    against the full-precision vectors, so the returned ``cos`` values
+    are bit-identical to :func:`brute_force_topk` for every surviving
+    neighbor — quantization affects recall only, never the reported
+    score. Same output schema as brute_force_topk.
+    """
+    q8 = F.col("q8")
+
+    def codes_and_norm(df: DataFrame, out_id: str):
+        # int self-norm of the codes: sum of squares <= dim * 127^2
+        return df.select(
+            F.col(id_col).alias(out_id),
+            quantize_embedding(F.col(vec_col)).alias("q8"),
+        ).select(
+            out_id,
+            q8.getField("codes").alias(f"c_{out_id}"),
+            F.aggregate(
+                F.transform(
+                    q8.getField("codes"),
+                    lambda c: (c.cast("long") * c.cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"nn_{out_id}"),
+        )
+
+    corpus8 = codes_and_norm(vectors, "nbr_id")
+    query8 = codes_and_norm(
+        queries.withColumnRenamed(query_id_col, id_col), "query_id"
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("c_nbr_id"),
+            F.col("c_query_id"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        corpus8.join(F.broadcast(query8), F.col("nbr_id") != F.col("query_id"))
+        .withColumn(
+            "ascore",
+            F.round(
+                int_dot
+                / F.sqrt((F.col("nn_nbr_id") * F.col("nn_query_id")).cast("double")),
+                round_digits,
+            ),
+        )
+        .select("query_id", "nbr_id", "ascore")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("nbr_id")
+    )
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(w1))
+        .filter(F.col("arnk") <= k * rescore_factor)
+        .select("query_id", "nbr_id")
+    )
+    # exact re-score of the survivors: candidates are n_queries * k *
+    # rescore_factor rows — broadcast them into the corpus scan
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    rescored = (
+        v.join(F.broadcast(cand), "nbr_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits)
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
         .select("query_id", "nbr_id", "cos", "rnk")
     )

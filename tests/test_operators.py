@@ -374,6 +374,32 @@ def test_quantized_ann_recall(spark, sf_oracle):
     assert len(e & a) >= 40  # >= 8/10 average over 5 queries
 
 
+def test_quantized_topk_two_stage(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", "query_id", 10)
+    quant = quantized_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10, rescore_factor=4
+    )
+    e_rows = {(r["query_id"], r["nbr_id"]): r["cos"] for r in exact.collect()}
+    q_rows = {(r["query_id"], r["nbr_id"]): r["cos"] for r in quant.collect()}
+    # per-query result size is exactly k
+    assert len(q_rows) == 50
+    # int8 candidate ranking recovers >= 8/10 of true neighbors on average
+    common = e_rows.keys() & q_rows.keys()
+    assert len(common) >= 40
+    # exact re-scoring: every surviving neighbor's cosine is bit-identical
+    # to the brute-force score (quantization affects recall, not scores)
+    for key in common:
+        assert q_rows[key] == e_rows[key]
+
+
 def test_chunk_documents_windows(spark):
     from ffi_export_etl_spark.operators.textproc import chunk_documents
 
