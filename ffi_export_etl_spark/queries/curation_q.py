@@ -11,9 +11,14 @@ round 2 (VERDICT.md r2 "What's missing" #1) with a FULL DuckDB oracle:
   codes + max-abs scale. The oracle replays the exact code arithmetic
   (float->double cast, /scale*127, round half-away-from-zero, clamp),
   so the driver value-hashes every code byte, not a checksum.
+- ``operators/packing.pack_sequences`` — concat-and-split sequence
+  packing via the block-partitioned distributed cumsum. The oracle is a
+  plain ``SUM() OVER (ORDER BY doc_id)`` — correct at oracle scale —
+  while the Spark side never materializes a single-partition sort, so
+  the driver pins that the two-pass shape equals the textbook cumsum.
 
-Both arms are union-tagged into one result (the established pack shape:
-queries/packs.py) so the pair costs one registry slot.
+The arms are union-tagged into one result (the established pack shape:
+queries/packs.py) so the trio costs one registry slot.
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.packing import pack_sequences
 from ..operators.quantize import quantize_embedding
 from ..operators.textproc import chunk_documents
 from ..sources.parquet import load_table
@@ -28,12 +34,15 @@ from ..sources.parquet import load_table
 CHUNK_TOKENS = 32
 OVERLAP = 8
 STRIDE = CHUNK_TOKENS - OVERLAP
+SEQ_CAPACITY = 512
+PACK_BLOCK = 500  # exercises multi-block cumsum even at sf0.01
 
 
 def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-tagged: 'chunk' rows = one per token-window chunk of every
     document; 'quant' rows = one per embedding with the full int8 code
-    vector rendered as CSV (value-level pin) + the per-vector scale."""
+    vector rendered as CSV (value-level pin) + the per-vector scale;
+    'pack' rows = one per document with its packed-stream position."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(
         docs, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP
@@ -58,7 +67,20 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
         F.col("q.scale").alias("qscale"),
     )
-    return chunks.unionByName(quant)
+
+    packed = pack_sequences(
+        docs, capacity=SEQ_CAPACITY, block_size=PACK_BLOCK
+    ).select(
+        F.lit("pack").alias("kind"),
+        F.col("id"),
+        F.col("first_seq").alias("idx"),
+        F.col("n_tokens"),
+        F.concat_ws(
+            ":", F.col("tok_offset"), F.col("offset_in_seq"), F.col("last_seq")
+        ).alias("payload"),
+        F.lit(None).cast("double").alias("qscale"),
+    )
+    return chunks.unionByName(quant).unionByName(packed)
 
 
 QUERIES = {"cur_pack": cur_pack}
@@ -97,6 +119,23 @@ ORACLE = {
                    list_max(list_transform(
                        embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
             FROM embeddings
+        )
+        UNION ALL
+        SELECT 'pack', doc_id,
+               CAST((cum - n_tokens) // {SEQ_CAPACITY} AS INTEGER),
+               CAST(n_tokens AS INTEGER),
+               concat_ws(':', cum - n_tokens,
+                         (cum - n_tokens) % {SEQ_CAPACITY},
+                         (cum - 1) // {SEQ_CAPACITY}),
+               CAST(NULL AS DOUBLE)
+        FROM (
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+                   sum(len(regexp_split_to_array(text, '\\s+')))
+                       OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+            FROM documents
         )
     """,
 }

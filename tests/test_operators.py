@@ -400,6 +400,35 @@ def test_quantized_topk_two_stage(spark, sf_oracle):
         assert q_rows[key] == e_rows[key]
 
 
+def test_pack_sequences_known_answer_and_block_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.packing import pack_sequences
+
+    # 3 docs of 3/4/6 tokens, capacity 5:
+    #   doc 1: tokens [0,3)  -> seq 0 only
+    #   doc 2: tokens [3,7)  -> straddles seq 0 -> 1, offset_in_seq 3
+    #   doc 3: tokens [7,13) -> straddles seq 1 -> 2
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i j k l m")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in pack_sequences(docs, capacity=5, block_size=2).collect()
+    }
+    assert (rows[1]["tok_offset"], rows[1]["first_seq"], rows[1]["last_seq"]) == (0, 0, 0)
+    assert (rows[2]["tok_offset"], rows[2]["first_seq"], rows[2]["last_seq"]) == (3, 0, 1)
+    assert rows[2]["offset_in_seq"] == 3
+    assert (rows[3]["tok_offset"], rows[3]["first_seq"], rows[3]["last_seq"]) == (7, 1, 2)
+
+    # block_size is a parallelism knob only — results identical for any
+    # blocking, and no single-partition global sort in the plan
+    a = pack_sequences(docs, capacity=5, block_size=1).orderBy("id").collect()
+    b = pack_sequences(docs, capacity=5, block_size=1000).orderBy("id").collect()
+    assert a == b
+
+
 def test_chunk_documents_windows(spark):
     from ffi_export_etl_spark.operators.textproc import chunk_documents
 
