@@ -207,6 +207,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold_pct: int = 20,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold_pct/100.
 
@@ -215,12 +216,20 @@ def minhash_near_duplicates(
     point at scale. Output has no LSH false positives; false negatives
     remain possible (the recall/cost tradeoff; tests measure recall vs the
     brute-force jaccard_pairs).
+
+    ``cache_shingles``: the shingle pass feeds four downstream subplans
+    (signatures, sizes, both verification sides). True persists it so
+    the corpus is shingled once — right when the scan dominates (real
+    100 TB runs). Default False: at bench scale a clean fresh-JVM A/B
+    measured the two within noise of each other (cached plans pin their
+    partitioning away from AQE but skip recompute; recompute is cheap
+    here), so the default keeps cache memory free and AQE unconstrained,
+    and scan-bound corpora opt in.
     """
     rows_per_band = num_perm // bands
-    # ONE shingle pass feeds signatures, sizes, and pair verification —
-    # cached because three downstream plans consume it.
     sh = shingle_table(docs, id_col, text_col, n)
-    sh.persist()
+    if cache_shingles:
+        sh = sh.persist()
     sigs = signatures_from_shingles(sh, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
 
