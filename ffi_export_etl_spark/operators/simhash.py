@@ -109,9 +109,10 @@ def simhash_near_duplicates(
     the fingerprint pipeline; True persists it so the scan+explode+md5
     aggregation runs once instead of once per side — the right call when
     the corpus scan is the dominant cost (real 100 TB runs). Default
-    False: a cached plan pins its partitioning and blocks AQE from
-    re-optimizing the self-join, which measurably HURTS at benchmark
-    scale where the scan is cheap (measured 3x slower at sf0.1).
+    False: a clean fresh-JVM A/B at sf0.1 measures the two within noise
+    (cached plans pin partitioning away from AQE but skip recompute), so
+    the default keeps cache memory free across many-query sessions and
+    scan-bound corpora opt in.
     """
     fp = simhash_fingerprints(docs, id_col, text_col)
     if cache_fingerprints:
