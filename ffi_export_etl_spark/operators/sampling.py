@@ -47,6 +47,40 @@ def hash_sample(
     return df.filter(h < F.lit(threshold))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep each row with the
+    sampling rate assigned to its ``group_col`` value (e.g. per-source
+    mixture weights for a pretraining corpus). Groups absent from
+    ``fractions`` sample at ``default_fraction`` (0.0 = drop, the safe
+    default for unknown sources).
+
+    Same machinery as :func:`hash_sample` — membership is a pure
+    function of (salt, key), so the mixture is reproducible under any
+    partitioning/retry/engine, subsets nest as a group's fraction grows,
+    and the decision is SQL-replayable for audits. One scan, no shuffle:
+    the per-group threshold is a CASE expression, not a join.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    h = _key_hash(key_col, salt)
+    threshold = F.lit(int(default_fraction * (1 << 60)))
+    for g, f in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(group_col) == g, F.lit(int(f * (1 << 60)))
+        ).otherwise(threshold)
+    return df.filter(h < threshold)
+
+
 def stratified_take(
     df: DataFrame, label_col: str, key_col: str, n_per_label: int,
     salt: str = "",

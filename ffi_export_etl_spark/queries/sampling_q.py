@@ -13,19 +13,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.porthash import MERSENNE31, duck_md5_long
-from ..operators.sampling import NULL_KEY_SENTINEL, hash_sample, stratified_take
+from ..operators.sampling import (
+    NULL_KEY_SENTINEL,
+    hash_sample,
+    stratified_take,
+    weighted_sample,
+)
 from ..sources.parquet import load_table
 
 SAMPLE_FRACTION = 0.25
 SAMPLE_THRESHOLD = int(SAMPLE_FRACTION * (1 << 60))  # mirrors hash_sample
 STRAT_N = 5
+# data-mixture weights: named sources at explicit rates, the long tail at
+# the default — exercises both paths of weighted_sample
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+MIX_DEFAULT = 0.05
 
 
 def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both samplers union-tagged into one driver row: a deterministic
+    """Three samplers union-tagged into one driver row: a deterministic
     25% Bernoulli sample of documents (hash_sample — one scan, no
-    shuffle) and an exact 5-per-label stratified take of embeddings
-    (stratified_take — one label-partitioned window)."""
+    shuffle), an exact 5-per-label stratified take of embeddings
+    (stratified_take — one label-partitioned window), and a per-source
+    data-mixture sample of documents (weighted_sample — per-group rates
+    via a CASE threshold, no join, no shuffle)."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     bern = hash_sample(d, "doc_id", SAMPLE_FRACTION).select(
@@ -38,7 +49,14 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("k"),
         F.col("label"),
     )
-    return bern.unionByName(strat)
+    mix = weighted_sample(
+        d, "doc_id", "source", MIX_FRACTIONS, MIX_DEFAULT
+    ).select(
+        F.lit("mix").alias("kind"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    return bern.unionByName(strat).unionByName(mix)
 
 
 QUERIES = {"samp_pack": samp_pack}
@@ -47,6 +65,11 @@ QUERIES = {"samp_pack": samp_pack}
 # exactly coalesce(cast(key), sentinel), matching operators/sampling.py
 _KEY_HASH = duck_md5_long(
     f"coalesce(CAST({{key}} AS VARCHAR), '{NULL_KEY_SENTINEL}')", 15
+)
+
+_MIX_WHEN = "\n                  ".join(
+    f"WHEN '{g}' THEN {int(f * (1 << 60))}"
+    for g, f in sorted(MIX_FRACTIONS.items())
 )
 
 ORACLE = {
@@ -66,5 +89,13 @@ ORACLE = {
             FROM embeddings
         )
         WHERE rk <= {STRAT_N}
+        UNION ALL
+        SELECT 'mix', doc_id, CAST(NULL AS INTEGER)
+        FROM documents
+        WHERE {_KEY_HASH.format(key="doc_id")} <
+              CASE source
+                  {_MIX_WHEN}
+                  ELSE {int(MIX_DEFAULT * (1 << 60))}
+              END
     """,
 }

@@ -541,6 +541,44 @@ def test_stratified_take_exact_counts(spark, sf_oracle):
     assert a == b
 
 
+def test_weighted_sample_mixture(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.sampling import (
+        hash_sample,
+        weighted_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = weighted_sample(d, "doc_id", "source", fr, default_fraction=0.2)
+    rows = out.select("doc_id", "source").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # rate-1.0 group kept whole, rate-0 group dropped entirely
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    assert len(by_src.get("src0", ())) == n_src0
+    assert "src2" not in by_src
+    # membership is the SAME hash decision as hash_sample at that rate:
+    # the mixture is per-group consistent with the global sampler
+    global_half = {
+        r["doc_id"]
+        for r in hash_sample(d, "doc_id", 0.5).select("doc_id").collect()
+    }
+    src1_all = {
+        r["doc_id"]
+        for r in d.filter(F.col("source") == "src1").select("doc_id").collect()
+    }
+    assert by_src.get("src1", set()) == global_half & src1_all
+    # deterministic under repartitioning
+    again = {
+        (r["doc_id"], r["source"])
+        for r in weighted_sample(
+            d.repartition(13), "doc_id", "source", fr, default_fraction=0.2
+        ).select("doc_id", "source").collect()
+    }
+    assert {(r["doc_id"], r["source"]) for r in rows} == again
+
+
 def test_simhash_large_doc_no_ansi_overflow(spark):
     """A ~40k-token document must fingerprint without ARITHMETIC_OVERFLOW.
 
