@@ -1,0 +1,88 @@
+"""End-to-end training-data curation pipeline — the operators composed.
+
+The individual operators (scrub, near-dup, quality filter, mixture
+sampling, sequence packing, chunking) are each driver-pinned; this plan
+shows and tests how they compose into the standard pretraining curation
+DAG, declaratively, so Catalyst sees ONE plan per stage boundary:
+
+    raw documents
+      -> scrub + whitespace-normalize          (one scan, codegen)
+      -> near-dup cluster, keep one per cluster (MinHash-LSH + CC)
+      -> quality filter                        (keep flag from stats)
+      -> per-source mixture sample             (weighted_sample)
+      -> sequence packing positions            (block-partitioned cumsum)
+
+Scale notes: the only iterative piece is connected components (bounded
+by near-dup cluster diameter); everything else is scans, one LSH bucket
+shuffle, and window aggregations. The dedup stage consumes the SCRUBBED
+text, so boilerplate stripped by scrubbing cannot block near-dup
+detection — the ordering the curation literature prescribes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.components import dedup_clusters
+from ..operators.minhash import minhash_near_duplicates
+from ..operators.packing import pack_sequences
+from ..operators.sampling import weighted_sample
+from ..operators.textproc import normalize_whitespace, scrub_text
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    mixture: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    min_words: int = 20,
+    jaccard_threshold_pct: int = 20,
+    capacity: int = 512,
+) -> DataFrame:
+    """Returns the curated corpus: (id, source, text, n_words, cluster_id,
+    tok_offset, first_seq, last_seq) — scrubbed text, one keeper per
+    near-dup cluster, quality-filtered, mixture-sampled, and positioned
+    in the packed token stream."""
+    scrubbed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        normalize_whitespace(scrub_text(text_col)).alias("text"),
+    )
+
+    pairs = minhash_near_duplicates(
+        scrubbed, "id", "text", threshold_pct=jaccard_threshold_pct
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(scrubbed, pairs, id_col="id")
+    keepers = scrubbed.join(
+        clusters.filter("is_keeper").select("id", "cluster_id"), "id"
+    )
+
+    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    quality = keepers.withColumn("n_words", n_words).filter(
+        F.col("n_words") >= min_words
+    )
+
+    mixed = (
+        weighted_sample(
+            quality, "id", "source", mixture, default_fraction
+        )
+        if mixture is not None
+        else quality
+    )
+
+    packed = pack_sequences(mixed, id_col="id", text_col="text", capacity=capacity)
+    return mixed.join(
+        packed.select("id", "tok_offset", "first_seq", "last_seq"), "id"
+    ).select(
+        "id",
+        "source",
+        "text",
+        "n_words",
+        "cluster_id",
+        "tok_offset",
+        "first_seq",
+        "last_seq",
+    )

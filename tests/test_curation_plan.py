@@ -1,0 +1,75 @@
+"""End-to-end curation pipeline test (plans/curation.py): scrub ->
+near-dup keeper -> quality filter -> mixture sample -> packing, composed."""
+
+from pyspark.sql import functions as F  # noqa: F401  (parity with suite style)
+import pytest
+
+from ffi_export_etl_spark.plans.curation import curate_documents
+
+
+@pytest.fixture()
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    near = base.replace("today", "tonight")
+    rows = []
+    for i in range(10):
+        rows.append(
+            (100 + i, f"wiki doc {i} "
+             + " ".join(f"w{i}_{j} common words here" for j in range(12)),
+             "wiki")
+        )
+        rows.append(
+            (200 + i, f"web doc {i} "
+             + " ".join(f"u{i}_{j} other tokens now" for j in range(12)),
+             "web")
+        )
+    rows += [
+        (1, base, "wiki"),          # near-dup cluster {1, 2, 4}: min id keeps
+        (2, near, "wiki"),
+        (3, "too short", "wiki"),   # fails the quality filter
+        (4, base + " ok", "web"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_curate_documents_end_to_end(spark, corpus):
+    out = curate_documents(
+        corpus, mixture={"wiki": 1.0, "web": 0.5}, min_words=10
+    )
+    res = out.orderBy("id").collect()
+    ids = [r["id"] for r in res]
+
+    # near-dup cluster keeps exactly its minimum id; short doc dropped
+    assert 1 in ids and 2 not in ids and 4 not in ids
+    assert 3 not in ids
+    # one keeper per cluster — cluster ids unique in the output
+    clusters = [r["cluster_id"] for r in res]
+    assert len(set(clusters)) == len(clusters)
+    # mixture: all wiki docs kept (rate 1.0), web strictly subsampled
+    srcs = [r["source"] for r in res]
+    assert srcs.count("wiki") == 11  # 10 wiki + keeper id 1
+    assert 0 < srcs.count("web") < 10
+    # packing positions tile the surviving corpus contiguously in id order
+    for a, b in zip(res, res[1:]):
+        assert b["tok_offset"] == a["tok_offset"] + a["n_words"]
+    assert all(r["last_seq"] >= r["first_seq"] for r in res)
+
+    # fully deterministic end to end (hash sampling + md5 sketches)
+    res2 = curate_documents(
+        corpus, mixture={"wiki": 1.0, "web": 0.5}, min_words=10
+    ).orderBy("id").collect()
+    assert res == res2
+
+
+def test_curate_documents_scrub_feeds_dedup(spark):
+    """Two docs identical except for scrubbed PII must near-dup to one
+    keeper: the dedup stage sees SCRUBBED text (ordering matters)."""
+    body = " ".join(f"tok{i} shared content words" for i in range(15))
+    a = body + " contact alice@example.com now"
+    b = body + " contact bob@sample.org now"
+    docs = spark.createDataFrame(
+        [(1, a, "s"), (2, b, "s")], ["doc_id", "text", "source"]
+    )
+    res = curate_documents(docs, min_words=5).collect()
+    assert [r["id"] for r in res] == [1]
+    assert "<EMAIL>" in res[0]["text"]
