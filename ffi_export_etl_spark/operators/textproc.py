@@ -54,6 +54,36 @@ def normalize_whitespace(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def vocab_top_tokens(
+    docs,
+    text_col: str = "text",
+    n: int = 1000,
+):
+    """Top-``n`` tokens by corpus frequency — the tokenizer-training
+    preamble (seed vocabulary / merges candidates).
+
+    One explode + one map-side-combined count per token + a global top-N,
+    which Spark executes as per-partition top-N merged on the driver
+    (TakeOrderedAndProject), never a full sort. Deterministic tiebreak:
+    count desc, then token asc. Returns (rank, token, n_occurrences).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(n)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.select(
+        F.row_number().over(w).alias("rank"), "token", "n_occurrences"
+    )
+
+
 def chunk_documents(
     docs,
     id_col: str = "doc_id",

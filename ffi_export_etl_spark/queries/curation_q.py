@@ -16,6 +16,9 @@ round 2 (VERDICT.md r2 "What's missing" #1) with a FULL DuckDB oracle:
   plain ``SUM() OVER (ORDER BY doc_id)`` — correct at oracle scale —
   while the Spark side never materializes a single-partition sort, so
   the driver pins that the two-pass shape equals the textbook cumsum.
+- ``operators/textproc.vocab_top_tokens`` — tokenizer-prep top-N
+  vocabulary (explode + map-side-combined counts + TakeOrderedAndProject;
+  deterministic count-desc/token-asc tiebreak replayed by the oracle).
 
 The arms are union-tagged into one result (the established pack shape:
 queries/packs.py) so the trio costs one registry slot.
@@ -28,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.packing import pack_sequences
 from ..operators.quantize import quantize_embedding
-from ..operators.textproc import chunk_documents
+from ..operators.textproc import chunk_documents, vocab_top_tokens
 from ..sources.parquet import load_table
 
 CHUNK_TOKENS = 32
@@ -36,6 +39,7 @@ OVERLAP = 8
 STRIDE = CHUNK_TOKENS - OVERLAP
 SEQ_CAPACITY = 512
 PACK_BLOCK = 500  # exercises multi-block cumsum even at sf0.01
+VOCAB_N = 200
 
 
 def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +84,18 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
         F.lit(None).cast("double").alias("qscale"),
     )
-    return chunks.unionByName(quant).unionByName(packed)
+
+    vocab = vocab_top_tokens(docs, n=VOCAB_N).select(
+        F.lit("vocab").alias("kind"),
+        F.col("rank").cast("bigint").alias("id"),
+        F.lit(None).cast("int").alias("idx"),
+        F.col("n_occurrences").cast("int").alias("n_tokens"),
+        F.col("token").alias("payload"),
+        F.lit(None).cast("double").alias("qscale"),
+    )
+    return (
+        chunks.unionByName(quant).unionByName(packed).unionByName(vocab)
+    )
 
 
 QUERIES = {"cur_pack": cur_pack}
@@ -136,6 +151,18 @@ ORACLE = {
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) AS cum
             FROM documents
+        )
+        UNION ALL
+        SELECT 'vocab', CAST(rank AS BIGINT), CAST(NULL AS INTEGER),
+               CAST(n_occurrences AS INTEGER), token, CAST(NULL AS DOUBLE)
+        FROM (
+            SELECT row_number() OVER (ORDER BY count(*) DESC, token) AS rank,
+                   token, count(*) AS n_occurrences
+            FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY count(*) DESC, token
+            LIMIT {VOCAB_N}
         )
     """,
 }

@@ -90,3 +90,44 @@ def test_prefix_filtered_jaccard_is_exact(spark, texts, pct):
         for r in jaccard_pairs(df, "doc_id", "text", 3, pct).collect()
     }
     assert got == py_jaccard_pairs(docs, 3, pct)
+
+
+def py_pack_sequences(texts: list[str], capacity: int):
+    """Pure-Python sequential oracle for concat-and-split packing."""
+    import re
+
+    out, cum = [], 0
+    for i, t in enumerate(texts):
+        n = len(re.split(r"\s+", t))
+        start = cum
+        cum += n
+        out.append(
+            (i, n, start, start // capacity, start % capacity,
+             (cum - 1) // capacity)
+        )
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(TOKEN, min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=7),
+)
+def test_pack_sequences_property(spark, texts, capacity, block_size):
+    """The block-partitioned distributed cumsum equals the sequential
+    definition for ANY blocking and capacity."""
+    from ffi_export_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["id"], r["n_tokens"], r["tok_offset"], r["first_seq"],
+         r["offset_in_seq"], r["last_seq"])
+        for r in pack_sequences(
+            df, capacity=capacity, block_size=block_size
+        ).orderBy("id").collect()
+    ]
+    assert got == py_pack_sequences(texts, capacity)
