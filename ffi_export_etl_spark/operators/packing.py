@@ -38,6 +38,10 @@ def global_cumsum(
     """Adds ``cum`` = sum of ``value_col`` over all rows with
     ``order_col`` <= this row's (order_col must be unique), without a
     global single-partition sort."""
+    # double divide + truncate is a monotone nondecreasing map of the
+    # order key, which is all blocking needs (each block is a contiguous
+    # key range, blocks ordered consistently with the key) — correct even
+    # where double precision merges adjacent huge ids into one block
     blk = (F.col(order_col) / F.lit(block_size)).cast("long")
     w_in = (
         Window.partitionBy("_blk")
