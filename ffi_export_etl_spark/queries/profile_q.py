@@ -50,6 +50,8 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_nonnull",
         "n_distinct",
+        "min_val",
+        "max_val",
         (
             F.abs(F.col("approx_distinct") - F.col("n_distinct"))
             / F.greatest(F.col("n_distinct"), F.lit(1))
@@ -65,7 +67,10 @@ _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 _ARMS = "\n        UNION ALL\n".join(
     f"""        SELECT '{c}' AS "column", count(*) AS n_rows,
                count({c}) AS n_nonnull,
-               count(DISTINCT {c}) AS n_distinct, TRUE AS hll_ok
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val,
+               TRUE AS hll_ok
         FROM documents"""
     for c in _DOC_COLS
 )

@@ -498,6 +498,9 @@ def test_profile_table_one_pass(spark):
     assert prof["v"]["n_nonnull"] == 3
     assert prof["s"]["approx_distinct"] == 2
     assert prof["v"]["approx_distinct"] == 2
+    assert (prof["k"]["min_val"], prof["k"]["max_val"]) == ("1", "4")
+    assert (prof["s"]["min_val"], prof["s"]["max_val"]) == ("a", "b")
+    assert (prof["v"]["min_val"], prof["v"]["max_val"]) == ("5.0", "6.0")
 
 
 def test_hash_sample_deterministic_and_proportional(spark, sf_oracle):
