@@ -54,6 +54,64 @@ def normalize_whitespace(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def strip_boilerplate_lines(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+):
+    """Remove lines that repeat across >= ``min_docs`` DISTINCT documents
+    (site headers, navigation, legal footers) — the C4/RefinedWeb-style
+    line-level dedup that document-level near-dup cannot catch.
+
+    Two passes over the exploded lines: (1) count distinct docs per
+    normalized line (one shuffle, map-side combined), keep lines at or
+    above the threshold — this boilerplate set is SMALL (bounded by
+    corpus-wide repeated lines), so (2) is a broadcast anti-join back to
+    the lines, which are then reassembled in original order with a
+    collect_list + array_sort (one shuffle on the doc id). Returns
+    (id, text) with boilerplate lines dropped; line order preserved;
+    whitespace-only lines never count as boilerplate (they are kept,
+    normalization is a separate op).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    boiler = (
+        lines.filter(norm != "")
+        .groupBy(norm.alias("bline"))
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("bline")
+    )
+    kept = lines.join(
+        F.broadcast(boiler), F.trim(F.col("line")) == F.col("bline"), "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "line"))
+            ).alias("_pl")
+        )
+        .select(
+            "id",
+            F.array_join(
+                F.transform("_pl", lambda s: s.getField("line")), "\n"
+            ).alias("text"),
+        )
+    )
+    # a doc whose every line was boilerplate survives with empty text
+    # (downstream quality filters decide its fate, not this op)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
 def vocab_top_tokens(
     docs,
     text_col: str = "text",

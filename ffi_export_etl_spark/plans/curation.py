@@ -28,7 +28,11 @@ from ..operators.components import dedup_clusters
 from ..operators.minhash import minhash_near_duplicates
 from ..operators.packing import pack_sequences
 from ..operators.sampling import weighted_sample
-from ..operators.textproc import normalize_whitespace, scrub_text
+from ..operators.textproc import (
+    normalize_whitespace,
+    scrub_text,
+    strip_boilerplate_lines,
+)
 
 
 def curate_documents(
@@ -41,12 +45,29 @@ def curate_documents(
     min_words: int = 20,
     jaccard_threshold_pct: int = 20,
     capacity: int = 512,
+    boilerplate_min_docs: int | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
     tok_offset, first_seq, last_seq) — scrubbed text, one keeper per
     near-dup cluster, quality-filtered, mixture-sampled, and positioned
-    in the packed token stream."""
-    scrubbed = docs.select(
+    in the packed token stream.
+
+    ``boilerplate_min_docs``: when set, lines repeated across that many
+    documents are stripped FIRST — line structure must still exist, so
+    this runs before whitespace normalization collapses newlines."""
+    base = docs
+    if boilerplate_min_docs is not None:
+        stripped = strip_boilerplate_lines(
+            docs, id_col=id_col, text_col=text_col,
+            min_docs=boilerplate_min_docs,
+        )
+        base = stripped.join(
+            docs.select(F.col(id_col).alias("id"), source_col), "id"
+        ).select(
+            F.col("id").alias(id_col), F.col("text").alias(text_col),
+            source_col,
+        )
+    scrubbed = base.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
         normalize_whitespace(scrub_text(text_col)).alias("text"),

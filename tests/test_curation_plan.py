@@ -73,3 +73,23 @@ def test_curate_documents_scrub_feeds_dedup(spark):
     res = curate_documents(docs, min_words=5).collect()
     assert [r["id"] for r in res] == [1]
     assert "<EMAIL>" in res[0]["text"]
+
+
+def test_curate_documents_boilerplate_stage(spark):
+    """Shared site-chrome lines are stripped before dedup/quality, so two
+    docs identical apart from unique lines below the header collapse to
+    distinct keepers with the header gone."""
+    header = "MEGA CORP PORTAL - all rights reserved"
+    rows = [
+        (i, header + "\n" + " ".join(f"doc{i} tok{j}" for j in range(15)), "web")
+        for i in range(1, 7)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = curate_documents(
+        docs, min_words=10, boilerplate_min_docs=5
+    ).collect()
+    assert len(out) == 6
+    assert all(header not in r["text"] for r in out)
+    # without the stage the header remains
+    out2 = curate_documents(docs, min_words=10).collect()
+    assert all(header in r["text"] for r in out2)

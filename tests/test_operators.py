@@ -646,3 +646,36 @@ def test_sampling_null_keys_not_dropped(spark):
     # stratified take large enough to keep all rows must not lose nulls
     out = stratified_take(df, "label", "k", 10)
     assert out.count() == 4
+
+
+def test_strip_boilerplate_lines(spark):
+    from ffi_export_etl_spark.operators.textproc import strip_boilerplate_lines
+
+    header = "SITE NAME - best site"
+    footer = "copyright 2026 all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header}\nunique one\n{footer}"),
+            (2, f"{header}\nunique two\nmore two\n{footer}"),
+            (3, f"{header}\nunique three\n{footer}"),
+            (4, f"{header}\n\nunique four\n{footer}"),
+            (5, f"{footer}\nunique five\n{header}"),
+            (6, f"{header}\n{footer}"),  # all boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r["text"]
+        for r in strip_boilerplate_lines(docs, min_docs=5).collect()
+    }
+    assert out[1] == "unique one"
+    assert out[2] == "unique two\nmore two"  # order preserved
+    assert out[4] == "\nunique four"  # blank lines never boilerplate
+    assert out[5] == "unique five"  # position-independent removal
+    assert out[6] == ""  # fully-boilerplate doc survives, empty
+    # below threshold nothing is removed
+    full = {
+        r["id"]: r["text"]
+        for r in strip_boilerplate_lines(docs, min_docs=10).collect()
+    }
+    assert full[1] == f"{header}\nunique one\n{footer}"
