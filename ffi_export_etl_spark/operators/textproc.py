@@ -54,6 +54,71 @@ def normalize_whitespace(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def repetition_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 10_000,
+):
+    """Within-document repetition metrics (the Gopher-rules quality
+    signals that length/stopword stats miss):
+
+    - ``dup_line_frac``  — fraction of non-blank lines that are repeats
+      of an earlier identical line (0.0 for all-distinct docs);
+    - ``top_bigram_frac`` — fraction of word tokens covered by the most
+      frequent word bigram (counted with multiplicity, 2 tokens per
+      occurrence; 0.0 for docs under 2 tokens).
+
+    Both are pure Column expressions over per-doc arrays — aggregate /
+    transform / filter, no explode, no shuffle: a repetition scan of
+    100 TB is one pass. High values flag machine-generated or
+    boilerplate-heavy text for the quality filter.
+
+    The bigram scan is O(distinct_bigrams * n) per document
+    (array-local), so tokens are capped at ``max_tokens`` (deterministic
+    first-N truncation, same policy as the simhash fingerprint cap) to
+    bound the worst case on pathological documents.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln)
+        ),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(n_lines > 0,
+        (n_lines - n_distinct_lines) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    toks = F.slice(F.split(F.col(text_col), r"\s+"), 1, max_tokens)
+    n_toks = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # occurrences of the most frequent bigram: for each DISTINCT bigram
+    # count its occurrences via a filtered size — O(d*n) per doc where d
+    # = distinct bigrams, array-local, no shuffle
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    )
+    top_bigram_frac = F.when(
+        n_toks >= 2, top_count * 2 / n_toks
+    ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+
+
 def strip_boilerplate_lines(
     docs,
     id_col: str = "doc_id",

@@ -679,3 +679,29 @@ def test_strip_boilerplate_lines(spark):
         for r in strip_boilerplate_lines(docs, min_docs=10).collect()
     }
     assert full[1] == f"{header}\nunique one\n{footer}"
+
+
+def test_repetition_scores(spark):
+    from ffi_export_etl_spark.operators.textproc import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d\na b c d\nunique line"),   # 1 dup of 3 lines
+            (2, "x y x y x y"),                      # "x y" dominates
+            (3, "all distinct words here now"),
+            (4, ""),                                 # degenerate
+            (5, "solo"),                             # < 2 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in repetition_scores(docs).collect()}
+    assert got[1]["n_lines"] == 3
+    assert abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-12
+    # "x y x y x y": bigrams = [x y, y x, x y, y x, x y] -> top "x y"=3
+    # occurrences covering 6 of 6 tokens
+    assert abs(got[2]["top_bigram_frac"] - 1.0) < 1e-12
+    assert got[3]["dup_line_frac"] == 0.0
+    # distinct-bigram doc: top bigram covers 2/5 tokens
+    assert abs(got[3]["top_bigram_frac"] - 0.4) < 1e-12
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["top_bigram_frac"] == 0.0
