@@ -40,10 +40,11 @@ def _toks(col: str = "text") -> Column:
 
 
 def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace words + BPE-ish regex tokens) and
-    length / stopword-ratio / mean-word-length quality scoring with a
-    keep/drop flag — the standard pretraining-corpus filter shape, one
-    row per document."""
+    """Token counting (whitespace words + BPE-ish regex tokens), length /
+    stopword-ratio / mean-word-length quality scoring with a keep/drop
+    flag, and the Gopher-style top-bigram repetition signal
+    (operators/textproc.repetition_scores semantics, replayed exactly by
+    the oracle) — one row per document."""
     d = load_table(spark, sf_dir, "documents")
     toks = _toks()
     n_words = F.size(toks)
@@ -51,6 +52,20 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     mean_wl = (F.length("text") - (n_words - 1)) / n_words  # exact ints -> double
     stop_ratio = n_stop / n_words
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_words - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_words - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    )
+    top_bigram_frac = F.when(
+        n_words >= 2, top_count * 2 / n_words
+    ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -61,6 +76,7 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stop_ratio"),
         mean_wl.alias("mean_word_len"),
+        top_bigram_frac.alias("top_bigram_frac"),
         (
             (n_words >= 20) & (stop_ratio < F.lit(0.5)) & (mean_wl >= F.lit(2.0))
         ).alias("keep"),
@@ -125,11 +141,16 @@ ORACLE = {
     "text_stats_pack": f"""
         WITH t AS (
             SELECT doc_id, text,
+                   {_DUCK_TOKS} AS tk,
                    CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_words,
                    CAST(len(list_filter({_DUCK_TOKS},
                         x -> x IN ('the','a','of','and','to'))) AS INTEGER)
                        AS n_stopwords
             FROM documents
+        ), b AS (
+            SELECT *, list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i+1]) AS bg
+            FROM t
         )
         SELECT doc_id, n_words,
                CAST(len(regexp_extract_all(text,
@@ -139,9 +160,13 @@ ORACLE = {
                n_stopwords,
                n_stopwords / n_words AS stop_ratio,
                (length(text) - (n_words - 1)) / n_words AS mean_word_len,
+               CASE WHEN n_words >= 2 THEN
+                   list_max(list_transform(list_distinct(bg),
+                       g -> len(list_filter(bg, x -> x = g)))) * 2.0 / n_words
+               ELSE 0.0 END AS top_bigram_frac,
                (n_words >= 20 AND n_stopwords / n_words < 0.5
                 AND (length(text) - (n_words - 1)) / n_words >= 2.0) AS keep
-        FROM t
+        FROM b
     """,
     "text_langfp_pack": f"""
         WITH t AS (
