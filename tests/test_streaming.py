@@ -274,3 +274,61 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # its window starts 200s before); the late 5-min row was dropped, and
     # the 55/58/60-min windows are still open at end of input
     assert offsets == [-200 * 10**6]
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Restarting with the SAME checkpoint must resume, not reprocess:
+    the second run sees only files added after the first run — the
+    exactly-once contract a 100 TB ingest relies on (checkpoint tracks
+    the file-source offset log; the idempotent sink covers replays)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "wh")
+
+    def write_file(name, start, n):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(range(start, start + n), pa.int64()),
+                "v": pa.array([1.0] * n, pa.float64()),
+            }),
+            str(src / name),
+        )
+
+    processed = []  # (run, batch_id, rows) — driver-side, local mode
+
+    def run_once(run):
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("event_id", LongType()),
+            StructField("v", DoubleType()),
+        ])
+        stream = spark.readStream.schema(schema).parquet(str(src))
+
+        def sink(batch_df, batch_id):
+            processed.append((run, batch_id, batch_df.count()))
+            parquet_upsert(spark, batch_df, target, ["event_id"])
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file("a.parquet", 0, 100)
+    run_once(1)
+    assert sum(n for r, _, n in processed if r == 1) == 100
+
+    write_file("b.parquet", 100, 40)
+    run_once(2)
+    # resume: ONLY the new file's rows flow through the second run
+    assert sum(n for r, _, n in processed if r == 2) == 40
+    assert spark.read.parquet(target).count() == 140
