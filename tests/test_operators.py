@@ -705,3 +705,42 @@ def test_repetition_scores(spark):
     assert abs(got[3]["top_bigram_frac"] - 0.4) < 1e-12
     assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
     assert got[5]["top_bigram_frac"] == 0.0
+
+
+def test_decontaminate_removes_benchmark_overlap(spark):
+    from ffi_export_etl_spark.operators.decontaminate import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    bench_q = "what is the capital of france and when was it founded exactly"
+    clean1 = " ".join(f"clean{i} words about training data" for i in range(8))
+    clean2 = " ".join(f"other{i} tokens entirely different here" for i in range(8))
+    # doc 1 embeds the benchmark question verbatim -> shares 8-gram shingles
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text {bench_q} outro text"),
+            (2, clean1),
+            (3, clean2),
+            (4, bench_q),  # exact benchmark text
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_q)], ["bench_id", "text"])
+
+    hits = {
+        (r["id"], r["bench_id"])
+        for r in contamination_hits(docs, bench, n=8).collect()
+    }
+    assert hits == {(1, 100), (4, 100)}
+
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {2, 3}
+    # schema preserved
+    assert decontaminate(docs, bench, n=8).columns == ["doc_id", "text"]
+    # higher overlap bar keeps the partially-overlapping doc
+    strict = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench, n=8, min_overlap=100).collect()
+    }
+    assert strict == {1, 2, 3, 4}
