@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "a_pivot_pack",
     "a_first_seqnum",
     "w_window_pack",
-    "dedup_exact",
+    "dedup_exact_pack",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",

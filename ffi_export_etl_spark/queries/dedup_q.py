@@ -27,6 +27,7 @@ from ..functions.porthash import (
     perm_coefficients,
 )
 from ..operators.minhash import DEFAULT_MAX_BUCKET, minhash_near_duplicates
+from ..operators.decontaminate import contamination_hits
 from ..operators.shingles import jaccard_pairs
 from ..operators.simhash import BITS as SIMHASH_BITS
 from ..operators.simhash import CHUNK_BITS, CHUNK_MASK, CHUNKS
@@ -44,18 +45,50 @@ COS_PLANES = 8
 EMB_DIM = 64
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash: one representative (min id) per md5.
-    Hash-groupBy is one shuffle on the digest — the 100 TB-safe exact path."""
+DECON_N = 8  # the standard 8-gram contamination rule
+DECON_BENCH_MOD = 100  # doc_id % 100 == 0 plays the "benchmark" set
+
+
+def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact-text-overlap operators union-tagged into one slot:
+
+    'exact' rows — exact dedup by content hash, one representative (min
+    id) per md5; hash-groupBy is one shuffle on the digest, the
+    100 TB-safe exact path.
+
+    'decon' rows — benchmark decontamination audit
+    (operators/decontaminate.py): every (doc, benchmark-doc) pair
+    sharing >= 1 word 8-gram, where doc_id % DECON_BENCH_MOD == 0 plays
+    the benchmark set. Benchmark shingles broadcast; corpus side is one
+    linear shingle scan.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.withColumn("text_md5", F.md5(F.encode(F.col("text"), "UTF-8")))
-        .groupBy("text_md5")
+    exact = (
+        d.withColumn("key", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .groupBy("key")
         .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("exact").alias("kind"),
+            "key",
+            "a",
+            F.lit(None).cast("bigint").alias("b"),
+            "n",
         )
     )
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    decon = contamination_hits(d, bench, n=DECON_N).select(
+        F.lit("decon").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("id").alias("a"),
+        F.col("bench_id").alias("b"),
+        F.col("n_shared").alias("n"),
+    )
+    return exact.unionByName(decon)
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,7 +192,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-pinned by tests/test_dedup_extra.py; its former window slot pins
 # the incremental path instead, which is the shape that matters at scale.
 QUERIES = {
-    "dedup_exact": dedup_exact,
+    "dedup_exact_pack": dedup_exact_pack,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -328,11 +361,29 @@ JACCARD_PAIRS_ORACLE = f"""
     WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
 """
 
+_DECON_CAT = " || ' ' || ".join(f"t[i+{j}]" for j in range(DECON_N))
+_DECON_SHINGLES = f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {DECON_N - 2}),
+               i -> {_DECON_CAT}))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= {DECON_N}
+"""
+
 ORACLE = {
-    "dedup_exact": """
-        SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
-               count(*) AS n_copies
+    "dedup_exact_pack": f"""
+        WITH ds AS ({_DECON_SHINGLES})
+        SELECT 'exact' AS kind, md5(text) AS key, min(doc_id) AS a,
+               CAST(NULL AS BIGINT) AS b, count(*) AS n
         FROM documents GROUP BY md5(text)
+        UNION ALL
+        SELECT 'decon', CAST(NULL AS VARCHAR), c.doc_id, b.doc_id, count(*)
+        FROM ds c
+        JOIN (SELECT * FROM ds WHERE doc_id % {DECON_BENCH_MOD} = 0) b
+          USING (shingle)
+        GROUP BY c.doc_id, b.doc_id
     """,
     "dedup_minhash_lsh": f"""
         WITH {_minhash_pairs_sql()}
