@@ -126,3 +126,11 @@ def test_whole_stage_codegen_present(spark):
         df._jdf.queryExecution(), "simple"
     )
     assert "*(1)" in plan and "isFinalPlan=true" in plan
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The decon arm must broadcast the (small) benchmark shingles — the
+    corpus side is one linear scan, never shuffled for the overlap join."""
+    plan = plan_of(spark, "dedup_exact_pack")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
