@@ -54,6 +54,49 @@ def normalize_whitespace(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+_DOMAIN_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@\s]+@)?([^/:?#\s]+)"
+
+
+def extract_domain(col: Column | str) -> Column:
+    """Registrable host of a URL-ish string, lowercased: scheme, userinfo,
+    port, path, query stripped with one regexp — no UDF, no URL parser in
+    the row loop. Returns '' for non-URL input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, _DOMAIN_RE, 1))
+
+
+def filter_blocked_domains(
+    docs,
+    url_col: str = "url",
+    blocklist=None,
+    blocklist_df=None,
+    include_subdomains: bool = True,
+):
+    """Drop documents whose URL's domain is blocklisted — the standard
+    source-level web filter. Pass either an in-memory ``blocklist``
+    (list[str], embedded as literals) or a ``blocklist_df`` with a
+    ``domain`` column (broadcast anti-join — the shape for real
+    blocklists of millions of entries). ``include_subdomains`` also
+    blocks ``*.domain``."""
+    dom = extract_domain(url_col)
+    if (blocklist is None) == (blocklist_df is None):
+        raise ValueError("pass exactly one of blocklist / blocklist_df")
+    if blocklist is not None:
+        cond = F.lit(False)
+        for d in blocklist:
+            d = d.lower()
+            hit = dom == d
+            if include_subdomains:
+                hit = hit | dom.endswith("." + d)
+            cond = cond | hit
+        return docs.filter(~cond)
+    b = blocklist_df.select(F.lower(F.col("domain")).alias("_bd"))
+    on = dom == F.col("_bd")
+    if include_subdomains:
+        on = on | dom.endswith(F.concat(F.lit("."), F.col("_bd")))
+    return docs.join(F.broadcast(b), on, "left_anti")
+
+
 def repetition_scores(
     docs,
     id_col: str = "doc_id",

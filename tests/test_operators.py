@@ -744,3 +744,44 @@ def test_decontaminate_removes_benchmark_overlap(spark):
         for r in decontaminate(docs, bench, n=8, min_overlap=100).collect()
     }
     assert strict == {1, 2, 3, 4}
+
+
+def test_extract_domain_and_blocklist(spark):
+    from ffi_export_etl_spark.operators.textproc import (
+        extract_domain,
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://user:pw@Sub.Spam.COM:8080/p?q=1"),
+            (2, "http://good.org/page"),
+            (3, "spam.com/direct"),
+            (4, "ftp://files.example.net/x"),
+            (5, "not a url"),
+        ],
+        ["doc_id", "url"],
+    )
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in docs.select("doc_id", extract_domain("url").alias("d")).collect()
+    }
+    assert doms[1] == "sub.spam.com"  # scheme/userinfo/port/path stripped
+    assert doms[2] == "good.org"
+    assert doms[3] == "spam.com"
+    assert doms[4] == "files.example.net"
+
+    kept = {
+        r["doc_id"]
+        for r in filter_blocked_domains(docs, blocklist=["spam.com"]).collect()
+    }
+    # exact domain AND subdomain blocked; others kept
+    assert kept == {2, 4, 5}
+
+    # broadcast-join form agrees with the literal form
+    bdf = spark.createDataFrame([("spam.com",)], ["domain"])
+    kept2 = {
+        r["doc_id"]
+        for r in filter_blocked_domains(docs, blocklist_df=bdf).collect()
+    }
+    assert kept2 == kept
