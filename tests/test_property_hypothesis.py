@@ -131,3 +131,43 @@ def test_pack_sequences_property(spark, texts, capacity, block_size):
         ).orderBy("id").collect()
     ]
     assert got == py_pack_sequences(texts, capacity)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.tuples(
+        st.floats(0.0, 1.0, allow_nan=False),
+        st.floats(0.0, 1.0, allow_nan=False),
+    ),
+)
+def test_weighted_sample_property(spark, rows, fracs):
+    """For ANY per-group fractions, weighted_sample's kept set is exactly
+    the union over groups of hash_sample at that group's rate — and the
+    default rate applies to unlisted groups."""
+    from ffi_export_etl_spark.operators.sampling import (
+        hash_sample,
+        weighted_sample,
+    )
+
+    fa, fb = fracs
+    df = spark.createDataFrame(rows, "k long, g string")
+    got = {
+        r["k"]
+        for r in weighted_sample(
+            df, "k", "g", {"a": fa, "b": fb}, default_fraction=0.5
+        ).collect()
+    }
+    want = set()
+    for grp, frac in (("a", fa), ("b", fb), ("c", 0.5)):
+        want |= {
+            r["k"]
+            for r in hash_sample(
+                df.filter(F.col("g") == grp), "k", frac
+            ).collect()
+        }
+    assert got == want
