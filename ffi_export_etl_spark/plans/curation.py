@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 from ..operators.components import dedup_clusters
 from ..operators.minhash import minhash_near_duplicates
 from ..operators.packing import pack_sequences
+from ..operators.decontaminate import decontaminate
 from ..operators.sampling import weighted_sample
 from ..operators.textproc import (
+    filter_blocked_domains,
     normalize_whitespace,
     scrub_text,
     strip_boilerplate_lines,
@@ -46,16 +48,38 @@ def curate_documents(
     jaccard_threshold_pct: int = 20,
     capacity: int = 512,
     boilerplate_min_docs: int | None = None,
+    url_col: str | None = None,
+    domain_blocklist: list[str] | None = None,
+    benchmark: DataFrame | None = None,
+    benchmark_id_col: str = "bench_id",
+    decon_n: int = 8,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
     tok_offset, first_seq, last_seq) — scrubbed text, one keeper per
     near-dup cluster, quality-filtered, mixture-sampled, and positioned
     in the packed token stream.
 
-    ``boilerplate_min_docs``: when set, lines repeated across that many
-    documents are stripped FIRST — line structure must still exist, so
-    this runs before whitespace normalization collapses newlines."""
+    Optional stages, in the order the curation literature prescribes:
+    ``domain_blocklist`` (with ``url_col``) drops blocklisted sources
+    before any text work; ``boilerplate_min_docs`` strips lines repeated
+    across that many documents FIRST among the text stages — line
+    structure must still exist, so it runs before whitespace
+    normalization collapses newlines; ``benchmark`` decontaminates
+    against an eval set (shared ``decon_n``-grams, on the RAW text so
+    eval overlap is judged before any rewriting)."""
     base = docs
+    if domain_blocklist is not None:
+        if url_col is None:
+            raise ValueError("domain_blocklist requires url_col")
+        base = filter_blocked_domains(
+            base, url_col=url_col, blocklist=domain_blocklist
+        )
+    if benchmark is not None:
+        base = decontaminate(
+            base, benchmark, id_col=id_col, text_col=text_col,
+            bench_id_col=benchmark_id_col, n=decon_n,
+        )
+    docs = base
     if boilerplate_min_docs is not None:
         stripped = strip_boilerplate_lines(
             docs, id_col=id_col, text_col=text_col,

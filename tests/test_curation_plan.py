@@ -93,3 +93,25 @@ def test_curate_documents_boilerplate_stage(spark):
     # without the stage the header remains
     out2 = curate_documents(docs, min_words=10).collect()
     assert all(header in r["text"] for r in out2)
+
+
+def test_curate_documents_blocklist_and_decontamination(spark):
+    """Full-stack: blocklisted domain dropped first, benchmark-overlap
+    docs removed on RAW text, the rest flow through unchanged."""
+    bench_q = "what is the capital of france and when was it founded exactly"
+    good = " ".join(f"good{i} words of clean training text" for i in range(8))
+    rows = [
+        (1, good, "web", "https://good.org/a"),
+        (2, f"leading text {bench_q} trailing", "web", "https://good.org/b"),
+        (3, good + " extra tail tokens", "web", "http://spam.com/x"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source", "url"])
+    bench = spark.createDataFrame([(9, bench_q)], ["bench_id", "text"])
+    out = curate_documents(
+        docs,
+        min_words=10,
+        url_col="url",
+        domain_blocklist=["spam.com"],
+        benchmark=bench,
+    ).collect()
+    assert {r["id"] for r in out} == {1}
