@@ -171,3 +171,38 @@ def test_weighted_sample_property(spark, rows, fracs):
             ).collect()
         }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(TOKEN, min_size=1, max_size=30),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_reconstruction_property(spark, texts, chunk_tokens, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0)
+    and concatenating must reproduce the original token stream exactly,
+    for any chunk size / overlap combination."""
+    import re
+
+    from ffi_export_etl_spark.operators.textproc import chunk_documents
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).orderBy("id", "chunk_index").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r["chunk_text"])
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t)
+        rebuilt = []
+        for j, chunk in enumerate(by_doc[i]):
+            ctoks = chunk.split(" ") if chunk else [""] if "" in toks else []
+            rebuilt.extend(ctoks[overlap:] if j else ctoks)
+        assert rebuilt == toks, (t, chunk_tokens, overlap, by_doc[i])
