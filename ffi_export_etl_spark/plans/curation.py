@@ -1,11 +1,15 @@
 """End-to-end training-data curation pipeline — the operators composed.
 
-The individual operators (scrub, near-dup, quality filter, mixture
-sampling, sequence packing, chunking) are each driver-pinned; this plan
-shows and tests how they compose into the standard pretraining curation
-DAG, declaratively, so Catalyst sees ONE plan per stage boundary:
+The individual operators (blocklist, decontamination, boilerplate strip,
+scrub, near-dup, quality filter, mixture sampling, sequence packing) are
+each pinned on their own; this plan shows and tests how they compose into
+the standard pretraining curation DAG, declaratively, so Catalyst sees
+ONE plan per stage boundary:
 
     raw documents
+      -> domain blocklist                      (optional; before any text work)
+      -> benchmark decontamination             (optional; judges RAW text)
+      -> boilerplate line strip                (optional; needs line structure)
       -> scrub + whitespace-normalize          (one scan, codegen)
       -> near-dup cluster, keep one per cluster (MinHash-LSH + CC)
       -> quality filter                        (keep flag from stats)
@@ -13,10 +17,11 @@ DAG, declaratively, so Catalyst sees ONE plan per stage boundary:
       -> sequence packing positions            (block-partitioned cumsum)
 
 Scale notes: the only iterative piece is connected components (bounded
-by near-dup cluster diameter); everything else is scans, one LSH bucket
-shuffle, and window aggregations. The dedup stage consumes the SCRUBBED
-text, so boilerplate stripped by scrubbing cannot block near-dup
-detection — the ordering the curation literature prescribes.
+by near-dup cluster diameter); everything else is scans, broadcast
+joins against small sets (blocklist, benchmark shingles, boilerplate
+lines), one LSH bucket shuffle, and window aggregations. The dedup
+stage consumes the SCRUBBED text, so PII differences cannot defeat
+near-dup detection — the ordering the curation literature prescribes.
 """
 
 from __future__ import annotations
@@ -67,31 +72,30 @@ def curate_documents(
     normalization collapses newlines; ``benchmark`` decontaminates
     against an eval set (shared ``decon_n``-grams, on the RAW text so
     eval overlap is judged before any rewriting)."""
-    base = docs
+    cur = docs
     if domain_blocklist is not None:
         if url_col is None:
             raise ValueError("domain_blocklist requires url_col")
-        base = filter_blocked_domains(
-            base, url_col=url_col, blocklist=domain_blocklist
+        cur = filter_blocked_domains(
+            cur, url_col=url_col, blocklist=domain_blocklist
         )
     if benchmark is not None:
-        base = decontaminate(
-            base, benchmark, id_col=id_col, text_col=text_col,
+        cur = decontaminate(
+            cur, benchmark, id_col=id_col, text_col=text_col,
             bench_id_col=benchmark_id_col, n=decon_n,
         )
-    docs = base
     if boilerplate_min_docs is not None:
         stripped = strip_boilerplate_lines(
-            docs, id_col=id_col, text_col=text_col,
+            cur, id_col=id_col, text_col=text_col,
             min_docs=boilerplate_min_docs,
         )
-        base = stripped.join(
-            docs.select(F.col(id_col).alias("id"), source_col), "id"
+        cur = stripped.join(
+            cur.select(F.col(id_col).alias("id"), source_col), "id"
         ).select(
             F.col("id").alias(id_col), F.col("text").alias(text_col),
             source_col,
         )
-    scrubbed = base.select(
+    scrubbed = cur.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
         normalize_whitespace(scrub_text(text_col)).alias("text"),
