@@ -31,6 +31,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_ids(spark) -> set[int]:
+    """Ids of currently-persisted RDDs (JVM-side registry). Best-effort:
+    returns empty on sessions without a JVM-backed context."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+    except Exception:
+        return set()
+
+
+def _free_rdds(spark, ids: set[int]) -> None:
+    """Unpersist the given RDD ids NOW (non-blocking). localCheckpoint
+    persists each round's RDD; without this, every round's blocks linger
+    until the ContextCleaner happens to GC the dropped reference —
+    inflating storage memory on large graphs / long sessions. Best-effort
+    by design: a miss just defers to the ContextCleaner."""
+    if not ids:
+        return
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -48,16 +76,19 @@ def connected_components(
     (``require_convergence=False`` restores the old behavior); for
     high-diameter graphs use :func:`connected_components_alternating`,
     which needs O(log n) rounds on a chain."""
+    spark = edges.sparkSession
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     adj = fwd.union(rev).distinct()
     adj.persist()
 
+    seen = _persistent_ids(spark)
     labels = (
         adj.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     ).localCheckpoint()
+    prev_ids = _persistent_ids(spark) - seen
 
     changed = 0
     for _ in range(max_iter):
@@ -66,6 +97,7 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        seen = _persistent_ids(spark)
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
@@ -75,12 +107,17 @@ def connected_components(
                 ).alias("label"),
             )
         ).localCheckpoint()  # materialize + truncate lineage (see module doc)
+        cur_ids = _persistent_ids(spark) - seen
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the convergence count above was the last read of the previous
+        # round — release its checkpoint blocks immediately
+        _free_rdds(spark, prev_ids)
+        prev_ids = cur_ids
         labels = new_labels
         if changed == 0:
             break
@@ -116,6 +153,8 @@ def connected_components_alternating(
     is a forest of depth-1 stars. Convergence check per round: edge-set
     checksum (count + sum of per-edge md5) — one tiny aggregate.
     """
+    spark = edges.sparkSession
+    seen = _persistent_ids(spark)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -124,6 +163,7 @@ def connected_components_alternating(
         )
         .distinct()
     ).localCheckpoint()
+    prev_ids = _persistent_ids(spark) - seen
 
     def checksum(df: DataFrame) -> tuple:
         # order-insensitive set fingerprint: count + two independent sums
@@ -187,8 +227,14 @@ def connected_components_alternating(
             )
             .distinct()
         )
+        seen = _persistent_ids(spark)
         e2 = e2.localCheckpoint()  # truncate lineage (see module doc)
+        cur_ids = _persistent_ids(spark) - seen
         cur = checksum(e2)
+        # previous round's edge set is dead once e2 is materialized —
+        # release its checkpoint blocks instead of waiting on the cleaner
+        _free_rdds(spark, prev_ids)
+        prev_ids = cur_ids
         e = e2
         if cur == prev:
             break
@@ -213,10 +259,23 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    method: str = "alternating",
 ) -> DataFrame:
     """Assign every document a cluster id (= min doc id of its near-dup
-    component; singletons cluster to themselves) and mark the keeper."""
-    comp = connected_components(pairs)
+    component; singletons cluster to themselves) and mark the keeper.
+
+    ``method='alternating'`` (default) runs the large-star/small-star
+    contraction — O(log n) rounds on ANY graph shape, so an adversarial
+    long chain in the near-dup edges cannot blow the round count.
+    ``method='labelprop'`` keeps min-label propagation (O(diameter)
+    rounds, slightly cheaper per round) for known-shallow cluster graphs.
+    Both are pinned result-identical by tests."""
+    if method == "alternating":
+        comp = connected_components_alternating(pairs)
+    elif method == "labelprop":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

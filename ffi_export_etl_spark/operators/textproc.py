@@ -54,13 +54,22 @@ def normalize_whitespace(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
-_DOMAIN_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@\s]+@)?([^/:?#\s]+)"
+# The captured host must contain at least one dot (two or more labels):
+# free text like 'not a url' must NOT yield a pseudo-domain ('not') that
+# then flows into blocklist comparisons. Dotless hosts (localhost, bare
+# machine names) therefore also yield '' — acceptable for a WEB-corpus
+# filter, where every real target is a registrable dotted domain.
+_DOMAIN_RE = (
+    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@\s]+@)?"
+    r"([^/:?#\s.]+(?:\.[^/:?#\s.]+)+)"
+)
 
 
 def extract_domain(col: Column | str) -> Column:
     """Registrable host of a URL-ish string, lowercased: scheme, userinfo,
     port, path, query stripped with one regexp — no UDF, no URL parser in
-    the row loop. Returns '' for non-URL input."""
+    the row loop. Returns '' when no dotted host is present (non-URL
+    free text, dotless hosts like ``localhost``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.regexp_extract(c, _DOMAIN_RE, 1))
 
@@ -167,6 +176,7 @@ def strip_boilerplate_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 5,
+    broadcast_boiler: bool = False,
 ):
     """Remove lines that repeat across >= ``min_docs`` DISTINCT documents
     (site headers, navigation, legal footers) — the C4/RefinedWeb-style
@@ -174,13 +184,21 @@ def strip_boilerplate_lines(
 
     Two passes over the exploded lines: (1) count distinct docs per
     normalized line (one shuffle, map-side combined), keep lines at or
-    above the threshold — this boilerplate set is SMALL (bounded by
-    corpus-wide repeated lines), so (2) is a broadcast anti-join back to
-    the lines, which are then reassembled in original order with a
+    above the threshold; (2) anti-join the boilerplate set back to the
+    lines, which are then reassembled in original order with a
     collect_list + array_sort (one shuffle on the doc id). Returns
     (id, text) with boilerplate lines dropped; line order preserved;
     whitespace-only lines never count as boilerplate (they are kept,
     normalization is a separate op).
+
+    The boilerplate set is NOT assumed small: at 100 TB of web text with
+    ``min_docs=5`` the lines repeated across documents (shared footers /
+    nav / disclaimers) number in the tens of millions, which would kill a
+    forced driver broadcast. Default is therefore a plain anti-join on
+    the normalized line — a shuffle hash/sort-merge join that AQE still
+    converts to broadcast AT RUNTIME when the set measures small. Pass
+    ``broadcast_boiler=True`` only when the set is known tiny (e.g. a
+    curated hand-list) to pin the broadcast up front.
     """
     lines = docs.select(
         F.col(id_col).alias("id"),
@@ -194,8 +212,10 @@ def strip_boilerplate_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("bline")
     )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
     kept = lines.join(
-        F.broadcast(boiler), F.trim(F.col("line")) == F.col("bline"), "left_anti"
+        boiler, F.trim(F.col("line")) == F.col("bline"), "left_anti"
     )
     rebuilt = (
         kept.groupBy("id")

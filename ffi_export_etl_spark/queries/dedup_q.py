@@ -173,10 +173,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: transitive closure over the MINHASH near-dup
-    edges (the scale-safe edge set) via iterative min-label propagation
-    (operators/components.py). Every doc gets (cluster_id = min doc_id in
-    component, is_keeper). Oracle: recursive CTE reachability over the
-    replayed minhash pairs."""
+    edges (the scale-safe edge set) via alternating large-star/small-star
+    contraction (operators/components.py — O(log n) rounds on any graph
+    shape, so an adversarial chain in the edges cannot blow the round
+    count; pinned result-identical to min-label propagation). Every doc
+    gets (cluster_id = min doc_id in component, is_keeper). Oracle:
+    recursive CTE reachability over the replayed minhash pairs."""
     from ..operators.components import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")

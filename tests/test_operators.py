@@ -679,6 +679,48 @@ def test_strip_boilerplate_lines(spark):
         for r in strip_boilerplate_lines(docs, min_docs=10).collect()
     }
     assert full[1] == f"{header}\nunique one\n{footer}"
+    # both join strategies produce identical results
+    bcast = {
+        r["id"]: r["text"]
+        for r in strip_boilerplate_lines(
+            docs, min_docs=5, broadcast_boiler=True
+        ).collect()
+    }
+    assert bcast == out
+
+
+def test_strip_boilerplate_join_strategy_in_plan(spark):
+    """The boilerplate set must NOT be force-broadcast by default: at
+    100 TB it is tens of millions of lines. With auto-broadcast disabled
+    (simulating a huge measured set) the default plan must fall back to a
+    shuffle join, while broadcast_boiler=True pins the broadcast hint
+    regardless of the threshold."""
+    from ffi_export_etl_spark.operators.textproc import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, "shared line\nunique %d" % i) for i in range(8)],
+        ["doc_id", "text"],
+    )
+
+    def plan(df):
+        return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_default = plan(strip_boilerplate_lines(docs, min_docs=5))
+        p_hinted = plan(
+            strip_boilerplate_lines(docs, min_docs=5, broadcast_boiler=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # default: no forced broadcast anywhere (AQE may still pick one at
+    # runtime from real stats — that is the point)
+    assert "BroadcastHashJoin" not in p_default
+    # hinted: the anti-join broadcasts even with the threshold off
+    assert "BroadcastHashJoin" in p_hinted
 
 
 def test_repetition_scores(spark):
@@ -770,6 +812,7 @@ def test_extract_domain_and_blocklist(spark):
     assert doms[2] == "good.org"
     assert doms[3] == "spam.com"
     assert doms[4] == "files.example.net"
+    assert doms[5] == ""  # free text yields no pseudo-domain
 
     kept = {
         r["doc_id"]

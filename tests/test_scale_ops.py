@@ -94,6 +94,23 @@ def test_alternating_cc_solves_chain_in_log_rounds(spark):
     assert {r["component"] for r in rows} == {0}
 
 
+def test_cc_releases_per_round_checkpoints(spark):
+    """Every round localCheckpoints its result; the PREVIOUS round's
+    blocks must be released as soon as the convergence check has read
+    them, or storage memory grows linearly with round count. After the
+    run at most one checkpoint (the returned final round) — plus nothing
+    else — may remain persisted beyond the pre-call baseline."""
+    from ffi_export_etl_spark.operators.components import _persistent_ids
+
+    # chain sizes chosen to need MANY rounds while still converging
+    for fn, n in ((connected_components, 16), (connected_components_alternating, 64)):
+        edges = _chain_edges(spark, n)
+        before = _persistent_ids(spark)
+        fn(edges).collect()
+        leaked = _persistent_ids(spark) - before
+        assert len(leaked) <= 1, (fn.__name__, leaked)
+
+
 def test_alternating_cc_matches_label_propagation(spark):
     """On a low-diameter multi-component graph both algorithms agree."""
     edges = spark.createDataFrame(
