@@ -34,8 +34,14 @@ def event_micros(df: DataFrame, src: str = "ts") -> Column:
     consulted)."""
     dt = dict(df.dtypes)[src]
     if dt in ("bigint", "long"):
-        # epoch-nanos BIGINT (legacy TIMESTAMP(NANOS) via nanosAsLong)
-        return F.expr(f"{src} div 1000")
+        # epoch-nanos BIGINT (legacy TIMESTAMP(NANOS) via nanosAsLong).
+        # FLOOR division, not `div` (which truncates toward zero): a
+        # pre-epoch timestamp with sub-microsecond residue must round
+        # DOWN to agree with the NTZ path's exact microsecond arithmetic.
+        # pmod(ts, 1000) is in [0, 999], so the subtraction yields the
+        # exact multiple of 1000 at-or-below ts — all integer math (a
+        # double `/` would lose precision above 2^53 nanos ~ 1970+3 months).
+        return F.expr(f"({src} - pmod({src}, 1000)) div 1000")
     if dt == "timestamp_ntz":
         # timezone-free wall-clock diff == DuckDB epoch_us(naive ts)
         return F.expr(

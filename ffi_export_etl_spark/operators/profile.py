@@ -18,8 +18,15 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     one aggregation job over all columns (4 aggregates per column + one
     count, all map-side combined), then a driver-side unpivot of the
     single result row. min/max are rendered as strings so the unpivoted
-    schema is uniform across column types (integers and strings render
-    engine-portably; the order used is each column's native one)."""
+    schema is uniform across column types (the order used is each
+    column's native one). Portability caveat: integers and strings
+    render identically on every engine, but FLOAT/DOUBLE min/max go
+    through Java's Double.toString (scientific notation for very
+    large/small magnitudes), which DuckDB renders differently — an
+    oracle pin over a table with floating-point columns would drift.
+    Pre-format such columns (e.g. format_number / printf with fixed
+    precision) before profiling when cross-engine string equality
+    matters; the registered prof_pack profiles int/string columns only."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in df.columns:
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))

@@ -93,6 +93,80 @@ def simhash_fingerprints(
     return sums.select("id", fingerprint.alias("simhash"))
 
 
+def _chunk_banded(fp: DataFrame) -> DataFrame:
+    """(id, simhash, chunk, val) — the fingerprint table exploded into its
+    CHUNKS pigeonhole bands (chunk index + 15-bit chunk value)."""
+    return fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * CHUNK_BITS)
+                        .bitwiseAND(F.lit(CHUNK_MASK))
+                        .alias("val"),
+                    )
+                    for c in range(CHUNKS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", "cv.chunk", "cv.val")
+
+
+def simhash_signature_store(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, simhash, chunk, val) — the persistable simhash index of a
+    corpus, mirroring minhash_signature_store: write it bucketed by
+    (chunk, val) and incremental batches join against it WITHOUT
+    re-fingerprinting the corpus. Unlike the minhash store, this one
+    carries everything verification needs (the 60-bit fingerprint), so
+    the incremental path emits FINAL pairs, not just candidates."""
+    return _chunk_banded(simhash_fingerprints(docs, id_col, text_col))
+
+
+def incremental_simhash_pairs(
+    new_store: DataFrame,
+    stored_store: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs INVOLVING a new batch: the
+    daily-increment shape. new x stored pairs come from a chunk-bucket
+    equi-join against the persisted index, plus new x new — never
+    stored x stored (already deduped). Verification is pure fingerprint
+    arithmetic over columns both stores carry, so stored documents are
+    never re-read. Equals the full-recompute pair set restricted to
+    pairs with at least one new id (pinned by test)."""
+
+    def pairs(a: DataFrame, b: DataFrame, strict: bool) -> DataFrame:
+        cond = (F.col("a.chunk") == F.col("b.chunk")) & (
+            F.col("a.val") == F.col("b.val")
+        )
+        cond = cond & (
+            (F.col("a.id") < F.col("b.id"))
+            if strict
+            else (F.col("a.id") != F.col("b.id"))
+        )
+        return (
+            a.alias("a")
+            .join(b.alias("b"), cond)
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+        )
+
+    out = pairs(new_store, stored_store, strict=False).unionByName(
+        pairs(new_store, new_store, strict=True)
+    )
+    return out.filter(F.col("hamming") <= max_hamming).distinct()
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str,
@@ -117,23 +191,7 @@ def simhash_near_duplicates(
     fp = simhash_fingerprints(docs, id_col, text_col)
     if cache_fingerprints:
         fp = fp.persist()
-    chunks = fp.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * CHUNK_BITS)
-                        .bitwiseAND(F.lit(CHUNK_MASK))
-                        .alias("val"),
-                    )
-                    for c in range(CHUNKS)
-                ]
-            )
-        ).alias("cv"),
-    ).select("id", "simhash", "cv.chunk", "cv.val")
+    chunks = _chunk_banded(fp)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

@@ -200,6 +200,44 @@ def scaled_lsh_config(
     return tables, planes
 
 
+def signlsh_signature_store(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    planes_per_table: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, band, bucket) — the persistable sign-LSH index of an
+    embedding corpus, one row per (vector, hash table). Column names
+    deliberately match minhash_signature_store, so
+    minhash.incremental_candidate_pairs IS the incremental join for this
+    store too (new x stored + new x new, combined-population bucket cap,
+    never stored x stored): write it bucketed by (band, bucket) and daily
+    embedding batches join against it without re-hashing the corpus.
+    The hyperplanes are deterministic (md5-seeded), so signatures
+    computed today and next month agree bit-for-bit."""
+    coefs = hyperplane_coefficients(dim, tables * planes_per_table)
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    arms = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes_per_table):
+            d = F.round(
+                dot(F.col("v"), plane_lit(coefs[t * planes_per_table + p])),
+                round_digits,
+            )
+            bit = F.when(d >= 0, 1).otherwise(0)
+            bucket = bucket + F.shiftleft(bit.cast("long"), p)
+        arms.append(F.struct(F.lit(t).alias("band"), bucket.alias("bucket")))
+    return v.select(
+        "id", F.explode(F.array(*arms)).alias("tb")
+    ).select("id", "tb.band", "tb.bucket")
+
+
 def lsh_banded_pairs(
     vectors: DataFrame,
     dim: int,
@@ -227,24 +265,9 @@ def lsh_banded_pairs(
     Recall for a pair with angular similarity s is 1-(1-s^p)^L: more
     tables buy recall, more planes-per-table buy precision (smaller
     buckets)."""
-    coefs = hyperplane_coefficients(dim, tables * planes_per_table)
-    v = vectors.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    )
-    arms = []
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(planes_per_table):
-            d = F.round(
-                dot(F.col("v"), plane_lit(coefs[t * planes_per_table + p])),
-                round_digits,
-            )
-            bit = F.when(d >= 0, 1).otherwise(0)
-            bucket = bucket + F.shiftleft(bit.cast("long"), p)
-        arms.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    banded = v.select(
-        "id", F.explode(F.array(*arms)).alias("tb")
-    ).select("id", "tb.tbl", "tb.bucket")
+    banded = signlsh_signature_store(
+        vectors, dim, id_col, vec_col, tables, planes_per_table, round_digits
+    ).withColumnRenamed("band", "tbl")
     buckets = banded.groupBy("tbl", "bucket").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )

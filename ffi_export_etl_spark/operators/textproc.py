@@ -106,6 +106,21 @@ def filter_blocked_domains(
     return docs.join(F.broadcast(b), on, "left_anti")
 
 
+def dup_line_frac_of(lines: Column) -> Column:
+    """Fraction of non-blank (trimmed) lines in the array that repeat an
+    earlier identical line — 0.0 when there are no non-blank lines. Pure
+    array-local Column expression (no explode, no shuffle); shared by
+    :func:`repetition_scores` and the registered text_stats_pack so the
+    signal has exactly one definition."""
+    nb = F.filter(
+        F.transform(lines, lambda ln: F.trim(ln)), lambda ln: ln != ""
+    )
+    n = F.size(nb)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(nb))) / n
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_scores(
     docs,
     id_col: str = "doc_id",
@@ -131,17 +146,14 @@ def repetition_scores(
     first-N truncation, same policy as the simhash fingerprint cap) to
     bound the worst case on pathological documents.
     """
-    lines = F.filter(
-        F.transform(
-            F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln)
-        ),
-        lambda ln: ln != "",
+    raw_lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(
+        F.filter(
+            F.transform(raw_lines, lambda ln: F.trim(ln)),
+            lambda ln: ln != "",
+        )
     )
-    n_lines = F.size(lines)
-    n_distinct_lines = F.size(F.array_distinct(lines))
-    dup_line_frac = F.when(n_lines > 0,
-        (n_lines - n_distinct_lines) / n_lines
-    ).otherwise(F.lit(0.0))
+    dup_line_frac = dup_line_frac_of(raw_lines)
 
     toks = F.slice(F.split(F.col(text_col), r"\s+"), 1, max_tokens)
     n_toks = F.size(toks)

@@ -16,10 +16,13 @@ ONE plan per stage boundary:
       -> per-source mixture sample             (weighted_sample)
       -> sequence packing positions            (block-partitioned cumsum)
 
-Scale notes: the only iterative piece is connected components (bounded
-by near-dup cluster diameter); everything else is scans, broadcast
-joins against small sets (blocklist, benchmark shingles, boilerplate
-lines), one LSH bucket shuffle, and window aggregations. The dedup
+Scale notes: the only iterative piece is connected components
+(alternating large-star/small-star — O(log n) rounds on any edge
+shape); everything else is scans, broadcast joins against small sets
+(blocklist, benchmark shingles), a shuffle anti-join for the
+boilerplate set (NOT broadcast — tens of millions of repeated lines at
+web scale; AQE may still broadcast it at runtime when it measures
+small), one LSH bucket shuffle, and window aggregations. The dedup
 stage consumes the SCRUBBED text, so PII differences cannot defeat
 near-dup detection — the ordering the curation literature prescribes.
 """

@@ -1,4 +1,5 @@
-"""Curation gate query: document chunking + int8 embedding quantization.
+"""Curation gate queries: document chunking + int8 embedding quantization
+(cur_pack) and the COMPOSED end-to-end curation pipeline (cur_e2e).
 
 Pins two training-data-pipeline operators that were pytest-only through
 round 2 (VERDICT.md r2 "What's missing" #1) with a FULL DuckDB oracle:
@@ -22,6 +23,23 @@ round 2 (VERDICT.md r2 "What's missing" #1) with a FULL DuckDB oracle:
 
 The arms are union-tagged into one result (the established pack shape:
 queries/packs.py) so the trio costs one registry slot.
+
+``cur_e2e`` pins the artifact a real user runs — plans/curation.py's
+``curate_documents`` composition: boilerplate line strip -> PII scrub +
+whitespace normalize -> MinHash-LSH near-dup clustering with one keeper
+per component -> quality filter -> per-source mixture sample -> sequence
+packing. Every stage is individually oracle-replayable, so the DuckDB
+oracle chains the SAME fragments the per-stage pins use (the minhash CTE
+generator from queries/dedup_q.py parameterized over the scrubbed
+relation, the recursive-CTE reachability from dedup_connected_components,
+the md5 mixture threshold from queries/sampling_q.py, the cumsum packing
+from cur_pack) — catching stage-ORDERING regressions the per-stage pins
+cannot.
+
+The synthetic corpus is single-line, so cur_e2e first reshapes each doc
+into E2E_LINE_TOKENS-token lines (near-dup docs then genuinely share
+repeated lines: 15 boilerplate lines at sf0.01) — without the reshape
+the boilerplate stage would be pinned only as an identity pass-through.
 """
 
 from __future__ import annotations
@@ -32,7 +50,10 @@ from pyspark.sql import functions as F
 from ..operators.packing import pack_sequences
 from ..operators.quantize import quantize_embedding
 from ..operators.textproc import chunk_documents, vocab_top_tokens
+from ..plans.curation import curate_documents
 from ..sources.parquet import load_table
+from .sampling_q import key_hash_sql
+from .text_q import scrub_sql_expr
 
 CHUNK_TOKENS = 32
 OVERLAP = 8
@@ -98,7 +119,51 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"cur_pack": cur_pack}
+# ---------------------------------------------------------------------------
+# cur_e2e — the composed curation pipeline as one driver row
+# ---------------------------------------------------------------------------
+
+E2E_LINE_TOKENS = 10  # reshape width: gives the corpus real line structure
+E2E_BOILER_MIN_DOCS = 3  # lines shared by >= 3 docs are boilerplate
+E2E_MIN_WORDS = 30  # quality floor (corpus median ~56 tokens/doc)
+E2E_JACCARD_PCT = 20  # same near-dup bar as dedup_minhash_lsh
+E2E_CAPACITY = 128  # packed training-sequence length
+# explicit mixture rates for four sources, long tail at the default —
+# exercises both weighted_sample paths inside the composition
+E2E_MIX = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+E2E_DEFAULT_FRACTION = 0.4
+
+
+def cur_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plans/curation.curate_documents end to end over the documents
+    table (reshaped into E2E_LINE_TOKENS-token lines so the boilerplate
+    stage has line structure to strip): one row per surviving document
+    with its cluster id and packed-stream position."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    relined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(E2E_LINE_TOKENS)),
+            lambda s: F.array_join(F.slice(toks, s, E2E_LINE_TOKENS), " "),
+        ),
+        "\n",
+    )
+    reshaped = docs.withColumn("text", relined)
+    return curate_documents(
+        reshaped,
+        id_col="doc_id",
+        text_col="text",
+        source_col="source",
+        mixture=E2E_MIX,
+        default_fraction=E2E_DEFAULT_FRACTION,
+        min_words=E2E_MIN_WORDS,
+        jaccard_threshold_pct=E2E_JACCARD_PCT,
+        capacity=E2E_CAPACITY,
+        boilerplate_min_docs=E2E_BOILER_MIN_DOCS,
+    )
+
+
+QUERIES = {"cur_pack": cur_pack, "cur_e2e": cur_e2e}
 
 ORACLE = {
     "cur_pack": f"""
@@ -166,3 +231,91 @@ ORACLE = {
         )
     """,
 }
+
+
+def _e2e_oracle() -> str:
+    """One WITH RECURSIVE chain replaying every curate_documents stage in
+    order: reshape -> boilerplate strip -> scrub -> minhash near-dup
+    pairs (dedup_q fragment over the scrubbed relation; inner corpus uses
+    the same n=3/32-perm/8-band constants curate_documents defaults to)
+    -> recursive-CTE connected components -> keeper+quality filter ->
+    md5 mixture membership -> cumsum packing."""
+    from .dedup_q import JACCARD_PCT, _minhash_pairs_sql
+
+    # the dedup_q fragment bakes in its module constants; the composed
+    # pipeline must use the same bar or the oracle would silently drift
+    assert E2E_JACCARD_PCT == JACCARD_PCT
+
+    mix_when = " ".join(
+        f"WHEN '{g}' THEN {int(f * (1 << 60))}"
+        for g, f in sorted(E2E_MIX.items())
+    )
+    return f"""
+    WITH RECURSIVE
+    rl AS (
+        SELECT doc_id, source,
+               array_to_string(list_transform(
+                   generate_series(1, len(tk), {E2E_LINE_TOKENS}),
+                   s -> array_to_string(tk[s : s + {E2E_LINE_TOKENS - 1}], ' ')),
+                   chr(10)) AS text
+        FROM (SELECT doc_id, source,
+                     regexp_split_to_array(text, '\\s+') AS tk
+              FROM documents)
+    ),
+    lpos AS (SELECT doc_id, la, unnest(generate_series(1, len(la))) AS pos
+             FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS la
+                   FROM rl)),
+    lns AS (SELECT doc_id, pos, la[pos] AS line FROM lpos),
+    boiler AS (SELECT trim(line) AS bline FROM lns WHERE trim(line) != ''
+               GROUP BY 1
+               HAVING count(DISTINCT doc_id) >= {E2E_BOILER_MIN_DOCS}),
+    lkept AS (SELECT doc_id, pos, line FROM lns
+              WHERE trim(line) NOT IN (SELECT bline FROM boiler)),
+    rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM lkept GROUP BY doc_id),
+    scrubbed AS (SELECT r.doc_id AS id, r.source,
+                        {scrub_sql_expr("coalesce(b.text, '')")} AS text
+                 FROM rl r LEFT JOIN rebuilt b USING (doc_id)),
+    {_minhash_pairs_sql("scrubbed", "id")},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    quality AS (
+        SELECT s.id, s.source, s.text,
+               CAST(len(regexp_split_to_array(s.text, '\\s+')) AS INTEGER)
+                   AS n_words,
+               coalesce(c.component, s.id) AS cluster_id
+        FROM scrubbed s LEFT JOIN comp c ON s.id = c.id
+        WHERE s.id = coalesce(c.component, s.id)
+          AND len(regexp_split_to_array(s.text, '\\s+')) >= {E2E_MIN_WORDS}
+    ),
+    mixed AS (
+        SELECT * FROM quality
+        WHERE {key_hash_sql("id")} <
+              CASE source {mix_when}
+                   ELSE {int(E2E_DEFAULT_FRACTION * (1 << 60))} END
+    ),
+    packed AS (
+        SELECT id, n_words,
+               CAST(sum(n_words) OVER (ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM mixed
+    )
+    SELECT m.id, m.source, m.text, m.n_words, m.cluster_id,
+           p.cum - p.n_words AS tok_offset,
+           CAST((p.cum - p.n_words) // {E2E_CAPACITY} AS INTEGER) AS first_seq,
+           CAST((p.cum - 1) // {E2E_CAPACITY} AS INTEGER) AS last_seq
+    FROM mixed m JOIN packed p USING (id)
+    """
+
+
+ORACLE["cur_e2e"] = _e2e_oracle()

@@ -206,21 +206,29 @@ QUERIES = {
 # Oracle SQL (generated from the same constants the Spark plans embed)
 # ---------------------------------------------------------------------------
 
-_DUCK_SHINGLES = """
-    SELECT doc_id,
+def _duck_shingles(rel: str = "documents", id_col: str = "doc_id") -> str:
+    """Word-trigram shingle CTE body over any (id, text) relation; the
+    emitted id column is always named doc_id so downstream fragments
+    compose identically for the base corpus and derived corpora (the
+    composed-curation oracle reuses this over its scrubbed CTE)."""
+    return f"""
+    SELECT {id_col} AS doc_id,
            unnest(list_distinct(list_transform(
                range(1, len(t) - 1),
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
-          FROM documents)
+    FROM (SELECT {id_col}, regexp_split_to_array(text, '\\s+') AS t
+          FROM {rel})
     WHERE len(t) >= 3
 """
+
+
+_DUCK_SHINGLES = _duck_shingles()
 
 _DUCK_MD5_8 = "CAST(CONCAT('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
 _DUCK_MD5_15 = "CAST(CONCAT('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
 
 
-def _minhash_cand_sql() -> str:
+def _minhash_cand_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
     """DuckDB CTE chain replaying minhash candidate generation exactly
     (shingles -> signatures -> banding -> capped buckets -> cand)."""
     perms = perm_coefficients(NUM_PERM)
@@ -239,7 +247,7 @@ def _minhash_cand_sql() -> str:
     )
     x = _DUCK_MD5_8.format(s="shingle")
     return f"""
-        sh AS ({_DUCK_SHINGLES}),
+        sh AS ({_duck_shingles(rel, id_col)}),
         shi AS (SELECT doc_id AS id, {x} % {MERSENNE31} AS x FROM sh),
         sig AS (SELECT id,
                {sig_cols}
@@ -256,10 +264,10 @@ def _minhash_cand_sql() -> str:
                    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)"""
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
     """DuckDB CTE chain replaying minhash_near_duplicates exactly
     (candidates + exact-Jaccard verification)."""
-    return f"""{_minhash_cand_sql()},
+    return f"""{_minhash_cand_sql(rel, id_col)},
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
             SELECT c.id_a, c.id_b, count(*) AS n_inter

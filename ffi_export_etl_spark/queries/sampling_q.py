@@ -67,6 +67,13 @@ _KEY_HASH = duck_md5_long(
     f"coalesce(CAST({{key}} AS VARCHAR), '{NULL_KEY_SENTINEL}')", 15
 )
 
+
+def key_hash_sql(key: str) -> str:
+    """DuckDB replay of operators/sampling._key_hash (salt '') over any
+    key expression — shared with the composed-curation oracle so the
+    mixture-membership decision has exactly one SQL rendering."""
+    return _KEY_HASH.format(key=key)
+
 _MIX_WHEN = "\n                  ".join(
     f"WHEN '{g}' THEN {int(f * (1 << 60))}"
     for g, f in sorted(MIX_FRACTIONS.items())

@@ -11,7 +11,9 @@ or lookaround, so Java regex and RE2 match identically).
 
 Token/quality and langid/fingerprint are merged into same-grain packs
 (one row per doc_id, all columns pinned) to keep the registry at 50
-while freeing slots for the scrub and profiling pins.
+while freeing slots for the scrub and profiling pins. The scrub pin
+lives INSIDE text_stats_pack (same per-doc grain) since round 4 — its
+former slot pins the composed curation pipeline (queries/curation_q.py).
 """
 
 from __future__ import annotations
@@ -19,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.textproc import normalize_whitespace, scrub_text
+from ..operators.textproc import (
+    dup_line_frac_of,
+    normalize_whitespace,
+    scrub_text,
+)
 from ..sources.parquet import load_table
 
 # BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols.
@@ -39,12 +45,23 @@ def _toks(col: str = "text") -> Column:
     return F.split(F.col(col), r"\s+")
 
 
+# dup_line_frac needs line structure the single-line synthetic corpus
+# lacks, so the pack reshapes each doc into LINE_TOKENS-token lines first
+# (near-dup docs then repeat real lines); the signal itself is
+# operators/textproc.dup_line_frac_of, the same column expression
+# repetition_scores uses.
+LINE_TOKENS = 2
+
+
 def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace words + BPE-ish regex tokens), length /
     stopword-ratio / mean-word-length quality scoring with a keep/drop
-    flag, and the Gopher-style top-bigram repetition signal
-    (operators/textproc.repetition_scores semantics, replayed exactly by
-    the oracle) — one row per document."""
+    flag, the Gopher-style repetition signals (top-bigram coverage and
+    dup_line_frac over LINE_TOKENS-token lines —
+    operators/textproc.repetition_scores semantics, replayed exactly by
+    the oracle), and the PII scrub + whitespace normalization
+    (operators/textproc.scrub_text chain, emails/URLs/IPs/phones to
+    typed placeholders) — one row per document."""
     d = load_table(spark, sf_dir, "documents")
     toks = _toks()
     n_words = F.size(toks)
@@ -66,6 +83,11 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_bigram_frac = F.when(
         n_words >= 2, top_count * 2 / n_words
     ).otherwise(F.lit(0.0))
+    relined = F.transform(
+        F.sequence(F.lit(1), n_words, F.lit(LINE_TOKENS)),
+        lambda s: F.array_join(F.slice(toks, s, LINE_TOKENS), " "),
+    )
+    scrubbed = normalize_whitespace(scrub_text("text"))
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -77,9 +99,12 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         mean_wl.alias("mean_word_len"),
         top_bigram_frac.alias("top_bigram_frac"),
+        dup_line_frac_of(relined).alias("dup_line_frac"),
         (
             (n_words >= 20) & (stop_ratio < F.lit(0.5)) & (mean_wl >= F.lit(2.0))
         ).alias("keep"),
+        scrubbed.alias("scrubbed"),
+        (scrubbed != F.col("text")).alias("changed"),
     )
 
 
@@ -114,28 +139,44 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-style scrubbing (operators/textproc.py): email/URL/IP/phone
-    redaction + whitespace normalization — one scan, chained
-    regexp_replace, the pre-dedup curation step. The oracle replays the
-    identical pattern chain in RE2."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        normalize_whitespace(scrub_text("text")).alias("scrubbed"),
-        (normalize_whitespace(scrub_text("text")) != F.col("text")).alias(
-            "changed"
-        ),
-    )
-
-
 QUERIES = {
     "text_stats_pack": text_stats_pack,
     "text_langfp_pack": text_langfp_pack,
-    "text_scrub": text_scrub,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(text, '\\s+')"
+
+
+def scrub_sql_expr(col: str = "text") -> str:
+    """Replay scrub_text + normalize_whitespace as nested DuckDB
+    regexp_replace('g') calls, generated from the SAME SCRUB_RULES the
+    Spark side uses so query and oracle can never drift. Also imported
+    by the composed-curation oracle (queries/curation_q.py)."""
+    from ..operators.textproc import SCRUB_RULES
+
+    expr = col
+    for pattern, repl in SCRUB_RULES:
+        # SQL single-quoted strings pass backslashes through verbatim;
+        # only quotes need escaping
+        pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+# mirror of operators/textproc.dup_line_frac_of over a lines ARRAY expr
+def dup_line_frac_sql(lines_expr: str) -> str:
+    nb = f"list_filter(list_transform({lines_expr}, x -> trim(x)), x -> x != '')"
+    return (
+        f"CASE WHEN len({nb}) > 0 THEN "
+        f"(len({nb}) - len(list_distinct({nb}))) / len({nb}) "
+        f"ELSE 0.0 END"
+    )
+
+
+_RELINED = (
+    f"list_transform(generate_series(1, len(tk), {LINE_TOKENS}), "
+    f"s -> array_to_string(tk[s : s + {LINE_TOKENS - 1}], ' '))"
+)
 
 ORACLE = {
     "text_stats_pack": f"""
@@ -164,8 +205,11 @@ ORACLE = {
                    list_max(list_transform(list_distinct(bg),
                        g -> len(list_filter(bg, x -> x = g)))) * 2.0 / n_words
                ELSE 0.0 END AS top_bigram_frac,
+               {dup_line_frac_sql(_RELINED)} AS dup_line_frac,
                (n_words >= 20 AND n_stopwords / n_words < 0.5
-                AND (length(text) - (n_words - 1)) / n_words >= 2.0) AS keep
+                AND (length(text) - (n_words - 1)) / n_words >= 2.0) AS keep,
+               {scrub_sql_expr("text")} AS scrubbed,
+               {scrub_sql_expr("text")} != text AS changed
         FROM b
     """,
     "text_langfp_pack": f"""
@@ -190,29 +234,4 @@ ORACLE = {
                    AS n_distinct_tokens
         FROM t
     """,
-    # built in textproc_oracle() below from the live SCRUB_RULES chain so
-    # query and oracle can never drift
-    "text_scrub": None,  # placeholder, replaced at import time
 }
-
-
-def _scrub_oracle() -> str:
-    """Replay scrub_text + normalize_whitespace as nested DuckDB
-    regexp_replace('g') calls, generated from the SAME SCRUB_RULES the
-    Spark side uses."""
-    from ..operators.textproc import SCRUB_RULES
-
-    expr = "text"
-    for pattern, repl in SCRUB_RULES:
-        # SQL single-quoted strings pass backslashes through verbatim;
-        # only quotes need escaping
-        pat = pattern.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
-    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
-    return f"""
-        SELECT doc_id, {expr} AS scrubbed, {expr} != text AS changed
-        FROM documents
-    """
-
-
-ORACLE["text_scrub"] = _scrub_oracle()

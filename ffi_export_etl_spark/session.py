@@ -52,6 +52,31 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def find_jdbc_jar() -> str | None:
+    """Locate a JDBC driver jar for the parallel staging writer
+    (sinks/jdbc_exec.spark_staging_writer). ``SPARK_GRAFT_JDBC_JAR``
+    wins; otherwise glob the standard coursier / ivy local caches for
+    the public Maven DuckDB or SQLite JDBC artifacts. Returns None in a
+    jarless environment (the staging-writer test then skips with
+    reason)."""
+    import glob
+
+    env = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    if env and os.path.exists(env):
+        return env
+    home = os.path.expanduser("~")
+    for pat in (
+        f"{home}/.cache/coursier/**/duckdb_jdbc*.jar",
+        f"{home}/.cache/coursier/**/sqlite-jdbc*.jar",
+        f"{home}/.ivy2/**/duckdb_jdbc*.jar",
+        f"{home}/.ivy2/**/sqlite-jdbc*.jar",
+    ):
+        hits = sorted(glob.glob(pat, recursive=True))
+        if hits:
+            return hits[0]
+    return None
+
+
 def get_spark(
     app_name: str = "ffi-export-etl-spark",
     master: str | None = None,
@@ -77,6 +102,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    jdbc_jar = find_jdbc_jar()
+    if jdbc_jar:
+        # puts the driver class on the session classpath so
+        # spark_staging_writer (df.write.jdbc) can execute end-to-end
+        builder = builder.config("spark.jars", jdbc_jar)
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

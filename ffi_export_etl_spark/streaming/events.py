@@ -65,7 +65,14 @@ def stage_with_late_filler(path: str) -> str:
     d = tempfile.mkdtemp(prefix="stream_src_wm_")
     real = os.path.abspath(path)
     if os.path.isdir(real):
-        inner = [f for f in os.listdir(real) if f.endswith(".parquet")]
+        # sorted => the probed file is deterministic; all part files of
+        # one table share a schema, so any one is representative
+        inner = sorted(f for f in os.listdir(real) if f.endswith(".parquet"))
+        if not inner:
+            raise ValueError(
+                f"no .parquet files under {real!r} — cannot probe the "
+                "events ts physical type"
+            )
         ts_type = pq.read_schema(os.path.join(real, inner[0])).field("ts").type
     else:
         ts_type = pq.read_schema(real).field("ts").type

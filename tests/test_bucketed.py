@@ -91,3 +91,68 @@ def test_signature_store_disk_roundtrip_incremental(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS sig_store_b")
     assert from_disk == in_memory
     assert from_disk  # the split corpus actually produces candidates
+
+
+def test_simhash_store_disk_roundtrip_incremental(spark, sf_small):
+    """simhash signature store written bucketed on (chunk, val), read
+    back, incremental pairs against the ON-DISK store == in-memory."""
+    from ffi_export_etl_spark.operators.simhash import (
+        incremental_simhash_pairs,
+        simhash_signature_store,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    stored_docs = d.filter(F.col("doc_id") % 5 != 0)
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    stored = simhash_signature_store(stored_docs, "doc_id", "text")
+    newb = simhash_signature_store(new_docs, "doc_id", "text")
+    in_memory = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in incremental_simhash_pairs(newb, stored).collect()
+    }
+
+    write_bucketed(stored, "simhash_store_b", ["chunk", "val"], 8)
+    try:
+        from_disk = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in incremental_simhash_pairs(
+                newb, spark.table("simhash_store_b")
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS simhash_store_b")
+    assert from_disk == in_memory
+
+
+def test_signlsh_store_disk_roundtrip_incremental(spark, sf_small):
+    """sign-LSH signature store written bucketed on (band, bucket), read
+    back, incremental candidates against the ON-DISK store == in-memory
+    (minhash.incremental_candidate_pairs is the shared join)."""
+    from ffi_export_etl_spark.operators.minhash import (
+        incremental_candidate_pairs,
+    )
+    from ffi_export_etl_spark.operators.similarity import (
+        signlsh_signature_store,
+    )
+
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    stored_vecs = e.filter(F.col("vec_id") % 5 != 0)
+    new_vecs = e.filter(F.col("vec_id") % 5 == 0)
+    stored = signlsh_signature_store(stored_vecs, 64)
+    newb = signlsh_signature_store(new_vecs, 64)
+    in_memory = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_candidate_pairs(newb, stored).collect()
+    }
+
+    write_bucketed(stored, "signlsh_store_b", ["band", "bucket"], 8)
+    try:
+        from_disk = {
+            (r["id_a"], r["id_b"])
+            for r in incremental_candidate_pairs(
+                newb, spark.table("signlsh_store_b")
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS signlsh_store_b")
+    assert from_disk == in_memory

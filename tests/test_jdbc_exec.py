@@ -125,23 +125,56 @@ def test_dbapi_placeholder_follows_paramstyle():
 
 def test_spark_staging_writer_executes_when_jar_present(spark, tmp_path):
     """The scale-path staging writer (df.write.jdbc from executors) runs
-    end-to-end whenever a JDBC driver jar is on the Spark classpath; in a
-    jarless sandbox this skips WITH REASON instead of silently passing.
-    COVERAGE.md section 2.1 S7 documents the sandbox limitation."""
+    end-to-end whenever a JDBC driver jar is on the Spark classpath
+    (session.find_jdbc_jar discovers DuckDB/SQLite JDBC jars and
+    get_spark adds them via spark.jars); in a jarless sandbox this skips
+    WITH REASON instead of silently passing. COVERAGE.md section 2.1 S7
+    documents the limitation."""
     import pytest
 
     from ffi_export_etl_spark.sinks.jdbc_exec import spark_staging_writer
 
-    try:
-        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
-    except Exception:
+    candidates = [
+        ("org.sqlite.JDBC", f"jdbc:sqlite:{tmp_path / 'staging.db'}"),
+        ("org.duckdb.DuckDBDriver", f"jdbc:duckdb:{tmp_path / 'staging.duckdb'}"),
+    ]
+    loader = spark._jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+    found = None
+    for cls, url in candidates:
+        try:
+            spark._jvm.java.lang.Class.forName(cls, False, loader)
+            found = (cls, url)
+            break
+        except Exception:
+            continue
+    if found is None:
         pytest.skip(
             "no JDBC driver jar on the Spark classpath (sandbox); "
             "spark_staging_writer is executed when one is present"
         )
-    url = f"jdbc:sqlite:{tmp_path / 'staging.db'}"
-    props = {"driver": "org.sqlite.JDBC"}
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "id: int, v: string")
+    cls, url = found
+    props = {"driver": cls}
+    if cls == "org.duckdb.DuckDBDriver":
+        # Spark ships no DuckDB dialect, so its tableExists probe cannot
+        # classify DuckDB's "table does not exist" SQLException and
+        # rethrows it. Pre-create the staging table (overwrite mode then
+        # drops and recreates it through the normal path) — a
+        # DuckDB-classification gap, not a writer limitation; real
+        # deployments (postgres/sqlserver dialects) classify fine.
+        jvm = spark._jvm
+        drv = jvm.java.lang.Class.forName(cls, True, loader).newInstance()
+        conn = drv.connect(url, jvm.java.util.Properties())
+        try:
+            st = conn.createStatement()
+            st.execute("CREATE TABLE IF NOT EXISTS staging_t (id INTEGER, v TEXT)")
+            st.close()
+        finally:
+            conn.close()
+    # single partition: one writer connection (DuckDB is same-process
+    # multi-connection but the 2-row fixture gains nothing from fan-in)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: int, v: string"
+    ).coalesce(1)
     spark_staging_writer(url, props)("staging_t", df)
     back = spark.read.jdbc(url, "staging_t", properties=props)
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}

@@ -484,6 +484,69 @@ def test_incremental_minhash_matches_full_recompute(spark, sf_oracle):
     assert inc  # the split corpus actually produces candidates
 
 
+def test_incremental_simhash_matches_full_recompute(spark, sf_oracle):
+    """The simhash clone of the minhash daily-increment shape: pairs from
+    new x stored + new x new store joins equal the full recompute
+    restricted to pairs involving a new id — and verification runs on
+    store columns alone (stored docs never re-fingerprinted)."""
+    from ffi_export_etl_spark.operators.simhash import (
+        incremental_simhash_pairs,
+        simhash_near_duplicates,
+        simhash_signature_store,
+    )
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    stored_docs = d.filter(F.col("doc_id") % 5 != 0)
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    stored = simhash_signature_store(stored_docs, "doc_id", "text")
+    newb = simhash_signature_store(new_docs, "doc_id", "text")
+
+    inc = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in incremental_simhash_pairs(newb, stored).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(d, "doc_id", "text").collect()
+    }
+    involving_new = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == involving_new
+    assert inc  # the split corpus actually produces pairs
+
+
+def test_incremental_signlsh_matches_full_recompute(spark, sf_oracle):
+    """The sign-LSH store emits (id, band, bucket) exactly like the
+    minhash store, so minhash.incremental_candidate_pairs IS the
+    incremental join — candidates equal the one-shot banded pairs
+    restricted to pairs involving a new id (same combined-population
+    bucket cap)."""
+    from ffi_export_etl_spark.operators.minhash import (
+        incremental_candidate_pairs,
+    )
+    from ffi_export_etl_spark.operators.similarity import (
+        lsh_banded_pairs,
+        signlsh_signature_store,
+    )
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    stored_vecs = e.filter(F.col("vec_id") % 5 != 0)
+    new_vecs = e.filter(F.col("vec_id") % 5 == 0)
+    stored = signlsh_signature_store(stored_vecs, 64)
+    newb = signlsh_signature_store(new_vecs, 64)
+
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_candidate_pairs(newb, stored).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_banded_pairs(e, 64).collect()
+    }
+    involving_new = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == involving_new
+    assert inc  # the split corpus actually produces candidates
+
+
 def test_profile_table_one_pass(spark):
     from ffi_export_etl_spark.operators.profile import profile_table
 
