@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .spread import spread_per_doc
+
 
 def tokens(text: Column) -> Column:
     return F.split(text, r"\s+")
@@ -48,18 +50,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) long table, one row per distinct shingle per doc.
 
-    Repartitions by id first: document corpora often arrive as few large
-    files (locally: ONE parquet file -> one partition), and shingling is
-    the CPU-heavy step — without the spread it runs on one core. At scale
-    the same holds after heavy upstream filters; AQE coalesces if the
-    shuffle is unnecessary.
+    Adaptively repartitions by id first (operators/spread.py): document
+    corpora often arrive locally as ONE parquet file -> one partition,
+    and shingling is the CPU-heavy step — without the spread it runs on
+    one core. On a many-file corpus the spread is skipped and the raw
+    text is never shuffled (candidate joins shuffle by shingle, not id).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
     # Two-step projection: materialize the token array ONCE, then build
     # shingles from the attribute — word_shingles references its input
     # n+1 times, and CollapseProject keeps the split un-inlined only when
     # it is already a separate multi-referenced alias.
-    toks = docs.repartition(par, F.col(id_col)).select(
+    toks = spread_per_doc(docs, id_col).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
     )
     length = F.greatest(F.size("_toks") - (n - 1), F.lit(0))

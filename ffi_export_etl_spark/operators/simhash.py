@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.porthash import md5_long
+from .spread import spread_per_doc
 
 BITS = 60  # 15 hex chars of md5 -> non-negative BIGINT in every engine
 CHUNKS = 4  # 15-bit chunks; pigeonhole covers max_hamming <= 3
@@ -56,8 +57,7 @@ def simhash_fingerprints(
     intermediate stays under 2^63 (ANSI-overflow-safe, see lane constants
     above). Bit b of the fingerprint is set iff 2*count_b >= n_tokens
     (identically the sign of the +1/-1 sum the oracle computes)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(par, F.col(id_col)).select(
+    toks = spread_per_doc(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.slice(

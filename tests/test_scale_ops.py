@@ -132,3 +132,42 @@ def test_alternating_cc_matches_label_propagation(spark):
     }
     assert a == b
     assert (1, 1) in a and (33, 30) in a
+
+
+def test_spread_skipped_on_many_file_scan(spark, tmp_path):
+    """operators/spread.py: the per-doc pre-spread must be the identity
+    when the backing scan already has enough input files — at 100 TB the
+    repartition would shuffle the full raw text for nothing (the groupBy
+    only needs the map-side-combined partials). Pinned three ways: the
+    helper returns the input unchanged on a many-file scan, the simhash
+    plan over that scan contains exactly ONE exchange (the partial-agg
+    shuffle, carrying packed sums, not text), and fingerprints are
+    identical whether the corpus arrives as 1 file or 32."""
+    from ffi_export_etl_spark.operators.simhash import simhash_fingerprints
+    from ffi_export_etl_spark.operators.spread import spread_per_doc
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta gamma tok{i % 3} delta") for i in range(200)],
+        "doc_id: long, text: string",
+    )
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    docs.coalesce(1).write.parquet(one)
+    docs.repartition(32).write.parquet(many)
+    par = spark.sparkContext.defaultParallelism
+
+    d_one, d_many = spark.read.parquet(one), spark.read.parquet(many)
+    assert spread_per_doc(d_many, "doc_id", min_partitions=min(par, 32)) is d_many
+    assert spread_per_doc(d_one, "doc_id") is not d_one
+
+    plan = (
+        simhash_fingerprints(d_many, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    fp = lambda d: {
+        (r["id"], r["simhash"])
+        for r in simhash_fingerprints(d, "doc_id", "text").collect()
+    }
+    assert fp(d_one) == fp(d_many)
