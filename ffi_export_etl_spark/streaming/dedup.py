@@ -1,0 +1,116 @@
+"""Continuous-ingest near-duplicate detection: the incremental MinHash
+signature store (operators/minhash.py:138-198) driven by Structured
+Streaming.
+
+The daily-increment batch shape generalizes to a stream: each
+micro-batch of newly-arrived documents is sketched ONCE, joined against
+the persisted (id, band, bucket) index for candidates involving anything
+seen before, and then appended to that index — stored x stored is never
+re-paired, and no stored document is ever re-read or re-sketched. At
+100 TB this is the shape that keeps dedup cost proportional to the
+ARRIVAL rate instead of the corpus size.
+
+Exactly-once contract (same discipline as the event ingest in
+tests/test_streaming.py): Structured Streaming may re-run a micro-batch
+after a failure, so both sinks are written partitioned by batch_id with
+dynamic partition overwrite — a replayed batch overwrites its own
+partition instead of appending a duplicate. Within one run, micro-batches
+execute serially, so the store a batch joins against contains exactly
+the batches before it; the union of per-batch candidate pairs over any
+file arrival order equals the one-shot LSH candidate set (every pair
+(a, b) is emitted by whichever batch processes the LATER of the two
+docs — the earlier one is by then stored, or they share a batch).
+Pinned by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.minhash import (
+    incremental_candidate_pairs,
+    minhash_signature_store,
+)
+
+def _read_store(
+    spark: SparkSession, store_path: str, like: DataFrame
+) -> DataFrame:
+    """The signature index accumulated by prior micro-batches (empty on
+    the first batch, schema borrowed from the current batch's index). At
+    scale the store is bucketed by (band, bucket); here it is plain
+    parquet partitioned by batch_id."""
+    if os.path.isdir(store_path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(store_path)
+    ):
+        return spark.read.parquet(store_path).select("id", "band", "bucket")
+    return spark.createDataFrame([], like.select("id", "band", "bucket").schema)
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Drain ``source_dir`` (parquet doc files) with availableNow,
+    emitting candidate near-dup pairs to ``pairs_path`` and growing the
+    signature store at ``store_path``. Returns the finished query.
+
+    ``max_bucket_size=None`` by default: the cap is computed against the
+    store-so-far, which drifts from the one-shot population while the
+    corpus is still arriving; callers who want the cap at steady state
+    pass it explicitly.
+    """
+    schema = spark.read.parquet(source_dir).schema  # footer-only probe
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bs = batch.sparkSession
+        prev = bs.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        bs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            new_banded = minhash_signature_store(
+                batch, id_col, text_col, n=n, num_perm=num_perm, bands=bands
+            ).localCheckpoint()  # sketch ONCE; feeds the join and the sink
+            stored = _read_store(bs, store_path, new_banded)
+            pairs = incremental_candidate_pairs(
+                new_banded, stored, max_bucket_size=max_bucket_size
+            )
+            (
+                pairs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(pairs_path)
+            )
+            (
+                new_banded.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(store_path)
+            )
+        finally:
+            bs.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

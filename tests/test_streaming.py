@@ -332,3 +332,88 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # resume: ONLY the new file's rows flow through the second run
     assert sum(n for r, _, n in processed if r == 2) == 40
     assert spark.read.parquet(target).count() == 140
+
+
+def _dedup_corpus(spark):
+    """30 docs in 3 arrival waves with planted near-dups WITHIN and
+    ACROSS waves (doc i and i+100 share 9 of 10 tokens)."""
+    rows = []
+    for i in range(15):
+        base = " ".join(f"w{i}_{j}" for j in range(10))
+        rows.append((i, base))
+        rows.append((i + 100, base.rsplit(" ", 1)[0] + " tail"))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_streaming_incremental_dedup_equals_one_shot(spark, tmp_path):
+    """streaming/dedup.py: draining the corpus file-by-file through the
+    foreachBatch signature store must land EXACTLY the one-shot LSH
+    candidate set — every pair is emitted by whichever micro-batch sees
+    the later doc (the earlier is stored by then, or same-batch), and
+    stored x stored is never re-paired."""
+    from ffi_export_etl_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        minhash_signature_store,
+        signatures_from_shingles,
+    )
+    from ffi_export_etl_spark.operators.shingles import shingle_table
+    from ffi_export_etl_spark.streaming.dedup import streaming_incremental_dedup
+
+    docs = _dedup_corpus(spark)
+    src = str(tmp_path / "src")
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1); each wave is
+    # written separately so every file is non-empty
+    import os
+
+    os.makedirs(src)
+    for w in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == w).coalesce(1)
+        wdir = str(tmp_path / f"wave{w}")
+        wave.write.parquet(wdir)
+        part = next(
+            e for e in os.listdir(wdir) if e.endswith(".parquet")
+        )
+        os.rename(os.path.join(wdir, part), os.path.join(src, f"w{w}.parquet"))
+
+    streaming_incremental_dedup(
+        spark,
+        src,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    sigs = signatures_from_shingles(shingle_table(docs, "doc_id", "text"))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
+    }
+    assert got == want and len(want) >= 15
+
+    # the store holds every doc's banded signatures exactly once, and
+    # three batch partitions exist (serial micro-batches)
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.select("batch_id").distinct().count() == 3
+    full = minhash_signature_store(docs, "doc_id", "text")
+    assert store.count() == full.count()
+    assert store.select("id").distinct().count() == 30
+
+    # exactly-once: a fresh-checkpoint replay overwrites each batch_id
+    # partition instead of appending — pair set and store are unchanged
+    streaming_incremental_dedup(
+        spark,
+        src,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert again == want
+    assert spark.read.parquet(str(tmp_path / "store")).count() == full.count()
