@@ -96,3 +96,58 @@ def stratified_take(
         .filter(F.col("_rk") <= n_per_label)
         .drop("_rk")
     )
+
+
+def split_train_val_test(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive train/val/test assignment:
+    adds a ``split`` column ('train' | 'val' | 'test') decided by where
+    the key's md5 hash falls in the hash space — [0, val) -> val,
+    [val, val+test) -> test, rest -> train.
+
+    Every row gets exactly one split (NULL keys via NULL_KEY_SENTINEL),
+    the assignment survives repartitioning/retries/engines, and because
+    the SAME hash axis drives hash_sample, a row in
+    hash_sample(df, key, f, salt) with f <= val_fraction is guaranteed
+    to sit in the val split — nested-subset audits stay possible.
+    One scan, no shuffle, SQL-replayable.
+    """
+    if val_fraction < 0 or test_fraction < 0:
+        raise ValueError("fractions must be >= 0")
+    if val_fraction + test_fraction > 1:
+        raise ValueError("val_fraction + test_fraction must be <= 1")
+    h = _key_hash(key_col, salt)
+    val_t = int(val_fraction * (1 << 60))
+    test_t = int((val_fraction + test_fraction) * (1 << 60))
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(val_t), F.lit("val"))
+        .when(h < F.lit(test_t), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "", num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: sort by
+    the key's salted md5 hash (tiebreak on the key itself so exact-dup
+    keys still order totally). The order is a pure function of (keys,
+    salt) — any cluster, any partitioning, any engine lands the same
+    sequence, and a different salt is a fresh epoch-style reshuffle.
+
+    Spark executes orderBy as a range-partitioned sort: sampled range
+    boundaries, then a per-partition sort — no single-partition
+    bottleneck. ``num_partitions`` sizes the output files
+    (repartitionByRange on the same axis keeps the global order).
+    """
+    h = _key_hash(key_col, salt)
+    if num_partitions is not None:
+        df = df.repartitionByRange(num_partitions, h.asc(), F.col(key_col).asc())
+        return df.sortWithinPartitions(h.asc(), F.col(key_col).asc())
+    return df.orderBy(h.asc(), F.col(key_col).asc())

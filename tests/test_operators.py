@@ -891,3 +891,51 @@ def test_extract_domain_and_blocklist(spark):
         for r in filter_blocked_domains(docs, blocklist_df=bdf).collect()
     }
     assert kept2 == kept
+
+
+def test_split_train_val_test_disjoint_exhaustive_stable(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.sampling import (
+        hash_sample,
+        split_train_val_test,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    out = split_train_val_test(docs, "doc_id", 0.1, 0.05)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # exhaustive + disjoint: every row in exactly one split
+    assert sum(counts.values()) == n
+    # proportions within loose tolerance at sf0.01 (500 docs)
+    assert abs(counts.get("val", 0) / n - 0.10) < 0.05
+    assert abs(counts.get("test", 0) / n - 0.05) < 0.04
+    # stable under repartitioning
+    again = {
+        (r["doc_id"], r["split"])
+        for r in split_train_val_test(docs.repartition(13), "doc_id", 0.1, 0.05)
+        .select("doc_id", "split").collect()
+    }
+    first = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    assert first == again
+    # same hash axis as hash_sample: a 0.1 Bernoulli sample at the same
+    # salt is EXACTLY the val split
+    sampled = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    val = {r["doc_id"] for r in out.filter("split = 'val'").collect()}
+    assert sampled == val
+
+
+def test_deterministic_shuffle_stable_and_salt_varies(spark, sf_oracle):
+    from ffi_export_etl_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select("doc_id")
+    a = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").collect()]
+    b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs.repartition(7), "doc_id").collect()
+    ]
+    assert a == b and a != sorted(a)
+    c = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id", salt="ep2").collect()]
+    assert c != a and sorted(c) == sorted(a)
+    # partition-sized variant preserves the identical global order
+    d_parts = deterministic_shuffle(docs, "doc_id", num_partitions=5)
+    assert [r["doc_id"] for r in d_parts.collect()] == a
