@@ -16,6 +16,7 @@ from ..functions.porthash import MERSENNE31, duck_md5_long
 from ..operators.sampling import (
     NULL_KEY_SENTINEL,
     hash_sample,
+    split_train_val_test,
     stratified_take,
     weighted_sample,
 )
@@ -28,15 +29,22 @@ STRAT_N = 5
 # the default — exercises both paths of weighted_sample
 MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 MIX_DEFAULT = 0.05
+SPLIT_VAL = 0.1
+SPLIT_TEST = 0.05
+SPLIT_VAL_T = int(SPLIT_VAL * (1 << 60))
+SPLIT_TEST_T = int((SPLIT_VAL + SPLIT_TEST) * (1 << 60))
 
 
 def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three samplers union-tagged into one driver row: a deterministic
-    25% Bernoulli sample of documents (hash_sample — one scan, no
-    shuffle), an exact 5-per-label stratified take of embeddings
-    (stratified_take — one label-partitioned window), and a per-source
-    data-mixture sample of documents (weighted_sample — per-group rates
-    via a CASE threshold, no join, no shuffle)."""
+    """Four sampling surfaces union-tagged into one driver row: a
+    deterministic 25% Bernoulli sample of documents (hash_sample — one
+    scan, no shuffle), an exact 5-per-label stratified take of
+    embeddings (stratified_take — one label-partitioned window), a
+    per-source data-mixture sample of documents (weighted_sample —
+    per-group rates via a CASE threshold, no join, no shuffle), and the
+    full train/val/test assignment (split_train_val_test — every doc
+    tagged split_train/val/test on the same hash axis, disjoint and
+    exhaustive by construction)."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     bern = hash_sample(d, "doc_id", SAMPLE_FRACTION).select(
@@ -56,7 +64,12 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("k"),
         F.lit(None).cast("int").alias("label"),
     )
-    return bern.unionByName(strat).unionByName(mix)
+    spl = split_train_val_test(d, "doc_id", SPLIT_VAL, SPLIT_TEST).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("kind"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    return bern.unionByName(strat).unionByName(mix).unionByName(spl)
 
 
 QUERIES = {"samp_pack": samp_pack}
@@ -104,5 +117,14 @@ ORACLE = {
                   {_MIX_WHEN}
                   ELSE {int(MIX_DEFAULT * (1 << 60))}
               END
+        UNION ALL
+        SELECT 'split_' || (CASE WHEN h < {SPLIT_VAL_T} THEN 'val'
+                                 WHEN h < {SPLIT_TEST_T} THEN 'test'
+                                 ELSE 'train' END),
+               doc_id, CAST(NULL AS INTEGER)
+        FROM (
+            SELECT doc_id, {_KEY_HASH.format(key="doc_id")} AS h
+            FROM documents
+        )
     """,
 }
