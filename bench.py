@@ -87,6 +87,15 @@ def main() -> None:
 
         ffi = bench_ffi(spark, ffi_plan)
 
+    # The composed curation pipeline (cur_e2e) is timed OUTSIDE the
+    # headline total: it entered the registry in r4, and folding it into
+    # "value" would break round-over-round comparability. Recorded as
+    # its own field instead.
+    t0 = time.perf_counter()
+    n_cur = queries["cur_e2e"](spark, sf_dir).count()
+    cur_e2e_sec = round(time.perf_counter() - t0, 3)
+    print(f"# cur_e2e: {cur_e2e_sec:.3f}s ({n_cur} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -99,6 +108,7 @@ def main() -> None:
     }
     if ffi is not None:
         out["ffi_batch"] = ffi
+    out["cur_e2e"] = cur_e2e_sec
     print(json.dumps(out))
     spark.stop()
 

@@ -115,3 +115,25 @@ def test_curate_documents_blocklist_and_decontamination(spark):
         benchmark=bench,
     ).collect()
     assert {r["id"] for r in out} == {1}
+
+
+def test_persist_intermediates_equivalent(spark):
+    """The persisted-boundary fast path must land the identical result
+    as the pure-lazy plan (persist is a performance choice, never a
+    semantic one)."""
+    from ffi_export_etl_spark.plans.curation import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (i, "s" + str(i % 2), " ".join(f"w{i}_{j}" for j in range(30)))
+            for i in range(40)
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    rows = lambda persist: {
+        tuple(r)
+        for r in curate_documents(
+            docs, min_words=5, persist_intermediates=persist
+        ).collect()
+    }
+    assert rows(True) == rows(False)
