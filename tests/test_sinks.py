@@ -3,7 +3,10 @@ count-delta audit, parquet upsert, processed-file ledger."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
+from pyspark.sql import functions as F
 
 from ffi_export_etl_spark.sinks.files import ProcessedLedger, parquet_upsert
 from ffi_export_etl_spark.sinks.jdbc_merge import (
@@ -130,3 +133,54 @@ def test_csv_dump_debug_sink(spark, tmp_path):
         ("P1", 1),
         ("P2", 2),
     ]
+
+
+def test_write_training_shards_order_and_manifest(spark, tmp_path):
+    """sinks/shards.py: filename-ordered shards reproduce the exact
+    deterministic_shuffle stream, every shard respects rows_per_shard,
+    and the manifest's per-file counts/key-ranges match the data."""
+    from ffi_export_etl_spark.operators.sampling import deterministic_shuffle
+    from ffi_export_etl_spark.sinks.shards import write_training_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload")
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, out, "doc_id", rows_per_shard=40, num_partitions=4
+    ).collect()
+
+    # shards stream back (filename order) as the exact shuffle order
+    import glob as _glob
+
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    assert len(files) == len(manifest) and len(files) >= 12
+    streamed = []
+    for f in files:
+        part = spark.read.parquet(f).collect()
+        assert len(part) <= 40
+        streamed.extend(r["doc_id"] for r in part)
+    want = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df, "doc_id").collect()
+    ]
+    assert streamed == want
+
+    # manifest rows line up with the files
+    by_file = {m["file"]: m for m in manifest}
+    assert set(by_file) == {os.path.basename(f) for f in files}
+    assert sum(m["n_rows"] for m in manifest) == 500
+    first = by_file[os.path.basename(files[0])]
+    assert first["first_key"] == want[0]
+    last = by_file[os.path.basename(files[-1])]
+    assert last["last_key"] == want[-1]
+
+    # rewrite is idempotent: same shard contents in the same stream
+    # order (filenames carry a fresh job uuid, so compare content)
+    manifest2 = write_training_shards(
+        df, out, "doc_id", rows_per_shard=40, num_partitions=4
+    ).collect()
+    content = lambda ms: [
+        (m["n_rows"], m["first_key"], m["last_key"]) for m in ms
+    ]
+    assert content(manifest2) == content(manifest)

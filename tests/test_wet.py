@@ -3,6 +3,7 @@ text datasource lineSep, native header extraction, gz segment globs."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 
 
 def _wet_bytes() -> bytes:
@@ -83,3 +84,77 @@ def test_read_wet_gzip_segments_glob(spark, tmp_path):
     df = read_wet(spark, str(tmp_path / "*.warc.wet.gz"))
     assert df.count() == 4
     assert df.filter(df.text.contains("second paragraph")).count() == 2
+
+
+def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
+    """The full arrival-to-training story on one synthetic crawl: WET
+    segments -> read_wet -> curate_documents (blocklist + near-dup +
+    quality + packing) -> write_training_shards. Pins that the composed
+    path holds together: blocklisted domain gone, dup collapsed to one
+    keeper, every surviving doc packed and sharded in a reproducible
+    stream order."""
+    import glob as _glob
+
+    from ffi_export_etl_spark.plans.curation import curate_documents
+    from ffi_export_etl_spark.sinks.shards import write_training_shards
+    from ffi_export_etl_spark.sources.wet import read_wet
+
+    def rec(url: str, body: str) -> bytes:
+        b = body.encode()
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2024-06-01T00:00:00Z\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{url}>\r\n".encode()
+            + f"Content-Length: {len(b)}\r\n".encode()
+            + b"\r\n"
+            + b
+        )
+
+    good = [
+        rec(
+            f"https://site{i}.example/page",
+            " ".join(f"doc{i} token{j} word{i}_{j}" for j in range(12)),
+        )
+        for i in range(8)
+    ]
+    dup = rec("https://site0.example/copy", " ".join(
+        f"doc0 token{j} word0_{j}" for j in range(12)))
+    blocked = rec("https://spam.bad/x", "blocked " * 40)
+    wet = b"\r\n\r\n".join(good + [dup, blocked]) + b"\r\n\r\n"
+    (tmp_path / "crawl.warc.wet").write_bytes(wet)
+
+    # id must be DETERMINISTIC (content-derived): the curation plan
+    # re-reads its input from several branches, and a nondeterministic
+    # id (monotonically_increasing_id) would reshuffle between them
+    docs = read_wet(spark, str(tmp_path / "crawl.warc.wet")).select(
+        F.crc32(F.col("url")).alias("doc_id"),
+        F.col("url"),
+        F.lit("crawl").alias("source"),
+        F.col("text"),
+    )
+    curated = curate_documents(
+        docs,
+        min_words=10,
+        url_col="url",
+        domain_blocklist=["spam.bad"],
+        capacity=64,
+    )
+    rows = curated.collect()
+    texts = [r["text"] for r in rows]
+    # 10 records in; spam.bad blocklisted, the site0 copy collapses into
+    # doc0's cluster -> 8 distinct survivors, doc0 exactly once
+    assert len(rows) == 8
+    assert not any("blocked" in t for t in texts)
+    assert sum("doc0" in t for t in texts) == 1
+
+    manifest = write_training_shards(
+        curated.drop("url"), str(tmp_path / "shards"), "id",
+        rows_per_shard=4, num_partitions=2,
+    ).collect()
+    assert sum(m["n_rows"] for m in manifest) == 8
+    files = sorted(_glob.glob(str(tmp_path / "shards") + "/part-*.parquet"))
+    assert all(
+        len(spark.read.parquet(f).collect()) <= 4 for f in files
+    )
