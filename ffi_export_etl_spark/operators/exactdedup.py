@@ -1,0 +1,73 @@
+"""Incremental EXACT dedup — the content-hash counterpart of the three
+sketch-family signature stores (minhash / simhash / sign-LSH, see
+operators/minhash.py:138-198).
+
+The store is (id, key) with key = md5 of the UTF-8 text — the same
+digest the registered exact path (queries/dedup_q.dedup_exact_pack)
+groups by. A new batch joins the store on the digest: one shuffle on a
+16-byte key, never re-reading or re-hashing stored documents. At scale
+the store is written bucketed by key so the increment join co-locates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_signature_store(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, key) — the persistable content-hash index of a corpus."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("key"),
+    )
+
+
+def incremental_exact_pairs(
+    new_docs: DataFrame,
+    stored: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, key) exact-duplicate pairs INVOLVING the new batch:
+    new x stored via the digest join plus new x new within the batch —
+    stored x stored never re-pairs (same contract as the sketch
+    increments)."""
+    nw = exact_signature_store(new_docs, id_col, text_col)
+    cross = nw.alias("n").join(stored.alias("s"), "key").select(
+        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
+        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
+        "key",
+    ).filter(F.col("id_a") != F.col("id_b"))
+    within = nw.alias("n").join(nw.alias("m"), "key").select(
+        F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b"), "key"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return cross.unionByName(within).distinct()
+
+
+def drop_known_duplicates(
+    new_docs: DataFrame,
+    stored: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ingest-time use: keep only new docs whose content was never
+    seen — not in the store, and the min-id representative of any digest
+    repeated within the batch itself. One digest shuffle + one anti-join;
+    schema-preserving."""
+    key = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    keyed = new_docs.withColumn("_key", key)
+    w = Window.partitionBy("_key").orderBy(F.col(id_col))
+    batch_first = keyed.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    return (
+        batch_first.join(
+            stored.select(F.col("key").alias("_key")).distinct(),
+            "_key",
+            "left_anti",
+        )
+        .drop("_key", "_rk")
+    )

@@ -51,6 +51,7 @@ def semdedup_pairs(
     iters: int = 2,
     max_cell_size: int | None = DEFAULT_MAX_CELL,
     round_digits: int = 6,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cell, cos) — within-cell pairs with cosine >=
     threshold, id_a < id_b.
@@ -58,12 +59,15 @@ def semdedup_pairs(
     ``max_cell_size`` drops over-full cells from pair generation (a
     degenerate clustering then under-deduplicates instead of going
     quadratic); size k so expected cell size corpus/k stays well under
-    it, and raise k as the corpus grows.
+    it, and raise k as the corpus grows. Pass a precomputed ``cells``
+    (id, cell) to reuse a persisted assignment across runs/thresholds
+    instead of re-running Lloyd.
     """
-    cells = lloyd_cells(
-        vectors, dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits,
-    )
+    if cells is None:
+        cells = lloyd_cells(
+            vectors, dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        )
     v = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).join(cells, "id")

@@ -88,3 +88,22 @@ def test_cell_cap_skips_degenerate_cells(spark):
         semdedup_pairs(vecs, DIM, k=1, threshold=0.5, max_cell_size=2).count()
         == 0
     )
+
+
+def test_semdedup_pair_join_is_equi_on_cell(spark):
+    """The within-cell join must plan as an equi-join on cell — never a
+    cartesian/nested-loop product (the thing the clustering exists to
+    avoid). Asserted on the pair stage in isolation via a precomputed
+    cells table (lloyd_cells itself legitimately uses a k-row broadcast
+    nested loop to scatter each vector against the tiny centroid set)."""
+    vecs = _corpus(spark)
+    cells = spark.createDataFrame(
+        [(r["vec_id"], int(r["vec_id"] % 3)) for r in vecs.collect()],
+        "id: long, cell: int",
+    )
+    plan = (
+        semdedup_pairs(vecs, DIM, k=3, cells=cells)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
