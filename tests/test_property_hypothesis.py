@@ -206,3 +206,44 @@ def test_chunk_documents_reconstruction_property(spark, texts, chunk_tokens, ove
             ctoks = chunk.split(" ") if chunk else [""] if "" in toks else []
             rebuilt.extend(ctoks[overlap:] if j else ctoks)
         assert rebuilt == toks, (t, chunk_tokens, overlap, by_doc[i])
+
+
+# WET bodies: printable-ish text; the parser's one documented caveat is
+# a body containing the literal record boundary, so the strategy filters
+# it (and the header-terminating blank line can appear freely)
+WET_BODY = st.text(
+    alphabet="abcWARC/1.0 \n\r.é-", min_size=0, max_size=120
+).filter(lambda s: "\r\n\r\nWARC/1.0\r\n" not in (s + "\r\n\r\n"))
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(WET_BODY, min_size=1, max_size=12))
+def test_wet_roundtrip_property(spark, tmp_path_factory, bodies):
+    """Writing N records with arbitrary bodies and parsing them back
+    yields the same N bodies (modulo the trailing-newline padding the
+    record framing owns), each under its own URL."""
+    import re
+
+    from ffi_export_etl_spark.sources.wet import read_wet
+
+    d = tmp_path_factory.mktemp("wet")
+    recs = []
+    for i, body in enumerate(bodies):
+        b = body.encode()
+        recs.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: https://h{i}.example/p\r\n".encode()
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(b)}\r\n".encode()
+            + b"\r\n" + b
+        )
+    (d / "f.warc.wet").write_bytes(b"\r\n\r\n".join(recs) + b"\r\n\r\n")
+    got = {
+        r["url"]: r["text"] for r in read_wet(spark, str(d)).collect()
+    }
+    assert len(got) == len(bodies)
+    for i, body in enumerate(bodies):
+        want = re.sub(r"(\r?\n)+\Z", "", body)
+        assert got[f"https://h{i}.example/p"] == want, (i, body)
