@@ -25,6 +25,21 @@ def exact_signature_store(
     )
 
 
+def exact_pairs_from_stores(nw: DataFrame, stored: DataFrame) -> DataFrame:
+    """(id_a, id_b, key) pairs between an already-sketched new index and
+    the stored index (plus new x new): the store-level join, shared by
+    the batch increment and the streaming driver."""
+    cross = nw.alias("n").join(stored.alias("s"), "key").select(
+        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
+        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
+        "key",
+    ).filter(F.col("id_a") != F.col("id_b"))
+    within = nw.alias("n").join(nw.alias("m"), "key").select(
+        F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b"), "key"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return cross.unionByName(within).distinct()
+
+
 def incremental_exact_pairs(
     new_docs: DataFrame,
     stored: DataFrame,
@@ -35,16 +50,9 @@ def incremental_exact_pairs(
     new x stored via the digest join plus new x new within the batch —
     stored x stored never re-pairs (same contract as the sketch
     increments)."""
-    nw = exact_signature_store(new_docs, id_col, text_col)
-    cross = nw.alias("n").join(stored.alias("s"), "key").select(
-        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
-        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
-        "key",
-    ).filter(F.col("id_a") != F.col("id_b"))
-    within = nw.alias("n").join(nw.alias("m"), "key").select(
-        F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b"), "key"
-    ).filter(F.col("id_a") < F.col("id_b"))
-    return cross.unionByName(within).distinct()
+    return exact_pairs_from_stores(
+        exact_signature_store(new_docs, id_col, text_col), stored
+    )
 
 
 def drop_known_duplicates(

@@ -1,6 +1,8 @@
-"""Continuous-ingest near-duplicate detection: the incremental MinHash
-signature store (operators/minhash.py:138-198) driven by Structured
-Streaming.
+"""Continuous-ingest near-duplicate detection: the incremental signature
+stores driven by Structured Streaming — MinHash by default
+(operators/minhash.py:138-198), any store family via the pluggable
+``sketch``/``pair_fn`` hooks (exact content-hash ingest dedup pinned by
+test; simhash/sign-LSH stores satisfy the same contract).
 
 The daily-increment batch shape generalizes to a stream: each
 micro-batch of newly-arrived documents is sketched ONCE, joined against
@@ -42,11 +44,12 @@ def _read_store(
     the first batch, schema borrowed from the current batch's index). At
     scale the store is bucketed by (band, bucket); here it is plain
     parquet partitioned by batch_id."""
+    cols = [c for c in like.columns if c != "batch_id"]
     if os.path.isdir(store_path) and any(
         not e.startswith(("_", ".")) for e in os.listdir(store_path)
     ):
-        return spark.read.parquet(store_path).select("id", "band", "bucket")
-    return spark.createDataFrame([], like.select("id", "band", "bucket").schema)
+        return spark.read.parquet(store_path).select(*cols)
+    return spark.createDataFrame([], like.select(*cols).schema)
 
 
 def streaming_incremental_dedup(
@@ -62,6 +65,8 @@ def streaming_incremental_dedup(
     bands: int = 8,
     max_bucket_size: int | None = None,
     max_files_per_trigger: int = 1,
+    sketch=None,
+    pair_fn=None,
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow,
     emitting candidate near-dup pairs to ``pairs_path`` and growing the
@@ -71,21 +76,34 @@ def streaming_incremental_dedup(
     store-so-far, which drifts from the one-shot population while the
     corpus is still arriving; callers who want the cap at steady state
     pass it explicitly.
+
+    The store FAMILY is pluggable: ``sketch(batch) -> index rows`` and
+    ``pair_fn(new_index, stored_index) -> (id_a, id_b, ...)`` default to
+    the MinHash store, but any of the engine's signature stores slots in
+    — e.g. exact content-hash streaming ingest dedup is
+    ``sketch=lambda b: exact_signature_store(b, id, text)`` with
+    ``pair_fn=exact_pairs_from_stores`` (pinned by test), and the
+    simhash/sign-LSH stores follow the same contract.
     """
     schema = spark.read.parquet(source_dir).schema  # footer-only probe
+    if sketch is None:
+        sketch = lambda b: minhash_signature_store(  # noqa: E731
+            b, id_col, text_col, n=n, num_perm=num_perm, bands=bands
+        )
+    if pair_fn is None:
+        pair_fn = lambda nw, st: incremental_candidate_pairs(  # noqa: E731
+            nw, st, max_bucket_size=max_bucket_size
+        )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         bs = batch.sparkSession
         prev = bs.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         bs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            new_banded = minhash_signature_store(
-                batch, id_col, text_col, n=n, num_perm=num_perm, bands=bands
-            ).localCheckpoint()  # sketch ONCE; feeds the join and the sink
+            # sketch ONCE; feeds the join and the sink
+            new_banded = sketch(batch).localCheckpoint()
             stored = _read_store(bs, store_path, new_banded)
-            pairs = incremental_candidate_pairs(
-                new_banded, stored, max_bucket_size=max_bucket_size
-            )
+            pairs = pair_fn(new_banded, stored)
             (
                 pairs.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

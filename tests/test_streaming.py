@@ -417,3 +417,46 @@ def test_streaming_incremental_dedup_equals_one_shot(spark, tmp_path):
     }
     assert again == want
     assert spark.read.parquet(str(tmp_path / "store")).count() == full.count()
+
+
+def test_streaming_exact_ingest_dedup(spark, tmp_path):
+    """The pluggable store family: exact content-hash streaming dedup —
+    wave 2 repeats two of wave 1's texts and adds one in-batch dup; the
+    emitted pairs identify every repeat, and the store's never-seen keys
+    reconstruct the dedup decision."""
+    import os
+
+    from ffi_export_etl_spark.operators.exactdedup import (
+        exact_pairs_from_stores,
+        exact_signature_store,
+    )
+    from ffi_export_etl_spark.streaming.dedup import streaming_incremental_dedup
+
+    w1 = [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    w2 = [(10, "alpha"), (11, "beta"), (12, "delta"), (13, "delta")]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, rows in (("w1", w1), ("w2", w2)):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+            1
+        ).write.parquet(d)
+        part = next(e for e in os.listdir(d) if e.endswith(".parquet"))
+        os.rename(os.path.join(d, part), os.path.join(src, f"{name}.parquet"))
+
+    streaming_incremental_dedup(
+        spark,
+        src,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        sketch=lambda b: exact_signature_store(b, "doc_id", "text"),
+        pair_fn=exact_pairs_from_stores,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert pairs == {(1, 10), (2, 11), (12, 13)}
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 7 and store.select("key").distinct().count() == 4
