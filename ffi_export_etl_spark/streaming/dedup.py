@@ -14,9 +14,11 @@ ARRIVAL rate instead of the corpus size.
 
 Exactly-once contract (same discipline as the event ingest in
 tests/test_streaming.py): Structured Streaming may re-run a micro-batch
-after a failure, so both sinks are written partitioned by batch_id with
-dynamic partition overwrite — a replayed batch overwrites its own
-partition instead of appending a duplicate. Within one run, micro-batches
+after a failure, so each batch overwrites its own ``batch_id=N``
+subdirectory (Hive-partition layout, so the roots read back with
+batch_id as a partition column) — a replayed batch overwrites itself
+instead of appending a duplicate, and the non-partitioned per-subdir
+write leaves a schema-carrying file even for an empty batch. Within one run, micro-batches
 execute serially, so the store a batch joins against contains exactly
 the batches before it; the union of per-batch candidate pairs over any
 file arrival order equals the one-shot LSH candidate set (every pair
@@ -30,7 +32,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.minhash import (
     incremental_candidate_pairs,
@@ -97,27 +98,21 @@ def streaming_incremental_dedup(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         bs = batch.sparkSession
-        prev = bs.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        bs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # sketch ONCE; feeds the join and the sink
-            new_banded = sketch(batch).localCheckpoint()
-            stored = _read_store(bs, store_path, new_banded)
-            pairs = pair_fn(new_banded, stored)
-            (
-                pairs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(pairs_path)
-            )
-            (
-                new_banded.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(store_path)
-            )
-        finally:
-            bs.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # sketch ONCE; feeds the join and the sink
+        new_banded = sketch(batch).localCheckpoint()
+        stored = _read_store(bs, store_path, new_banded)
+        pairs = pair_fn(new_banded, stored)
+        # each batch overwrites ITS OWN batch_id=N subdirectory (replay
+        # idempotence), written non-partitioned so even an all-empty
+        # batch leaves a schema-carrying file — a pairs dir where no
+        # duplicate was ever found still reads back with the right
+        # schema (a partitionBy write of an empty frame leaves nothing)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch_id={batch_id}")
+        )
+        new_banded.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
 
     stream = (
         spark.readStream.schema(schema)

@@ -460,3 +460,54 @@ def test_streaming_exact_ingest_dedup(spark, tmp_path):
     assert pairs == {(1, 10), (2, 11), (12, 13)}
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == 7 and store.select("key").distinct().count() == 4
+
+
+def test_streaming_simhash_family(spark, tmp_path):
+    """The simhash store satisfies the pluggable streaming contract too:
+    draining the 3-wave corpus emits the same verified pair set as the
+    one-shot batch path."""
+    import os
+
+    from ffi_export_etl_spark.operators.simhash import (
+        incremental_simhash_pairs,
+        simhash_near_duplicates,
+        simhash_signature_store,
+    )
+    from ffi_export_etl_spark.streaming.dedup import streaming_incremental_dedup
+
+    # longer docs than the minhash corpus: a 1-token change in a
+    # 50-token doc keeps most fingerprint-bit margins wide, so the pair
+    # survives the hamming<=3 gate (10-token docs flip too many bits)
+    rows = []
+    for i in range(15):
+        toks = [f"w{i}_{j}" for j in range(50)]
+        rows.append((i, " ".join(toks)))
+        rows.append((i + 100, " ".join(toks[:-1] + ["tail"])))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for w in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == w).coalesce(1)
+        wdir = str(tmp_path / f"wave{w}")
+        wave.write.parquet(wdir)
+        part = next(e for e in os.listdir(wdir) if e.endswith(".parquet"))
+        os.rename(os.path.join(wdir, part), os.path.join(src, f"w{w}.parquet"))
+
+    streaming_incremental_dedup(
+        spark,
+        src,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        sketch=lambda b: simhash_signature_store(b, "doc_id", "text"),
+        pair_fn=incremental_simhash_pairs,
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(docs, "doc_id", "text").collect()
+    }
+    assert got == want and len(want) >= 5
