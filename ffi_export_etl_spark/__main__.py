@@ -51,7 +51,71 @@ def build_db_url(section) -> str:
                     int(port) if port else None)
 
 
+def curate_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark curate``: parquet corpus ->
+    curate_documents (scrub -> near-dup keeper -> quality -> packing,
+    plus optional blocklist/mixture via flags) -> ordered training
+    shards + manifest. Prints one JSON line of counts."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark curate",
+        description="Curate a parquet document corpus into training "
+                    "shards (scrub, near-dup dedup, quality filter, "
+                    "sequence packing, deterministic shard order).",
+    )
+    ap.add_argument("--input", required=True,
+                    help="parquet path/glob of documents")
+    ap.add_argument("--output", required=True, help="shard output dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--capacity", type=int, default=512,
+                    help="tokens per packed training sequence")
+    ap.add_argument("--rows-per-shard", type=int, default=100_000)
+    ap.add_argument("--boilerplate-min-docs", type=int, default=None,
+                    help="strip lines repeated across >= N docs")
+    ap.add_argument("--url-col", default=None)
+    ap.add_argument("--block-domain", action="append", default=None,
+                    help="domain to drop (repeatable; requires --url-col)")
+    args = ap.parse_args(argv)
+
+    from .plans.curation import curate_documents
+    from .session import get_spark, tune
+    from .sinks.shards import write_training_shards
+
+    spark = tune(get_spark(app_name="ffi-etl-curate"))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    curated = curate_documents(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        source_col=args.source_col,
+        min_words=args.min_words,
+        capacity=args.capacity,
+        boilerplate_min_docs=args.boilerplate_min_docs,
+        url_col=args.url_col,
+        domain_blocklist=args.block_domain,
+    )
+    manifest = write_training_shards(
+        curated, args.output, "id", rows_per_shard=args.rows_per_shard
+    )
+    shards = manifest.collect()
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_out": sum(m["n_rows"] for m in shards),
+        "n_shards": len(shards),
+        "output": args.output,
+    }, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="python -m ffi_export_etl_spark",
         description="FFI export ETL: XML exports -> transformed tables -> "

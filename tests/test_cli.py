@@ -48,3 +48,38 @@ def test_cli_jdbc_flag_builds_url(tmp_path, capsys):
     assert main(["--config", str(ini), "--jdbc"]) == 2
     err = capsys.readouterr().err
     assert "jdbc:sqlserver://dbhost:1433;databaseName=FFI" in err
+
+
+def test_cli_curate_subcommand(spark, tmp_path, capsys):
+    """curate subcommand: parquet corpus in, ordered shards + one JSON
+    line of counts out; the blocklist flag drops the spam domain."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"https://{'spam.bad' if i == 9 else f'site{i}.example'}/p",
+                "s0",
+                " ".join(f"w{i}_{j}" for j in range(30)),
+            )
+            for i in range(10)
+        ],
+        "doc_id: long, url: string, source: string, text: string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "shards")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--min-words", "10", "--capacity", "64",
+        "--rows-per-shard", "4",
+        "--url-col", "url", "--block-domain", "spam.bad",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs_in"] == 10 and report["docs_out"] == 9
+    assert report["n_shards"] >= 3
+    total = spark.read.parquet(out).count()
+    assert total == 9
