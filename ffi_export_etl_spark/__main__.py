@@ -25,8 +25,17 @@ Default load target is the keyed parquet warehouse (parquet_upsert with
 ledger idempotency — the object-store-native analog of ``processed/``
 moves). With ``--jdbc`` the same frames load through MergeLoader +
 DbApiExecutor/spark_staging_writer against the configured database
-(requires the DB's JDBC jar and a DBAPI driver; not available in this
-container, so the flag exits with instructions rather than half-loading).
+(requires the DB's JDBC jar — discovered by session.find_jdbc_jar /
+$SPARK_GRAFT_JDBC_JAR — and a DBAPI driver for the MERGE; the flag
+exits with instructions rather than half-loading when absent).
+
+A second entry point curates a training corpus::
+
+    python -m ffi_export_etl_spark curate --input docs.parquet \\
+        --output shards/ [--url-col url --block-domain spam.bad ...]
+
+running plans/curation.curate_documents and writing deterministic
+ordered shards + manifest via sinks/shards.write_training_shards.
 """
 
 from __future__ import annotations
