@@ -73,6 +73,7 @@ def test_no_python_udfs_in_hot_paths(spark, name):
         "dedup_simhash",
         "dedup_embedding_cosine",
         "dedup_connected_components",
+        "cur_e2e",
     ],
 )
 def test_registered_dedup_paths_have_no_unbucketed_theta_join(spark, name):
