@@ -511,3 +511,67 @@ def test_streaming_simhash_family(spark, tmp_path):
         for r in simhash_near_duplicates(docs, "doc_id", "text").collect()
     }
     assert got == want and len(want) >= 5
+
+
+def test_streaming_signlsh_family(spark, tmp_path):
+    """The fourth store family: sign-LSH over streaming embedding waves.
+    The union of per-batch candidate pairs equals the one-shot bucket
+    collision set (same contract as minhash — the store schema is
+    deliberately identical, so incremental_candidate_pairs is shared)."""
+    import os
+
+    from ffi_export_etl_spark.operators.minhash import (
+        incremental_candidate_pairs,
+    )
+    from ffi_export_etl_spark.operators.similarity import (
+        signlsh_signature_store,
+    )
+    from ffi_export_etl_spark.streaming.dedup import streaming_incremental_dedup
+
+    DIM = 8
+    rows = []
+    for i in range(12):
+        base = [1.0 if j == i % 4 else 0.05 * j for j in range(DIM)]
+        rows.append((i, base))
+        rows.append((i + 100, [x * 1.001 for x in base]))  # near-dup
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for w in range(2):
+        wave = vecs.filter(F.col("vec_id") % 2 == w).coalesce(1)
+        wdir = str(tmp_path / f"wave{w}")
+        wave.write.parquet(wdir)
+        part = next(e for e in os.listdir(wdir) if e.endswith(".parquet"))
+        os.rename(os.path.join(wdir, part), os.path.join(src, f"w{w}.parquet"))
+
+    streaming_incremental_dedup(
+        spark,
+        src,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        sketch=lambda b: signlsh_signature_store(b, DIM, "vec_id", "embedding"),
+        pair_fn=lambda nw, st: incremental_candidate_pairs(
+            nw, st, max_bucket_size=None
+        ),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    # one-shot: all pairs sharing any (band, bucket)
+    store = signlsh_signature_store(vecs, DIM, "vec_id", "embedding")
+    a, b = store.alias("a"), store.alias("b")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) >= 12
