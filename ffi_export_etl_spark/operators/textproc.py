@@ -320,3 +320,69 @@ def chunk_documents(
         F.size("_chunk").alias("chunk_n_tokens"),
         F.array_join("_chunk", " ").alias("chunk_text"),
     )
+
+
+def dedup_paragraphs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeat: int = 2,
+):
+    """Paragraph-level exact dedup (the paragraph variant of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    a paragraph (blank-line-delimited block) appearing in >= ``min_repeat``
+    DISTINCT documents survives only in its min-id document; every other
+    occurrence is stripped. Catches chunk-level copying that document-
+    level near-dup cannot (quotes, syndicated fragments, licence blocks)
+    while — unlike line-level boilerplate strip — keeping one canonical
+    copy in the corpus.
+
+    Shape at scale: one posexplode, one digest-keyed aggregation (min id
+    + distinct-doc count per normalized paragraph, map-side combined),
+    one equi-join of the paragraphs against that digest table, and one
+    reassembly shuffle by doc id. No broadcast assumptions; the digest
+    table is corpus-sized in the worst case and joins shuffled.
+
+    Returns (id, text) with stripped paragraphs removed and paragraph
+    order preserved; documents whose every paragraph was stripped come
+    back with empty text (drop downstream via a quality filter).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias("pos", "para"),
+    )
+    key = F.md5(F.encode(F.trim(F.col("para")), "UTF-8"))
+    keyed = paras.withColumn("_key", key)
+    owners = (
+        keyed.filter(F.trim(F.col("para")) != "")
+        .groupBy("_key")
+        .agg(
+            F.min("id").alias("_keeper"),
+            F.count_distinct("id").alias("_n_docs"),
+        )
+    )
+    kept = keyed.join(owners, "_key", "left").filter(
+        F.col("_n_docs").isNull()          # whitespace-only block: keep
+        | (F.col("_n_docs") < min_repeat)  # not repeated enough
+        | (F.col("id") == F.col("_keeper"))  # canonical copy
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )
+    # a doc whose every paragraph was stripped has no rows left — join
+    # back onto the id list so it returns with empty text instead of
+    # silently disappearing
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

@@ -939,3 +939,33 @@ def test_deterministic_shuffle_stable_and_salt_varies(spark, sf_oracle):
     # partition-sized variant preserves the identical global order
     d_parts = deterministic_shuffle(docs, "doc_id", num_partitions=5)
     assert [r["doc_id"] for r in d_parts.collect()] == a
+
+
+def test_dedup_paragraphs_keeps_canonical_copy(spark):
+    """Paragraph-level exact dedup: a paragraph repeated across docs
+    survives only in its min-id document; unique paragraphs and order
+    are untouched; whitespace-only blocks never count."""
+    from ffi_export_etl_spark.operators.textproc import dedup_paragraphs
+
+    shared = "this licence block repeats everywhere"
+    docs = spark.createDataFrame(
+        [
+            (1, f"doc one intro\n\n{shared}\n\ndoc one outro"),
+            (2, f"{shared}\n\ndoc two body"),
+            (3, "entirely unique\n\ncontent here"),
+            (4, shared),  # every paragraph stripped -> empty text
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(docs).collect()}
+    assert out[1] == f"doc one intro\n\n{shared}\n\ndoc one outro"
+    assert out[2] == "doc two body"
+    assert out[3] == "entirely unique\n\ncontent here"
+    assert out[4] == ""
+    # idempotent: a second pass changes nothing
+    again = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id: long, text: string"
+    )
+    assert {
+        r["doc_id"]: r["text"] for r in dedup_paragraphs(again).collect()
+    } == out
