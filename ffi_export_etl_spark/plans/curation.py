@@ -10,6 +10,7 @@ ONE plan per stage boundary:
       -> domain blocklist                      (optional; before any text work)
       -> benchmark decontamination             (optional; judges RAW text)
       -> boilerplate line strip                (optional; needs line structure)
+      -> paragraph dedup, one canonical copy   (optional; needs paragraphs)
       -> scrub + whitespace-normalize          (one scan, codegen)
       -> near-dup cluster, keep one per cluster (MinHash-LSH + CC)
       -> quality filter                        (keep flag from stats)
@@ -38,6 +39,7 @@ from ..operators.packing import pack_sequences
 from ..operators.decontaminate import decontaminate
 from ..operators.sampling import weighted_sample
 from ..operators.textproc import (
+    dedup_paragraphs,
     filter_blocked_domains,
     normalize_whitespace,
     scrub_text,
@@ -56,6 +58,7 @@ def curate_documents(
     jaccard_threshold_pct: int = 20,
     capacity: int = 512,
     boilerplate_min_docs: int | None = None,
+    paragraph_min_repeat: int | None = None,
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
     benchmark: DataFrame | None = None,
@@ -75,7 +78,10 @@ def curate_documents(
     structure must still exist, so it runs before whitespace
     normalization collapses newlines; ``benchmark`` decontaminates
     against an eval set (shared ``decon_n``-grams, on the RAW text so
-    eval overlap is judged before any rewriting).
+    eval overlap is judged before any rewriting);
+    ``paragraph_min_repeat`` dedups repeated paragraphs down to one
+    canonical copy (after line-level boilerplate, before scrubbing —
+    paragraph structure must still exist).
 
     ``persist_intermediates`` (default on) persists the two most-reused
     boundaries: ``scrubbed`` (consumed by the minhash pair pass, the
@@ -106,6 +112,17 @@ def curate_documents(
             min_docs=boilerplate_min_docs,
         )
         cur = stripped.join(
+            cur.select(F.col(id_col).alias("id"), source_col), "id"
+        ).select(
+            F.col("id").alias(id_col), F.col("text").alias(text_col),
+            source_col,
+        )
+    if paragraph_min_repeat is not None:
+        deduped = dedup_paragraphs(
+            cur, id_col=id_col, text_col=text_col,
+            min_repeat=paragraph_min_repeat,
+        )
+        cur = deduped.withColumnRenamed(id_col, "id").join(
             cur.select(F.col(id_col).alias("id"), source_col), "id"
         ).select(
             F.col("id").alias(id_col), F.col("text").alias(text_col),

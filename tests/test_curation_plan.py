@@ -137,3 +137,30 @@ def test_persist_intermediates_equivalent(spark):
         ).collect()
     }
     assert rows(True) == rows(False)
+
+
+def test_paragraph_dedup_stage(spark):
+    """paragraph_min_repeat strips a syndicated paragraph from all but
+    its min-id document before scrubbing, and the rest of the pipeline
+    flows unchanged."""
+    from ffi_export_etl_spark.plans.curation import curate_documents
+
+    shared = " ".join(f"quote{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", f"{shared}\n\n" + " ".join(f"a{j}" for j in range(12))),
+            (2, "s0", f"{shared}\n\n" + " ".join(f"b{j}" for j in range(12))),
+            (3, "s1", " ".join(f"c{j}" for j in range(12))),
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    out = {
+        r["id"]: r["text"]
+        for r in curate_documents(
+            docs, min_words=5, paragraph_min_repeat=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert "quote0" in out[1]          # canonical copy kept in min-id doc
+    assert "quote0" not in out[2]      # stripped from the later doc
+    assert out[2].startswith("b0") and "c0" in out[3]
