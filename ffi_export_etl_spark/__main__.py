@@ -83,6 +83,9 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--rows-per-shard", type=int, default=100_000)
     ap.add_argument("--boilerplate-min-docs", type=int, default=None,
                     help="strip lines repeated across >= N docs")
+    ap.add_argument("--paragraph-min-repeat", type=int, default=None,
+                    help="dedup paragraphs repeated across >= N docs "
+                         "down to one canonical copy")
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--block-domain", action="append", default=None,
                     help="domain to drop (repeatable; requires --url-col)")
@@ -104,6 +107,7 @@ def curate_main(argv: list[str]) -> int:
         min_words=args.min_words,
         capacity=args.capacity,
         boilerplate_min_docs=args.boilerplate_min_docs,
+        paragraph_min_repeat=args.paragraph_min_repeat,
         url_col=args.url_col,
         domain_blocklist=args.block_domain,
     )
