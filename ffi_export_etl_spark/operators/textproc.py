@@ -141,10 +141,12 @@ def repetition_scores(
     100 TB is one pass. High values flag machine-generated or
     boilerplate-heavy text for the quality filter.
 
-    The bigram scan is O(distinct_bigrams * n) per document
-    (array-local), so tokens are capped at ``max_tokens`` (deterministic
-    first-N truncation, same policy as the simhash fingerprint cap) to
-    bound the worst case on pathological documents.
+    The bigram scan sorts the per-doc bigram array and takes the longest
+    equal run via one aggregate pass — O(n log n) per document,
+    array-local (the naive count-per-distinct-bigram formulation is
+    O(d*n) and was replaced after review). Tokens stay capped at
+    ``max_tokens`` (deterministic first-N truncation, same policy as the
+    simhash fingerprint cap) to bound memory on pathological documents.
     """
     raw_lines = F.split(F.col(text_col), r"\n")
     n_lines = F.size(
@@ -162,14 +164,25 @@ def repetition_scores(
         F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    # occurrences of the most frequent bigram: for each DISTINCT bigram
-    # count its occurrences via a filtered size — O(d*n) per doc where d
-    # = distinct bigrams, array-local, no shuffle
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
-        )
+    # occurrences of the most frequent bigram = longest equal run in the
+    # SORTED bigram array: one aggregate pass carrying (prev, run, best)
+    sorted_b = F.array_sort(bigrams)
+    top_count = F.aggregate(
+        sorted_b,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
     )
     top_bigram_frac = F.when(
         n_toks >= 2, top_count * 2 / n_toks
