@@ -127,3 +127,28 @@ def streaming_incremental_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    table: str,
+    num_buckets: int = 64,
+) -> None:
+    """Nightly maintenance for a streaming-grown store: many small
+    per-batch_id files -> ONE bucketed catalog table on the store's join
+    key, so the daily increment join co-locates without shuffling the
+    stored side. The bucket columns follow the family: (band, bucket)
+    for the sketch stores, otherwise every non-id column (the exact
+    store's digest). batch_id is dropped — the store's identity is its
+    signature rows. Run it between streaming sessions; the next run can
+    seed a fresh store directory from the table (or keep joining the
+    compacted table directly via bucketed_join)."""
+    from ..sinks.bucketed import write_bucketed
+
+    store = spark.read.parquet(store_path)
+    cols = [c for c in store.columns if c != "batch_id"]
+    bucket_cols = [c for c in ("band", "bucket") if c in cols] or [
+        c for c in cols if c != "id"
+    ]
+    write_bucketed(store.select(*cols), table, bucket_cols, num_buckets)

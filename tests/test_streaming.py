@@ -575,3 +575,48 @@ def test_streaming_signlsh_family(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) >= 12
+
+
+def test_compact_store_bucketed_roundtrip(spark, tmp_path):
+    """compact_store folds the per-batch_id subdirectories into one
+    bucketed catalog table with identical (id, band, bucket) content."""
+    import os
+
+    from ffi_export_etl_spark.operators.exactdedup import (
+        exact_pairs_from_stores,
+        exact_signature_store,
+    )
+    from ffi_export_etl_spark.streaming.dedup import (
+        compact_store,
+        streaming_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for w, rows in enumerate(
+        ([(1, "alpha"), (2, "beta")], [(3, "alpha"), (4, "gamma")])
+    ):
+        d = str(tmp_path / f"w{w}")
+        spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+            1
+        ).write.parquet(d)
+        part = next(e for e in os.listdir(d) if e.endswith(".parquet"))
+        os.rename(os.path.join(d, part), os.path.join(src, f"w{w}.parquet"))
+
+    store_path = str(tmp_path / "store")
+    streaming_incremental_dedup(
+        spark, src, store_path, str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        sketch=lambda b: exact_signature_store(b, "doc_id", "text"),
+        pair_fn=exact_pairs_from_stores,
+    )
+    try:
+        compact_store(spark, store_path, "store_compacted")
+        compacted = spark.table("store_compacted")
+        assert "batch_id" not in compacted.columns
+        raw = spark.read.parquet(store_path).drop("batch_id")
+        assert sorted(map(tuple, compacted.collect())) == sorted(
+            map(tuple, raw.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS store_compacted")
