@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.textproc import (
+    dedup_paragraphs,
     dup_line_frac_of,
     normalize_whitespace,
     scrub_text,
@@ -51,6 +52,11 @@ def _toks(col: str = "text") -> Column:
 # operators/textproc.dup_line_frac_of, the same column expression
 # repetition_scores uses.
 LINE_TOKENS = 2
+# paragraph-dedup arm: docs are reshaped into PARA_TOKENS-token
+# paragraphs (near-dup docs then share real paragraphs) and
+# operators/textproc.dedup_paragraphs strips repeats down to the min-id
+# canonical copy; the oracle replays the digest/keeper/reassembly chain
+PARA_TOKENS = 5
 
 
 def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,9 +65,12 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag, the Gopher-style repetition signals (top-bigram coverage and
     dup_line_frac over LINE_TOKENS-token lines —
     operators/textproc.repetition_scores semantics, replayed exactly by
-    the oracle), and the PII scrub + whitespace normalization
+    the oracle), the PII scrub + whitespace normalization
     (operators/textproc.scrub_text chain, emails/URLs/IPs/phones to
-    typed placeholders) — one row per document."""
+    typed placeholders), and paragraph-level exact dedup over
+    PARA_TOKENS-token paragraphs (operators/textproc.dedup_paragraphs —
+    repeated paragraphs survive only in their min-id doc) — one row per
+    document."""
     d = load_table(spark, sf_dir, "documents")
     toks = _toks()
     n_words = F.size(toks)
@@ -88,7 +97,7 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: F.array_join(F.slice(toks, s, LINE_TOKENS), " "),
     )
     scrubbed = normalize_whitespace(scrub_text("text"))
-    return d.select(
+    stats = d.select(
         "doc_id",
         n_words.alias("n_words"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias(
@@ -106,6 +115,17 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         (scrubbed != F.col("text")).alias("changed"),
     )
+    paras_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words, F.lit(PARA_TOKENS)),
+            lambda s: F.array_join(F.slice(toks, s, PARA_TOKENS), " "),
+        ),
+        "\n\n",
+    )
+    pd = dedup_paragraphs(
+        d.select("doc_id", paras_text.alias("text")), "doc_id", "text"
+    ).select("doc_id", F.col("text").alias("pdedup"))
+    return stats.join(pd, "doc_id")
 
 
 def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +198,11 @@ _RELINED = (
     f"s -> array_to_string(tk[s : s + {LINE_TOKENS - 1}], ' '))"
 )
 
+_PARAS = (
+    f"list_transform(generate_series(1, len(tk), {PARA_TOKENS}), "
+    f"s -> array_to_string(tk[s : s + {PARA_TOKENS - 1}], ' '))"
+)
+
 ORACLE = {
     "text_stats_pack": f"""
         WITH t AS (
@@ -192,6 +217,23 @@ ORACLE = {
             SELECT *, list_transform(range(1, len(tk)),
                                      i -> tk[i] || ' ' || tk[i+1]) AS bg
             FROM t
+        ), p AS (
+            SELECT doc_id, u.pos, u.para
+            FROM t, UNNEST(list_transform({_PARAS},
+                           (x, i) -> {{'para': x, 'pos': i}})) AS r(u)
+        ), own AS (
+            SELECT md5(trim(para)) AS k, min(doc_id) AS keeper,
+                   count(DISTINCT doc_id) AS nd
+            FROM p WHERE trim(para) != '' GROUP BY 1
+        ), kept AS (
+            SELECT p.doc_id, p.pos, p.para
+            FROM p LEFT JOIN own ON md5(trim(p.para)) = own.k
+            WHERE own.nd IS NULL OR own.nd < 2 OR p.doc_id = own.keeper
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS pdedup
+            FROM kept GROUP BY doc_id
         )
         SELECT doc_id, n_words,
                CAST(len(regexp_extract_all(text,
@@ -209,8 +251,9 @@ ORACLE = {
                (n_words >= 20 AND n_stopwords / n_words < 0.5
                 AND (length(text) - (n_words - 1)) / n_words >= 2.0) AS keep,
                {scrub_sql_expr("text")} AS scrubbed,
-               {scrub_sql_expr("text")} != text AS changed
-        FROM b
+               {scrub_sql_expr("text")} != text AS changed,
+               coalesce(rebuilt.pdedup, '') AS pdedup
+        FROM b LEFT JOIN rebuilt USING (doc_id)
     """,
     "text_langfp_pack": f"""
         WITH t AS (
