@@ -1,0 +1,121 @@
+"""Incremental curation — the daily-increment shape of the composed
+pipeline (plans/curation.py) for a corpus that GROWS: curate only the
+newly-arrived documents against the persisted signature stores, never
+re-reading or re-curating the accumulated corpus.
+
+    new batch
+      -> scrub + normalize          (same chain as the batch pipeline —
+                                     ALL dedup judged on scrubbed text,
+                                     so PII differences cannot defeat
+                                     either the digest or the sketch)
+      -> exact ingest filter        (drop content ever seen: one digest
+                                     join vs the exact store)
+      -> incremental near-dup       (new sketches vs the minhash store;
+                                     new x stored -> drop the new doc,
+                                     new x new -> min-id keeper via CC)
+      -> quality filter             (same rule as the batch pipeline)
+      -> store deltas               (exact + minhash rows for the
+                                     SURVIVORS, appended by the caller)
+
+Cost is proportional to the ARRIVAL, not the corpus: the stored side
+contributes one bucket/digest join per family (bucketed store tables
+co-locate it — see streaming/dedup.compact_store) and is never
+re-sketched. The keeper policy matches the batch pipeline: a new doc
+near-dup to ANY stored doc loses (the stored copy is the canonical one);
+within the new batch, min id wins. Store deltas carry only surviving
+docs, so a rejected near-dup can never become a future canonical copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.components import dedup_clusters
+from ..operators.exactdedup import drop_known_duplicates, exact_signature_store
+from ..operators.minhash import (
+    incremental_candidate_pairs,
+    minhash_signature_store,
+)
+from ..operators.textproc import normalize_whitespace, scrub_text
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    exact_store: DataFrame,
+    minhash_store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_words: int = 20,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> dict[str, DataFrame]:
+    """Returns ``{"kept", "exact_delta", "minhash_delta"}``.
+
+    ``kept``: (id, source, text, n_words) — the new docs that survive
+    exact dedup vs the store, near-dup dedup vs the store and within the
+    batch, and the quality rule, with scrubbed text.
+    ``exact_delta`` / ``minhash_delta``: the store rows for the
+    survivors; append them (or feed streaming/dedup.compact_store) so
+    tomorrow's increment sees today's corpus.
+    """
+    cleaned = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        normalize_whitespace(scrub_text(text_col)).alias("text"),
+    )
+    # both stores hold digests/sketches of SCRUBBED text, so the filter
+    # and tomorrow's filter compare like with like
+    scrubbed = drop_known_duplicates(
+        cleaned, exact_store, "id", "text"
+    ).persist()  # feeds sketching, the drop joins, and the output
+
+    new_banded = minhash_signature_store(
+        scrubbed, "id", "text", n=n, num_perm=num_perm, bands=bands
+    ).localCheckpoint()
+    pairs = incremental_candidate_pairs(
+        new_banded, minhash_store.select("id", "band", "bucket"),
+        max_bucket_size=max_bucket_size,
+    )
+
+    # any new doc paired with a STORED doc loses to the stored canonical
+    stored_ids = minhash_store.select("id").distinct()
+    new_ids = scrubbed.select("id")
+    vs_stored = (
+        pairs.join(stored_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .select(F.col("id_b").alias("id"))
+        .unionByName(
+            pairs.join(
+                stored_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
+            ).select(F.col("id_a").alias("id"))
+        )
+        .join(new_ids, "id", "left_semi")
+        .distinct()
+    )
+    # new x new pairs cluster; min id per component is the batch keeper
+    nn_pairs = (
+        pairs.join(new_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(new_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+    )
+    clusters = dedup_clusters(scrubbed, nn_pairs, id_col="id")
+    survivors = (
+        clusters.filter("is_keeper")
+        .select("id")
+        .join(vs_stored, "id", "left_anti")
+    )
+
+    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    kept = (
+        scrubbed.join(survivors, "id", "left_semi")
+        .withColumn("n_words", n_words)
+        .filter(F.col("n_words") >= min_words)
+    )
+    kept_ids = kept.select("id")
+    return {
+        "kept": kept,
+        "exact_delta": exact_signature_store(kept, "id", "text"),
+        "minhash_delta": new_banded.join(kept_ids, "id", "left_semi"),
+    }

@@ -1,0 +1,93 @@
+"""Incremental curation (plans/curation_increment.py): curate only the
+newly-arrived docs against the persisted stores — exact filter, stored
+near-dup loss, in-batch keeper, quality rule, and the store-append loop
+across two days."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_export_etl_spark.operators.exactdedup import exact_signature_store
+from ffi_export_etl_spark.operators.minhash import minhash_signature_store
+from ffi_export_etl_spark.operators.textproc import (
+    normalize_whitespace,
+    scrub_text,
+)
+from ffi_export_etl_spark.plans.curation_increment import curate_increment
+
+
+def _doc(i: int, tail: str = "") -> str:
+    base = " ".join(f"d{i}_{j}" for j in range(12))
+    return base + (" " + tail if tail else "")
+
+
+def _scrubbed(docs):
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        normalize_whitespace(scrub_text("text")).alias("text"),
+    )
+
+
+def test_curate_increment_two_days(spark):
+    day0 = spark.createDataFrame(
+        [(i, "s0", _doc(i)) for i in range(1, 7)],
+        "doc_id: long, source: string, text: string",
+    )
+    s0 = _scrubbed(day0)
+    exact_store = exact_signature_store(s0, "id", "text")
+    minhash_store = minhash_signature_store(s0, "id", "text")
+
+    base2 = _doc(2).rsplit(" ", 1)[0] + " changed"  # near-dup of doc 2
+    day1 = spark.createDataFrame(
+        [
+            (10, "s0", _doc(1)),            # exact copy of stored 1 -> exact drop
+            (11, "s0", base2),              # near-dup of stored 2 -> sketch drop
+            (12, "s0", _doc(40)),           # new pair, min id -> keeper
+            (13, "s0", _doc(40).rsplit(" ", 1)[0] + " tail"),  # loses to 12
+            (14, "s0", _doc(50)),           # unique -> kept
+            (15, "s0", "too short"),        # quality drop
+            (16, "s0", _doc(50)),           # in-batch exact copy of 14 -> drop
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    out = curate_increment(
+        day1, exact_store, minhash_store, min_words=5,
+        max_bucket_size=None,
+    )
+    kept_ids = sorted(r["id"] for r in out["kept"].collect())
+    assert kept_ids == [12, 14]
+    assert sorted(
+        r["id"] for r in out["exact_delta"].select("id").distinct().collect()
+    ) == [12, 14]
+    assert sorted(
+        r["id"] for r in out["minhash_delta"].select("id").distinct().collect()
+    ) == [12, 14]
+
+    # day 2: append the deltas; yesterday's keeper now blocks its copies
+    exact2 = exact_store.unionByName(out["exact_delta"])
+    minhash2 = minhash_store.unionByName(out["minhash_delta"])
+    day2 = spark.createDataFrame(
+        [
+            (20, "s0", _doc(40)),   # exact copy of yesterday's keeper 12
+            (21, "s0", _doc(40).rsplit(" ", 1)[0] + " again"),  # near-dup of 12
+            (22, "s0", _doc(60)),   # genuinely new
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    out2 = curate_increment(
+        day2, exact2, minhash2, min_words=5, max_bucket_size=None
+    )
+    assert sorted(r["id"] for r in out2["kept"].collect()) == [22]
+
+    # a REJECTED doc (13) never became canonical: its content arriving
+    # again still loses to nothing stored -> it is kept now (13's text
+    # was never added to the stores)
+    day2b = spark.createDataFrame(
+        [(30, "s0", _doc(40).rsplit(" ", 1)[0] + " tail")],
+        "doc_id: long, source: string, text: string",
+    )
+    out3 = curate_increment(
+        day2b, exact2, minhash2, min_words=5, max_bucket_size=None
+    )
+    # near-dup of stored keeper 12 via the shared 11-token prefix -> drop
+    assert [r["id"] for r in out3["kept"].collect()] == []
