@@ -1,0 +1,165 @@
+"""REAL media decode kernels for the formats decodable without external
+libraries: PPM/PGM (netpbm), uncompressed 24-bit BMP — pure numpy — and
+WAV/PCM via the stdlib ``wave`` module. JPEG/PNG/MP4 still need PIL /
+ffmpeg (absent in this environment) and keep the injectable-stub path
+(operators/multimodal.set_decoder); these kernels exist so the
+multimodal surface has an actually-executing decode for the formats
+where no third-party dependency is required.
+
+All functions are plain bytes -> numpy/dict kernels, called from Arrow
+``mapInPandas`` batches (operators/multimodal.py) — no Spark imports
+here, so they are unit-testable without a session and reusable from any
+executor context.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+def sniff(content: bytes) -> str:
+    """'ppm' | 'pgm' | 'bmp' | 'wav' | 'unknown' from magic bytes."""
+    if content[:2] in (b"P6", b"P3"):
+        return "ppm"
+    if content[:2] in (b"P5", b"P2"):
+        return "pgm"
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def _pnm_header(data: bytes) -> tuple[bytes, list[int], int]:
+    """(magic, [w, h, maxval], body_offset) — whitespace/comment-correct
+    netpbm header scan."""
+    magic = data[:2]
+    fields: list[int] = []
+    i = 2
+    n_fields = 3
+    while len(fields) < n_fields:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    return magic, fields, i + 1  # single whitespace after maxval
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """PPM (P6/P3) -> (h, w, 3) uint8; PGM (P5/P2) -> (h, w) uint8."""
+    magic, (w, h, maxval), off = _pnm_header(data)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic in (b"P6", b"P3") else 1
+    n = w * h * channels
+    if magic in (b"P6", b"P5"):  # binary
+        arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+    else:  # ASCII: remaining whitespace-separated sample values
+        arr = np.array(data[off - 1 :].split()[:n], dtype=np.uint8)
+    arr = arr.reshape((h, w, 3)) if channels == 3 else arr.reshape((h, w))
+    return arr
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> binary PPM/PGM bytes."""
+    if arr.ndim == 2:
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 (RGB order)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core header not supported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+    ).reshape((h, row_bytes))[:, : w * 3].reshape((h, w, 3))
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1]  # BGR -> RGB
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV/PCM -> ((n_frames, channels) int array, sample_rate)."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        rate = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        channels = f.getnchannels()
+        raw = f.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported sample width {width}")
+    arr = np.frombuffer(raw, dtype=dtype).reshape((-1, channels))
+    return arr, rate
+
+
+def real_decode(content: bytes, kind: str) -> dict | None:
+    """Decode metadata for sniffable formats, None when a real decode
+    needs a library this environment lacks (caller falls back to the
+    injectable stub): {'width', 'height'} for images; for WAV the
+    convention is width=n_frames, height=sample_rate (documented in
+    operators/multimodal.extract_features)."""
+    fmt = sniff(content)
+    if fmt in ("ppm", "pgm"):
+        arr = decode_pnm(content)
+        return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
+    if fmt == "bmp":
+        arr = decode_bmp(content)
+        return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
+    if fmt == "wav":
+        arr, rate = decode_wav(content)
+        return {"width": int(arr.shape[0]), "height": int(rate)}
+    return None
+
+
+def resize_nearest(arr: np.ndarray, max_px: int) -> np.ndarray:
+    """Nearest-neighbor downscale so max(h, w) <= max_px (no-op when
+    already small enough). Pure-index slicing — no interpolation lib."""
+    h, w = arr.shape[:2]
+    scale = max(h, w) / max_px
+    if scale <= 1:
+        return arr
+    nh, nw = max(1, int(h / scale)), max(1, int(w / scale))
+    ys = (np.arange(nh) * (h / nh)).astype(int)
+    xs = (np.arange(nw) * (w / nw)).astype(int)
+    return arr[ys][:, xs]
+
+
+def audio_stats(arr: np.ndarray, rate: int) -> dict:
+    """duration / RMS / zero-crossing-rate over the first channel."""
+    mono = arr[:, 0].astype(np.float64)
+    n = len(mono)
+    zc = int(np.count_nonzero(np.diff(np.signbit(mono)))) if n > 1 else 0
+    return {
+        "n_frames": n,
+        "sample_rate": rate,
+        "duration_s": n / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+        "zero_crossing_rate": zc / (n - 1) if n > 1 else 0.0,
+    }

@@ -2,11 +2,17 @@
 
 Media travel as opaque ``binary`` columns plus typed metadata structs; all
 per-item compute runs through Arrow-batched ``mapInPandas`` so bytes never
-round-trip per row between JVM and Python. The decode kernels themselves
-are STUBBED behind ``set_decoder`` (this container ships no PIL/ffmpeg —
-a deterministic fake stands in, clearly marked), but the Spark-side
-surface — schema, batch iteration, partition sizing, UDF signatures — is
-real and tested.
+round-trip per row between JVM and Python.
+
+Decode kernels come in two tiers:
+- REAL, dependency-free (operators/media_codecs.py): PPM/PGM and
+  uncompressed 24-bit BMP via numpy, WAV/PCM via the stdlib — driven by
+  ``extract_real_features`` (decode + image/audio stats) and
+  ``resize_images`` (decode -> nearest-neighbor -> re-encode).
+- Injectable (``set_decoder``): JPEG/PNG/MP4 need PIL/ffmpeg, absent in
+  this container — the registered gate query keeps the deterministic
+  md5 stand-in there (clearly marked; its DuckDB oracle replays it), and
+  production swaps in a real kernel.
 
 Scale notes: media rows are large and skewed; ``repartition`` by a hash of
 the id before mapInPandas levels batch sizes, and
@@ -25,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -136,3 +143,119 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
         "kind",
         F.explode(idx).alias("frame_index"),
     )
+
+
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_value", DoubleType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def extract_real_features(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction for the dependency-free formats
+    (operators/media_codecs.py): PPM/PGM and uncompressed 24-bit BMP via
+    numpy, WAV/PCM via the stdlib — images report (width, height,
+    channels, mean pixel value), audio reports (duration_s, rms) with
+    width=n_frames, height=sample_rate. Formats needing PIL/ffmpeg come
+    back with format='unknown' and nulls (route those through the
+    injectable set_decoder kernel instead). Arrow-batched mapInPandas;
+    nothing per-row crosses the JVM boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codecs import (
+            audio_stats,
+            decode_bmp,
+            decode_pnm,
+            decode_wav,
+            sniff,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                fmt = sniff(content)
+                row = {
+                    "media_id": mid, "format": fmt, "width": None,
+                    "height": None, "channels": None, "mean_value": None,
+                    "duration_s": None, "rms": None,
+                }
+                if fmt in ("ppm", "pgm"):
+                    arr = decode_pnm(content)
+                    row.update(
+                        width=int(arr.shape[1]), height=int(arr.shape[0]),
+                        channels=1 if arr.ndim == 2 else int(arr.shape[2]),
+                        mean_value=float(np.mean(arr)),
+                    )
+                elif fmt == "bmp":
+                    arr = decode_bmp(content)
+                    row.update(
+                        width=int(arr.shape[1]), height=int(arr.shape[0]),
+                        channels=int(arr.shape[2]),
+                        mean_value=float(np.mean(arr)),
+                    )
+                elif fmt == "wav":
+                    arr, rate = decode_wav(content)
+                    st = audio_stats(arr, rate)
+                    row.update(
+                        width=st["n_frames"], height=st["sample_rate"],
+                        channels=int(arr.shape[1]),
+                        duration_s=st["duration_s"], rms=st["rms"],
+                    )
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_FEATURE_SCHEMA]
+            )
+
+    return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
+    """REAL resize for the dependency-free image formats: decode
+    (PPM/PGM/BMP), nearest-neighbor downscale to max(h, w) <= max_px,
+    re-encode as binary PPM/PGM. Unknown formats pass through unchanged
+    (resize them via an injected kernel). Same (binary in -> binary out
+    + metadata) shape resize_stub pins."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import (
+            decode_bmp,
+            decode_pnm,
+            encode_ppm,
+            resize_nearest,
+            sniff,
+        )
+
+        for pdf in batches:
+            out = pdf.copy()
+            new_content = []
+            for content in pdf["content"]:
+                content = bytes(content) if content is not None else b""
+                fmt = sniff(content)
+                if fmt in ("ppm", "pgm", "bmp"):
+                    arr = (
+                        decode_bmp(content) if fmt == "bmp"
+                        else decode_pnm(content)
+                    )
+                    content = encode_ppm(resize_nearest(arr, max_px))
+                new_content.append(content)
+            out["content"] = new_content
+            out["n_bytes"] = [len(c) for c in new_content]
+            out["mime"] = [
+                "image/x-portable-pixmap"
+                if c[:2] in (b"P6", b"P5") else m
+                for c, m in zip(new_content, pdf["mime"])
+            ]
+            yield out[[f.name for f in MEDIA_SCHEMA]]
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
