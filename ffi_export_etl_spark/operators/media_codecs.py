@@ -163,3 +163,25 @@ def audio_stats(arr: np.ndarray, rate: int) -> dict:
         "rms": float(np.sqrt(np.mean(mono**2))) if n else 0.0,
         "zero_crossing_rate": zc / (n - 1) if n > 1 else 0.0,
     }
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale -> 9x8 nearest-neighbor
+    thumbnail -> horizontal gradient sign bits. Survives re-encoding,
+    resizing, and small edits — the standard cheap perceptual image
+    fingerprint. Bit i (row r, col c, i = r*8 + c) is set iff
+    thumb[r, c] < thumb[r, c+1]."""
+    if arr.ndim == 3:
+        arr = arr.astype(np.float64).mean(axis=2)
+    h, w = arr.shape
+    ys = (np.arange(8) * (h / 8)).astype(int)
+    xs = (np.arange(9) * (w / 9)).astype(int)
+    thumb = arr[ys][:, xs].astype(np.float64)
+    bits = (thumb[:, :-1] < thumb[:, 1:]).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    if out >= 1 << 63:  # two's complement so the value fits Spark's LONG
+        out -= 1 << 64
+    return out

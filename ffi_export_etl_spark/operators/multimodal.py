@@ -259,3 +259,86 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
             yield out[[f.name for f in MEDIA_SCHEMA]]
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash: long) — 64-bit perceptual difference hash per
+    decodable image (operators/media_codecs.dhash64: grayscale 9x8
+    thumbnail, horizontal gradient bits; two's-complement signed so it
+    fits a Spark LONG). Undecodable content hashes to NULL. One Arrow
+    pass; the hash is 8 bytes per image downstream, so near-dup joins
+    never touch pixel data again."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_bmp, decode_pnm, dhash64, sniff
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                fmt = sniff(content)
+                h = None
+                if fmt in ("ppm", "pgm", "bmp"):
+                    arr = (
+                        decode_bmp(content) if fmt == "bmp"
+                        else decode_pnm(content)
+                    )
+                    h = dhash64(arr)
+                rows.append({"media_id": mid, "dhash": h})
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("dhash", LongType()),
+            ]
+        ),
+    )
+
+
+def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup pairs: dHash once, then the
+    same pigeonhole chunk-banding as text simhash (4 x 16-bit chunks of
+    the 64-bit hash — hamming <= 3 implies at least one equal chunk), an
+    equi-join on (chunk, value), and exact bit_count verification. The
+    arithmetic-shift sign bits are masked off, so banding is correct for
+    negative (two's-complement) hashes. Pixel bytes are read exactly
+    once; candidate generation and verification run on 8-byte hashes."""
+    fp = image_dhash(media).filter(F.col("dhash").isNotNull())
+    banded = fp.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("dhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("media_id", "dhash", "cv.chunk", "cv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

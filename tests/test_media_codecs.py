@@ -134,3 +134,36 @@ def test_spark_extract_real_features_and_resize(spark):
     out = decode_pnm(bytes(resized[1]["content"]))
     assert max(out.shape[:2]) == 16  # 64x32 -> 16x8
     assert bytes(resized[3]["content"]) == b"\x89PNG123"  # passthrough
+
+
+def test_image_near_duplicates(spark):
+    """dHash + chunk-banded join: re-encoded/slightly-edited copies pair
+    up, structurally different images do not, undecodable bytes are
+    ignored."""
+    from ffi_export_etl_spark.operators.multimodal import image_near_duplicates
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (40, 60, 3)).astype(np.uint8)
+    edited = base.copy()
+    edited[:2, :2] = 0  # small local edit
+    grad = np.tile(
+        (np.arange(60, dtype=np.uint8) * 4).reshape(1, 60, 1), (40, 1, 3)
+    )
+    rows = [
+        (1, "image", bytearray(encode_ppm(base)), "x", 0),
+        (2, "image", bytearray(_bmp_bytes(base)), "x", 0),      # same pixels, other codec
+        (3, "image", bytearray(encode_ppm(edited)), "x", 0),    # near-dup
+        (4, "image", bytearray(encode_ppm(grad)), "x", 0),      # different
+        (5, "image", bytearray(b"\x89PNGnope"), "x", 0),        # undecodable
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id: long, kind: string, content: binary, mime: string, n_bytes: long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicates(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # codec-independent
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
