@@ -185,3 +185,39 @@ def dhash64(arr: np.ndarray) -> int:
     if out >= 1 << 63:  # two's complement so the value fits Spark's LONG
         out -= 1 << 64
     return out
+
+
+def audio_hash64(arr: np.ndarray, n_frames: int = 9, n_bands: int = 8) -> int:
+    """64-bit spectral fingerprint (chromaprint-style, pure numpy): the
+    first channel is cut into ``n_frames`` equal frames, each frame's
+    FFT magnitude is pooled into ``n_bands`` log-spaced energy bands,
+    and bit (f, b) is the sign of the energy GRADIENT between adjacent
+    frames — invariant to overall volume (gradients compare ratios of
+    the same scaling) and robust to re-encoding. Two's-complement signed
+    for Spark LONG. Returns 0 for clips too short to frame."""
+    mono = arr[:, 0].astype(np.float64) if arr.ndim == 2 else arr.astype(np.float64)
+    if len(mono) < n_frames * 2:
+        return 0
+    frame_len = len(mono) // n_frames
+    frames = mono[: frame_len * n_frames].reshape((n_frames, frame_len))
+    mags = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    # log-spaced band edges over the positive spectrum
+    edges = np.unique(
+        np.geomspace(1, mags.shape[1], n_bands + 1).astype(int)
+    )
+    while len(edges) < n_bands + 1:  # tiny spectra: pad linearly
+        edges = np.append(edges, edges[-1] + 1)
+    energies = np.array(
+        [
+            [float(mags[f, edges[b]:edges[b + 1]].sum()) for b in range(n_bands)]
+            for f in range(n_frames)
+        ]
+    )
+    bits = (energies[1:] > energies[:-1]).flatten()  # (n_frames-1)*n_bands
+    out = 0
+    for i, b in enumerate(bits[:64]):
+        if b:
+            out |= 1 << i
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out

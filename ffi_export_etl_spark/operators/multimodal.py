@@ -298,24 +298,32 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
-def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(id_a, id_b, hamming) image near-dup pairs: dHash once, then the
-    same pigeonhole chunk-banding as text simhash (4 x 16-bit chunks of
-    the 64-bit hash — hamming <= 3 implies at least one equal chunk), an
-    equi-join on (chunk, value), and exact bit_count verification. The
+def hash64_near_duplicates(
+    fp: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs from any (id, 64-bit hash) table: the
+    same pigeonhole chunk-banding as text simhash (4 x 16-bit chunks —
+    hamming <= 3 implies at least one equal chunk), an equi-join on
+    (chunk, value), and exact bit_count verification. The
     arithmetic-shift sign bits are masked off, so banding is correct for
-    negative (two's-complement) hashes. Pixel bytes are read exactly
-    once; candidate generation and verification run on 8-byte hashes."""
-    fp = image_dhash(media).filter(F.col("dhash").isNotNull())
-    banded = fp.select(
-        "media_id",
-        "dhash",
+    negative (two's-complement) hashes. Shared by the image (dHash) and
+    audio (spectral hash) near-dup paths — media bytes are read exactly
+    once by the fingerprint pass; this join runs on 8-byte hashes."""
+    base = fp.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).filter(F.col("h").isNotNull())
+    banded = base.select(
+        "id",
+        "h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("dhash"), c * 16)
+                        F.shiftright(F.col("h"), c * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("val"),
                     )
@@ -323,22 +331,68 @@ def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("cv"),
-    ).select("media_id", "dhash", "cv.chunk", "cv.val")
+    ).select("id", "h", "cv.chunk", "cv.val")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            F.bit_count(
-                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
-            ).alias("hamming"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs: dHash once, then the shared 64-bit band
+    join (hash64_near_duplicates)."""
+    return hash64_near_duplicates(
+        image_dhash(media), hash_col="dhash", max_hamming=max_hamming
+    )
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, ahash: long) — spectral fingerprint per decodable WAV
+    (operators/media_codecs.audio_hash64: framed FFT band-energy
+    gradient signs; volume-invariant). Undecodable content -> NULL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import audio_hash64, decode_wav, sniff
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                h = None
+                if sniff(content) == "wav":
+                    arr, _rate = decode_wav(content)
+                    h = audio_hash64(arr)
+                rows.append({"media_id": mid, "ahash": h})
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("ahash", LongType()),
+            ]
+        ),
+    )
+
+
+def audio_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs: spectral fingerprint once, then the shared
+    64-bit band join — catches re-encoded / volume-scaled copies."""
+    return hash64_near_duplicates(
+        audio_fingerprints(media), hash_col="ahash", max_hamming=max_hamming
     )

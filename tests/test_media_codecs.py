@@ -167,3 +167,33 @@ def test_image_near_duplicates(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 0  # codec-independent
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_audio_near_duplicates(spark):
+    """Spectral fingerprint + shared band join: a volume-scaled copy of
+    a clip pairs with the original at hamming 0; a different melody does
+    not pair; images in the same frame are ignored by the audio path."""
+    from ffi_export_etl_spark.operators.multimodal import audio_near_duplicates
+
+    t = np.arange(16000)
+    a = (
+        np.sin(2 * np.pi * 440 * t / 8000) * 1000
+        + np.sin(2 * np.pi * 880 * t / 8000) * 300 * (t > 8000)
+    ).astype(np.int16)
+    quiet = (a * 0.8).astype(np.int16)
+    other = (np.sin(2 * np.pi * 123 * t / 8000) * 900).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(a)), "audio/wav", 0),
+        (2, "audio", bytearray(_wav_bytes(quiet)), "audio/wav", 0),
+        (3, "audio", bytearray(_wav_bytes(other)), "audio/wav", 0),
+        (4, "image", bytearray(encode_ppm(_img(8, 8))), "x", 0),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id: long, kind: string, content: binary, mime: string, n_bytes: long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_duplicates(media).collect()
+    }
+    assert pairs == {(1, 2): 0}
