@@ -32,11 +32,23 @@ from pyspark.sql import functions as F
 
 
 def _persistent_ids(spark) -> set[int]:
-    """Ids of currently-persisted RDDs (JVM-side registry). Best-effort:
-    returns empty on sessions without a JVM-backed context."""
+    """Ids of currently-persisted LOCALLY-CHECKPOINTED RDDs (JVM-side
+    registry), i.e. exactly the population the per-round release
+    manages. The filter is load-bearing: a surrounding pipeline's plain
+    ``.persist()`` cache (e.g. curation's scrubbed boundary) may
+    MATERIALIZE during a round's checkpoint action and would otherwise
+    land in that round's before/after diff — freeing the round would
+    then silently evict an unrelated cache. Best-effort: returns empty
+    on sessions without a JVM-backed context."""
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(i) for i in jmap.keySet().toArray()}
+        out: set[int] = set()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if e.getValue().rdd().isLocallyCheckpointed():
+                out.add(int(e.getKey()))
+        return out
     except Exception:
         return set()
 

@@ -187,17 +187,22 @@ def dhash64(arr: np.ndarray) -> int:
     return out
 
 
-def audio_hash64(arr: np.ndarray, n_frames: int = 9, n_bands: int = 8) -> int:
+def audio_hash64(
+    arr: np.ndarray, n_frames: int = 9, n_bands: int = 8
+) -> int | None:
     """64-bit spectral fingerprint (chromaprint-style, pure numpy): the
     first channel is cut into ``n_frames`` equal frames, each frame's
     FFT magnitude is pooled into ``n_bands`` log-spaced energy bands,
     and bit (f, b) is the sign of the energy GRADIENT between adjacent
     frames — invariant to overall volume (gradients compare ratios of
     the same scaling) and robust to re-encoding. Two's-complement signed
-    for Spark LONG. Returns 0 for clips too short to frame."""
+    for Spark LONG. Returns None (not a hash) for clips too short to
+    frame, so they can never pair with each other as hamming-0 dups.
+    Contentless clips (silence / pure DC) all hash to 0 by construction
+    — treating them as mutual duplicates is the intended semantics."""
     mono = arr[:, 0].astype(np.float64) if arr.ndim == 2 else arr.astype(np.float64)
     if len(mono) < n_frames * 2:
-        return 0
+        return None
     frame_len = len(mono) // n_frames
     frames = mono[: frame_len * n_frames].reshape((n_frames, frame_len))
     mags = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC

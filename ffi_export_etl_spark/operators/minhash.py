@@ -257,3 +257,67 @@ def minhash_near_duplicates(
             (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
         )
     )
+
+
+def minhash_signature_store_with_sigs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, bucket, sig: array<long>) — the LSH index WITH the
+    full minhash signature on every row, so increments can VERIFY
+    candidates store-locally (the simhash store's pattern): estimated
+    Jaccard = fraction of agreeing signature positions, no stored
+    document ever re-read or re-shingled. Costs num_perm longs per row
+    over the plain (id, band, bucket) store; at scale store it bucketed
+    by (band, bucket) like the plain variant."""
+    sigs = signatures_from_shingles(
+        shingle_table(docs, id_col, text_col, n), num_perm
+    )
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_perm)])
+    return _banded(sigs, bands, num_perm // bands).join(
+        sigs.select("id", sig_arr.alias("sig")), "id"
+    )
+
+
+def incremental_verified_pairs(
+    new_store: DataFrame,
+    stored_store: DataFrame,
+    threshold_pct: int = 20,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard_pct) near-dup pairs involving a new
+    batch, VERIFIED against the signatures both sig-carrying stores
+    already hold: candidates from the bucket join
+    (incremental_candidate_pairs), then estimated Jaccard — the fraction
+    of agreeing minhash positions, the store-local stand-in for the
+    batch path's exact-Jaccard verification — must reach
+    ``threshold_pct``. Kills the LSH false positives that candidate-only
+    consumption would silently treat as duplicates. The estimate
+    concentrates at the true Jaccard (stderr ~ 1/sqrt(num_perm)); use
+    the exact path when re-reading documents is acceptable."""
+    cands = incremental_candidate_pairs(
+        new_store.select("id", "band", "bucket"),
+        stored_store.select("id", "band", "bucket"),
+        max_bucket_size=max_bucket_size,
+    )
+    sigs = (
+        new_store.select("id", "sig")
+        .unionByName(stored_store.select("id", "sig"))
+        .dropDuplicates(["id"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        cands.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
+        .withColumn("est_jaccard_pct", matches * 100 / F.size("sa"))
+        .filter(F.col("est_jaccard_pct") >= threshold_pct)
+        .select("id_a", "id_b", "est_jaccard_pct")
+    )

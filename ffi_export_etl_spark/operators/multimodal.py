@@ -190,28 +190,36 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                     "height": None, "channels": None, "mean_value": None,
                     "duration_s": None, "rms": None,
                 }
-                if fmt in ("ppm", "pgm"):
-                    arr = decode_pnm(content)
-                    row.update(
-                        width=int(arr.shape[1]), height=int(arr.shape[0]),
-                        channels=1 if arr.ndim == 2 else int(arr.shape[2]),
-                        mean_value=float(np.mean(arr)),
-                    )
-                elif fmt == "bmp":
-                    arr = decode_bmp(content)
-                    row.update(
-                        width=int(arr.shape[1]), height=int(arr.shape[0]),
-                        channels=int(arr.shape[2]),
-                        mean_value=float(np.mean(arr)),
-                    )
-                elif fmt == "wav":
-                    arr, rate = decode_wav(content)
-                    st = audio_stats(arr, rate)
-                    row.update(
-                        width=st["n_frames"], height=st["sample_rate"],
-                        channels=int(arr.shape[1]),
-                        duration_s=st["duration_s"], rms=st["rms"],
-                    )
+                # a magic-byte match does not make the blob well-formed:
+                # at web scale corrupt/truncated media are routine, and a
+                # decode exception inside mapInPandas would abort the
+                # whole job — malformed content degrades to
+                # format='corrupt' + nulls instead
+                try:
+                    if fmt in ("ppm", "pgm"):
+                        arr = decode_pnm(content)
+                        row.update(
+                            width=int(arr.shape[1]), height=int(arr.shape[0]),
+                            channels=1 if arr.ndim == 2 else int(arr.shape[2]),
+                            mean_value=float(np.mean(arr)),
+                        )
+                    elif fmt == "bmp":
+                        arr = decode_bmp(content)
+                        row.update(
+                            width=int(arr.shape[1]), height=int(arr.shape[0]),
+                            channels=int(arr.shape[2]),
+                            mean_value=float(np.mean(arr)),
+                        )
+                    elif fmt == "wav":
+                        arr, rate = decode_wav(content)
+                        st = audio_stats(arr, rate)
+                        row.update(
+                            width=st["n_frames"], height=st["sample_rate"],
+                            channels=int(arr.shape[1]),
+                            duration_s=st["duration_s"], rms=st["rms"],
+                        )
+                except Exception:
+                    row["format"] = "corrupt"
                 rows.append(row)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in REAL_FEATURE_SCHEMA]
@@ -243,11 +251,14 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 fmt = sniff(content)
                 if fmt in ("ppm", "pgm", "bmp"):
-                    arr = (
-                        decode_bmp(content) if fmt == "bmp"
-                        else decode_pnm(content)
-                    )
-                    content = encode_ppm(resize_nearest(arr, max_px))
+                    try:
+                        arr = (
+                            decode_bmp(content) if fmt == "bmp"
+                            else decode_pnm(content)
+                        )
+                        content = encode_ppm(resize_nearest(arr, max_px))
+                    except Exception:
+                        pass  # corrupt blob: pass through unchanged
                 new_content.append(content)
             out["content"] = new_content
             out["n_bytes"] = [len(c) for c in new_content]
@@ -279,11 +290,14 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 fmt = sniff(content)
                 h = None
                 if fmt in ("ppm", "pgm", "bmp"):
-                    arr = (
-                        decode_bmp(content) if fmt == "bmp"
-                        else decode_pnm(content)
-                    )
-                    h = dhash64(arr)
+                    try:
+                        arr = (
+                            decode_bmp(content) if fmt == "bmp"
+                            else decode_pnm(content)
+                        )
+                        h = dhash64(arr)
+                    except Exception:
+                        h = None  # corrupt blob: no fingerprint
                 rows.append({"media_id": mid, "dhash": h})
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
 
@@ -374,8 +388,11 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 h = None
                 if sniff(content) == "wav":
-                    arr, _rate = decode_wav(content)
-                    h = audio_hash64(arr)
+                    try:
+                        arr, _rate = decode_wav(content)
+                        h = audio_hash64(arr)
+                    except Exception:
+                        h = None  # corrupt blob: no fingerprint
                 rows.append({"media_id": mid, "ahash": h})
             yield pd.DataFrame(rows, columns=["media_id", "ahash"])
 

@@ -34,6 +34,15 @@ def spread_per_doc(
     ``inputFiles()`` is plan metadata (no job); non-file sources report
     an empty list and conservatively get the spread — correct either
     way, the spread is only a performance choice.
+
+    Caveat: the probe sees the LEAF scan, not the current partitioning —
+    a derived input whose partitions were collapsed upstream (e.g.
+    ``docs.coalesce(1)`` over a many-file corpus) reports many files and
+    skips the spread, leaving the CPU-heavy stage narrow. Callers who
+    collapse partitions upstream should pass ``min_partitions`` above
+    the file count (forcing the spread) or repartition themselves; the
+    common shapes — raw scans, filters, column projections — preserve
+    scan partitioning and are sized correctly by the file count.
     """
     par = min_partitions or docs.sparkSession.sparkContext.defaultParallelism
     try:

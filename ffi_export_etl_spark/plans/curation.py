@@ -89,11 +89,16 @@ def curate_documents(
     regexes + boilerplate anti-join recompute per consumer) and the
     mixture output (consumed by packing AND the final position join —
     without it the ENTIRE upstream pipeline runs twice). Measured on the
-    composed sf0.1 run: steady-state 9.5s -> 6.1s with both persists;
-    each alone recovers about half. Blocks are freed by the
-    ContextCleaner when the returned DataFrame is dropped; at 100 TB
-    prefer writing the mixture output to a staging table instead — pass
-    False and checkpoint externally."""
+    composed sf0.1 run: steady-state 9.5s -> 6.1s with both persists
+    (each alone recovering about half), and -> ~4.6s once the CC round
+    release stopped evicting the scrubbed cache (see components.py
+    _persistent_ids). The CacheManager holds cached plans
+    until EXPLICIT unpersist (they are NOT freed by dropping the
+    returned DataFrame) — the persisted boundaries are attached to the
+    result as ``result._curation_persisted``; call
+    release_curation_caches(result) when done with it in a long-lived
+    session. At 100 TB prefer writing the mixture output to a staging
+    table instead — pass False and checkpoint externally."""
     cur = docs
     if domain_blocklist is not None:
         if url_col is None:
@@ -160,7 +165,7 @@ def curate_documents(
         mixed = mixed.persist()
 
     packed = pack_sequences(mixed, id_col="id", text_col="text", capacity=capacity)
-    return mixed.join(
+    out = mixed.join(
         packed.select("id", "tok_offset", "first_seq", "last_seq"), "id"
     ).select(
         "id",
@@ -172,3 +177,22 @@ def curate_documents(
         "first_seq",
         "last_seq",
     )
+    # cached plans live in the CacheManager until explicitly unpersisted;
+    # hand the caller the handles (see release_curation_caches)
+    out._curation_persisted = (
+        [scrubbed, mixed] if persist_intermediates else []
+    )
+    return out
+
+
+def release_curation_caches(result: DataFrame) -> None:
+    """Unpersist the boundary caches a curate_documents result is
+    holding (no-op for persist_intermediates=False results or plain
+    DataFrames). Call after the result has been written/collected in a
+    long-lived session; per-process pipelines can rely on process exit
+    instead."""
+    for df in getattr(result, "_curation_persisted", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass

@@ -10,9 +10,14 @@ re-reading or re-curating the accumulated corpus.
                                      either the digest or the sketch)
       -> exact ingest filter        (drop content ever seen: one digest
                                      join vs the exact store)
-      -> incremental near-dup       (new sketches vs the minhash store;
-                                     new x stored -> drop the new doc,
-                                     new x new -> min-id keeper via CC)
+      -> incremental near-dup       (new sketches vs the SIG-CARRYING
+                                     minhash store; candidates VERIFIED
+                                     by estimated Jaccard — agreeing
+                                     signature fraction — so an LSH
+                                     bucket collision alone can never
+                                     drop a doc. new x stored -> drop
+                                     the new doc, new x new -> min-id
+                                     keeper via CC)
       -> quality filter             (same rule as the batch pipeline)
       -> store deltas               (exact + minhash rows for the
                                      SURVIVORS, appended by the caller)
@@ -34,8 +39,9 @@ from pyspark.sql import functions as F
 from ..operators.components import dedup_clusters
 from ..operators.exactdedup import drop_known_duplicates, exact_signature_store
 from ..operators.minhash import (
-    incremental_candidate_pairs,
-    minhash_signature_store,
+    DEFAULT_MAX_BUCKET,
+    incremental_verified_pairs,
+    minhash_signature_store_with_sigs,
 )
 from ..operators.textproc import normalize_whitespace, scrub_text
 
@@ -48,16 +54,21 @@ def curate_increment(
     text_col: str = "text",
     source_col: str = "source",
     min_words: int = 20,
+    jaccard_threshold_pct: int = 20,
     n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> dict[str, DataFrame]:
     """Returns ``{"kept", "exact_delta", "minhash_delta"}``.
 
     ``kept``: (id, source, text, n_words) — the new docs that survive
-    exact dedup vs the store, near-dup dedup vs the store and within the
-    batch, and the quality rule, with scrubbed text.
+    exact dedup vs the store, VERIFIED near-dup dedup vs the store and
+    within the batch (candidates must also reach ``jaccard_threshold_pct``
+    estimated Jaccard — agreeing-signature fraction — so a routine LSH
+    false positive cannot silently discard a doc), and the quality rule,
+    with scrubbed text. ``minhash_store`` must be the sig-carrying store
+    (minhash_signature_store_with_sigs).
     ``exact_delta`` / ``minhash_delta``: the store rows for the
     survivors; append them (or feed streaming/dedup.compact_store) so
     tomorrow's increment sees today's corpus.
@@ -73,13 +84,14 @@ def curate_increment(
         cleaned, exact_store, "id", "text"
     ).persist()  # feeds sketching, the drop joins, and the output
 
-    new_banded = minhash_signature_store(
+    new_banded = minhash_signature_store_with_sigs(
         scrubbed, "id", "text", n=n, num_perm=num_perm, bands=bands
     ).localCheckpoint()
-    pairs = incremental_candidate_pairs(
-        new_banded, minhash_store.select("id", "band", "bucket"),
+    pairs = incremental_verified_pairs(
+        new_banded, minhash_store,
+        threshold_pct=jaccard_threshold_pct,
         max_bucket_size=max_bucket_size,
-    )
+    ).select("id_a", "id_b")
 
     # any new doc paired with a STORED doc loses to the stored canonical
     stored_ids = minhash_store.select("id").distinct()
@@ -114,6 +126,10 @@ def curate_increment(
         .filter(F.col("n_words") >= min_words)
     )
     kept_ids = kept.select("id")
+    # the CacheManager holds the scrubbed persist until explicit
+    # unpersist; hand the caller the handle (same contract as
+    # curation.release_curation_caches)
+    kept._curation_persisted = [scrubbed]
     return {
         "kept": kept,
         "exact_delta": exact_signature_store(kept, "id", "text"),

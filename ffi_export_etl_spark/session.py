@@ -52,14 +52,22 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_JAR_CACHE: list = []  # memoized: the recursive cache globs walk tens of
+# thousands of directories on a populated coursier cache — pay once per
+# process, not once per get_spark()
+
+
 def find_jdbc_jar() -> str | None:
     """Locate a JDBC driver jar for the parallel staging writer
     (sinks/jdbc_exec.spark_staging_writer). ``SPARK_GRAFT_JDBC_JAR``
     wins; otherwise glob the standard coursier / ivy local caches for
-    the public Maven DuckDB or SQLite JDBC artifacts. Returns None in a
-    jarless environment (the staging-writer test then skips with
-    reason)."""
+    the public Maven DuckDB or SQLite JDBC artifacts (memoized — the
+    walk can be expensive). Returns None in a jarless environment (the
+    staging-writer test then skips with reason)."""
     import glob
+
+    if _JAR_CACHE:
+        return _JAR_CACHE[0]
 
     env = os.environ.get("SPARK_GRAFT_JDBC_JAR")
     if env and os.path.exists(env):
@@ -73,7 +81,9 @@ def find_jdbc_jar() -> str | None:
     ):
         hits = sorted(glob.glob(pat, recursive=True))
         if hits:
+            _JAR_CACHE.append(hits[0])
             return hits[0]
+    _JAR_CACHE.append(None)
     return None
 
 

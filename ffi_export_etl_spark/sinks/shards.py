@@ -57,26 +57,79 @@ def write_training_shards(
     )
     spark = df.sparkSession
     written = spark.read.parquet(path)
-    # first/last IN STREAM ORDER = min/max along the hash axis the sort
-    # used, not the raw key ordering
-    h = _key_hash(key_col, salt)
-    manifest = (
-        written.select(
-            F.element_at(
-                F.split(F.input_file_name(), "/"), -1
-            ).alias("file"),
-            F.col(key_col).alias("_k"),
-            h.alias("_h"),
+    files = sorted(written.inputFiles())
+    manifest = _manifest_from_footers(spark, files, key_col)
+    if manifest is None:
+        # non-pyarrow-reachable store: fall back to one distributed scan.
+        # first/last IN STREAM ORDER = min/max along the hash axis the
+        # sort used, not the raw key ordering
+        h = _key_hash(key_col, salt)
+        manifest = (
+            written.select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("file"),
+                F.col(key_col).alias("_k"),
+                h.alias("_h"),
+            )
+            .groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min_by("_k", "_h").alias("first_key"),
+                F.max_by("_k", "_h").alias("last_key"),
+            )
+            .orderBy("file")
         )
-        .groupBy("file")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min_by("_k", "_h").alias("first_key"),
-            F.max_by("_k", "_h").alias("last_key"),
-        )
-        .orderBy("file")
-    )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_manifest")
     )
     return spark.read.parquet(os.path.join(path, "_manifest")).orderBy("file")
+
+
+def _manifest_from_footers(spark, files: list[str], key_col: str):
+    """Metadata-cheap manifest: row counts come from each shard's parquet
+    FOOTER, first/last keys from reading only the first/last row group's
+    key column (rows are physically in stream order inside a shard, so
+    positional first/last IS the stream-order range). Cost is O(files)
+    small reads on the driver instead of re-scanning the corpus the sink
+    just wrote. Returns None when pyarrow cannot reach the store (e.g.
+    an object-store URI without a configured pyarrow filesystem) — the
+    caller then falls back to one distributed scan."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    try:
+        for f in files:
+            local = f
+            if local.startswith("file:"):
+                local = local[len("file:"):]
+                while local.startswith("//"):
+                    local = local[1:]
+            pf = pq.ParquetFile(local)
+            n = pf.metadata.num_rows
+            first = last = None
+            if n > 0:
+                first = pf.read_row_group(0, columns=[key_col]).column(0)[0].as_py()
+                last_tbl = pf.read_row_group(
+                    pf.metadata.num_row_groups - 1, columns=[key_col]
+                )
+                last = last_tbl.column(0)[-1].as_py()
+            rows.append((os.path.basename(local), n, first, last))
+    except Exception:
+        return None
+    key_type = "string"
+    for _, _, first, last in rows:
+        v = first if first is not None else last
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            key_type = "boolean"
+        elif isinstance(v, int):
+            key_type = "long"
+        elif isinstance(v, float):
+            key_type = "double"
+        break
+    return spark.createDataFrame(
+        rows,
+        f"file string, n_rows long, first_key {key_type}, last_key {key_type}",
+    )

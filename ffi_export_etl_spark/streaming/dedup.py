@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.minhash import (
@@ -44,13 +45,18 @@ def _read_store(
     """The signature index accumulated by prior micro-batches (empty on
     the first batch, schema borrowed from the current batch's index). At
     scale the store is bucketed by (band, bucket); here it is plain
-    parquet partitioned by batch_id."""
+    parquet partitioned by batch_id.
+
+    Existence is probed by ATTEMPTING the read, not by local-filesystem
+    calls — an os.path probe would silently report an hdfs:// or s3a://
+    store as absent and every batch would join an empty index (wrong
+    output, no error). Only the first batch's read can legitimately fail
+    (no store yet); later failures re-raise."""
     cols = [c for c in like.columns if c != "batch_id"]
-    if os.path.isdir(store_path) and any(
-        not e.startswith(("_", ".")) for e in os.listdir(store_path)
-    ):
+    try:
         return spark.read.parquet(store_path).select(*cols)
-    return spark.createDataFrame([], like.select(*cols).schema)
+    except AnalysisException:  # PATH_NOT_FOUND / empty dir: first batch
+        return spark.createDataFrame([], like.select(*cols).schema)
 
 
 def streaming_incremental_dedup(
@@ -138,9 +144,12 @@ def compact_store(
     """Nightly maintenance for a streaming-grown store: many small
     per-batch_id files -> ONE bucketed catalog table on the store's join
     key, so the daily increment join co-locates without shuffling the
-    stored side. The bucket columns follow the family: (band, bucket)
-    for the sketch stores, otherwise every non-id column (the exact
-    store's digest). batch_id is dropped — the store's identity is its
+    stored side. The bucket columns follow the family's JOIN KEY exactly
+    — (band, bucket) for minhash/sign-LSH, (chunk, val) for simhash, the
+    digest for the exact store; bucketing on any extra column (e.g. the
+    simhash fingerprint carried for verification) would misalign the
+    bucket hash with the equi-join and silently reinstate the stored-
+    side shuffle. batch_id is dropped — the store's identity is its
     signature rows. Run it between streaming sessions; the next run can
     seed a fresh store directory from the table (or keep joining the
     compacted table directly via bucketed_join)."""
@@ -148,7 +157,10 @@ def compact_store(
 
     store = spark.read.parquet(store_path)
     cols = [c for c in store.columns if c != "batch_id"]
-    bucket_cols = [c for c in ("band", "bucket") if c in cols] or [
-        c for c in cols if c != "id"
-    ]
+    for join_key in (("band", "bucket"), ("chunk", "val"), ("key",)):
+        if set(join_key) <= set(cols):
+            bucket_cols = list(join_key)
+            break
+    else:
+        bucket_cols = [c for c in cols if c != "id"]
     write_bucketed(store.select(*cols), table, bucket_cols, num_buckets)

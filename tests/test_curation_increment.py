@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ffi_export_etl_spark.operators.exactdedup import exact_signature_store
-from ffi_export_etl_spark.operators.minhash import minhash_signature_store
+from ffi_export_etl_spark.operators.minhash import (
+    incremental_verified_pairs,
+    minhash_signature_store_with_sigs,
+)
 from ffi_export_etl_spark.operators.textproc import (
     normalize_whitespace,
     scrub_text,
@@ -35,7 +38,7 @@ def test_curate_increment_two_days(spark):
     )
     s0 = _scrubbed(day0)
     exact_store = exact_signature_store(s0, "id", "text")
-    minhash_store = minhash_signature_store(s0, "id", "text")
+    minhash_store = minhash_signature_store_with_sigs(s0, "id", "text")
 
     base2 = _doc(2).rsplit(" ", 1)[0] + " changed"  # near-dup of doc 2
     day1 = spark.createDataFrame(
@@ -91,3 +94,24 @@ def test_curate_increment_two_days(spark):
     )
     # near-dup of stored keeper 12 via the shared 11-token prefix -> drop
     assert [r["id"] for r in out3["kept"].collect()] == []
+
+
+def test_verified_pairs_kill_bucket_false_positives(spark):
+    """A bucket collision between docs whose signatures disagree (the
+    routine LSH false positive) must NOT survive verification — the bug
+    class that made candidate-only consumption drop real docs."""
+    new = spark.createDataFrame(
+        [(1, 0, 42, list(range(32)))],
+        "id: long, band: int, bucket: long, sig: array<long>",
+    )
+    stored_fp = spark.createDataFrame(
+        [(2, 0, 42, list(range(100, 132)))],  # same bucket, alien sig
+        "id: long, band: int, bucket: long, sig: array<long>",
+    )
+    assert incremental_verified_pairs(new, stored_fp).count() == 0
+    stored_dup = spark.createDataFrame(
+        [(2, 0, 42, list(range(32)))],  # identical signature
+        "id: long, band: int, bucket: long, sig: array<long>",
+    )
+    rows = incremental_verified_pairs(new, stored_dup).collect()
+    assert len(rows) == 1 and rows[0]["est_jaccard_pct"] == 100.0

@@ -197,3 +197,37 @@ def test_audio_near_duplicates(spark):
         for r in audio_near_duplicates(media).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_corrupt_blobs_degrade_not_crash(spark):
+    """Magic-byte matches with malformed bodies must degrade (corrupt /
+    null / passthrough), never abort the job; too-short audio must not
+    fingerprint (None != a shared hash of 0)."""
+    from ffi_export_etl_spark.operators.media_codecs import audio_hash64
+    from ffi_export_etl_spark.operators.multimodal import (
+        audio_fingerprints,
+        extract_real_features,
+        image_dhash,
+        resize_images,
+    )
+
+    assert audio_hash64(np.zeros((5, 1))) is None
+
+    bad = [
+        (1, "image", bytearray(b"BM\x01\x02truncated"), "x", 0),
+        (2, "image", bytearray(b"P6\n9999 9999\n255\nxx"), "x", 0),
+        (3, "audio", bytearray(b"RIFF0000WAVEjunk"), "x", 0),
+        (4, "audio", bytearray(_wav_bytes(np.zeros(4))), "x", 0),  # too short
+    ]
+    media = spark.createDataFrame(
+        bad,
+        "media_id: long, kind: string, content: binary, mime: string, n_bytes: long",
+    )
+    feats = {r["media_id"]: r for r in extract_real_features(media).collect()}
+    assert feats[1]["format"] == "corrupt" and feats[1]["width"] is None
+    assert feats[2]["format"] == "corrupt"
+    assert feats[3]["format"] == "corrupt"
+    assert all(r["dhash"] is None for r in image_dhash(media).collect())
+    assert all(r["ahash"] is None for r in audio_fingerprints(media).collect())
+    back = {r["media_id"]: bytes(r["content"]) for r in resize_images(media).collect()}
+    assert back[1] == bytes(bad[0][2])  # passthrough unchanged

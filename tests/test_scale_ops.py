@@ -171,3 +171,27 @@ def test_spread_skipped_on_many_file_scan(spark, tmp_path):
         for r in simhash_fingerprints(d, "doc_id", "text").collect()
     }
     assert fp(d_one) == fp(d_many)
+
+
+def test_cc_release_spares_unrelated_caches(spark):
+    """The per-round checkpoint release must free ONLY locally-
+    checkpointed RDDs: a plain .persist() cache that happens to
+    MATERIALIZE during a CC round's checkpoint action (the curation
+    pipeline's scrubbed boundary does exactly this) must survive the
+    run still cached."""
+    base = spark.range(200).select(
+        (F.col("id") % 50).alias("id_a"), (F.col("id") % 50 + 1).alias("id_b")
+    ).persist()  # lazily marked; first materialized by CC's checkpoint
+    try:
+        connected_components_alternating(base).collect()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        alive = []
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if not e.getValue().rdd().isLocallyCheckpointed():
+                alive.append(int(e.getKey()))
+        assert alive, "the unrelated persist() cache was evicted by CC"
+        assert base.storageLevel.useMemory
+    finally:
+        base.unpersist()

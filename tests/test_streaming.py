@@ -620,3 +620,33 @@ def test_compact_store_bucketed_roundtrip(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS store_compacted")
+
+
+def test_compact_store_simhash_buckets_on_join_key(spark, tmp_path):
+    """The simhash store carries the fingerprint for verification; the
+    compacted table must bucket on (chunk, val) — the increment join key
+    — not on every non-id column."""
+    import os
+
+    from ffi_export_etl_spark.operators.simhash import simhash_signature_store
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    store_path = str(tmp_path / "store")
+    os.makedirs(store_path)
+    simhash_signature_store(docs, "doc_id", "text").write.parquet(
+        os.path.join(store_path, "batch_id=0")
+    )
+    from ffi_export_etl_spark.streaming.dedup import compact_store
+
+    try:
+        compact_store(spark, store_path, "simstore_compacted")
+        desc = spark.sql("DESCRIBE TABLE EXTENDED simstore_compacted").collect()
+        info = {r["col_name"]: r["data_type"] for r in desc}
+        assert info.get("Bucket Columns") == "[`chunk`, `val`]", info.get(
+            "Bucket Columns"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS simstore_compacted")
