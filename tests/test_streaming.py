@@ -650,3 +650,53 @@ def test_compact_store_simhash_buckets_on_join_key(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS simstore_compacted")
+
+
+def test_streaming_verified_minhash_family(spark, tmp_path):
+    """The sig-carrying store + verified pair join also compose through
+    the streaming hooks: drained pairs equal the batch path's VERIFIED
+    near-dup set (estimated-Jaccard gate), not just bucket candidates."""
+    import os
+
+    from ffi_export_etl_spark.operators.minhash import (
+        incremental_verified_pairs,
+        minhash_near_duplicates,
+        minhash_signature_store_with_sigs,
+    )
+    from ffi_export_etl_spark.streaming.dedup import streaming_incremental_dedup
+
+    docs = _dedup_corpus(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for w in range(2):
+        wave = docs.filter(F.col("doc_id") % 2 == w).coalesce(1)
+        wdir = str(tmp_path / f"wave{w}")
+        wave.write.parquet(wdir)
+        part = next(e for e in os.listdir(wdir) if e.endswith(".parquet"))
+        os.rename(os.path.join(wdir, part), os.path.join(src, f"w{w}.parquet"))
+
+    streaming_incremental_dedup(
+        spark,
+        src,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        sketch=lambda b: minhash_signature_store_with_sigs(b, "doc_id", "text"),
+        pair_fn=lambda nw, st: incremental_verified_pairs(
+            nw, st, threshold_pct=20, max_bucket_size=None
+        ),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    # batch truth: exact-Jaccard-verified pairs at the same threshold.
+    # estimated (signature) Jaccard agrees with exact on this corpus:
+    # planted near-dups sit far above 20%, non-pairs at ~0.
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", threshold_pct=20, max_bucket_size=None
+        ).select("id_a", "id_b").collect()
+    }
+    assert got == want and len(want) >= 15
