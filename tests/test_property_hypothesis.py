@@ -247,3 +247,54 @@ def test_wet_roundtrip_property(spark, tmp_path_factory, bodies):
     for i, body in enumerate(bodies):
         want = re.sub(r"(\r?\n)+\Z", "", body)
         assert got[f"https://h{i}.example/p"] == want, (i, body)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_ppm_roundtrip_property(h, w, color, seed):
+    """encode_ppm -> decode_pnm is the identity for any uint8 image,
+    color or grayscale, any dimensions."""
+    import numpy as np
+
+    from ffi_export_etl_spark.operators.media_codecs import (
+        decode_pnm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    arr = rng.integers(0, 256, shape).astype(np.uint8)
+    assert np.array_equal(decode_pnm(encode_ppm(arr)), arr)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4000),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    """stdlib-write -> decode_wav recovers the exact int16 samples and
+    rate for any length/rate."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ffi_export_etl_spark.operators.media_codecs import decode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, n).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.tobytes())
+    arr, got_rate = decode_wav(buf.getvalue())
+    assert got_rate == rate and np.array_equal(arr[:, 0], samples)
