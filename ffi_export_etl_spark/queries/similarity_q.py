@@ -108,11 +108,25 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both cell-probed IVF variants union-tagged into one driver row
+    (registry-slot fold, precedent: samp_pack): 'ivf' probes the given
+    label cells, 'kmeans' probes deterministic Lloyd cells over
+    unlabeled data. Same (query_id, nbr_id, cos, rnk) grain; each arm's
+    oracle is unchanged, just tagged."""
+    ivf = ann_topk_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("kind"), "*"
+    )
+    km = ann_topk_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("kind"), "*"
+    )
+    return ivf.unionByName(km)
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
-    "ann_topk_ivf": ann_topk_ivf,
-    "ann_topk_kmeans": ann_topk_kmeans,
+    "ann_cell_pack": ann_cell_pack,
     "ann_label_centroids": ann_label_centroids,
 }
 
@@ -269,8 +283,11 @@ ORACLE = {
         {_topk_tail("scored")}
     """,
     "ann_topk_lsh": _lsh_sql(),
-    "ann_topk_ivf": _ivf_sql(),
-    "ann_topk_kmeans": _kmeans_sql(),
+    "ann_cell_pack": f"""
+        SELECT 'ivf' AS kind, * FROM ({_ivf_sql()})
+        UNION ALL
+        SELECT 'kmeans' AS kind, * FROM ({_kmeans_sql()})
+    """,
     "ann_label_centroids": """
         WITH flat AS (
             SELECT label,

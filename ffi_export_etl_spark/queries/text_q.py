@@ -159,9 +159,37 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval: 5 fixed keyword queries (terms chosen from the
+# synthetic corpus vocabulary with varied document frequencies so idf
+# actually discriminates); k1/b are the Okapi defaults.
+BM25_QUERIES = {
+    0: "fast table scan",
+    1: "hash join merge",
+    2: "spark window agg",
+    3: "vector batch group",
+    4: "customer order query line",
+}
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 docs per keyword query (operators/bm25.py):
+    one corpus scan, query-vocabulary broadcast filter ahead of the
+    postings shuffle, rounded per-term contributions so the DuckDB
+    oracle ranks identically."""
+    from ..operators.bm25 import bm25_topk, query_terms_df
+
+    d = load_table(spark, sf_dir, "documents")
+    q = query_terms_df(spark, BM25_QUERIES)
+    return bm25_topk(d, q, k=BM25_K, k1=BM25_K1, b=BM25_B)
+
+
 QUERIES = {
     "text_stats_pack": text_stats_pack,
     "text_langfp_pack": text_langfp_pack,
+    "text_bm25_topk": text_bm25_topk,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(text, '\\s+')"
@@ -278,3 +306,55 @@ ORACLE = {
         FROM t
     """,
 }
+
+# BM25 oracle: replays operators/bm25.py arithmetic exactly — same
+# left-associative expression order, contributions rounded to 6 before
+# the sum and the sum rounded again, constants rendered with Python repr
+# so both engines parse the identical double.
+_BM25_VALUES = ",\n                ".join(
+    f"({qid}, '{t}')"
+    for qid, t in sorted(
+        {
+            (qid, t)
+            for qid, text in BM25_QUERIES.items()
+            for t in text.lower().split()
+        }
+    )
+)
+
+ORACLE["text_bm25_topk"] = f"""
+    WITH q(query_id, term) AS (VALUES
+                {_BM25_VALUES}),
+    tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
+           FROM documents),
+    base AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
+                    unnest(ts) AS term
+             FROM tk),
+    postings AS (
+        SELECT doc_id, term, dl, count(*) AS tf FROM base
+        WHERE term IN (SELECT DISTINCT term FROM q)
+        GROUP BY doc_id, term, dl),
+    scal AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    avg(len(ts)) AS avgdl
+             FROM tk),
+    dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               round(sum(round(
+                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * {BM25_K1 + 1!r})
+                   / (p.tf + {BM25_K1!r}
+                      * ({1 - BM25_B!r} + {BM25_B!r} * p.dl / s.avgdl)),
+                   6)), 6) AS score
+        FROM postings p
+        JOIN dfs d USING (term)
+        JOIN q USING (term)
+        CROSS JOIN scal s
+        GROUP BY q.query_id, p.doc_id)
+    SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {BM25_K}
+"""

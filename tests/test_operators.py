@@ -969,3 +969,60 @@ def test_dedup_paragraphs_keeps_canonical_copy(spark):
     assert {
         r["doc_id"]: r["text"] for r in dedup_paragraphs(again).collect()
     } == out
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """bm25_topk vs an independent pure-Python Okapi BM25 over a tiny
+    corpus: same candidates, same rank order, scores within rounding."""
+    import math
+
+    from ffi_export_etl_spark.operators.bm25 import bm25_topk, query_terms_df
+
+    corpus = {
+        0: "red fox jumps over the lazy dog",
+        1: "red red red fox",
+        2: "the quick brown cat sleeps",
+        3: "lazy dog lazy dog lazy dog lazy dog",
+        4: "quick red herring",
+    }
+    queries = {0: "red fox", 1: "lazy dog"}
+    k1, b = 1.2, 0.75
+
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id int, text string"
+    )
+    got = {
+        (r.query_id, r.rnk): (r.doc_id, r.score)
+        for r in bm25_topk(
+            docs, query_terms_df(spark, queries), k=3, k1=k1, b=b
+        ).collect()
+    }
+
+    # independent reference: dict/loop BM25, no shared code
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    expect = {}
+    for qid, qtext in queries.items():
+        scores = {}
+        for d, t in toks.items():
+            s = 0.0
+            for term in set(qtext.split()):
+                tf = t.count(term)
+                if not tf:
+                    continue
+                df = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+            if s > 0:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rnk, (d, s) in enumerate(ranked, 1):
+            expect[(qid, rnk)] = (d, s)
+
+    assert set(got) == set(expect)
+    for key, (doc, score) in expect.items():
+        assert got[key][0] == doc, (key, got[key], (doc, score))
+        assert got[key][1] == pytest.approx(score, abs=2e-6)
