@@ -1,10 +1,12 @@
 """REAL media decode kernels for the formats decodable without external
-libraries: PPM/PGM (netpbm), uncompressed 24-bit BMP — pure numpy — and
-WAV/PCM via the stdlib ``wave`` module. JPEG/PNG/MP4 still need PIL /
-ffmpeg (absent in this environment) and keep the injectable-stub path
-(operators/multimodal.set_decoder); these kernels exist so the
-multimodal surface has an actually-executing decode for the formats
-where no third-party dependency is required.
+libraries: PPM/PGM (netpbm), uncompressed 24-bit BMP, PNG (full
+non-interlaced 8-bit decode: stdlib ``zlib`` inflate + vectorized
+scanline unfiltering, all five filter types, gray/RGB/palette/alpha
+color types) — pure numpy — and WAV/PCM via the stdlib ``wave`` module.
+JPEG/MP4 still need PIL / ffmpeg (absent in this environment) and keep
+the injectable-stub path (operators/multimodal.set_decoder); these
+kernels exist so the multimodal surface has an actually-executing
+decode for the formats where no third-party dependency is required.
 
 All functions are plain bytes -> numpy/dict kernels, called from Arrow
 ``mapInPandas`` batches (operators/multimodal.py) — no Spark imports
@@ -17,18 +19,25 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff(content: bytes) -> str:
-    """'ppm' | 'pgm' | 'bmp' | 'wav' | 'unknown' from magic bytes."""
+    """'ppm' | 'pgm' | 'bmp' | 'png' | 'wav' | 'unknown' from magic
+    bytes."""
     if content[:2] in (b"P6", b"P3"):
         return "ppm"
     if content[:2] in (b"P5", b"P2"):
         return "pgm"
     if content[:2] == b"BM":
         return "bmp"
+    if content[:8] == PNG_SIGNATURE:
+        return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -104,6 +113,153 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[..., ::-1]  # BGR -> RGB
 
 
+def _png_chunks(data: bytes):
+    """Yield (type, payload) for each chunk; stops at IEND. Raises on a
+    truncated stream so corrupt blobs surface as decode errors (callers
+    degrade them to format='corrupt')."""
+    i = len(PNG_SIGNATURE)
+    while i + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + length]
+        if len(payload) < length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, payload
+        if ctype == b"IEND":
+            return
+        i += 12 + length  # length + type + payload + crc
+    raise ValueError("missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: raw is (h, 1 + stride) uint8
+    (filter byte + filtered row) -> (h, stride) reconstructed bytes.
+
+    None/Sub/Up rows reconstruct fully vectorized (Sub via a cumsum over
+    the bpp residue classes); Average and Paeth need the left neighbor
+    of the CURRENT row, so they walk pixel columns — w steps of
+    bpp-vector numpy ops, not per-byte Python."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub: cumsum along each bpp residue class
+            rec = np.cumsum(
+                row.reshape(-1, bpp).astype(np.uint32), axis=0
+            ) % 256
+            rec = rec.reshape(-1).astype(np.uint16)
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint16)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(0, stride, bpp):
+                rec[x : x + bpp] = (
+                    row[x : x + bpp] + (left + prev[x : x + bpp]) // 2
+                ) % 256
+                left = rec[x : x + bpp]
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint16)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp].astype(np.int32)
+                p = left + up - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                rec[x : x + bpp] = (row[x : x + bpp] + pred) % 256
+                left = rec[x : x + bpp].astype(np.int32)
+                ul = up
+            del ul
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> uint8 array: (h, w) for grayscale,
+    (h, w, 3) for RGB / palette, (h, w, 2|4) when an alpha channel is
+    present. Stdlib zlib inflate, all five scanline filters, PLTE lookup
+    for color type 3. Interlaced (Adam7) and 1/2/4/16-bit depths raise —
+    at curation scale those are rare enough to route to the injectable
+    kernel."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rec = _png_unfilter(raw.reshape(h, stride + 1), h, stride, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[rec.reshape(h, w)]
+    if channels == 1:
+        return rec.reshape(h, w)
+    return rec.reshape(h, w, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 array -> non-interlaced 8-bit PNG bytes. (h, w) -> gray,
+    (h, w, 2) -> gray+alpha, (h, w, 3) -> RGB, (h, w, 4) -> RGBA.
+    Filter type 0 per scanline (correctness over ratio — re-encoded
+    curation thumbnails are small)."""
+    arr = np.ascontiguousarray(arr.astype(np.uint8))
+    if arr.ndim == 2:
+        h, w = arr.shape
+        channels, color_type = 1, 0
+    else:
+        h, w, channels = arr.shape
+        color_type = {2: 4, 3: 2, 4: 6}[channels]
+    scan = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * channels)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV/PCM -> ((n_frames, channels) int array, sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as f:
@@ -131,6 +287,9 @@ def real_decode(content: bytes, kind: str) -> dict | None:
         return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
     if fmt == "bmp":
         arr = decode_bmp(content)
+        return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
+    if fmt == "png":
+        arr = decode_png(content)
         return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
     if fmt == "wav":
         arr, rate = decode_wav(content)

@@ -175,6 +175,7 @@ def extract_real_features(media: DataFrame) -> DataFrame:
         from .media_codecs import (
             audio_stats,
             decode_bmp,
+            decode_png,
             decode_pnm,
             decode_wav,
             sniff,
@@ -210,6 +211,13 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                             channels=int(arr.shape[2]),
                             mean_value=float(np.mean(arr)),
                         )
+                    elif fmt == "png":
+                        arr = decode_png(content)
+                        row.update(
+                            width=int(arr.shape[1]), height=int(arr.shape[0]),
+                            channels=1 if arr.ndim == 2 else int(arr.shape[2]),
+                            mean_value=float(np.mean(arr)),
+                        )
                     elif fmt == "wav":
                         arr, rate = decode_wav(content)
                         st = audio_stats(arr, rate)
@@ -230,33 +238,38 @@ def extract_real_features(media: DataFrame) -> DataFrame:
 
 def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
     """REAL resize for the dependency-free image formats: decode
-    (PPM/PGM/BMP), nearest-neighbor downscale to max(h, w) <= max_px,
-    re-encode as binary PPM/PGM. Unknown formats pass through unchanged
+    (PPM/PGM/BMP/PNG), nearest-neighbor downscale to max(h, w) <=
+    max_px, re-encode — PNG stays PNG (alpha channels survive), the
+    rest become binary PPM/PGM. Unknown formats pass through unchanged
     (resize them via an injected kernel). Same (binary in -> binary out
     + metadata) shape resize_stub pins."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .media_codecs import (
             decode_bmp,
+            decode_png,
             decode_pnm,
+            encode_png,
             encode_ppm,
             resize_nearest,
             sniff,
         )
 
+        decoders = {"ppm": decode_pnm, "pgm": decode_pnm,
+                    "bmp": decode_bmp, "png": decode_png}
         for pdf in batches:
             out = pdf.copy()
             new_content = []
             for content in pdf["content"]:
                 content = bytes(content) if content is not None else b""
                 fmt = sniff(content)
-                if fmt in ("ppm", "pgm", "bmp"):
+                if fmt in decoders:
                     try:
-                        arr = (
-                            decode_bmp(content) if fmt == "bmp"
-                            else decode_pnm(content)
+                        arr = resize_nearest(decoders[fmt](content), max_px)
+                        content = (
+                            encode_png(arr) if fmt == "png"
+                            else encode_ppm(arr)
                         )
-                        content = encode_ppm(resize_nearest(arr, max_px))
                     except Exception:
                         pass  # corrupt blob: pass through unchanged
                 new_content.append(content)
@@ -264,7 +277,8 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
             out["n_bytes"] = [len(c) for c in new_content]
             out["mime"] = [
                 "image/x-portable-pixmap"
-                if c[:2] in (b"P6", b"P5") else m
+                if c[:2] in (b"P6", b"P5")
+                else ("image/png" if c[:4] == b"\x89PNG" else m)
                 for c, m in zip(new_content, pdf["mime"])
             ]
             yield out[[f.name for f in MEDIA_SCHEMA]]
@@ -281,7 +295,13 @@ def image_dhash(media: DataFrame) -> DataFrame:
     never touch pixel data again."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .media_codecs import decode_bmp, decode_pnm, dhash64, sniff
+        from .media_codecs import (
+            decode_bmp,
+            decode_png,
+            decode_pnm,
+            dhash64,
+            sniff,
+        )
 
         for pdf in batches:
             rows = []
@@ -289,12 +309,19 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 fmt = sniff(content)
                 h = None
-                if fmt in ("ppm", "pgm", "bmp"):
+                if fmt in ("ppm", "pgm", "bmp", "png"):
                     try:
                         arr = (
                             decode_bmp(content) if fmt == "bmp"
+                            else decode_png(content) if fmt == "png"
                             else decode_pnm(content)
                         )
+                        # alpha never carries luminance: hash RGB only
+                        # (RGBA -> RGB) / the gray plane (gray+alpha)
+                        if arr.ndim == 3 and arr.shape[2] == 4:
+                            arr = arr[..., :3]
+                        elif arr.ndim == 3 and arr.shape[2] == 2:
+                            arr = arr[..., 0]
                         h = dhash64(arr)
                     except Exception:
                         h = None  # corrupt blob: no fingerprint

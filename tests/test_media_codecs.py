@@ -231,3 +231,172 @@ def test_corrupt_blobs_degrade_not_crash(spark):
     assert all(r["ahash"] is None for r in audio_fingerprints(media).collect())
     back = {r["media_id"]: bytes(r["content"]) for r in resize_images(media).collect()}
     assert back[1] == bytes(bad[0][2])  # passthrough unchanged
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    body = ctype + payload
+    return (
+        struct.pack(">I", len(payload))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def _hand_filtered_png(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Independent PNG writer applying a CHOSEN filter type per scanline
+    (the library encoder only emits filter 0, so decode coverage of
+    Sub/Up/Average/Paeth needs its own filtering implementation)."""
+    import zlib
+
+    from ffi_export_etl_spark.operators.media_codecs import PNG_SIGNATURE
+
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ft in enumerate(ftypes):
+        row = flat[y]
+        left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = row - left
+        elif ft == 2:
+            f = row - prev
+        elif ft == 3:
+            f = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            f = row - pred
+        out.append(ft)
+        out.extend((f % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_color_types():
+    from ffi_export_etl_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+        real_decode,
+        sniff,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7), (4, 6, 3), (3, 5, 4), (2, 9, 2)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        png = encode_png(arr)
+        assert sniff(png) == "png"
+        back = decode_png(png)
+        assert back.shape == arr.shape and np.array_equal(back, arr)
+    assert real_decode(encode_png(rng.integers(0, 256, (3, 8), np.uint8)),
+                       "image") == {"width": 8, "height": 3}
+
+
+def test_png_decode_every_filter_type():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    from ffi_export_etl_spark.operators.media_codecs import decode_png
+
+    png = _hand_filtered_png(img, [0, 1, 2, 3, 4, 4])
+    assert np.array_equal(decode_png(png), img)
+    # gradient images exercise the Paeth predictor's three branches
+    grad = np.add.outer(np.arange(8) * 20, np.arange(6) * 10)[..., None]
+    grad = np.broadcast_to(grad % 256, (8, 6, 3)).astype(np.uint8)
+    png = _hand_filtered_png(grad, [4] * 8)
+    assert np.array_equal(decode_png(png), grad)
+
+
+def test_png_palette_and_malformed():
+    import zlib
+
+    import pytest
+
+    from ffi_export_etl_spark.operators.media_codecs import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 4), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    png = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pal[idx])
+    # malformed streams raise (and so degrade to 'corrupt' in the
+    # mapInPandas kernels): truncation, wrong depth, missing IEND
+    with pytest.raises(ValueError):
+        decode_png(png[:40])
+    bad_depth = struct.pack(">IIBBBBB", 4, 3, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIGNATURE + _png_chunk(b"IHDR", bad_depth)
+                   + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr))
+
+
+def test_png_through_spark_features_resize_and_dhash(spark):
+    """PNG blobs flow through all three mapInPandas surfaces: feature
+    extraction reports real dims/channels, resize re-encodes AS PNG
+    (alpha survives), and dhash matches the same pixels fed as PPM."""
+    from ffi_export_etl_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+        encode_ppm,
+    )
+    from ffi_export_etl_spark.operators.multimodal import (
+        extract_real_features,
+        image_dhash,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(14)
+    rgb = rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(10, 8, 4), dtype=np.uint8)
+    blobs = {1: encode_png(rgb), 2: encode_png(rgba), 3: encode_ppm(rgb)}
+    mimes = {1: "image/png", 2: "image/png", 3: "image/x-portable-pixmap"}
+    rows = [
+        (mid, "image", bytearray(b), mimes[mid], len(b))
+        for mid, b in blobs.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id: long, kind: string, content: binary, mime: string, "
+        "n_bytes: long",
+    )
+
+    feats = {r.media_id: r for r in extract_real_features(media).collect()}
+    assert feats[1].format == "png" and feats[1].width == 30
+    assert feats[2].channels == 4
+    assert feats[1].mean_value == feats[3].mean_value  # same pixels
+
+    resized = {r.media_id: bytes(r.content)
+               for r in resize_images(media, max_px=16).collect()}
+    out1 = decode_png(resized[1])
+    assert resized[1][:4] == b"\x89PNG" and max(out1.shape[:2]) <= 16
+    assert decode_png(resized[2]).shape[2] == 4  # alpha survived
+
+    hashes = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert hashes[1] == hashes[3]  # same pixels, format-independent
+    assert hashes[2] is not None
