@@ -1,0 +1,232 @@
+"""Byte-pair-encoding tokenizer: distributed training and application.
+
+The missing piece between the BPE-ish regex token COUNTER
+(queries/text_q.py) and a real trainable tokenizer: learn a merge table
+from the corpus, then tokenize documents with it.
+
+Scale design (the 100 TB shape):
+
+- Training never iterates over the corpus. ONE corpus scan builds the
+  (word, n) WORD-COUNT table (a groupBy with map-side combine); every
+  merge iteration then runs against that table, which is smaller than
+  the corpus by the word-frequency distribution (billions of tokens ->
+  millions of distinct words).
+- Each iteration is: adjacent-pair counts (posexplode + count-weighted
+  sum, partial agg), a 1-row argmax collected driver-side (bounded:
+  one pair), and a merge rewrite of the symbol arrays — a pure
+  ``F.aggregate`` higher-order function, JVM-side, no shuffle. Only the
+  pair-count aggregation shuffles, and it shuffles the word table, not
+  the corpus.
+- The plan would deepen by one aggregate per merge, so each iteration
+  ``localCheckpoint``s the rewritten table and releases the previous
+  round's blocks eagerly (the operators/components.py pattern).
+- APPLYING the tokenizer is one corpus scan through an Arrow-batched
+  ``mapInPandas`` with the merge-rank dict in the closure (a few MB for
+  a 50k vocabulary — executor-local, no join). A per-merge Column
+  expression chain would nest thousands deep; the rank-greedy loop is
+  the classic implementation and is O(word_len) amortized per word with
+  the cache.
+
+Determinism: ties in pair frequency break lexicographically, so the
+learned merge table is independent of partitioning and engine.
+
+Reference parity note: the reference engine (NMFWRI/FFI-Export-ETL) has
+no tokenizer surface; this extends the LLM-training-data family
+(vocab_frequencies in operators/textproc.py is the 1-gram special
+case).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["word_count_table", "train_bpe", "apply_bpe", "bpe_encode_word"]
+
+
+def word_count_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) over whitespace-lowercased tokens — the one corpus scan
+    training runs on. Map-side combined groupBy; empty tokens dropped."""
+    tok = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    return (
+        docs.select(tok)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _merge_expr(symbols: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of the adjacent pair
+    (a, b) with their concatenation, as a single JVM-side aggregate:
+    fold each symbol into an accumulator array, merging when the
+    accumulator's last element is ``a`` and the incoming one is ``b``.
+    Greedy-left semantics match the classic implementation because a
+    merged symbol is the CONCATENATED string, which can never equal
+    ``a`` again (``b`` is non-empty)."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    word_counts: DataFrame,
+    num_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a (word, n) table; returns
+    the ordered merge list [(a, b), ...]. Stops early when no adjacent
+    pair reaches ``min_pair_count``. Driver memory holds only the merge
+    list and a single argmax row per iteration."""
+    syms = word_counts.select(
+        F.split(F.col("word"), "").alias("symbols"), F.col("n")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            pairs = (
+                syms.filter(F.size("symbols") >= 2)
+                .select(
+                    F.posexplode(
+                        F.slice("symbols", 1, F.size("symbols") - 1)
+                    ).alias("pos", "a"),
+                    F.col("symbols"),
+                    F.col("n"),
+                )
+                .select(
+                    F.col("a"),
+                    F.element_at(
+                        F.col("symbols"), F.col("pos") + 2
+                    ).alias("b"),
+                    F.col("n"),
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("n").alias("cnt"))
+            )
+            top = pairs.orderBy(
+                F.col("cnt").desc(), F.col("a"), F.col("b")
+            ).first()
+            if top is None or top["cnt"] < min_pair_count:
+                break
+            a, b = top["a"], top["b"]
+            merges.append((a, b))
+            nxt = syms.select(
+                _merge_expr(F.col("symbols"), a, b).alias("symbols"),
+                F.col("n"),
+            ).localCheckpoint(eager=True)
+            _release(syms)
+            syms = nxt
+    finally:
+        _release(syms)
+    return merges
+
+
+def _release(df: DataFrame) -> None:
+    """Free a localCheckpoint's backing RDD eagerly (don't wait for the
+    ContextCleaner)."""
+    try:
+        df.rdd.unpersist()
+    except Exception:
+        pass
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Tokenize one word with a trained merge-rank table: repeatedly
+    merge the lowest-rank adjacent pair (identical to applying the
+    merges in training order). Pure Python — called from the Arrow
+    batch kernel and directly unit-testable."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        a, b = syms[best], syms[best + 1]
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bpe_tokens array<string>, n_bpe) per document: whitespace
+    words, each BPE-encoded with the trained merges. Arrow-batched
+    mapInPandas; the rank dict lives in the task closure (broadcast by
+    the task serializer — megabytes for real vocabularies, never a
+    join), with a per-batch word cache so repeated words (the whole
+    point of BPE) encode once."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    id_field = docs.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_field, True),
+            StructField("bpe_tokens", ArrayType(StringType()), True),
+            StructField("n_bpe", IntegerType(), True),
+        ]
+    )
+    narrowed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.col(text_col)).alias("text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = bpe_encode_word(word, ranks)
+            return got
+
+        for pdf in batches:
+            toks = [
+                [t for w in (text or "").split() for t in enc(w)]
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bpe_tokens": toks,
+                    "n_bpe": [len(t) for t in toks],
+                }
+            )
+
+    return narrowed.mapInPandas(run, schema)

@@ -1026,3 +1026,101 @@ def test_bm25_matches_pure_python_reference(spark):
     for key, (doc, score) in expect.items():
         assert got[key][0] == doc, (key, got[key], (doc, score))
         assert got[key][1] == pytest.approx(score, abs=2e-6)
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Distributed train_bpe vs an independent dict-based BPE trainer
+    (count pairs over the word-count dict, greedy max with lexicographic
+    tiebreak): identical ordered merge lists."""
+    from collections import Counter
+
+    from ffi_export_etl_spark.operators.bpe import (
+        train_bpe,
+        word_count_table,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new newer",
+        "wide wider widest wide",
+        "low new wide lowest newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wc = word_count_table(docs)
+    got = train_bpe(wc, num_merges=12)
+
+    # independent reference over the same word counts
+    counts = Counter(w for t in texts for w in t.lower().split())
+    words = {w: list(w) for w in counts}
+    expect = []
+    for _ in range(12):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += counts[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        expect.append((a, b))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == expect, (got, expect)
+
+
+def test_bpe_apply_roundtrip_and_rank_greedy_equivalence(spark):
+    """apply_bpe: token concatenation reconstructs each lowercased word
+    (lossless), and the Spark path equals bpe_encode_word per word."""
+    from ffi_export_etl_spark.operators.bpe import (
+        apply_bpe,
+        bpe_encode_word,
+        train_bpe,
+        word_count_table,
+    )
+
+    texts = ["the cat sat on the mat", "the bat and the rat sat pat",
+             "concatenate the catalog"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = train_bpe(word_count_table(docs), num_merges=8)
+    assert merges, "expected at least one merge on this corpus"
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    out = {r.doc_id: r for r in apply_bpe(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        expect_tokens = [tok for w in words for tok in bpe_encode_word(w, ranks)]
+        assert out[i].bpe_tokens == expect_tokens
+        assert out[i].n_bpe == len(expect_tokens)
+        # lossless: concatenating the word's tokens yields the word
+        assert "".join(expect_tokens) == "".join(words)
+
+
+def test_bpe_empty_and_degenerate_inputs(spark):
+    from ffi_export_etl_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_count_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "x")], ["doc_id", "text"]
+    )
+    # no adjacent pairs anywhere -> no merges learned
+    assert train_bpe(word_count_table(docs), num_merges=5) == []
+    out = {r.doc_id: r for r in apply_bpe(docs, []).collect()}
+    assert out[0].bpe_tokens == ["a", "b", "c"]
+    assert out[1].bpe_tokens == [] and out[1].n_bpe == 0
