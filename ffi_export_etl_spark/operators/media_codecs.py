@@ -38,6 +38,8 @@ def sniff(content: bytes) -> str:
         return "bmp"
     if content[:8] == PNG_SIGNATURE:
         return "png"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -260,6 +262,243 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def _lzw_decode(blocks: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: little-endian bit packing, clear/end codes,
+    growing code width up to 12 bits. Returns palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    code_size = 0
+    prev: list[int] | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    for byte in blocks:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:  # the KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW compressor (the encoder twin of _lzw_decode)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[tuple[int, ...], int]:
+        return {(i,): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            code_size = min_code_size + 1
+            table = fresh()
+            next_code = end + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """GIF87a/89a -> (frames, delays): each frame a fully-composited
+    (h, w, 3) uint8 RGB canvas, delays in centiseconds. Handles global
+    and local color tables, interlacing, transparency, and disposal
+    methods 0-3 (unspecified/keep/restore-background/restore-previous).
+    Malformed streams raise (callers degrade to format='corrupt')."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed, bg_idx, _aspect = struct.unpack_from("<BBB", data, 10)
+    i = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(data, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if global_pal is not None and bg_idx < len(global_pal):
+        canvas[:] = global_pal[bg_idx]
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay = 0
+    while i < len(data):
+        block = data[i]
+        i += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[i]
+            i += 1
+            if label == 0xF9:  # graphic control
+                size = data[i]
+                gpacked = data[i + 1]
+                delay = struct.unpack_from("<H", data, i + 2)[0]
+                tidx = data[i + 4]
+                disposal = (gpacked >> 2) & 0x07
+                transparent = tidx if gpacked & 1 else None
+                i += 1 + size
+            while data[i]:  # skip (remaining) sub-blocks
+                i += 1 + data[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", data, i)
+        fpacked = data[i + 8]
+        i += 9
+        pal = global_pal
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(data, np.uint8, n * 3, i).reshape(-1, 3)
+            i += n * 3
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = data[i]
+        i += 1
+        lzw = bytearray()
+        while data[i]:
+            size = data[i]
+            lzw.extend(data[i + 1 : i + 1 + size])
+            i += 1 + size
+        i += 1
+        idx = np.array(
+            _lzw_decode(bytes(lzw), min_code)[: fw * fh], dtype=np.int32
+        )
+        if len(idx) < fw * fh:
+            raise ValueError("truncated GIF frame")
+        grid = idx.reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deint = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, fh, step)
+                for r in rows:
+                    deint[r] = grid[src]
+                    src += 1
+            grid = deint
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        opaque = (
+            grid != transparent if transparent is not None
+            else np.ones_like(grid, dtype=bool)
+        )
+        region[opaque] = pal[grid[opaque]]
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            bg = (
+                pal[bg_idx] if global_pal is not None
+                and bg_idx < len(pal) else 0
+            )
+            canvas[top : top + fh, left : left + fw] = bg
+        elif disposal == 3 and before is not None:
+            canvas = before
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames, delays
+
+
+def encode_gif(
+    frames: list[np.ndarray], delays: list[int] | None = None
+) -> bytes:
+    """(h, w, 3) uint8 frames -> animated GIF89a with one global color
+    table built from the frames' exact colors (raises beyond 256 — this
+    encoder re-packages already-palettized pixels, e.g. sampled frames
+    of a decoded GIF; it does not quantize)."""
+    h, w, _ = frames[0].shape
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0
+    )
+    if len(colors) > 256:
+        raise ValueError("encode_gif does not quantize >256 colors")
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    depth = max(1, (len(colors) - 1).bit_length())
+    pal = np.zeros(((2 << (depth - 1)), 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += struct.pack("<BBB", 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    delays = delays or [0] * len(frames)
+    min_code = max(2, depth)
+    for frame, delay in zip(frames, delays):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(min_code)
+        idx = [lut[tuple(px)] for px in frame.reshape(-1, 3)]
+        packed = _lzw_encode(idx, min_code)
+        for off in range(0, len(packed), 255):
+            chunk = packed[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV/PCM -> ((n_frames, channels) int array, sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as f:
@@ -291,6 +530,12 @@ def real_decode(content: bytes, kind: str) -> dict | None:
     if fmt == "png":
         arr = decode_png(content)
         return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
+    if fmt == "gif":
+        frames, _ = decode_gif(content)
+        return {
+            "width": int(frames[0].shape[1]),
+            "height": int(frames[0].shape[0]),
+        }
     if fmt == "wav":
         arr, rate = decode_wav(content)
         return {"width": int(arr.shape[0]), "height": int(rate)}

@@ -145,6 +145,62 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("delay_cs", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over a multi-frame container: decode animated
+    GIFs (operators/media_codecs.decode_gif — fully composited frames,
+    so a sampled frame is what a viewer saw, not a dirty delta), keep
+    every ``every_n``-th frame, and emit each as a standalone PNG row
+    (media_id, frame_index, n_frames, delay_cs, width, height,
+    content). Non-GIF and corrupt blobs yield no rows — route MP4
+    through the injectable decoder. One Arrow pass; the per-blob fan-out
+    happens executor-side, never via a driver collect."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_gif, encode_png, sniff
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
+                if sniff(content) != "gif":
+                    continue
+                try:
+                    frames, delays = decode_gif(content)
+                except Exception:
+                    continue  # corrupt: no frames
+                for ix in range(0, len(frames), every_n):
+                    f = frames[ix]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_index": ix,
+                            "n_frames": len(frames),
+                            "delay_cs": delays[ix],
+                            "width": int(f.shape[1]),
+                            "height": int(f.shape[0]),
+                            "content": encode_png(f),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA]
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 REAL_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -175,6 +231,7 @@ def extract_real_features(media: DataFrame) -> DataFrame:
         from .media_codecs import (
             audio_stats,
             decode_bmp,
+            decode_gif,
             decode_png,
             decode_pnm,
             decode_wav,
@@ -218,6 +275,16 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                             channels=1 if arr.ndim == 2 else int(arr.shape[2]),
                             mean_value=float(np.mean(arr)),
                         )
+                    elif fmt == "gif":
+                        frames, delays = decode_gif(content)
+                        row.update(
+                            width=int(frames[0].shape[1]),
+                            height=int(frames[0].shape[0]),
+                            channels=3,
+                            mean_value=float(np.mean(frames[0])),
+                            # animation length: delays are centiseconds
+                            duration_s=sum(delays) / 100.0,
+                        )
                     elif fmt == "wav":
                         arr, rate = decode_wav(content)
                         st = audio_stats(arr, rate)
@@ -255,6 +322,8 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
             sniff,
         )
 
+        from .media_codecs import decode_gif, encode_gif
+
         decoders = {"ppm": decode_pnm, "pgm": decode_pnm,
                     "bmp": decode_bmp, "png": decode_png}
         for pdf in batches:
@@ -272,6 +341,17 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
                         )
                     except Exception:
                         pass  # corrupt blob: pass through unchanged
+                elif fmt == "gif":
+                    # nearest-neighbor keeps palette colors, so the
+                    # quantization-free encoder always re-packs it
+                    try:
+                        frames, delays = decode_gif(content)
+                        content = encode_gif(
+                            [resize_nearest(f, max_px) for f in frames],
+                            delays,
+                        )
+                    except Exception:
+                        pass
                 new_content.append(content)
             out["content"] = new_content
             out["n_bytes"] = [len(c) for c in new_content]
@@ -297,6 +377,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .media_codecs import (
             decode_bmp,
+            decode_gif,
             decode_png,
             decode_pnm,
             dhash64,
@@ -309,13 +390,16 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 fmt = sniff(content)
                 h = None
-                if fmt in ("ppm", "pgm", "bmp", "png"):
+                if fmt in ("ppm", "pgm", "bmp", "png", "gif"):
                     try:
-                        arr = (
-                            decode_bmp(content) if fmt == "bmp"
-                            else decode_png(content) if fmt == "png"
-                            else decode_pnm(content)
-                        )
+                        if fmt == "gif":  # fingerprint the first frame
+                            arr = decode_gif(content)[0][0]
+                        else:
+                            arr = (
+                                decode_bmp(content) if fmt == "bmp"
+                                else decode_png(content) if fmt == "png"
+                                else decode_pnm(content)
+                            )
                         # alpha never carries luminance: hash RGB only
                         # (RGBA -> RGB) / the gray plane (gray+alpha)
                         if arr.ndim == 3 and arr.shape[2] == 4:

@@ -1,7 +1,8 @@
 """Real media decode kernels (operators/media_codecs.py) and their
-Spark-side extractors: PPM/PGM/BMP via numpy, WAV via the stdlib —
-actually-executing decode for every format that needs no external
-library, with the injectable stub reserved for JPEG/PNG/MP4."""
+Spark-side extractors: PPM/PGM/BMP/PNG/GIF via numpy + stdlib zlib,
+WAV via the stdlib — actually-executing decode for every format that
+needs no external library, with the injectable stub reserved for
+JPEG/MP4."""
 
 from __future__ import annotations
 
@@ -400,3 +401,171 @@ def test_png_through_spark_features_resize_and_dhash(spark):
     hashes = {r.media_id: r.dhash for r in image_dhash(media).collect()}
     assert hashes[1] == hashes[3]  # same pixels, format-independent
     assert hashes[2] is not None
+
+
+def test_gif_lzw_roundtrip_and_table_growth():
+    from ffi_export_etl_spark.operators.media_codecs import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(21)
+    for n, alphabet in [(10, 2), (300, 4), (6000, 16), (30000, 8)]:
+        idx = rng.integers(0, alphabet, size=n).tolist()
+        mc = max(2, (alphabet - 1).bit_length())
+        assert _lzw_decode(_lzw_encode(idx, mc), mc) == idx
+    # the KwKwK case: an immediately-repeated fresh pattern
+    seq = [0, 1, 0, 1, 0, 1, 0, 1, 0]
+    assert _lzw_decode(_lzw_encode(seq, 2), 2) == seq
+
+
+def test_gif_animated_roundtrip():
+    from ffi_export_etl_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif,
+        real_decode,
+        sniff,
+    )
+
+    rng = np.random.default_rng(22)
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    base = rng.integers(0, 8, size=(13, 17), dtype=np.uint8)
+    frames = [palette[np.roll(base, k, axis=1)] for k in range(4)]
+    gif = encode_gif(frames, delays=[10, 20, 30, 40])
+    assert sniff(gif) == "gif"
+    back, delays = decode_gif(gif)
+    assert delays == [10, 20, 30, 40]
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    assert real_decode(gif, "image") == {"width": 17, "height": 13}
+
+
+def test_gif_interlace_transparency_and_disposal():
+    """Hand-built GIF89a streams (independent of the library encoder)
+    covering the decode paths the roundtrip can't: interlaced row order,
+    a transparent-index patch composited over the previous frame, and
+    disposal 2 restoring the background between frames."""
+    import struct as st
+
+    from ffi_export_etl_spark.operators.media_codecs import (
+        _GIF_INTERLACE_PASSES,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+
+    def blocks(payload: bytes) -> bytes:
+        out = bytearray()
+        for off in range(0, len(payload), 255):
+            c = payload[off : off + 255]
+            out.append(len(c))
+            out += c
+        out.append(0)
+        return bytes(out)
+
+    def header(w, h, bg=0):
+        return (
+            b"GIF89a" + st.pack("<HH", w, h)
+            + st.pack("<BBB", 0x80 | 1, bg, 0) + pal.tobytes()
+        )
+
+    # interlaced 8x4: write rows in pass order, expect natural order back
+    h, w = 8, 4
+    img = np.arange(h * w, dtype=np.uint8).reshape(h, w) % 4
+    pass_rows = [
+        r for start, step in _GIF_INTERLACE_PASSES
+        for r in range(start, h, step)
+    ]
+    permuted = img[pass_rows].reshape(-1).tolist()
+    gif = (
+        header(w, h)
+        + b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + b"\x40"  # interlace
+        + bytes([2]) + blocks(_lzw_encode(permuted, 2)) + b"\x3b"
+    )
+    frames, _ = decode_gif(gif)
+    assert np.array_equal(frames[0], pal[img])
+
+    # frame 2 is a 1x1 patch at (1,1) whose pixel is TRANSPARENT ->
+    # composited frame 2 must equal frame 1; frame 3's GCE uses
+    # disposal 2 (restore background) before a full opaque frame
+    full = np.zeros((2, 2), dtype=np.uint8).reshape(-1).tolist()
+    gce_transparent = b"\x21\xf9\x04\x01\x05\x00\x02\x00"  # tflag, tidx=2
+    patch = (
+        b"\x2c" + st.pack("<HHHH", 1, 1, 1, 1) + b"\x00"
+        + bytes([2]) + blocks(_lzw_encode([2], 2))
+    )
+    gif2 = (
+        header(2, 2, bg=3)
+        + b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2]) + blocks(_lzw_encode(full, 2))
+        + gce_transparent + patch
+        + b"\x3b"
+    )
+    frames2, _ = decode_gif(gif2)
+    assert len(frames2) == 2
+    assert np.array_equal(frames2[0], frames2[1])  # transparent patch
+
+
+def test_gif_through_spark_surfaces(spark):
+    """GIF blobs through features (real duration from frame delays),
+    frame sampling (composited frames re-encoded as PNG), resize, and
+    dhash (first frame, format-independent vs the same pixels as PNG)."""
+    from ffi_export_etl_spark.operators.media_codecs import (
+        decode_gif,
+        decode_png,
+        encode_gif,
+        encode_png,
+    )
+    from ffi_export_etl_spark.operators.multimodal import (
+        extract_real_features,
+        image_dhash,
+        resize_images,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(23)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx_frames = [
+        rng.integers(0, 16, size=(24, 36), dtype=np.uint8) for _ in range(5)
+    ]
+    frames = [palette[ix] for ix in idx_frames]
+    gif = encode_gif(frames, delays=[25] * 5)
+    png_first = encode_png(frames[0])
+    rows = [
+        (1, "video", bytearray(gif), "image/gif", len(gif)),
+        (2, "image", bytearray(png_first), "image/png", len(png_first)),
+        (3, "video", bytearray(b"GIF89aXX"), "image/gif", 8),  # corrupt
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id: long, kind: string, content: binary, mime: string, "
+        "n_bytes: long",
+    )
+
+    feats = {r.media_id: r for r in extract_real_features(media).collect()}
+    assert feats[1].format == "gif" and feats[1].width == 36
+    assert feats[1].duration_s == 1.25  # 5 frames x 25cs
+    assert feats[3].format == "corrupt"
+
+    sampled = sample_frames(media, every_n=2).collect()
+    got = {(r.media_id, r.frame_index): r for r in sampled}
+    assert set(got) == {(1, 0), (1, 2), (1, 4)}
+    assert all(r.n_frames == 5 for r in sampled)
+    # sampled frame content is the composited frame, PNG-encoded
+    assert np.array_equal(decode_png(bytes(got[(1, 0)].content)), frames[0])
+    assert np.array_equal(decode_png(bytes(got[(1, 2)].content)), frames[2])
+
+    resized = {r.media_id: bytes(r.content)
+               for r in resize_images(media, max_px=12).collect()}
+    rframes, rdelays = decode_gif(resized[1])
+    assert len(rframes) == 5 and rdelays == [25] * 5
+    assert max(rframes[0].shape[:2]) <= 12
+    assert resized[3] == b"GIF89aXX"  # corrupt passes through
+
+    hashes = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert hashes[1] == hashes[2]  # first frame == same pixels as PNG
+    assert hashes[3] is None
