@@ -23,6 +23,8 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (codec family)
+
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -40,6 +42,8 @@ def sniff(content: bytes) -> str:
         return "png"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -536,6 +540,9 @@ def real_decode(content: bytes, kind: str) -> dict | None:
             "width": int(frames[0].shape[1]),
             "height": int(frames[0].shape[0]),
         }
+    if fmt == "jpeg":
+        arr = decode_jpeg(content)
+        return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
     if fmt == "wav":
         arr, rate = decode_wav(content)
         return {"width": int(arr.shape[0]), "height": int(rate)}

@@ -232,6 +232,7 @@ def extract_real_features(media: DataFrame) -> DataFrame:
             audio_stats,
             decode_bmp,
             decode_gif,
+            decode_jpeg,
             decode_png,
             decode_pnm,
             decode_wav,
@@ -285,6 +286,13 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                             # animation length: delays are centiseconds
                             duration_s=sum(delays) / 100.0,
                         )
+                    elif fmt == "jpeg":
+                        arr = decode_jpeg(content)
+                        row.update(
+                            width=int(arr.shape[1]), height=int(arr.shape[0]),
+                            channels=1 if arr.ndim == 2 else int(arr.shape[2]),
+                            mean_value=float(np.mean(arr)),
+                        )
                     elif fmt == "wav":
                         arr, rate = decode_wav(content)
                         st = audio_stats(arr, rate)
@@ -322,10 +330,16 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
             sniff,
         )
 
-        from .media_codecs import decode_gif, encode_gif
+        from .media_codecs import (
+            decode_gif,
+            decode_jpeg,
+            encode_gif,
+            encode_jpeg,
+        )
 
         decoders = {"ppm": decode_pnm, "pgm": decode_pnm,
-                    "bmp": decode_bmp, "png": decode_png}
+                    "bmp": decode_bmp, "png": decode_png,
+                    "jpeg": decode_jpeg}
         for pdf in batches:
             out = pdf.copy()
             new_content = []
@@ -337,6 +351,7 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
                         arr = resize_nearest(decoders[fmt](content), max_px)
                         content = (
                             encode_png(arr) if fmt == "png"
+                            else encode_jpeg(arr) if fmt == "jpeg"
                             else encode_ppm(arr)
                         )
                     except Exception:
@@ -378,6 +393,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
         from .media_codecs import (
             decode_bmp,
             decode_gif,
+            decode_jpeg,
             decode_png,
             decode_pnm,
             dhash64,
@@ -390,7 +406,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 fmt = sniff(content)
                 h = None
-                if fmt in ("ppm", "pgm", "bmp", "png", "gif"):
+                if fmt in ("ppm", "pgm", "bmp", "png", "gif", "jpeg"):
                     try:
                         if fmt == "gif":  # fingerprint the first frame
                             arr = decode_gif(content)[0][0]
@@ -398,6 +414,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
                             arr = (
                                 decode_bmp(content) if fmt == "bmp"
                                 else decode_png(content) if fmt == "png"
+                                else decode_jpeg(content) if fmt == "jpeg"
                                 else decode_pnm(content)
                             )
                         # alpha never carries luminance: hash RGB only
