@@ -44,6 +44,8 @@ def sniff(content: bytes) -> str:
         return "gif"
     if content[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if content[4:8] == b"ftyp":
+        return "mp4"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -503,6 +505,84 @@ def encode_gif(
     return bytes(out)
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in a
+    range; handles 64-bit largesize boxes."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, i)
+        btype = data[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, i + 8)
+            body = i + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, body, i + size
+        i += size
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) structural metadata WITHOUT a media decoder:
+    walk ftyp/moov boxes for the movie duration (mvhd timescale ticks,
+    versions 0 and 1) and the first video track's pixel dimensions
+    (tkhd 16.16 fixed point, track picked by its hdlr handler type).
+    Frame DECODE still needs a real codec library (the injectable
+    kernel); the container metadata a curation pipeline filters on —
+    duration, resolution, track inventory — is real."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    meta: dict = {
+        "brand": data[8:12].decode("ascii", "replace"),
+        "duration_s": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+        "track_types": [],
+    }
+    for btype, b0, b1 in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for t, t0, t1 in _mp4_boxes(data, b0, b1):
+            if t == b"mvhd":
+                version = data[t0]
+                if version == 1:
+                    timescale, duration = struct.unpack_from(
+                        ">IQ", data, t0 + 20
+                    )
+                else:
+                    timescale, duration = struct.unpack_from(
+                        ">II", data, t0 + 12
+                    )
+                if timescale:
+                    meta["duration_s"] = duration / timescale
+            elif t == b"trak":
+                meta["n_tracks"] += 1
+                tk_w = tk_h = None
+                handler = None
+                for s, s0, s1 in _mp4_boxes(data, t0, t1):
+                    if s == b"tkhd":
+                        version = data[s0]
+                        off = s0 + (96 if version == 1 else 84)
+                        wfx, hfx = struct.unpack_from(">II", data, off)
+                        tk_w, tk_h = wfx >> 16, hfx >> 16
+                    elif s == b"mdia":
+                        for m, m0, m1 in _mp4_boxes(data, s0, s1):
+                            if m == b"hdlr":
+                                handler = data[m0 + 8 : m0 + 12].decode(
+                                    "ascii", "replace"
+                                )
+                if handler:
+                    meta["track_types"].append(handler)
+                if handler == "vide" and meta["width"] is None:
+                    meta["width"], meta["height"] = tk_w, tk_h
+    if meta["n_tracks"] == 0:
+        raise ValueError("MP4 has no moov/trak metadata")
+    return meta
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV/PCM -> ((n_frames, channels) int array, sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as f:
@@ -543,6 +623,9 @@ def real_decode(content: bytes, kind: str) -> dict | None:
     if fmt == "jpeg":
         arr = decode_jpeg(content)
         return {"width": int(arr.shape[1]), "height": int(arr.shape[0])}
+    if fmt == "mp4":
+        meta = parse_mp4_meta(content)
+        return {"width": meta["width"], "height": meta["height"]}
     if fmt == "wav":
         arr, rate = decode_wav(content)
         return {"width": int(arr.shape[0]), "height": int(rate)}

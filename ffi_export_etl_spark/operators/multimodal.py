@@ -293,6 +293,16 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                             channels=1 if arr.ndim == 2 else int(arr.shape[2]),
                             mean_value=float(np.mean(arr)),
                         )
+                    elif fmt == "mp4":
+                        # container metadata is real (box walk); pixel
+                        # decode still routes through set_decoder
+                        from .media_codecs import parse_mp4_meta
+
+                        m = parse_mp4_meta(content)
+                        row.update(
+                            width=m["width"], height=m["height"],
+                            duration_s=m["duration_s"],
+                        )
                     elif fmt == "wav":
                         arr, rate = decode_wav(content)
                         st = audio_stats(arr, rate)

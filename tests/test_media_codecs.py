@@ -1,8 +1,9 @@
 """Real media decode kernels (operators/media_codecs.py) and their
-Spark-side extractors: PPM/PGM/BMP/PNG/GIF via numpy + stdlib zlib,
-WAV via the stdlib — actually-executing decode for every format that
+Spark-side extractors: PPM/PGM/BMP/PNG/GIF/baseline-JPEG via numpy +
+stdlib zlib, WAV via the stdlib, MP4 container metadata via an
+ISO-BMFF box walk — actually-executing decode for every format that
 needs no external library, with the injectable stub reserved for
-JPEG/MP4."""
+progressive JPEG and MP4 frame decode."""
 
 from __future__ import annotations
 
@@ -569,3 +570,92 @@ def test_gif_through_spark_surfaces(spark):
     hashes = {r.media_id: r.dhash for r in image_dhash(media).collect()}
     assert hashes[1] == hashes[2]  # first frame == same pixels as PNG
     assert hashes[3] is None
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_bytes(
+    w: int = 640, h: int = 360, timescale: int = 1000,
+    duration: int = 12500, version: int = 0,
+) -> bytes:
+    """Minimal hand-built ISO-BMFF: ftyp + moov{mvhd, video trak{tkhd,
+    mdia{hdlr}}, audio trak{tkhd, mdia{hdlr}}} (test-side oracle)."""
+    if version == 1:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration) + b"\x00" * 80
+        )
+    else:
+        mvhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration) + b"\x00" * 80
+        )
+
+    def tkhd(tw, th):
+        # version 0: 84 bytes to the width field
+        return b"\x00" * 84 + struct.pack(">II", tw << 16, th << 16)
+
+    def hdlr(kind: bytes) -> bytes:
+        return b"\x00" * 8 + kind + b"\x00" * 12
+
+    vtrak = _box(
+        b"trak",
+        _box(b"tkhd", tkhd(w, h)) + _box(b"mdia", _box(b"hdlr", hdlr(b"vide"))),
+    )
+    atrak = _box(
+        b"trak",
+        _box(b"tkhd", tkhd(0, 0)) + _box(b"mdia", _box(b"hdlr", hdlr(b"soun"))),
+    )
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + vtrak + atrak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_mp4_metadata_parse_and_versions():
+    from ffi_export_etl_spark.operators.media_codecs import (
+        parse_mp4_meta,
+        real_decode,
+        sniff,
+    )
+
+    import pytest
+
+    mp4 = _mp4_bytes()
+    assert sniff(mp4) == "mp4"
+    meta = parse_mp4_meta(mp4)
+    assert meta["width"] == 640 and meta["height"] == 360
+    assert meta["duration_s"] == 12.5
+    assert meta["n_tracks"] == 2
+    assert meta["track_types"] == ["vide", "soun"]
+    assert real_decode(mp4, "video") == {"width": 640, "height": 360}
+    # 64-bit mvhd (version 1) parses identically
+    v1 = parse_mp4_meta(_mp4_bytes(version=1))
+    assert v1["duration_s"] == 12.5 and v1["width"] == 640
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00\x00\x00\x08ftyp")  # no moov
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"not an mp4 at all")
+
+
+def test_mp4_through_spark_features(spark):
+    from ffi_export_etl_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    mp4 = _mp4_bytes(w=1920, h=1080, timescale=600, duration=3600)
+    rows = [
+        (1, "video", bytearray(mp4), "video/mp4", len(mp4)),
+        (2, "video", bytearray(mp4[:12]), "video/mp4", 12),  # truncated
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id: long, kind: string, content: binary, mime: string, "
+        "n_bytes: long",
+    )
+    feats = {r.media_id: r for r in extract_real_features(media).collect()}
+    assert feats[1].format == "mp4"
+    assert feats[1].width == 1920 and feats[1].height == 1080
+    assert feats[1].duration_s == 6.0
+    assert feats[2].format == "corrupt"
