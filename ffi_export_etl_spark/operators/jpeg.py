@@ -1,16 +1,21 @@
-"""Baseline JPEG codec in pure numpy + stdlib — no PIL, no libjpeg.
+"""JPEG codec in pure numpy + stdlib — no PIL, no libjpeg.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-any standard chroma subsampling (4:4:4, 4:2:2, 4:2:0), restart markers,
-Huffman-coded entropy data. Progressive (SOF2) and arithmetic coding
-raise — route those through the injectable kernel
+Decoder: baseline (SOF0) AND progressive (SOF2) sequential DCT, 8-bit,
+grayscale or YCbCr with any standard chroma subsampling (4:4:4, 4:2:2,
+4:2:0), restart markers, Huffman entropy coding. Progressive streams
+accumulate coefficients across the scan script — DC first/refinement,
+AC spectral-selection bands with EOB runs, AC successive-approximation
+refinement (the libjpeg jdphuff correction-bit algorithm) — and
+reconstruct once at EOI. Arithmetic coding and lossless/hierarchical
+frames raise — route those through the injectable kernel
 (operators/multimodal.set_decoder).
 
-Encoder: baseline grayscale/YCbCr 4:4:4 with the ITU T.81 Annex K
-example quantization + Huffman tables (scaled by a quality factor, the
-libjpeg convention), so decode(encode(x)) reconstructs x within normal
-lossy error — used by tests as an independent-path check and by
-curation jobs that need to re-emit thumbnails.
+Encoders: baseline grayscale/YCbCr (4:4:4 or 4:2:0, optional restart
+intervals) with the ITU T.81 Annex K example quantization + Huffman
+tables (scaled by a quality factor, the libjpeg convention), plus a
+progressive encoder with a fixed DC-first/DC-refine/AC-band scan script
+— so decode(encode(x)) reconstructs x within normal lossy error and
+the progressive decode paths have self-contained roundtrips.
 
 Performance shape: this is a correctness kernel for the Arrow batch
 surface (operators/multimodal.py), not a SIMD codec. All block math
@@ -252,16 +257,23 @@ def dct2_blocks(samples: np.ndarray) -> np.ndarray:
 # Decoder
 # ---------------------------------------------------------------------------
 
-
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w) grayscale or (h, w, 3) RGB uint8."""
+    """JPEG -> (h, w) grayscale or (h, w, 3) RGB uint8.
+
+    Baseline (SOF0) and progressive (SOF2) sequential DCT: progressive
+    streams accumulate coefficients across their scan script — DC
+    first/refinement, AC spectral-selection bands with EOB runs, AC
+    successive-approximation refinement — and reconstruct once at EOI.
+    Arithmetic coding and hierarchical/lossless frames raise."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None
+    frame: dict | None = None
+    progressive = False
     restart_interval = 0
+    coef: dict[int, np.ndarray] = {}  # cid -> (blocks_y, blocks_x, 64)
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -300,116 +312,258 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 j += 17 + n
                 table = _build_decode_map(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = table
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
             comps = []
             for c in range(nc):
-                cid, sampling, tq = struct.unpack_from(
-                    ">BBB", seg, 6 + c * 3
-                )
+                cid, sampling, tq = struct.unpack_from(">BBB", seg, 6 + c * 3)
                 comps.append(
                     {"id": cid, "h": sampling >> 4, "v": sampling & 0x0F,
                      "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": -(-w // (8 * hmax)),
+                "mcus_y": -(-h // (8 * vmax)),
+            }
+            for c in comps:
+                by = frame["mcus_y"] * c["v"]
+                bx = frame["mcus_x"] * c["h"]
+                coef[c["id"]] = np.zeros((by, bx, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} not supported (baseline only)"
+                f"JPEG SOF{marker - 0xC0} not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS: entropy data follows the header
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tables = seg[1 + c * 2], seg[2 + c * 2]
-                scan[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                data, i, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan_comps.append(
+                    {**comp, "dc": tables >> 4, "ac": tables & 0x0F}
+                )
+            ss, se, a = seg[1 + ns * 2 : 4 + ns * 2]
+            ah, al = a >> 4, a & 0x0F
+            reader = _BitReader(data[i:])
+            _run_scan(
+                reader, frame, scan_comps, coef, huff_dc, huff_ac,
+                ss, se, ah, al, progressive, restart_interval,
             )
-    raise ValueError("JPEG has no scan data")
+            i += reader.pos  # continue marker parse after entropy data
+    if frame is None or not coef:
+        raise ValueError("JPEG has no scan data")
+    return _reconstruct(frame, coef, qt)
 
 
-def _decode_scan(
-    data: bytes,
-    start: int,
+def _run_scan(
+    reader: "_BitReader",
     frame: dict,
-    scan: dict,
-    qt: dict,
+    scan_comps: list[dict],
+    coef: dict[int, np.ndarray],
     huff_dc: dict,
     huff_ac: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
     restart_interval: int,
-) -> np.ndarray:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    reader = _BitReader(data[start:])
-    # per-component coefficient storage (blocks in MCU raster order)
-    blocks: dict[int, list[np.ndarray]] = {c["id"]: [] for c in comps}
-    pred: dict[int, int] = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for _my in range(mcus_y):
-        for _mx in range(mcus_x):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                reader.sync_restart()
-                pred = {c["id"]: 0 for c in comps}
-            for c in comps:
-                dc_tab = huff_dc[scan[c["id"]][0]]
-                ac_tab = huff_ac[scan[c["id"]][1]]
-                for _b in range(c["h"] * c["v"]):
-                    zz = np.zeros(64, dtype=np.int32)
-                    t = _decode_symbol(reader, dc_tab)
+) -> None:
+    """Decode one entropy-coded scan into the coefficient store.
+
+    Interleaved scans (ns > 1, or any baseline scan) walk the MCU grid;
+    progressive non-interleaved scans walk the single component's own
+    ceil-sized block grid (T.81 A.2.2). State (DC predictors, EOB run)
+    resets at restart markers."""
+    pred = {c["id"]: 0 for c in scan_comps}
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+
+    def units():
+        if interleaved:
+            for _my in range(frame["mcus_y"]):
+                for _mx in range(frame["mcus_x"]):
+                    yield [
+                        (c, (_my * c["v"] + by), (_mx * c["h"] + bx))
+                        for c in scan_comps
+                        for by in range(c["v"])
+                        for bx in range(c["h"])
+                    ]
+        else:
+            c = scan_comps[0]
+            bw = -(-(frame["w"] * c["h"]) // (8 * frame["hmax"]))
+            bh = -(-(frame["h"] * c["v"]) // (8 * frame["vmax"]))
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(c, by, bx)]
+
+    count = 0
+    for unit in units():
+        if restart_interval and count and count % restart_interval == 0:
+            reader.sync_restart()
+            pred = {c["id"]: 0 for c in scan_comps}
+            eobrun = 0
+        for c, by, bx in unit:
+            zz = coef[c["id"]][by, bx]
+            if not progressive:
+                _block_baseline(
+                    reader, zz, c, pred, huff_dc[c["dc"]], huff_ac[c["ac"]]
+                )
+            elif ss == 0:
+                if ah == 0:  # DC first
+                    t = _decode_symbol(reader, huff_dc[c["dc"]])
                     diff = _extend(reader.read_bits(t), t)
                     pred[c["id"]] += diff
-                    zz[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(reader, ac_tab)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        zz[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    blocks[c["id"]].append(zz)
-            mcu_count += 1
-    # reconstruct each component plane (vectorized past this point)
+                    zz[0] = pred[c["id"]] << al
+                else:  # DC refinement: one bit per block
+                    if reader.read_bit():
+                        zz[0] |= 1 << al
+            else:
+                eobrun = _block_ac_progressive(
+                    reader, zz, ss, se, ah, al, eobrun, huff_ac[c["ac"]]
+                )
+        count += 1
+
+
+def _block_baseline(
+    reader: "_BitReader",
+    zz: np.ndarray,
+    c: dict,
+    pred: dict,
+    dc_tab: dict,
+    ac_tab: dict,
+) -> None:
+    t = _decode_symbol(reader, dc_tab)
+    diff = _extend(reader.read_bits(t), t)
+    pred[c["id"]] += diff
+    zz[0] = pred[c["id"]]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        zz[k] = _extend(reader.read_bits(s), s)
+        k += 1
+
+
+def _block_ac_progressive(
+    reader: "_BitReader",
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    eobrun: int,
+    ac_tab: dict,
+) -> int:
+    """One block of an AC progressive scan; returns the new EOB run."""
+    if ah == 0:  # first scan for this band
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of end-of-bands
+                    return ((1 << r) - 1) + reader.read_bits(r)
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC band overflow")
+            zz[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return 0
+    # refinement scan (T.81 G.1.2.3 / libjpeg jdphuff): correction bits.
+    # ``eobrun`` carries the number of ADDITIONAL whole blocks whose
+    # bands are already ended — those blocks still consume one
+    # correction bit per nonzero-history coefficient.
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and not (zz[k] & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun > 0:  # block inside a pending EOB run: sweep-only
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        return eobrun - 1
+    band_ended = False
+    while k <= se:
+        rs = _decode_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOBn ends THIS block's band too
+                eobrun = ((1 << r) - 1) + reader.read_bits(r)
+                band_ended = True
+                break
+            # r == 15 (ZRL): skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("invalid refinement magnitude")
+            newval = p1 if reader.read_bit() else m1
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            zz[k] = newval
+        k += 1
+    if band_ended:  # current block's tail: refine remaining nonzeros
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+    return eobrun
+
+
+def _reconstruct(
+    frame: dict, coef: dict[int, np.ndarray], qt: dict[int, np.ndarray]
+) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = {}
     for c in comps:
-        bw = mcus_x * c["h"]  # blocks per row
-        bh = mcus_y * c["v"]
-        zz = np.stack(blocks[c["id"]])  # (nblocks, 64)
+        grid = coef[c["id"]]
+        by, bx, _ = grid.shape
+        zz = grid.reshape(-1, 64)
         coefs = np.zeros((len(zz), 8, 8), dtype=np.float64)
         coefs[:, _ZZ_ROWS, _ZZ_COLS] = zz
         coefs *= qt[c["tq"]][None, :, :]
         spatial = idct2_blocks(coefs) + 128.0
-        # blocks arrive MCU-by-MCU, c.h x c.v per MCU, raster within
-        plane = np.zeros((bh * 8, bw * 8))
-        idx = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[idx]
-                        idx += 1
-        # upsample to full resolution and crop
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
@@ -425,7 +579,6 @@ def _decode_scan(
     return np.clip(
         np.stack([r, g, b], axis=-1).round(), 0, 255
     ).astype(np.uint8)
-
 
 # ---------------------------------------------------------------------------
 # Encoder (baseline, 4:4:4)
@@ -644,3 +797,197 @@ def _entropy_block(
     if run:
         writer.write(ac_codes[0x00][0], ac_codes[0x00][1])  # EOB
     return int(zz[0])
+
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) the Annex K
+# tables do not define. This flat custom table assigns every AC symbol
+# an 8-bit code (176 symbols < 256: canonical and prefix-free by
+# construction) — poor compression, simple and valid; emitted via a
+# per-scan DHT.
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        {(run << 4) | size for run in range(16) for size in range(1, 11)}
+        | {r << 4 for r in range(15)}  # EOBn (incl. EOB0)
+        | {0xF0}  # ZRL
+    ),
+)
+
+
+def _eobn_flush(writer: _BitWriter, ac_codes: dict, run: int) -> None:
+    """Emit an EOBn code for a pending end-of-band run (1 <= run <=
+    0x7FFF). The coded value COUNTS the block in which the decoder
+    meets the EOBn (it ends that block's band): symbol r = high bit of
+    run, then the r low bits — the decoder resumes skipping run-1
+    further whole blocks."""
+    r = run.bit_length() - 1
+    writer.write(ac_codes[r << 4][0], ac_codes[r << 4][1])
+    if r:
+        writer.write(run - (1 << r), r)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85
+) -> bytes:
+    """Progressive (SOF2) encoder with a fixed 4-stage scan script:
+    interleaved DC first at Al=1, DC refinement, then per-component AC
+    bands 1-5 and 6-63 with accumulated EOB runs. Exists so the
+    progressive DECODE paths (spectral selection, successive DC
+    approximation, EOBn) have a real self-contained roundtrip; color is
+    4:4:4."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qy = _scaled_q(K_LUMA_Q, quality)
+    qc = _scaled_q(K_CHROMA_Q, quality)
+    arr_f = arr.astype(np.float64)
+    if gray:
+        planes = [arr_f]
+    else:
+        r_, g_, b_ = arr_f[..., 0], arr_f[..., 1], arr_f[..., 2]
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0,
+        ]
+
+    def plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        bh = -(-h // 8) * 8
+        bw = -(-w // 8) * 8
+        padded = np.pad(
+            plane, ((0, bh - h), (0, bw - w)), mode="edge"
+        )
+        tiles = (
+            padded.reshape(bh // 8, 8, bw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = dct2_blocks(tiles - 128.0)
+        return np.round(coefs / q[None, :, :]).astype(np.int32)[
+            :, _ZZ_ROWS, _ZZ_COLS
+        ]
+
+    grids = [
+        plane_blocks(p, qy if ci == 0 else qc) for ci, p in enumerate(planes)
+    ]
+    dc_tabs = [build_huffman_codes(*K_DC_LUMA)] + [
+        build_huffman_codes(*K_DC_CHROMA)
+    ] * (len(planes) - 1)
+    ac_tabs = [build_huffman_codes(*K_AC_LUMA)] + [
+        build_huffman_codes(*K_AC_CHROMA)
+    ] * (len(planes) - 1)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    segment(0xDB, bytes([0]) + bytes(int(v) for v in qy[_ZZ_ROWS, _ZZ_COLS]))
+    if not gray:
+        segment(
+            0xDB, bytes([1]) + bytes(int(v) for v in qc[_ZZ_ROWS, _ZZ_COLS])
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    segment(0xC2, sof)  # SOF2: progressive
+    segment(0xC4, bytes([0x00]) + bytes(K_DC_LUMA[0]) + bytes(K_DC_LUMA[1]))
+    segment(0xC4, bytes([0x10]) + bytes(K_AC_LUMA[0]) + bytes(K_AC_LUMA[1]))
+    if not gray:
+        segment(
+            0xC4, bytes([0x01]) + bytes(K_DC_CHROMA[0]) + bytes(K_DC_CHROMA[1])
+        )
+        segment(
+            0xC4, bytes([0x11]) + bytes(K_AC_CHROMA[0]) + bytes(K_AC_CHROMA[1])
+        )
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            dc_t = 0 if cid == 1 else 1
+            ac_t = 0 if cid == 1 else 1
+            sos += bytes([cid, (dc_t << 4) | ac_t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, sos)
+
+    # scan 1: interleaved DC first, Al=1
+    all_ids = list(range(1, len(planes) + 1))
+    sos_header(all_ids, 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    n_blocks = grids[0].shape[0]
+    for bi in range(n_blocks):  # 4:4:4 -> same grid for all comps
+        for ci in range(len(planes)):
+            dcv = int(grids[ci][bi, 0]) >> 1
+            diff = dcv - preds[ci]
+            preds[ci] = dcv
+            t, code = _mag_bits(diff)
+            writer.write(dc_tabs[ci][t][0], dc_tabs[ci][t][1])
+            if t:
+                writer.write(code, t)
+    writer.flush()
+    out.extend(writer.out)
+
+    # scan 2: DC refinement (Ah=1, Al=0): the dropped low bit
+    sos_header(all_ids, 0, 0, 1, 0)
+    writer = _BitWriter()
+    for bi in range(n_blocks):
+        for ci in range(len(planes)):
+            writer.write(int(grids[ci][bi, 0]) & 1, 1)
+    writer.flush()
+    out.extend(writer.out)
+
+    # scans 3+: per-component AC bands with EOB-run accumulation,
+    # using the flat custom AC table (EOBn symbols) in slot (1, ci&1)
+    prog_ac = build_huffman_codes(*PROG_AC_SPEC)
+    for ci in range(len(planes)):
+        slot = 0 if ci == 0 else 1
+        segment(
+            0xC4,
+            bytes([(1 << 4) | slot])
+            + bytes(PROG_AC_SPEC[0])
+            + bytes(PROG_AC_SPEC[1]),
+        )
+        for ss, se in ((1, 5), (6, 63)):
+            sos_header([ci + 1], ss, se, 0, 0)
+            writer = _BitWriter()
+            ac = prog_ac
+            eobrun = 0
+            for bi in range(n_blocks):
+                band = grids[ci][bi, ss : se + 1]
+                nz = np.nonzero(band)[0]
+                if len(nz) == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:  # spec max
+                        _eobn_flush(writer, ac, eobrun)
+                        eobrun = 0
+                    continue
+                if eobrun:
+                    _eobn_flush(writer, ac, eobrun)
+                    eobrun = 0
+                run = 0
+                last = int(nz[-1])
+                for k in range(len(band)):
+                    v = int(band[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        writer.write(ac[0xF0][0], ac[0xF0][1])
+                        run -= 16
+                    t, code = _mag_bits(v)
+                    writer.write(ac[(run << 4) | t][0], ac[(run << 4) | t][1])
+                    writer.write(code, t)
+                    run = 0
+                if last < len(band) - 1:
+                    eobrun += 1  # trailing zeros end this band early
+                    if eobrun == 0x7FFF:
+                        _eobn_flush(writer, ac, eobrun)
+                        eobrun = 0
+            if eobrun:
+                _eobn_flush(writer, ac, eobrun)
+            writer.flush()
+            out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -106,12 +106,12 @@ def test_jpeg_malformed_and_unsupported():
         decode_jpeg(b"notajpeg")
     with pytest.raises(ValueError):
         decode_jpeg(good[:2])  # SOI only: no scan
-    # flip SOF0 -> SOF2 (progressive): explicit unsupported error
-    progressive = bytearray(good)
-    idx = progressive.index(b"\xff\xc0")
-    progressive[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(bytes(progressive))
+    # flip SOF0 -> SOF3 (lossless): explicit unsupported error
+    lossless = bytearray(good)
+    idx = lossless.index(b"\xff\xc0")
+    lossless[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(lossless))
 
 
 def test_jpeg_through_spark_surfaces(spark):
@@ -151,3 +151,144 @@ def test_jpeg_through_spark_surfaces(spark):
     ham = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
     assert ham <= 4, ham
     assert hashes[3] is None
+
+
+def test_progressive_matches_baseline_reconstruction():
+    """The progressive encoder transmits the SAME quantized coefficients
+    as the baseline encoder, so both decodes must be bit-identical —
+    across gradient (sparse bands), noise (dense bands), and flat
+    (maximum EOB runs) content, gray and color."""
+    from ffi_export_etl_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(31)
+    cases = [
+        (_smooth(37, 53), 92),
+        (rng.integers(0, 256, (40, 24, 3), dtype=np.uint8), 30),
+        (np.full((64, 48), 130, np.uint8), 85),
+        ((np.add.outer(np.arange(24) * 3, np.arange(40))).astype(np.uint8), 90),
+    ]
+    for img, q in cases:
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        assert np.array_equal(prog, base), (img.shape, q)
+
+
+def test_progressive_ac_successive_approximation_refinement():
+    """Hand-built two-stage AC stream (the one path the library encoder
+    does not emit): first scan at Al=1, then a refinement scan at Ah=1
+    whose correction/newly-nonzero bits are encoded here independently,
+    following T.81 G.1.2.3. Decoded coefficients must equal the
+    originals exactly."""
+    import struct as st
+
+    from ffi_export_etl_spark.operators import jpeg as J
+
+    # coefficient plan over zig-zag 1..63: covers first-scan-visible
+    # values (|v|>=2, incl. one needing a correction bit), refinement
+    # newly-nonzero (+1/-1), zero runs, and an EOB tail with a pending
+    # correction bit after the last newly-nonzero position
+    v = np.zeros(64, dtype=np.int32)
+    v[1] = 5    # first scan 2, correction bit 1
+    v[2] = -2   # first scan -1, correction bit 0
+    v[5] = 1    # newly nonzero in refinement (+)
+    v[9] = -1   # newly nonzero in refinement (-)
+    v[12] = 4   # first scan 2, correction bit 0
+    v[20] = -3  # first scan -1, correction bit 1
+
+    spec = J.PROG_AC_SPEC
+    ac = J.build_huffman_codes(*spec)
+    dc = J.build_huffman_codes(*J.K_DC_LUMA)
+
+    def seg(marker, payload):
+        return b"\xff" + bytes([marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    q_id = np.ones((8, 8), dtype=np.int32)  # identity quantization
+    dqt = bytes([0]) + bytes(
+        int(q_id[r, c]) for r, c in J.ZIGZAG
+    )
+    sof = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(J.K_DC_LUMA[0]) + bytes(J.K_DC_LUMA[1])
+    dht_ac = bytes([0x10]) + bytes(spec[0]) + bytes(spec[1])
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, dqt) + seg(0xC2, sof) + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+
+    # scan 1: DC first (Al=0), value 0
+    out += seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00]))
+    w = J._BitWriter()
+    w.write(dc[0][0], dc[0][1])  # diff category 0
+    w.flush()
+    out += w.out
+
+    # scan 2: AC first, Ss=1 Se=63, Al=1 -> magnitudes >> 1, sign kept
+    out += seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x01]))
+    w = J._BitWriter()
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        mag = abs(int(v[k])) >> 1
+        if mag == 0:
+            run += 1
+            continue
+        t, code = J._mag_bits(mag if v[k] > 0 else -mag)
+        while run > 15:
+            w.write(ac[0xF0][0], ac[0xF0][1])
+            run -= 16
+        w.write(ac[(run << 4) | t][0], ac[(run << 4) | t][1])
+        w.write(code, t)
+        run = 0
+        last_nz = k
+    if last_nz < 63:
+        w.write(ac[0x00][0], ac[0x00][1])  # EOB0
+    w.flush()
+    out += w.out
+
+    # scan 3: AC refinement, Ah=1 Al=0 (independent spec-following coder)
+    out += seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x10]))
+    w = J._BitWriter()
+    pending: list[int] = []
+    run = 0
+    for k in range(1, 64):
+        mag = abs(int(v[k]))
+        if mag >> 1 != 0:  # history nonzero: correction bit
+            pending.append(mag & 1)
+        elif mag == 0:
+            run += 1
+        else:  # newly nonzero: emit (run, 1) + sign, then pending bits
+            while run > 15:
+                w.write(ac[0xF0][0], ac[0xF0][1])
+                for b in pending:
+                    w.write(b, 1)
+                pending = []
+                run -= 16
+            w.write(ac[(run << 4) | 1][0], ac[(run << 4) | 1][1])
+            w.write(1 if v[k] > 0 else 0, 1)
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+            run = 0
+    # tail: end the band with EOB1, then the still-pending corrections
+    w.write(ac[0x00][0], ac[0x00][1])
+    for b in pending:
+        w.write(b, 1)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+
+    # verify at the COEFFICIENT level (pixel output rounds to uint8,
+    # which would blur the exact comparison): capture the store the
+    # decoder hands to reconstruction
+    captured = {}
+    orig = J._reconstruct
+
+    def capture(frame, coef, qt):
+        captured.update({k: c.copy() for k, c in coef.items()})
+        return orig(frame, coef, qt)
+
+    J._reconstruct = capture
+    try:
+        J.decode_jpeg(bytes(out))
+    finally:
+        J._reconstruct = orig
+    got = captured[1][0, 0]
+    assert np.array_equal(got[1:], v[1:]), (got[:24], v[:24])
