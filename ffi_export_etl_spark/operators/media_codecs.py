@@ -46,6 +46,14 @@ def sniff(content: bytes) -> str:
         return "jpeg"
     if content[4:8] == b"ftyp":
         return "mp4"
+    if content[:4] == b"fLaC":
+        return "flac"
+    if content[:3] == b"ID3" or (
+        len(content) > 2
+        and content[0] == 0xFF
+        and (content[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -583,6 +591,108 @@ def parse_mp4_meta(data: bytes) -> dict:
     return meta
 
 
+def parse_flac_meta(data: bytes) -> dict:
+    """FLAC STREAMINFO metadata (no audio decode): sample rate,
+    channels, bit depth, total samples -> EXACT duration. STREAMINFO is
+    the mandatory first metadata block after the 'fLaC' magic."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    i = 4
+    while i + 4 <= len(data):
+        header = data[i]
+        btype = header & 0x7F
+        (size,) = struct.unpack(">I", b"\x00" + data[i + 1 : i + 4])
+        body = data[i + 4 : i + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 18:
+                raise ValueError("truncated STREAMINFO")
+            # bits 80..: 20-bit rate, 3-bit channels-1, 5-bit bps-1,
+            # 36-bit total samples
+            b10 = int.from_bytes(body[10:18], "big")
+            rate = (b10 >> 44) & 0xFFFFF
+            channels = ((b10 >> 41) & 0x07) + 1
+            bps = ((b10 >> 36) & 0x1F) + 1
+            total = b10 & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("FLAC sample rate 0")
+            return {
+                "sample_rate": rate,
+                "channels": channels,
+                "bits_per_sample": bps,
+                "n_frames": total,
+                "duration_s": total / rate,
+            }
+        if header & 0x80:  # last-metadata-block flag, STREAMINFO missing
+            break
+        i += 4 + size
+    raise ValueError("FLAC missing STREAMINFO")
+
+
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables
+_MP3_BITRATES = {
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320, 0],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160, 0],
+}
+_MP3_RATES = {1: [44100, 48000, 32000, 0], 2: [22050, 24000, 16000, 0]}
+
+
+def parse_mp3_meta(data: bytes) -> dict:
+    """MP3 stream metadata from frame headers (no audio decode): skips
+    an ID3v2 tag, syncs to the first MPEG-1/2 Layer III frame, then
+    WALKS every frame header (CBR and VBR both exact) summing
+    per-frame sample counts -> duration. Raises if no frame syncs."""
+    i = 0
+    if data[:3] == b"ID3":  # ID3v2: 4-byte syncsafe size at offset 6
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    first = None
+    n_frames = 0
+    total_samples = 0
+    while i + 4 <= len(data):
+        if data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
+            if first is None:
+                i += 1  # still hunting for sync
+                continue
+            break  # trailing junk/tag after the last frame
+        h = struct.unpack_from(">I", data, i)[0]
+        version = (h >> 19) & 0x03  # 3 = MPEG-1, 2 = MPEG-2
+        layer = (h >> 17) & 0x03  # 1 = Layer III
+        if version not in (2, 3) or layer != 1:
+            if first is None:
+                i += 1
+                continue
+            break
+        mv = 1 if version == 3 else 2
+        bitrate = _MP3_BITRATES[(mv, 3)][(h >> 12) & 0x0F] * 1000
+        rate = _MP3_RATES[mv][(h >> 10) & 0x03]
+        padding = (h >> 9) & 0x01
+        if not bitrate or not rate:
+            if first is None:
+                i += 1
+                continue
+            break
+        spf = 1152 if mv == 1 else 576  # samples per Layer III frame
+        frame_len = spf // 8 * bitrate // rate + padding
+        if first is None:
+            first = {
+                "sample_rate": rate,
+                "channels": 1 if ((h >> 6) & 0x03) == 3 else 2,
+                "mpeg_version": mv,
+            }
+        n_frames += 1
+        total_samples += spf
+        i += max(frame_len, 4)
+    if first is None:
+        raise ValueError("no MP3 frame sync found")
+    first["n_frames"] = n_frames
+    first["duration_s"] = total_samples / first["sample_rate"]
+    return first
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV/PCM -> ((n_frames, channels) int array, sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as f:
@@ -626,6 +736,12 @@ def real_decode(content: bytes, kind: str) -> dict | None:
     if fmt == "mp4":
         meta = parse_mp4_meta(content)
         return {"width": meta["width"], "height": meta["height"]}
+    if fmt == "flac":
+        meta = parse_flac_meta(content)
+        return {"width": meta["n_frames"], "height": meta["sample_rate"]}
+    if fmt == "mp3":
+        meta = parse_mp3_meta(content)
+        return {"width": meta["n_frames"], "height": meta["sample_rate"]}
     if fmt == "wav":
         arr, rate = decode_wav(content)
         return {"width": int(arr.shape[0]), "height": int(rate)}

@@ -303,6 +303,25 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                             width=m["width"], height=m["height"],
                             duration_s=m["duration_s"],
                         )
+                    elif fmt in ("flac", "mp3"):
+                        # header-walk metadata (no sample decode):
+                        # width=n_frames, height=sample_rate (the WAV
+                        # convention), real duration
+                        from .media_codecs import (
+                            parse_flac_meta,
+                            parse_mp3_meta,
+                        )
+
+                        m = (
+                            parse_flac_meta(content) if fmt == "flac"
+                            else parse_mp3_meta(content)
+                        )
+                        row.update(
+                            width=int(m["n_frames"]),
+                            height=m["sample_rate"],
+                            channels=m["channels"],
+                            duration_s=m["duration_s"],
+                        )
                     elif fmt == "wav":
                         arr, rate = decode_wav(content)
                         st = audio_stats(arr, rate)

@@ -659,3 +659,87 @@ def test_mp4_through_spark_features(spark):
     assert feats[1].width == 1920 and feats[1].height == 1080
     assert feats[1].duration_s == 6.0
     assert feats[2].format == "corrupt"
+
+
+def _flac_bytes(
+    rate: int = 44100, channels: int = 2, bps: int = 16,
+    total: int = 441000,
+) -> bytes:
+    """Minimal FLAC: magic + STREAMINFO block (test-side oracle)."""
+    b10 = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)  # min/max block size
+        + b"\x00" * 6  # min/max frame size
+        + b10.to_bytes(8, "big")
+        + b"\x00" * 16  # md5
+    )
+    return (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    )
+
+
+def _mp3_bytes(n_frames: int = 38, bitrate_idx: int = 9,
+               with_id3: bool = True) -> bytes:
+    """Hand-built MPEG-1 Layer III stream: ID3v2 tag + CBR frames
+    (header + filler payload) at 44.1 kHz, 128 kbps for idx 9."""
+    bitrate = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320, 0][bitrate_idx] * 1000
+    frame_len = 1152 // 8 * bitrate // 44100  # no padding
+    header = bytes([0xFF, 0xFB, (bitrate_idx << 4) | 0x00, 0x00])
+    frame = header + b"\xAB" * (frame_len - 4)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 if with_id3 else b""
+    return id3 + frame * n_frames + b"TAG" + b"\x00" * 30  # ID3v1 tail
+
+
+def test_flac_and_mp3_metadata():
+    import pytest
+
+    from ffi_export_etl_spark.operators.media_codecs import (
+        parse_flac_meta,
+        parse_mp3_meta,
+        sniff,
+    )
+
+    flac = _flac_bytes(rate=48000, channels=1, bps=24, total=96000)
+    assert sniff(flac) == "flac"
+    m = parse_flac_meta(flac)
+    assert m["sample_rate"] == 48000 and m["channels"] == 1
+    assert m["bits_per_sample"] == 24
+    assert m["duration_s"] == 2.0  # exact from total samples
+
+    mp3 = _mp3_bytes(n_frames=38)
+    assert sniff(mp3) == "mp3"
+    m = parse_mp3_meta(mp3)
+    assert m["sample_rate"] == 44100 and m["mpeg_version"] == 1
+    assert m["channels"] == 2
+    assert m["n_frames"] == 38  # frame walk ignores ID3v1/v2 tags
+    assert abs(m["duration_s"] - 38 * 1152 / 44100) < 1e-9
+
+    with pytest.raises(ValueError):
+        parse_flac_meta(b"fLaC" + b"\xff\x00\x00\x00")  # no STREAMINFO
+    with pytest.raises(ValueError):
+        parse_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x00no frames here")
+
+
+def test_flac_mp3_through_spark_features(spark):
+    from ffi_export_etl_spark.operators.multimodal import (
+        extract_real_features,
+    )
+
+    flac = _flac_bytes(total=220500)  # 5 s at 44.1 kHz
+    mp3 = _mp3_bytes(n_frames=76)  # ~2 s
+    rows = [
+        (1, "audio", bytearray(flac), "audio/flac", len(flac)),
+        (2, "audio", bytearray(mp3), "audio/mpeg", len(mp3)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id: long, kind: string, content: binary, mime: string, "
+        "n_bytes: long",
+    )
+    feats = {r.media_id: r for r in extract_real_features(media).collect()}
+    assert feats[1].format == "flac" and feats[1].duration_s == 5.0
+    assert feats[1].channels == 2 and feats[1].height == 44100
+    assert feats[2].format == "mp3"
+    assert abs(feats[2].duration_s - 76 * 1152 / 44100) < 1e-9
