@@ -113,7 +113,7 @@ def test_no_row_udfs_anywhere_in_registry(spark):
             continue
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
-        if name != "mm_feature_extract":
+        if name != "mm_pack":
             assert "MapInPandas" not in plan, name
             assert "ArrowEvalPython" not in plan, name
 
