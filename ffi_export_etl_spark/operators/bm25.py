@@ -61,7 +61,11 @@ def query_terms_df(
 
 
 def _tokens(text_col: str) -> Column:
-    return F.split(F.lower(F.col(text_col)), r"\s+")
+    # split() yields '' entries for leading/trailing whitespace — drop
+    # them so dl/avgdl count real terms only (Okapi semantics)
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
 
 
 def bm25_topk(

@@ -38,6 +38,7 @@ case).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -52,6 +53,12 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["word_count_table", "train_bpe", "apply_bpe", "bpe_encode_word"]
+
+# the SAME word-splitting semantics as the training side's
+# F.split(col, r"\s+"): Java \s is ASCII-only by default, so the Python
+# twin must be ASCII too (re.ASCII) — otherwise a corpus word containing
+# U+00A0 would be one token at train time and two at apply time
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def word_count_table(
@@ -218,7 +225,12 @@ def apply_bpe(
 
         for pdf in batches:
             toks = [
-                [t for w in (text or "").split() for t in enc(w)]
+                [
+                    t
+                    for w in _WS_RE.split(text or "")
+                    if w
+                    for t in enc(w)
+                ]
                 for text in pdf["text"]
             ]
             yield pd.DataFrame(

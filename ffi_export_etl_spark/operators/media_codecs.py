@@ -250,11 +250,15 @@ def encode_png(arr: np.ndarray) -> bytes:
     Filter type 0 per scanline (correctness over ratio — re-encoded
     curation thumbnails are small)."""
     arr = np.ascontiguousarray(arr.astype(np.uint8))
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[..., 0]  # explicit-channel-axis grayscale
     if arr.ndim == 2:
         h, w = arr.shape
         channels, color_type = 1, 0
     else:
         h, w, channels = arr.shape
+        if channels not in (2, 3, 4):
+            raise ValueError(f"unsupported channel count {channels}")
         color_type = {2: 4, 3: 2, 4: 6}[channels]
     scan = np.zeros((h, 1 + w * channels), dtype=np.uint8)
     scan[:, 1:] = arr.reshape(h, w * channels)
@@ -463,13 +467,21 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
         frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:
+            # restore-background uses the GLOBAL table's background
+            # color — a frame-local palette does not redefine it
             bg = (
-                pal[bg_idx] if global_pal is not None
-                and bg_idx < len(pal) else 0
+                global_pal[bg_idx]
+                if global_pal is not None and bg_idx < len(global_pal)
+                else 0
             )
             canvas[top : top + fh, left : left + fw] = bg
         elif disposal == 3 and before is not None:
             canvas = before
+        # a GCE governs exactly ONE image block (GIF89a spec): reset so
+        # its transparency/disposal/delay never leak into later frames
+        transparent = None
+        disposal = 0
+        delay = 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return frames, delays
@@ -573,7 +585,10 @@ def parse_mp4_meta(data: bytes) -> dict:
                 for s, s0, s1 in _mp4_boxes(data, t0, t1):
                     if s == b"tkhd":
                         version = data[s0]
-                        off = s0 + (96 if version == 1 else 84)
+                        # width sits at body offset 76 (v0) / 88 (v1):
+                        # fullbox header + times/ids + reserved/layer/
+                        # volume block + the 36-byte matrix
+                        off = s0 + (88 if version == 1 else 76)
                         wfx, hfx = struct.unpack_from(">II", data, off)
                         tk_w, tk_h = wfx >> 16, hfx >> 16
                     elif s == b"mdia":

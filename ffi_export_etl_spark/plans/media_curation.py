@@ -150,6 +150,6 @@ def curate_media(
             kept.select(*media_cols), max_px=resize_max_px
         )
         kept = resized.join(
-            kept.drop("content", "n_bytes", "mime"), "media_id"
+            kept.drop("content", "n_bytes", "mime", "kind"), "media_id"
         )
     return kept

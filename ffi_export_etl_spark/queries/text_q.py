@@ -325,7 +325,9 @@ _BM25_VALUES = ",\n                ".join(
 ORACLE["text_bm25_topk"] = f"""
     WITH q(query_id, term) AS (VALUES
                 {_BM25_VALUES}),
-    tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
+    tk AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '') AS ts
            FROM documents),
     base AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
                     unnest(ts) AS term

@@ -594,8 +594,10 @@ def _mp4_bytes(
         )
 
     def tkhd(tw, th):
-        # version 0: 84 bytes to the width field
-        return b"\x00" * 84 + struct.pack(">II", tw << 16, th << 16)
+        # spec-compliant v0 body: fullbox(4) + times/track-id/reserved/
+        # duration(20) + reserved(8) + layer/group/volume/reserved(8) +
+        # matrix(36) = 76 bytes, THEN width/height (16.16 fixed)
+        return b"\x00" * 76 + struct.pack(">II", tw << 16, th << 16)
 
     def hdlr(kind: bytes) -> bytes:
         return b"\x00" * 8 + kind + b"\x00" * 12
@@ -743,3 +745,91 @@ def test_flac_mp3_through_spark_features(spark):
     assert feats[1].channels == 2 and feats[1].height == 44100
     assert feats[2].format == "mp3"
     assert abs(feats[2].duration_s - 76 * 1152 / 44100) < 1e-9
+
+
+def test_gif_gce_scope_and_local_palette_background():
+    """Regressions from review: (a) a Graphic Control Extension governs
+    exactly one image block — a later frame with NO GCE must composite
+    fully opaque; (b) disposal-2 background restore uses the GLOBAL
+    palette's background color even when the disposed frame carried a
+    local palette."""
+    import struct as st
+
+    from ffi_export_etl_spark.operators.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    gpal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+
+    def blocks(payload: bytes) -> bytes:
+        out = bytearray()
+        for off in range(0, len(payload), 255):
+            c = payload[off : off + 255]
+            out.append(len(c))
+            out += c
+        out.append(0)
+        return bytes(out)
+
+    def img(idx_rows, local_pal=None, w=2, h=2):
+        flags = 0x80 | 1 if local_pal is not None else 0x00
+        out = b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + bytes([flags])
+        if local_pal is not None:
+            out += local_pal.tobytes()
+        return out + bytes([2]) + blocks(
+            _lzw_encode(list(idx_rows), 2)
+        )
+
+    header = (
+        b"GIF89a" + st.pack("<HH", 2, 2)
+        + st.pack("<BBB", 0x80 | 1, 3, 0) + gpal.tobytes()  # bg idx 3
+    )
+    # (a): the canvas starts as the background fill gpal[3]; frame 1's
+    # GCE says index 2 is transparent and every pixel is 2, so frame 1
+    # still shows the fill. Frame 2 has NO GCE and the same pixels —
+    # they must now composite OPAQUE blue; with the leak they would
+    # stay transparent and show the fill again.
+    gce_t2 = b"\x21\xf9\x04\x01\x00\x00\x02\x00"
+    gif = (
+        header
+        + gce_t2 + img([2, 2, 2, 2])
+        + img([2, 2, 2, 2])
+        + b"\x3b"
+    )
+    frames, _ = decode_gif(gif)
+    assert np.all(frames[0] == gpal[3])  # transparent over bg fill
+    assert np.all(frames[1] == gpal[2])  # GCE did not leak
+
+    # (b): frame 1 uses a LOCAL palette + disposal 2; the background
+    # restore between frames must use gpal[3], not local[3]
+    lpal = np.array(
+        [[1, 1, 1], [2, 2, 2], [3, 3, 3], [200, 200, 200]], np.uint8
+    )
+    gce_d2 = b"\x21\xf9\x04\x08\x00\x00\x00\x00"  # disposal 2
+    gce_t0 = b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # transparent idx 0
+    gif = (
+        header
+        + gce_d2 + img([0, 0, 0, 0], local_pal=lpal)
+        + gce_t0 + img([0, 0, 0, 0])  # fully transparent: shows canvas
+        + b"\x3b"
+    )
+    frames, _ = decode_gif(gif)
+    assert np.all(frames[0] == lpal[0])
+    assert np.all(frames[1] == gpal[3])  # global bg color restored
+
+
+def test_encode_png_channel_axis_grayscale():
+    from ffi_export_etl_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    import pytest
+
+    g = (np.arange(12, dtype=np.uint8) * 3).reshape(4, 3, 1)
+    back = decode_png(encode_png(g))
+    assert back.shape == (4, 3) and np.array_equal(back, g[..., 0])
+    with pytest.raises(ValueError, match="channel count"):
+        encode_png(np.zeros((2, 2, 5), np.uint8))

@@ -983,7 +983,7 @@ def test_bm25_matches_pure_python_reference(spark):
         1: "red red red fox",
         2: "the quick brown cat sleeps",
         3: "lazy dog lazy dog lazy dog lazy dog",
-        4: "quick red herring",
+        4: "  quick red herring ",  # padding must not inflate dl/avgdl
     }
     queries = {0: "red fox", 1: "lazy dog"}
     k1, b = 1.2, 0.75
@@ -1124,3 +1124,23 @@ def test_bpe_empty_and_degenerate_inputs(spark):
     out = {r.doc_id: r for r in apply_bpe(docs, []).collect()}
     assert out[0].bpe_tokens == ["a", "b", "c"]
     assert out[1].bpe_tokens == [] and out[1].n_bpe == 0
+
+
+def test_bpe_apply_matches_training_tokenization_on_unicode_ws(spark):
+    """Train and apply must split words identically: Java \\s+ is
+    ASCII-only, so a U+00A0 inside a word stays INSIDE the word on both
+    sides (regression for a str.split() mismatch)."""
+    from ffi_export_etl_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_count_table,
+    )
+
+    text = "aa\u00a0bb aa\u00a0bb aa\u00a0bb cc cc"
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    wc = {r.word: r.n for r in word_count_table(docs).collect()}
+    assert wc == {"aa\u00a0bb": 3, "cc": 2}  # NBSP is not a separator
+    merges = train_bpe(word_count_table(docs), num_merges=6)
+    out = apply_bpe(docs, merges).first()
+    # tokens reassemble to the SAME words training saw
+    assert "".join(out.bpe_tokens) == text.replace(" ", "")
