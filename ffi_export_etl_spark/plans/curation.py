@@ -64,6 +64,10 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     benchmark_id_col: str = "bench_id",
     decon_n: int = 8,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    lm_reference: DataFrame | None = None,
+    max_avg_neg_logprob: float | None = None,
     persist_intermediates: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
@@ -153,6 +157,50 @@ def curate_documents(
     quality = keepers.withColumn("n_words", n_words).filter(
         F.col("n_words") >= min_words
     )
+    # Gopher-style repetition thresholds (optional), applied at the
+    # quality stage (post-dedup, pre-mixture/packing). The signals are
+    # computed over the RAW input text: the scrub stage's whitespace
+    # normalization collapses newlines, which would blind dup_line_frac
+    # (same reason the boilerplate strip runs pre-normalization) — and
+    # PII placeholders must not perturb the bigram statistics either.
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        from ..operators.textproc import repetition_scores
+
+        rep = repetition_scores(docs, id_col=id_col, text_col=text_col)
+        quality = quality.join(
+            rep.select("id", "dup_line_frac", "top_bigram_frac"), "id"
+        )
+        if max_dup_line_frac is not None:
+            quality = quality.filter(
+                F.col("dup_line_frac") <= max_dup_line_frac
+            )
+        if max_top_bigram_frac is not None:
+            quality = quality.filter(
+                F.col("top_bigram_frac") <= max_top_bigram_frac
+            )
+        quality = quality.drop("dup_line_frac", "top_bigram_frac")
+    # CCNet-style LM filter (optional): score against a reference
+    # corpus' bigram model and drop the least reference-like tail
+    if max_avg_neg_logprob is not None:
+        from ..operators.lmscore import score_documents, train_bigram_lm
+
+        ref = lm_reference if lm_reference is not None else quality
+        ref_text = (
+            ref.select(F.col(text_col).alias("text"))
+            if text_col in ref.columns
+            else ref.select("text")
+        )
+        bigrams, unigrams, vocab = train_bigram_lm(ref_text)
+        lm = score_documents(
+            quality, bigrams, unigrams, vocab, id_col="id",
+            text_col="text",
+        )
+        quality = quality.join(
+            lm.filter(
+                F.col("avg_neg_logprob") <= max_avg_neg_logprob
+            ).select("id"),
+            "id",
+        )
 
     mixed = (
         weighted_sample(

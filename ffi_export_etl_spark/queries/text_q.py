@@ -130,10 +130,25 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID with deterministic argmax (priority
-    en > de > es on ties; 'und' = no markers) plus the canonical-form
+    en > de > es on ties; 'und' = no markers), the canonical-form
     document fingerprint: md5 over the sorted distinct vocabulary
-    (bag-normalized dedup key) — one row per document."""
+    (bag-normalized dedup key), and the CCNet-style bigram-LM quality
+    score (operators/lmscore.py — add-1-smoothed bigram model trained
+    on this same corpus as its reference, per-doc negative log-prob in
+    EXACT integer micro-units so the oracle compare is float-free) —
+    one row per document."""
+    from ..operators.lmscore import score_documents, train_bigram_lm
+
     d = load_table(spark, sf_dir, "documents")
+    bigrams, unigrams, vocab = train_bigram_lm(d)
+    lm = score_documents(d, bigrams, unigrams, vocab).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").alias("lm_n_bigrams"),
+        F.col("sum_nlp_micro").alias("lm_nlp_micro"),
+    )
+    # left join: a hypothetical zero-token doc has no bigrams (null lm
+    # columns) but must not vanish from the pack
+    d = d.join(lm, "doc_id", "left")
     toks = _toks()
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -156,6 +171,8 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted.alias("predicted_lang"),
         F.md5(F.encode(F.array_join(vocab, " "), "UTF-8")).alias("fingerprint"),
         F.size(vocab).alias("n_distinct_tokens"),
+        "lm_n_bigrams",
+        "lm_nlp_micro",
     )
 
 
@@ -293,6 +310,36 @@ ORACLE = {
                    CAST(len(list_filter({_DUCK_TOKS},
                         x -> x IN ('el','la','los','que'))) AS INTEGER) AS score_es
             FROM documents
+        ),
+        lmtok AS (
+            SELECT doc_id,
+                   list_prepend(chr(2),
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x != '')) AS ts
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+            FROM lmtok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT w2) + 1 AS vs FROM bg),
+        nlp AS (
+            SELECT b.doc_id,
+                   CAST(round(-ln(
+                       (coalesce(c12.c12, 0) + 1.0)
+                       / (coalesce(c1.c1, 0) + 1.0 * v.vs)
+                   ) * 1000000.0) AS BIGINT) AS m
+            FROM bg b
+            LEFT JOIN c12 USING (w1, w2)
+            LEFT JOIN c1 USING (w1)
+            CROSS JOIN v
+        ),
+        lm AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS lm_n_bigrams,
+                   sum(m) AS lm_nlp_micro
+            FROM nlp GROUP BY 1
         )
         SELECT doc_id, labeled_lang, score_en, score_de, score_es,
                CASE WHEN score_en = 0 AND score_de = 0 AND score_es = 0 THEN 'und'
@@ -302,8 +349,10 @@ ORACLE = {
                md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' '))
                    AS fingerprint,
                CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER)
-                   AS n_distinct_tokens
-        FROM t
+                   AS n_distinct_tokens,
+               lm.lm_n_bigrams,
+               lm.lm_nlp_micro
+        FROM t LEFT JOIN lm USING (doc_id)
     """,
 }
 

@@ -1144,3 +1144,61 @@ def test_bpe_apply_matches_training_tokenization_on_unicode_ws(spark):
     out = apply_bpe(docs, merges).first()
     # tokens reassemble to the SAME words training saw
     assert "".join(out.bpe_tokens) == text.replace(" ", "")
+
+
+def test_bigram_lm_scoring_matches_pure_python(spark):
+    """train_bigram_lm + score_documents vs an independent dict-based
+    add-1 bigram model: exact integer micro-units must match, and a
+    reference-like doc must score lower than an out-of-vocabulary one."""
+    import math
+
+    from ffi_export_etl_spark.operators.lmscore import (
+        BOS,
+        score_documents,
+        train_bigram_lm,
+    )
+
+    ref_texts = ["the cat sat", "the cat ran", "the dog sat"]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], ["text"])
+    bigrams, unigrams, vocab = train_bigram_lm(ref)
+
+    targets = {0: "the cat sat", 1: "zebra quux plugh", 2: "the"}
+    docs = spark.createDataFrame(
+        list(targets.items()), ["doc_id", "text"]
+    )
+    got = {
+        r.id: r
+        for r in score_documents(
+            docs, bigrams, unigrams, vocab, id_col="doc_id"
+        ).collect()
+    }
+
+    # independent reference model
+    c12: dict = {}
+    c1: dict = {}
+    seen2 = set()
+    for t in ref_texts:
+        toks = [BOS] + t.split()
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+            seen2.add(b)
+    V = len(seen2) + 1
+    assert vocab == V
+    for did, text in targets.items():
+        toks = [BOS] + text.split()
+        micros = [
+            round(
+                -math.log(
+                    (c12.get((a, b), 0) + 1.0) / (c1.get(a, 0) + 1.0 * V)
+                )
+                * 1_000_000
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        assert got[did].n_bigrams == len(micros)
+        assert got[did].sum_nlp_micro == sum(micros), did
+    # reference-like text scores better than OOV gibberish
+    assert got[0].avg_neg_logprob < got[1].avg_neg_logprob
+    # single-word doc still defined (BOS bigram)
+    assert got[2].n_bigrams == 1
