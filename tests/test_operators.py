@@ -1202,3 +1202,51 @@ def test_bigram_lm_scoring_matches_pure_python(spark):
     assert got[0].avg_neg_logprob < got[1].avg_neg_logprob
     # single-word doc still defined (BOS bigram)
     assert got[2].n_bigrams == 1
+
+
+def test_quality_model_separates_and_is_deterministic(spark):
+    """Model-based quality filtering (operators/quality_model.py):
+    trained on clean-vs-spam labels it separates a held-out pair, two
+    fits of the same data produce identical coefficients, and
+    filter_by_quality keeps exactly the high-probability side."""
+    from ffi_export_etl_spark.operators.quality_model import (
+        filter_by_quality,
+        score_quality,
+        train_quality_model,
+    )
+
+    clean = [
+        f"the quick brown fox number {i} jumps over a lazy dog and "
+        f"then it runs far away to the old barn in the field"
+        for i in range(12)
+    ]
+    spam = [
+        "buy now " * 14 + "!!!! $$$$ ####",
+        "aaaa bbbb " * 12,
+        "zzz " * 25,
+        "click here click here click here " * 5,
+    ] * 3
+    labeled = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(clean)]
+        + [(100 + i, t, 0) for i, t in enumerate(spam)],
+        ["doc_id", "text", "label"],
+    )
+    model = train_quality_model(labeled)
+    model2 = train_quality_model(labeled)
+    assert (
+        model.stages[-1].coefficients.toArray().tolist()
+        == model2.stages[-1].coefficients.toArray().tolist()
+    )
+
+    held = spark.createDataFrame(
+        [
+            (0, "a quick gray wolf number nine jumps over the small "
+                "fence and then it walks to the new barn by the road"),
+            (1, "order today order today order today " * 6),
+        ],
+        ["doc_id", "text"],
+    )
+    probs = {r.id: r.quality_prob for r in score_quality(held, model).collect()}
+    assert probs[0] > probs[1]
+    kept = filter_by_quality(held, model, min_prob=(probs[0] + probs[1]) / 2)
+    assert [r.doc_id for r in kept.collect()] == [0]
