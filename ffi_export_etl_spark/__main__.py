@@ -89,6 +89,18 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--block-domain", action="append", default=None,
                     help="domain to drop (repeatable; requires --url-col)")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="drop docs whose repeated-line fraction "
+                         "exceeds this (Gopher repetition signal)")
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None,
+                    help="drop docs whose top-bigram coverage exceeds "
+                         "this")
+    ap.add_argument("--lm-reference", default=None,
+                    help="parquet reference corpus for the bigram-LM "
+                         "quality filter (enables --max-avg-neg-logprob)")
+    ap.add_argument("--max-avg-neg-logprob", type=float, default=None,
+                    help="drop docs whose LM avg negative log-prob "
+                         "exceeds this (reference-likeness cut)")
     args = ap.parse_args(argv)
 
     from .plans.curation import curate_documents
@@ -99,6 +111,11 @@ def curate_main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    lm_reference = (
+        spark.read.parquet(args.lm_reference)
+        if args.lm_reference is not None
+        else None
+    )
     curated = curate_documents(
         docs,
         id_col=args.id_col,
@@ -110,6 +127,10 @@ def curate_main(argv: list[str]) -> int:
         paragraph_min_repeat=args.paragraph_min_repeat,
         url_col=args.url_col,
         domain_blocklist=args.block_domain,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        lm_reference=lm_reference,
+        max_avg_neg_logprob=args.max_avg_neg_logprob,
     )
     manifest = write_training_shards(
         curated, args.output, "id", rows_per_shard=args.rows_per_shard

@@ -83,3 +83,71 @@ def test_cli_curate_subcommand(spark, tmp_path, capsys):
     assert report["n_shards"] >= 3
     total = spark.read.parquet(out).count()
     assert total == 9
+
+
+def test_cli_curate_quality_threshold_flags(spark, tmp_path, capsys):
+    """The repetition-threshold and LM flags reach curate_documents: a
+    top-bigram spam doc is dropped only when the flag is passed, and a
+    gibberish doc is dropped by the LM cut against a reference corpus."""
+    clean_rows = [
+        (i, "s0", " ".join(f"w{i}_{j} common clean words" for j in range(8)))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        clean_rows + [(50, "s0", "buy now " * 30)],
+        "doc_id: long, source: string, text: string",
+    )
+    src = str(tmp_path / "docs2")
+    docs.write.parquet(src)
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate", "--input", src, "--output", str(tmp_path / "o1"),
+        "--min-words", "5",
+    ])
+    assert rc == 0
+    base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert base["docs_out"] == 9  # spam survives without the flag
+
+    rc = main([
+        "curate", "--input", src, "--output", str(tmp_path / "o2"),
+        "--min-words", "5", "--max-top-bigram-frac", "0.5",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_out"] == 8  # spam dropped
+
+    # LM cut: reference = the clean docs; gibberish scores far worse
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(t,) for _, _, t in clean_rows], "text: string"
+    ).write.parquet(ref)
+    docs3 = spark.createDataFrame(
+        clean_rows + [(60, "s0", "zxqv plugh xyzzy " * 10)],
+        "doc_id: long, source: string, text: string",
+    )
+    src3 = str(tmp_path / "docs3")
+    docs3.write.parquet(src3)
+    # derive a cut that splits clean from gibberish on THIS model
+    from ffi_export_etl_spark.operators.lmscore import (
+        score_documents,
+        train_bigram_lm,
+    )
+
+    bigrams, unigrams, vocab = train_bigram_lm(spark.read.parquet(ref))
+    scores = {
+        r.id: r.avg_neg_logprob
+        for r in score_documents(
+            docs3, bigrams, unigrams, vocab, id_col="doc_id"
+        ).collect()
+    }
+    cut = (max(scores[i] for i, _, _ in clean_rows) + scores[60]) / 2
+    rc = main([
+        "curate", "--input", src3, "--output", str(tmp_path / "o3"),
+        "--min-words", "5", "--lm-reference", ref,
+        "--max-avg-neg-logprob", str(cut),
+    ])
+    assert rc == 0
+    lm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lm["docs_out"] == 8  # gibberish dropped by the LM cut
