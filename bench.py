@@ -96,6 +96,13 @@ def main() -> None:
     cur_e2e_sec = round(time.perf_counter() - t0, 3)
     print(f"# cur_e2e: {cur_e2e_sec:.3f}s ({n_cur} rows)", file=sys.stderr)
 
+    # BM25 retrieval (r4 session 3) — same non-headline treatment
+    t0 = time.perf_counter()
+    n_bm = queries["text_bm25_topk"](spark, sf_dir).count()
+    bm25_sec = round(time.perf_counter() - t0, 3)
+    print(f"# text_bm25_topk: {bm25_sec:.3f}s ({n_bm} rows)",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -109,6 +116,7 @@ def main() -> None:
     if ffi is not None:
         out["ffi_batch"] = ffi
     out["cur_e2e"] = cur_e2e_sec
+    out["text_bm25_topk"] = bm25_sec
     print(json.dumps(out))
     spark.stop()
 

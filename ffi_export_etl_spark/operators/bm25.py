@@ -86,8 +86,13 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5) / (df + 0.5))`` form (Lucene's), so scores
     are always positive and rank order is stable.
     """
+    from .spread import spread_per_doc
+
     toks = _tokens(text_col)
-    base = docs.select(
+    # tokenize+explode is per-doc CPU work in the scan stage: spread an
+    # under-partitioned (few-file) corpus across cores first; identity
+    # on a many-file corpus (no raw-text shuffle at scale)
+    base = spread_per_doc(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("dl"),
         F.explode(toks).alias("term"),
@@ -106,10 +111,11 @@ def bm25_topk(
         F.count(F.lit(1)), F.avg(F.size(_tokens(text_col)))
     ).first()
 
-    # df per query term, from the filtered postings (tiny result).
-    df_by_term = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # df per query term as a WINDOW over the already-shuffled postings —
+    # a broadcast of a derived aggregate here would recompute the whole
+    # postings subtree (and rescan the corpus) for the broadcast side;
+    # the window reuses it for one small per-term exchange instead.
+    df = F.count(F.lit(1)).over(Window.partitionBy("term"))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
@@ -126,7 +132,7 @@ def bm25_topk(
         round_digits,
     )
     scored = (
-        postings.join(F.broadcast(df_by_term), "term")
+        postings.withColumn("df", df)
         .join(F.broadcast(query_terms), "term")
         .withColumn("contrib", contrib)
         .groupBy("query_id", "doc_id")

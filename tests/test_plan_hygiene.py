@@ -135,3 +135,21 @@ def test_decontamination_broadcasts_benchmark_side(spark):
     plan = plan_of(spark, "dedup_exact_pack")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_bm25_plan_broadcasts_query_side(spark):
+    """BM25's scale contract: the query vocabulary joins via broadcast
+    (both as the pre-shuffle postings filter and the query-id attach),
+    document frequency is a window over the already-shuffled postings
+    (NOT a broadcast of a derived aggregate, which would recompute the
+    postings subtree and rescan the corpus), and the postings
+    aggregation gets map-side combine. Exactly one scan of documents in
+    the scoring subtree."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the corpus text is read once for scoring (the bounded scalar agg
+    # is a separate driver-side action, not part of this plan)
+    assert plan.count("documents.parquet") == 1, plan[:400]
