@@ -77,11 +77,13 @@ def main() -> None:
 
     # FFI batch-loader micro-bench (the reference's actual workload:
     # many export XMLs -> 17 tables -> keyed upsert). Default is the
-    # quick glob-mode sample; the full per-file/batched/glob matrix is
+    # glob-mode sample at TWO file counts so the file-count scaling
+    # trend (wall time ~flat as files grow) is tracked round-over-round
+    # in machine-readable form; the full per-file/batched/glob matrix is
     # bench_ffi.py (results recorded in PERFORMANCE.md). Set
     # SPARK_GRAFT_FFI_PLAN="" to skip, or pass a full plan string.
     ffi = None
-    ffi_plan = os.environ.get("SPARK_GRAFT_FFI_PLAN", "glob:16")
+    ffi_plan = os.environ.get("SPARK_GRAFT_FFI_PLAN", "glob:16,glob:64")
     if ffi_plan:
         from bench_ffi import bench_ffi
 
