@@ -9,11 +9,13 @@ signatures, banding, bucket caps, candidate pairs, verification — instead
 of settling for a rows-only check. The oracle SQL below is generated
 programmatically from the same constants the Spark plans embed.
 
-Scale notes: dedup_jaccard_pairs is the EXACT path (quadratic shingle
-self-join) kept for verification and small corpora; the registered scale
-paths are minhash (text) and banded sign-LSH (embeddings), both linear
-scan + per-bucket joins with capped bucket sizes, and the clustering query
-consumes MinHash edges, not exact-Jaccard edges.
+Scale notes: dedup_jaccard_pairs is the EXACT path — since its round-3
+upgrade to AllPairs/PPJoin prefix filtering (operators/shingles.py) the
+candidate join touches only each document's rarest few shingles, so it is
+a registered scale path alongside the approximate sketches: minhash
+(text) and banded sign-LSH (embeddings) remain the cheaper routes when
+estimated similarity suffices, and the clustering query consumes MinHash
+edges.
 """
 
 from __future__ import annotations
@@ -92,12 +94,13 @@ def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard near-dup pairs (operators/shingles.py).
-
-    This is the EXACT/verification path — the shingle self-join is
-    quadratic in the worst case and deliberately so; at scale run
-    dedup_minhash_lsh, which verifies candidates against the same Jaccard
-    definition without ever forming all pairs."""
+    """Exact word-trigram Jaccard near-dup pairs (operators/shingles.py)
+    — zero false negatives, scale-safe since the AllPairs/PPJoin prefix
+    filter: candidates come from a self-join restricted to each document's
+    first n - ceil(t*n) + 1 rarest-first shingles (any pair at or above
+    the threshold provably shares a prefix shingle), and full-intersection
+    verification touches candidates only. Same integer Jaccard test as
+    minhash verification, so the two paths are directly comparable."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=JACCARD_PCT)
 
@@ -189,12 +192,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, pairs.select("id_a", "id_b"), "doc_id")
 
 
-# dedup_jaccard_pairs (the exact quadratic path) is deliberately NOT
-# registered: it exists for verification/small corpora and stays
-# oracle-pinned by tests/test_dedup_extra.py; its former window slot pins
-# the incremental path instead, which is the shape that matters at scale.
+# dedup_jaccard_pairs re-entered the registry in round 4: the round-3
+# prefix-filter upgrade (AllPairs) made the exact path scale-safe, so all
+# five dedup families from the brief (exact, jaccard, minhash, simhash,
+# embedding-cosine) now carry driver rows. The slot came from folding the
+# two windowed streaming queries into stream_window_pack.
 QUERIES = {
     "dedup_exact_pack": dedup_exact_pack,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash": dedup_simhash,
@@ -350,9 +355,10 @@ def _cosine_bucketed_sql() -> str:
               FROM v)"""
 
 
-# Oracle for the demoted exact-Jaccard path — no longer a registered gate
-# query (the quadratic shingle self-join must not be a registered plan at
-# scale) but still oracle-pinned by tests/test_dedup_extra.py.
+# Exact-Jaccard oracle: DuckDB verifies with the straightforward all-pairs
+# shingle join (fine at oracle scale) — the Spark side must produce the
+# IDENTICAL pair set through the prefix filter, which is exactly the
+# zero-false-negative claim the AllPairs theorem makes.
 JACCARD_PAIRS_ORACLE = f"""
     WITH sh AS ({_DUCK_SHINGLES}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -383,6 +389,7 @@ _DECON_SHINGLES = f"""
 """
 
 ORACLE = {
+    "dedup_jaccard_pairs": JACCARD_PAIRS_ORACLE,
     "dedup_exact_pack": f"""
         WITH ds AS ({_DECON_SHINGLES})
         SELECT 'exact' AS kind, md5(text) AS key, min(doc_id) AS a,

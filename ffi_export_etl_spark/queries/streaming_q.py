@@ -94,30 +94,41 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two windowed-count streaming shapes union-tagged into one slot
+    (identical grain: window_start_us, event_type, n_events, value_sum):
+
+    'tumbling' rows — stream_5min_counts (complete-mode 5-minute tumbling
+    windows, the unconditional-emission contract).
+
+    'sliding' rows — stream_sliding_counts (append-mode 10/5 sliding
+    windows under a 30-minute watermark, the late-data-bounded emission
+    contract: only watermark-closed windows appear, exactly once).
+
+    Both arms still run as REAL streaming queries to completion; the fold
+    only unions their batch results, so both emission semantics stay
+    driver-pinned while freeing a registry slot (precedent: q_count_pack,
+    ann_cell_pack)."""
+    tumbling = stream_5min_counts(spark, sf_dir).select(
+        F.lit("tumbling").alias("arm"), "*"
+    )
+    sliding = stream_sliding_counts(spark, sf_dir).select(
+        F.lit("sliding").alias("arm"), "*"
+    )
+    return tumbling.unionByName(sliding)
+
+
 QUERIES = {
-    "stream_5min_counts": stream_5min_counts,
+    "stream_window_pack": stream_window_pack,
     "stream_dedup_keys": stream_dedup_keys,
-    "stream_sliding_counts": stream_sliding_counts,
 }
 
+# Sliding windows: each event belongs to two 10-min windows (its 5-min
+# bucket start and the one 5 min earlier). Append-mode emission:
+# window end <= watermark = micro-truncated max event time - 30 min
+# (integer microsecond arithmetic; <= is the pinned Spark behavior).
 ORACLE = {
-    "stream_5min_counts": """
-        SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts))
-                   AS window_start_us,
-               event_type,
-               count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
-        FROM events
-        GROUP BY 1, 2
-    """,
-    "stream_dedup_keys": """
-        SELECT DISTINCT user_id, event_type FROM events
-    """,
-    # Sliding windows: each event belongs to two 10-min windows (its 5-min
-    # bucket start and the one 5 min earlier). Append-mode emission:
-    # window end <= watermark = micro-truncated max event time - 30 min
-    # (integer microsecond arithmetic; <= is the pinned Spark behavior).
-    "stream_sliding_counts": """
+    "stream_window_pack": """
         WITH m AS (SELECT epoch_ns(max(ts)) // 1000 AS max_us FROM events),
         w AS (
             SELECT event_type, value,
@@ -128,11 +139,23 @@ ORACLE = {
                    ]) AS win_start
             FROM events
         )
-        SELECT epoch_us(win_start) AS window_start_us, event_type,
+        SELECT 'tumbling' AS arm,
+               epoch_us(time_bucket(INTERVAL '5 minutes', ts))
+                   AS window_start_us,
+               event_type,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sliding', epoch_us(win_start), event_type,
+               count(*),
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
         FROM w, m
-        GROUP BY 1, 2, m.max_us
+        GROUP BY 2, 3, m.max_us
         HAVING epoch_us(win_start) + 600000000 <= max_us - 1800000000
+    """,
+    "stream_dedup_keys": """
+        SELECT DISTINCT user_id, event_type FROM events
     """,
 }

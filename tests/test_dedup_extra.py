@@ -1,9 +1,10 @@
-"""Oracle pins for dedup paths that are NOT in the 50-slot driver window.
+"""Extra dedup pins beyond the driver rows.
 
-dedup_jaccard_pairs was demoted from the registry in round 3 (the exact
-quadratic shingle self-join must not be a registered plan at scale — its
-slot pins dedup_incremental_minhash instead), but the exact path remains
-the verification semantics for MinHash, so it stays oracle-pinned here.
+dedup_jaccard_pairs was demoted in round 3 while it was a quadratic
+shingle self-join, then re-registered in round 4 once the AllPairs prefix
+filter made the exact path scale-safe — all five dedup families from the
+brief now carry driver rows. The oracle pin here predates the
+re-registration and stays as a fast local check.
 """
 
 from __future__ import annotations
@@ -19,13 +20,19 @@ def test_jaccard_exact_path_matches_oracle(spark, sf_oracle):
     compare_to_oracle(df, dedup_q.JACCARD_PAIRS_ORACLE, sf_oracle)
 
 
-def test_jaccard_not_registered_but_incremental_is():
+def test_all_five_dedup_families_registered():
     from ffi_export_etl_spark.queries import all_oracle_sql, all_queries
 
     q, o = all_queries(), all_oracle_sql()
-    assert "dedup_jaccard_pairs" not in q
-    assert "dedup_incremental_minhash" in q
-    assert "dedup_incremental_minhash" in o
+    for name in (
+        "dedup_exact_pack",        # exact (content hash) + decontamination
+        "dedup_jaccard_pairs",     # exact n-gram Jaccard (prefix filter)
+        "dedup_minhash_lsh",       # MinHash+LSH
+        "dedup_simhash",           # SimHash
+        "dedup_embedding_cosine",  # embedding-cosine (banded sign-LSH)
+        "dedup_incremental_minhash",
+    ):
+        assert name in q and name in o, name
 
 
 def test_incremental_exact_store(spark):
