@@ -105,6 +105,15 @@ def main() -> None:
     print(f"# text_bm25_topk: {bm25_sec:.3f}s ({n_bm} rows)",
           file=sys.stderr)
 
+    # Exact prefix-filtered Jaccard (registered r4 session 4) — tracked
+    # non-headline so its cost profile vs the minhash approximation is
+    # visible round-over-round at sf0.1.
+    t0 = time.perf_counter()
+    n_jac = queries["dedup_jaccard_pairs"](spark, sf_dir).count()
+    jac_sec = round(time.perf_counter() - t0, 3)
+    print(f"# dedup_jaccard_pairs: {jac_sec:.3f}s ({n_jac} rows)",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -119,6 +128,7 @@ def main() -> None:
         out["ffi_batch"] = ffi
     out["cur_e2e"] = cur_e2e_sec
     out["text_bm25_topk"] = bm25_sec
+    out["dedup_jaccard_pairs"] = jac_sec
     print(json.dumps(out))
     spark.stop()
 

@@ -194,7 +194,12 @@ def simhash_near_duplicates(
     chunks = _chunk_banded(fp)
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    # Hamming verification runs BEFORE the pair-dedup distinct: it is a
+    # pure function of the pair, and at real scale most chunk collisions
+    # are false positives — filtering first keeps them out of the
+    # distinct's shuffle entirely (map-side, inside the join's codegen
+    # stage), so shuffle volume tracks true near-dups, not collisions.
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -204,15 +209,10 @@ def simhash_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
