@@ -107,9 +107,15 @@ def bm25_topk(
     )
 
     # Corpus scalars: exact one-row aggregate (driver-side, bounded).
+    # avgdl is NULL on an empty corpus (avg over zero rows) — any finite
+    # stand-in works because there are no postings to score; 1.0 keeps
+    # the plan well-typed so the empty slice of an incremental run
+    # returns an empty result instead of raising.
     n_docs, avgdl = docs.select(
         F.count(F.lit(1)), F.avg(F.size(_tokens(text_col)))
     ).first()
+    if avgdl is None:
+        avgdl = 1.0
 
     # df per query term as a WINDOW over the already-shuffled postings —
     # a broadcast of a derived aggregate here would recompute the whole
