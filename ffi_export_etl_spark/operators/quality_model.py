@@ -110,6 +110,14 @@ def train_quality_model(
         ),
         "id",
     )
+    # Zero training examples is a caller error, but left to MLlib it
+    # surfaces as an opaque "Nothing has been added to this summarizer"
+    # from inside the LR fit — fail with the actual problem instead.
+    if feats.isEmpty():
+        raise ValueError(
+            "train_quality_model: the labeled set is empty (or no labeled "
+            "id matches a document) — cannot fit on zero examples"
+        )
     assembler = VectorAssembler(
         inputCols=FEATURE_COLS, outputCol="features"
     )
