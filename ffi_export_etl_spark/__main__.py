@@ -101,6 +101,14 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--max-avg-neg-logprob", type=float, default=None,
                     help="drop docs whose LM avg negative log-prob "
                          "exceeds this (reference-likeness cut)")
+    ap.add_argument("--shingle-mode", choices=("word", "char"),
+                    default="word",
+                    help="near-dup shingling: word n-grams (default) or "
+                         "char n-grams for boundary-less scripts "
+                         "(CJK/Thai corpora)")
+    ap.add_argument("--shingle-n", type=int, default=None,
+                    help="shingle width (default: 3 for word mode, "
+                         "5 for char mode)")
     args = ap.parse_args(argv)
 
     from .plans.curation import curate_documents
@@ -131,6 +139,8 @@ def curate_main(argv: list[str]) -> int:
         max_top_bigram_frac=args.max_top_bigram_frac,
         lm_reference=lm_reference,
         max_avg_neg_logprob=args.max_avg_neg_logprob,
+        shingle_mode=args.shingle_mode,
+        shingle_n=args.shingle_n,
     )
     manifest = write_training_shards(
         curated, args.output, "id", rows_per_shard=args.rows_per_shard

@@ -28,7 +28,7 @@ from ..functions.porthash import (
     perm_coefficients,
     spark_perm,
 )
-from .shingles import shingle_table
+from .shingles import build_shingles
 
 # A bucket of B members contributes B^2/2 candidate pairs; a degenerate
 # bucket (boilerplate shared by millions of docs) is the one quadratic
@@ -57,14 +57,16 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_perm: int = 32,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) MinHash signatures.
 
     Aggregated with groupBy().agg(min...) — map-side partial aggregation
-    keeps the shuffle tiny at scale.
+    keeps the shuffle tiny at scale. ``shingle_mode="char"`` switches to
+    character n-grams for boundary-less scripts (operators/scripts.py).
     """
     wide = signatures_from_shingles(
-        shingle_table(docs, id_col, text_col, n), num_perm
+        build_shingles(docs, id_col, text_col, n, shingle_mode), num_perm
     )
     return wide.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
@@ -142,6 +144,7 @@ def minhash_signature_store(
     n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """(id, band, bucket) — the persistable LSH index of a corpus.
 
@@ -149,7 +152,7 @@ def minhash_signature_store(
     incremental batches join against it WITHOUT re-sketching the corpus:
     the daily-increment shape for a 100 TB collection."""
     sigs = signatures_from_shingles(
-        shingle_table(docs, id_col, text_col, n), num_perm
+        build_shingles(docs, id_col, text_col, n, shingle_mode), num_perm
     )
     return _banded(sigs, bands, num_perm // bands)
 
@@ -208,6 +211,7 @@ def minhash_near_duplicates(
     threshold_pct: int = 20,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     cache_shingles: bool = False,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold_pct/100.
 
@@ -227,7 +231,7 @@ def minhash_near_duplicates(
     and scan-bound corpora opt in.
     """
     rows_per_band = num_perm // bands
-    sh = shingle_table(docs, id_col, text_col, n)
+    sh = build_shingles(docs, id_col, text_col, n, shingle_mode)
     if cache_shingles:
         sh = sh.persist()
     sigs = signatures_from_shingles(sh, num_perm)
@@ -266,6 +270,7 @@ def minhash_signature_store_with_sigs(
     n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """(id, band, bucket, sig: array<long>) — the LSH index WITH the
     full minhash signature on every row, so increments can VERIFY
@@ -275,7 +280,7 @@ def minhash_signature_store_with_sigs(
     over the plain (id, band, bucket) store; at scale store it bucketed
     by (band, bucket) like the plain variant."""
     sigs = signatures_from_shingles(
-        shingle_table(docs, id_col, text_col, n), num_perm
+        build_shingles(docs, id_col, text_col, n, shingle_mode), num_perm
     )
     sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_perm)])
     return _banded(sigs, bands, num_perm // bands).join(

@@ -76,12 +76,62 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
+def char_shingle_table(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, shingle) long table of distinct CHARACTER n-grams — the
+    shingle path for scripts without whitespace word boundaries (CJK,
+    Thai, ...), where word trigrams degenerate to whole-sentence tokens
+    and near-duplicates become undetectable (see operators/scripts.py
+    for the routing predicate).
+
+    Same shifted-slice zip_with build as the word path — O(len) per
+    document, native exprs — over the code-point array from
+    ``split(text, '')``. Whitespace is collapsed first so formatting
+    differences don't perturb the n-grams (the char analog of word
+    tokenization). n=5 chars carries roughly the information of a word
+    bigram in CJK; the MinHash/LSH layers on top are shingle-agnostic.
+    """
+    normed = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    chars = spread_per_doc(docs, id_col).select(
+        F.col(id_col).alias("id"), F.split(normed, "").alias("_cs")
+    )
+    length = F.greatest(F.size("_cs") - (n - 1), F.lit(0))
+    shingle = F.slice("_cs", 1, length)
+    for j in range(1, n):
+        shingle = F.zip_with(
+            shingle,
+            F.slice("_cs", 1 + j, length),
+            lambda a, b: F.concat(a, b),
+        )
+    return chars.select(
+        "id", F.explode(F.array_distinct(shingle)).alias("shingle")
+    )
+
+
+def build_shingles(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    mode: str = "word",
+) -> DataFrame:
+    """Dispatch to word- or char-n-gram shingling; every sketch operator
+    above the shingle table (minhash, jaccard) is mode-agnostic."""
+    if mode == "word":
+        return shingle_table(docs, id_col, text_col, n)
+    if mode == "char":
+        return char_shingle_table(docs, id_col, text_col, n)
+    raise ValueError(f"unknown shingle mode {mode!r} (want word|char)")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold_pct: int = 20,
+    mode: str = "word",
 ) -> DataFrame:
     """All doc pairs with n-gram Jaccard >= threshold_pct/100 — EXACT.
 
@@ -102,7 +152,7 @@ def jaccard_pairs(
     quadratic regime (everything near-duplicate) is quadratic in the
     OUTPUT, which no exact algorithm avoids.
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    sh = build_shingles(docs, id_col, text_col, n, mode)
     sh.persist()  # feeds ranking, sizes, and verification
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))

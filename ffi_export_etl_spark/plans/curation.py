@@ -56,6 +56,8 @@ def curate_documents(
     default_fraction: float = 1.0,
     min_words: int = 20,
     jaccard_threshold_pct: int = 20,
+    shingle_mode: str = "word",
+    shingle_n: int | None = None,
     capacity: int = 512,
     boilerplate_min_docs: int | None = None,
     paragraph_min_repeat: int | None = None,
@@ -145,8 +147,16 @@ def curate_documents(
     if persist_intermediates:
         scrubbed = scrubbed.persist()
 
+    # shingle_mode="char" is the route for boundary-less scripts (CJK,
+    # Thai — operators/scripts.py needs_char_shingles); word mode is the
+    # default for segmented corpora. A char 5-gram carries roughly the
+    # information of a word trigram — char TRIgrams over-merge any
+    # same-language corpus — so the shingle width defaults per mode.
+    if shingle_n is None:
+        shingle_n = 3 if shingle_mode == "word" else 5
     pairs = minhash_near_duplicates(
-        scrubbed, "id", "text", threshold_pct=jaccard_threshold_pct
+        scrubbed, "id", "text", n=shingle_n,
+        threshold_pct=jaccard_threshold_pct, shingle_mode=shingle_mode,
     ).select("id_a", "id_b")
     clusters = dedup_clusters(scrubbed, pairs, id_col="id")
     keepers = scrubbed.join(
