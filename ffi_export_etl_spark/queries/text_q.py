@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.scripts import SCRIPT_CLASSES
 from ..operators.textproc import (
     dedup_paragraphs,
     dup_line_frac_of,
@@ -136,8 +137,10 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (operators/lmscore.py — add-1-smoothed bigram model trained
     on this same corpus as its reference, per-doc negative log-prob in
     EXACT integer micro-units so the oracle compare is float-free) —
-    one row per document."""
+    plus the Unicode dominant-script label (operators/scripts.py, the
+    multilingual routing signal) — one row per document."""
     from ..operators.lmscore import score_documents, train_bigram_lm
+    from ..operators.scripts import dominant_script
 
     d = load_table(spark, sf_dir, "documents")
     bigrams, unigrams, vocab = train_bigram_lm(d)
@@ -173,6 +176,7 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(vocab).alias("n_distinct_tokens"),
         "lm_n_bigrams",
         "lm_nlp_micro",
+        dominant_script("text").alias("dominant_script"),
     )
 
 
@@ -229,6 +233,28 @@ def scrub_sql_expr(col: str = "text") -> str:
 
 
 # mirror of operators/textproc.dup_line_frac_of over a lines ARRAY expr
+def _script_case_sql(col: str) -> str:
+    """DuckDB twin of operators/scripts.py dominant_script, generated
+    from the SAME SCRIPT_CLASSES constants: per-class letter counts via
+    len(regexp_extract_all(...)) (= Spark's regexp_count), argmax as a
+    priority-ordered CASE chain — WHEN_k fires iff count_k >= every
+    LATER class's count, which selects the maximum with earliest-
+    declaration tiebreak (the same (n, -prio) desc sort the Spark side
+    encodes)."""
+    names = list(SCRIPT_CLASSES)
+    n = {
+        s: f"len(regexp_extract_all({col}, '{cls}'))"
+        for s, (cls, _) in SCRIPT_CLASSES.items()
+    }
+    whens = [
+        "WHEN " + " AND ".join(f"{n[s]} = 0" for s in names) + " THEN 'und'"
+    ]
+    for i, s in enumerate(names[:-1]):
+        conds = " AND ".join(f"{n[s]} >= {n[t]}" for t in names[i + 1:])
+        whens.append(f"WHEN {conds} THEN '{s}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
 def dup_line_frac_sql(lines_expr: str) -> str:
     nb = f"list_filter(list_transform({lines_expr}, x -> trim(x)), x -> x != '')"
     return (
@@ -301,7 +327,11 @@ ORACLE = {
         FROM b LEFT JOIN rebuilt USING (doc_id)
     """,
     "text_langfp_pack": f"""
-        WITH t AS (
+        WITH scr AS (
+            SELECT doc_id, {_script_case_sql("text")} AS dominant_script
+            FROM documents
+        ),
+        t AS (
             SELECT doc_id, lang AS labeled_lang, text,
                    CAST(len(list_filter({_DUCK_TOKS},
                         x -> x IN ('the','a','and','of'))) AS INTEGER) AS score_en,
@@ -351,8 +381,9 @@ ORACLE = {
                CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER)
                    AS n_distinct_tokens,
                lm.lm_n_bigrams,
-               lm.lm_nlp_micro
-        FROM t LEFT JOIN lm USING (doc_id)
+               lm.lm_nlp_micro,
+               scr.dominant_script
+        FROM t LEFT JOIN lm USING (doc_id) JOIN scr USING (doc_id)
     """,
 }
 

@@ -70,6 +70,35 @@ def test_needs_char_shingles_routing(spark):
     assert not got[1] and not got[2] and not got[6] and not got[7]
 
 
+def test_sql_twin_agrees_on_multilingual_rows(spark):
+    """The generated DuckDB CASE chain (queries/text_q._script_case_sql)
+    must agree with the Spark operator on rows where the argmax actually
+    discriminates — the sf corpora are all-Latin, so the driver pin
+    alone exercises only one branch."""
+    import duckdb
+
+    from ffi_export_etl_spark.queries.text_q import _script_case_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in SAMPLES], "id: long, text: string"
+    )
+    got_spark = {
+        r["id"]: r["s"]
+        for r in df.select("id", dominant_script("text").alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", [(i, t) for i, t, _ in SAMPLES]
+    )
+    got_duck = dict(
+        con.execute(
+            f"SELECT id, {_script_case_sql('text')} FROM docs"
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+
+
 def test_char_shingles_basic(spark):
     df = spark.createDataFrame([(1, "abcdef")], "id: long, text: string")
     got = {
