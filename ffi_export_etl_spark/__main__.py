@@ -101,11 +101,12 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--max-avg-neg-logprob", type=float, default=None,
                     help="drop docs whose LM avg negative log-prob "
                          "exceeds this (reference-likeness cut)")
-    ap.add_argument("--shingle-mode", choices=("word", "char"),
+    ap.add_argument("--shingle-mode", choices=("word", "char", "auto"),
                     default="word",
-                    help="near-dup shingling: word n-grams (default) or "
+                    help="near-dup shingling: word n-grams (default), "
                          "char n-grams for boundary-less scripts "
-                         "(CJK/Thai corpora)")
+                         "(CJK/Thai corpora), or auto per-document "
+                         "script routing")
     ap.add_argument("--shingle-n", type=int, default=None,
                     help="shingle width (default: 3 for word mode, "
                          "5 for char mode)")

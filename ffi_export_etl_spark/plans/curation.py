@@ -149,15 +149,35 @@ def curate_documents(
 
     # shingle_mode="char" is the route for boundary-less scripts (CJK,
     # Thai — operators/scripts.py needs_char_shingles); word mode is the
-    # default for segmented corpora. A char 5-gram carries roughly the
-    # information of a word trigram — char TRIgrams over-merge any
-    # same-language corpus — so the shingle width defaults per mode.
-    if shingle_n is None:
-        shingle_n = 3 if shingle_mode == "word" else 5
-    pairs = minhash_near_duplicates(
-        scrubbed, "id", "text", n=shingle_n,
-        threshold_pct=jaccard_threshold_pct, shingle_mode=shingle_mode,
-    ).select("id_a", "id_b")
+    # default for segmented corpora; "auto" detects the dominant script
+    # per document and runs each partition of the corpus through its
+    # proper mode (cross-script near-dup pairs don't exist in practice —
+    # an unsegmented CJK doc shares no shingles with a Latin one under
+    # either definition, so the union loses nothing). A char 5-gram
+    # carries roughly the information of a word trigram — char TRIgrams
+    # over-merge any same-language corpus — so width defaults per mode.
+    if shingle_mode == "auto":
+        from ..operators.scripts import needs_char_shingles
+
+        charish = needs_char_shingles("text")
+        pairs = minhash_near_duplicates(
+            scrubbed.filter(~charish), "id", "text",
+            n=shingle_n if shingle_n is not None else 3,
+            threshold_pct=jaccard_threshold_pct, shingle_mode="word",
+        ).select("id_a", "id_b").unionByName(
+            minhash_near_duplicates(
+                scrubbed.filter(charish), "id", "text",
+                n=shingle_n if shingle_n is not None else 5,
+                threshold_pct=jaccard_threshold_pct, shingle_mode="char",
+            ).select("id_a", "id_b")
+        )
+    else:
+        if shingle_n is None:
+            shingle_n = 3 if shingle_mode == "word" else 5
+        pairs = minhash_near_duplicates(
+            scrubbed, "id", "text", n=shingle_n,
+            threshold_pct=jaccard_threshold_pct, shingle_mode=shingle_mode,
+        ).select("id_a", "id_b")
     clusters = dedup_clusters(scrubbed, pairs, id_col="id")
     keepers = scrubbed.join(
         clusters.filter("is_keeper").select("id", "cluster_id"), "id"

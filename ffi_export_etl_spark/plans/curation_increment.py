@@ -59,6 +59,7 @@ def curate_increment(
     num_perm: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    shingle_mode: str = "word",
 ) -> dict[str, DataFrame]:
     """Returns ``{"kept", "exact_delta", "minhash_delta"}``.
 
@@ -84,8 +85,11 @@ def curate_increment(
         cleaned, exact_store, "id", "text"
     ).persist()  # feeds sketching, the drop joins, and the output
 
+    # shingle_mode must match the mode the STORE was built with — the
+    # signatures are only comparable within one shingle definition
     new_banded = minhash_signature_store_with_sigs(
-        scrubbed, "id", "text", n=n, num_perm=num_perm, bands=bands
+        scrubbed, "id", "text", n=n, num_perm=num_perm, bands=bands,
+        shingle_mode=shingle_mode,
     ).localCheckpoint()
     pairs = incremental_verified_pairs(
         new_banded, minhash_store,

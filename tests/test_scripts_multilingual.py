@@ -160,6 +160,40 @@ def test_char_mode_finds_cjk_near_dups(spark):
     assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
 
 
+def test_curate_auto_mode_routes_both_scripts(spark):
+    """shingle_mode='auto': the English near-dup pair dedups through the
+    word path AND the CJK near-dup pair through the char path in one
+    curate_documents run — word-only mode provably keeps both CJK
+    copies."""
+    from ffi_export_etl_spark.plans.curation import curate_documents
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy sleeping dog", "web"),
+        (2, "the quick brown fox jumps over the lazy sleeping cat", "web"),
+        (3, CJK_DOCS[0][1], "web"),
+        (4, CJK_DOCS[1][1], "web"),
+        (5, "completely unrelated text about distributed query engines",
+         "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string"
+    )
+
+    def kept_ids(mode):
+        out = curate_documents(
+            docs, min_words=1, jaccard_threshold_pct=50,
+            shingle_mode=mode, persist_intermediates=False,
+        )
+        return {r["id"] for r in out.select("id").collect()}
+
+    auto = kept_ids("auto")
+    word = kept_ids("word")
+    # auto: one keeper per cluster -> {1, 3, 5}
+    assert auto == {1, 3, 5}
+    # word mode cannot pair the CJK docs -> both survive
+    assert word == {1, 3, 4, 5}
+
+
 def test_char_mode_store_roundtrip(tmp_path, spark):
     """The incremental signature store works identically under char
     mode (the LSH layers are shingle-agnostic)."""
