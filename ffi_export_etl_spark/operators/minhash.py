@@ -55,7 +55,7 @@ def minhash_signatures(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
+    n: int | None = None,
     num_perm: int = 32,
     shingle_mode: str = "word",
 ) -> DataFrame:
@@ -141,7 +141,7 @@ def minhash_signature_store(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
+    n: int | None = None,
     num_perm: int = 32,
     bands: int = 8,
     shingle_mode: str = "word",
@@ -205,7 +205,7 @@ def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
+    n: int | None = None,
     num_perm: int = 32,
     bands: int = 8,
     threshold_pct: int = 20,
@@ -267,7 +267,7 @@ def minhash_signature_store_with_sigs(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
+    n: int | None = None,
     num_perm: int = 32,
     bands: int = 8,
     shingle_mode: str = "word",

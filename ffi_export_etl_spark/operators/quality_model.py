@@ -103,6 +103,16 @@ def train_quality_model(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
+    # Zero training examples is a caller error, but left to MLlib it
+    # surfaces as an opaque "Nothing has been added to this summarizer"
+    # from inside the LR fit — fail with the actual problem instead.
+    # Guard the INPUT (a near-free narrow probe), not the feature DAG:
+    # feats.isEmpty() would evaluate the whole featurization twice.
+    if labeled.isEmpty():
+        raise ValueError(
+            "train_quality_model: the labeled set is empty — cannot fit "
+            "on zero examples"
+        )
     feats = quality_features(labeled, id_col, text_col).join(
         labeled.select(
             F.col(id_col).alias("id"),
@@ -110,14 +120,6 @@ def train_quality_model(
         ),
         "id",
     )
-    # Zero training examples is a caller error, but left to MLlib it
-    # surfaces as an opaque "Nothing has been added to this summarizer"
-    # from inside the LR fit — fail with the actual problem instead.
-    if feats.isEmpty():
-        raise ValueError(
-            "train_quality_model: the labeled set is empty (or no labeled "
-            "id matches a document) — cannot fit on zero examples"
-        )
     assembler = VectorAssembler(
         inputCols=FEATURE_COLS, outputCol="features"
     )

@@ -87,12 +87,16 @@ def char_shingle_table(
 
     Same shifted-slice zip_with build as the word path — O(len) per
     document, native exprs — over the code-point array from
-    ``split(text, '')``. Whitespace is collapsed first so formatting
-    differences don't perturb the n-grams (the char analog of word
-    tokenization). n=5 chars carries roughly the information of a word
-    bigram in CJK; the MinHash/LSH layers on top are shingle-agnostic.
+    ``split(text, '')``. Whitespace is collapsed AND trimmed first
+    (textproc.normalize_whitespace — the canonical form) so
+    formatting-only differences, including leading/trailing whitespace,
+    never perturb the n-grams (the char analog of word tokenization).
+    n=5 chars carries roughly the information of a word bigram in CJK;
+    the MinHash/LSH layers on top are shingle-agnostic.
     """
-    normed = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    from .textproc import normalize_whitespace
+
+    normed = normalize_whitespace(F.col(text_col))
     chars = spread_per_doc(docs, id_col).select(
         F.col(id_col).alias("id"), F.split(normed, "").alias("_cs")
     )
@@ -109,15 +113,28 @@ def char_shingle_table(
     )
 
 
+def default_shingle_n(mode: str) -> int:
+    """Per-mode shingle width: word trigrams, char 5-grams (a char
+    5-gram carries roughly a word bigram's information in CJK; char
+    TRIgrams over-merge any same-language corpus)."""
+    return 3 if mode == "word" else 5
+
+
 def build_shingles(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    n: int,
+    n: int | None,
     mode: str = "word",
 ) -> DataFrame:
     """Dispatch to word- or char-n-gram shingling; every sketch operator
-    above the shingle table (minhash, jaccard) is mode-agnostic."""
+    above the shingle table (minhash, jaccard) is mode-agnostic.
+
+    ``n=None`` resolves per mode (default_shingle_n) — callers that
+    switch mode without thinking about width get a sane pairing instead
+    of char trigrams."""
+    if n is None:
+        n = default_shingle_n(mode)
     if mode == "word":
         return shingle_table(docs, id_col, text_col, n)
     if mode == "char":
@@ -129,9 +146,10 @@ def jaccard_pairs(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
+    n: int | None = None,
     threshold_pct: int = 20,
     mode: str = "word",
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """All doc pairs with n-gram Jaccard >= threshold_pct/100 — EXACT.
 
@@ -152,8 +170,15 @@ def jaccard_pairs(
     quadratic regime (everything near-duplicate) is quadratic in the
     OUTPUT, which no exact algorithm avoids.
     """
+    # The shingle table feeds five subplans (doc-frequency ranking,
+    # sizes, prefix, both verification sides). cache_shingles=True
+    # persists it — right when the corpus scan dominates (real 100 TB
+    # runs) — but the caller owns the release; default False recomputes
+    # like minhash's same-named default, so a registry/bench run never
+    # pins the largest intermediate for the session lifetime.
     sh = build_shingles(docs, id_col, text_col, n, mode)
-    sh.persist()  # feeds ranking, sizes, and verification
+    if cache_shingles:
+        sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("id").orderBy("_df", "shingle")

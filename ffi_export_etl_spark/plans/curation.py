@@ -139,11 +139,21 @@ def curate_documents(
             F.col("id").alias(id_col), F.col("text").alias(text_col),
             source_col,
         )
-    scrubbed = cur.select(
+    # The per-doc script flag (9 regexp_count scans) is materialized
+    # INSIDE the scrubbed projection in auto mode, so it is evaluated
+    # once at cache fill — both routing filters and the quality stage
+    # read the cached boolean instead of re-running the regexes.
+    scrub_expr = normalize_whitespace(scrub_text(text_col))
+    scrub_cols = [
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
-        normalize_whitespace(scrub_text(text_col)).alias("text"),
-    )
+        scrub_expr.alias("text"),
+    ]
+    if shingle_mode == "auto":
+        from ..operators.scripts import needs_char_shingles
+
+        scrub_cols.append(needs_char_shingles(scrub_expr).alias("_charish"))
+    scrubbed = cur.select(*scrub_cols)
     if persist_intermediates:
         scrubbed = scrubbed.persist()
 
@@ -153,27 +163,22 @@ def curate_documents(
     # per document and runs each partition of the corpus through its
     # proper mode (cross-script near-dup pairs don't exist in practice —
     # an unsegmented CJK doc shares no shingles with a Latin one under
-    # either definition, so the union loses nothing). A char 5-gram
-    # carries roughly the information of a word trigram — char TRIgrams
-    # over-merge any same-language corpus — so width defaults per mode.
+    # either definition, so the union loses nothing). Shingle width
+    # defaults per mode (shingles.default_shingle_n — char TRIgrams
+    # over-merge any same-language corpus).
     if shingle_mode == "auto":
-        from ..operators.scripts import needs_char_shingles
-
-        charish = needs_char_shingles("text")
         pairs = minhash_near_duplicates(
-            scrubbed.filter(~charish), "id", "text",
-            n=shingle_n if shingle_n is not None else 3,
-            threshold_pct=jaccard_threshold_pct, shingle_mode="word",
+            scrubbed.filter(~F.col("_charish")), "id", "text",
+            n=shingle_n, threshold_pct=jaccard_threshold_pct,
+            shingle_mode="word",
         ).select("id_a", "id_b").unionByName(
             minhash_near_duplicates(
-                scrubbed.filter(charish), "id", "text",
-                n=shingle_n if shingle_n is not None else 5,
-                threshold_pct=jaccard_threshold_pct, shingle_mode="char",
+                scrubbed.filter(F.col("_charish")), "id", "text",
+                n=shingle_n, threshold_pct=jaccard_threshold_pct,
+                shingle_mode="char",
             ).select("id_a", "id_b")
         )
     else:
-        if shingle_n is None:
-            shingle_n = 3 if shingle_mode == "word" else 5
         pairs = minhash_near_duplicates(
             scrubbed, "id", "text", n=shingle_n,
             threshold_pct=jaccard_threshold_pct, shingle_mode=shingle_mode,
@@ -183,10 +188,28 @@ def curate_documents(
         clusters.filter("is_keeper").select("id", "cluster_id"), "id"
     )
 
-    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    # Quality length rule, script-aware: whitespace word counts are
+    # meaningless for boundary-less scripts (an unsegmented CJK doc is
+    # 1-2 "words" and would ALWAYS fail min_words, silently emptying the
+    # char/auto routes of the very documents they dedup). For docs on
+    # the char route the effective word count is ceil(chars / 2) — the
+    # ~1.5-2 chars-per-word average of CJK — reported in the same
+    # n_words output column.
+    if shingle_mode == "auto":
+        charish_col = F.col("_charish")
+    elif shingle_mode == "char":
+        charish_col = F.lit(True)
+    else:
+        charish_col = F.lit(False)
+    n_words = F.when(
+        charish_col,
+        F.ceil(F.length("text") / F.lit(2)).cast("int"),
+    ).otherwise(F.size(F.split(F.col("text"), r"\s+")))
     quality = keepers.withColumn("n_words", n_words).filter(
         F.col("n_words") >= min_words
     )
+    if shingle_mode == "auto":
+        quality = quality.drop("_charish")
     # Gopher-style repetition thresholds (optional), applied at the
     # quality stage (post-dedup, pre-mixture/packing). The signals are
     # computed over the RAW input text: the scrub stage's whitespace

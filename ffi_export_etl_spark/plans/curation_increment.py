@@ -55,7 +55,7 @@ def curate_increment(
     source_col: str = "source",
     min_words: int = 20,
     jaccard_threshold_pct: int = 20,
-    n: int = 3,
+    n: int | None = None,
     num_perm: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
@@ -85,8 +85,10 @@ def curate_increment(
         cleaned, exact_store, "id", "text"
     ).persist()  # feeds sketching, the drop joins, and the output
 
-    # shingle_mode must match the mode the STORE was built with — the
-    # signatures are only comparable within one shingle definition
+    # shingle_mode AND width must match what the STORE was built with —
+    # signatures are only comparable within one shingle definition.
+    # n=None resolves per mode (shingles.default_shingle_n), the same
+    # resolution curate_documents applies when it builds the store.
     new_banded = minhash_signature_store_with_sigs(
         scrubbed, "id", "text", n=n, num_perm=num_perm, bands=bands,
         shingle_mode=shingle_mode,
@@ -123,7 +125,20 @@ def curate_increment(
         .join(vs_stored, "id", "left_anti")
     )
 
-    n_words = F.size(F.split(F.col("text"), r"\s+"))
+    # script-aware length rule, mirroring curate_documents: whitespace
+    # word counts always fail for boundary-less scripts, so char-route
+    # docs use ceil(chars / 2) as the effective count
+    if shingle_mode == "char":
+        charish_col = F.lit(True)
+    elif shingle_mode == "auto":
+        from ..operators.scripts import needs_char_shingles
+
+        charish_col = needs_char_shingles("text")
+    else:
+        charish_col = F.lit(False)
+    n_words = F.when(
+        charish_col, F.ceil(F.length("text") / F.lit(2)).cast("int")
+    ).otherwise(F.size(F.split(F.col("text"), r"\s+")))
     kept = (
         scrubbed.join(survivors, "id", "left_semi")
         .withColumn("n_words", n_words)

@@ -9,15 +9,15 @@ encoding damage, concatenated objects — and silently dropping them
 cluster run on one bad byte. This reader takes the third route the Spark
 JSON datasource is built for and the one a production pipeline wants:
 
-- PERMISSIVE parse with ``columnNameOfCorruptRecord``: well-formed rows
-  parse into the explicit schema; malformed lines land whole in the
-  corrupt column, same scan, no second read;
+- PERMISSIVE parse with ``columnNameOfCorruptRecord`` (or DROPMALFORMED
+  when no required-column contract is given): well-formed rows parse
+  into the explicit schema, JVM-side;
 - an explicit REQUIRED-column contract: rows that parse as JSON but are
   missing required fields (schema drift, the failure mode PERMISSIVE
   alone does not catch — it just leaves nulls) are quarantined too;
 - ``read_documents_jsonl`` returns (clean, quarantine): clean carries
-  exactly the declared schema, quarantine carries the raw offending line
-  plus a reason, ready to write to a dead-letter sink for replay.
+  exactly the declared schema; quarantine carries the VERBATIM offending
+  line plus a reason, ready for a dead-letter sink and replay.
 
 The whole path is JVM-side (one scan, codegen filters); the schema is
 declared, never inferred — inference is itself a full extra pass and
@@ -66,38 +66,65 @@ def read_jsonl(
     that did not parse at all go with reason 'malformed_json' and the
     raw line preserved in ``raw``.
 
-    One scan feeds both outputs — the split is two codegen filters over
-    the same parsed relation, and with a .gz input (non-splittable,
-    one task per segment file) nothing is read twice unless both
-    branches are consumed without a cache, which is the right default:
-    quarantine is typically tiny and written once.
+    Clean rows come off the JSON datasource's optimized path;
+    quarantine rows come off a text scan + ``from_json`` (the datasource
+    forbids lazy queries that reference only the corrupt column, and the
+    text route hands the dead-letter sink the verbatim line). Consuming
+    both outputs costs two passes over the input — the same as consuming
+    both branches of one uncached PERMISSIVE read, and quarantine is
+    typically written once.
     """
     if CORRUPT_COL not in schema.names:
         raise ValueError(f"schema must carry a {CORRUPT_COL} string field")
-    parsed = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
     data_cols = [n for n in schema.names if n != CORRUPT_COL]
-    is_malformed = F.col(CORRUPT_COL).isNotNull()
-    missing = None
+
+    # CLEAN side: the JSON datasource's optimized path. With a required
+    # contract, PERMISSIVE + filter; with required=(), "everything that
+    # parses" is exactly DROPMALFORMED — same parser, and it avoids the
+    # datasource's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction (a lazy
+    # query may not reference the corrupt column alone, which is all the
+    # filter would be).
+    if required:
+        parsed = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+        keep = F.col(CORRUPT_COL).isNull()
+        for c in required:
+            keep = keep & F.col(c).isNotNull()
+        clean = parsed.filter(keep).select(*data_cols)
+    else:
+        clean = (
+            spark.read.schema(
+                T.StructType([f for f in schema if f.name != CORRUPT_COL])
+            )
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+
+    # QUARANTINE side: the text datasource + from_json — no corrupt-
+    # column restriction, and the dead-letter record is ALWAYS the
+    # verbatim input line (for drift rows too, not a reconstruction).
+    # Whitespace-only lines are skipped to match the JSON datasource.
+    # Consuming both outputs scans the input twice, same as consuming
+    # both branches of a single uncached PERMISSIVE read would.
+    lines = spark.read.text(path).filter(F.trim("value") != "")
+    j = F.from_json(
+        F.col("value"),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    is_malformed = j[CORRUPT_COL].isNotNull()
+    missing = F.lit(False)
     for c in required:
-        m = F.col(c).isNull()
-        missing = m if missing is None else (missing | m)
-    clean = parsed.filter(~is_malformed & ~missing).select(*data_cols)
-    quarantine = parsed.filter(is_malformed | missing).select(
+        missing = missing | j[c].isNull()
+    quarantine = lines.filter(is_malformed | missing).select(
         F.when(is_malformed, F.lit("malformed_json"))
         .otherwise(F.lit("missing_required"))
         .alias("reason"),
-        # the raw line survives only for malformed rows (PERMISSIVE puts
-        # it in the corrupt column); for drift rows reconstruct a JSON
-        # view of what DID parse so the dead-letter record is replayable
-        F.coalesce(
-            F.col(CORRUPT_COL),
-            F.to_json(F.struct(*[F.col(c) for c in data_cols])),
-        ).alias("raw"),
+        F.col("value").alias("raw"),
     )
     return clean, quarantine
 

@@ -93,6 +93,20 @@ def test_gz_segments_and_glob(spark, tmp_path):
     assert quarantine.count() == 1
 
 
+def test_no_required_columns_contract(spark, tmp_path):
+    """required=() is valid: quarantine malformed JSON only, drift rows
+    all count as clean."""
+    p = _write(
+        tmp_path, "docs.jsonl",
+        [json.dumps(r) for r in GOOD + DRIFT] + MALFORMED,
+    )
+    clean, quarantine = read_jsonl(
+        spark, p, DOCUMENTS_JSONL_SCHEMA, required=()
+    )
+    assert clean.count() == len(GOOD) + len(DRIFT)
+    assert quarantine.count() == len(MALFORMED)
+
+
 def test_schema_must_carry_corrupt_column(spark, tmp_path):
     import pyspark.sql.types as T
 

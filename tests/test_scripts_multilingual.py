@@ -111,14 +111,15 @@ def test_char_shingles_basic(spark):
 def test_char_shingles_whitespace_normalized(spark):
     # formatting-only whitespace differences must not perturb the grams
     df = spark.createDataFrame(
-        [(1, "ab  cd"), (2, "ab cd"), (3, "ab\ncd")],
+        [(1, "ab  cd"), (2, "ab cd"), (3, "ab\ncd"), (4, " ab cd \n")],
         "id: long, text: string",
     )
     rows = char_shingle_table(df, "id", "text", n=3).collect()
     by_id = {}
     for r in rows:
         by_id.setdefault(r["id"], set()).add(r["shingle"])
-    assert by_id[1] == by_id[2] == by_id[3]
+    # collapse AND trim: leading/trailing whitespace is formatting too
+    assert by_id[1] == by_id[2] == by_id[3] == by_id[4]
 
 
 def test_build_shingles_rejects_unknown_mode(spark):
@@ -163,8 +164,9 @@ def test_char_mode_finds_cjk_near_dups(spark):
 def test_curate_auto_mode_routes_both_scripts(spark):
     """shingle_mode='auto': the English near-dup pair dedups through the
     word path AND the CJK near-dup pair through the char path in one
-    curate_documents run — word-only mode provably keeps both CJK
-    copies."""
+    curate_documents run — and the quality length rule is script-aware
+    (a 20-char CJK doc counts ceil(20/2)=10 effective words, not the 1
+    whitespace 'word' that would always fail min_words)."""
     from ffi_export_etl_spark.plans.curation import curate_documents
 
     rows = [
@@ -172,26 +174,34 @@ def test_curate_auto_mode_routes_both_scripts(spark):
         (2, "the quick brown fox jumps over the lazy sleeping cat", "web"),
         (3, CJK_DOCS[0][1], "web"),
         (4, CJK_DOCS[1][1], "web"),
-        (5, "completely unrelated text about distributed query engines",
-         "web"),
+        (5, "a completely unrelated document about distributed query "
+            "engines and shuffles", "web"),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id: long, text: string, source: string"
     )
 
-    def kept_ids(mode):
+    def kept(mode, min_words):
         out = curate_documents(
-            docs, min_words=1, jaccard_threshold_pct=50,
+            docs, min_words=min_words, jaccard_threshold_pct=50,
             shingle_mode=mode, persist_intermediates=False,
         )
-        return {r["id"] for r in out.select("id").collect()}
+        return {
+            r["id"]: r["n_words"]
+            for r in out.select("id", "n_words").collect()
+        }
 
-    auto = kept_ids("auto")
-    word = kept_ids("word")
-    # auto: one keeper per cluster -> {1, 3, 5}
-    assert auto == {1, 3, 5}
-    # word mode cannot pair the CJK docs -> both survive
-    assert word == {1, 3, 4, 5}
+    # min_words=8: every doc passes under its script's effective count
+    auto = kept("auto", 8)
+    assert set(auto) == {1, 3, 5}
+    # ceil(chars / 2), not the 1 whitespace token word mode would count
+    assert auto[3] == -(-len(CJK_DOCS[0][1]) // 2)
+    # word mode cannot pair the CJK docs AND its whitespace word count
+    # quality-drops them — the double degradation auto mode exists for
+    word = kept("word", 8)
+    assert set(word) == {1, 5}
+    # with the length rule out of the way, word mode keeps both copies
+    assert set(kept("word", 1)) == {1, 3, 4, 5}
 
 
 def test_char_mode_store_roundtrip(tmp_path, spark):
