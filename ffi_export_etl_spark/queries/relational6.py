@@ -154,6 +154,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_nation.agg(
         F.sum("_val").cast("double").alias("_total")
     )
+    # crossJoin here is a ONE-ROW broadcast scalar attach (the global
+    # total) — the scale-safe decorrelated form of the Q11 HAVING
+    # subquery, not a data-sized cartesian.
     return (
         per_nation.crossJoin(F.broadcast(total))
         .filter(F.col("_val").cast("double") > F.col("_total") * 0.02)
@@ -192,6 +195,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = rev.agg(F.max("_rev").alias("_max"))
     s = load_table(spark, sf_dir, "supplier")
+    # one-row broadcast scalar attach (global max) — see q11 note
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("_rev") == F.col("_max"))
