@@ -27,3 +27,46 @@ def test_nondegenerate_at_oracle_sf(spark, sf_oracle, name):
     """Each shape exercises its operator for real: at least one row (the
     filters were chosen against the synthetic value domains)."""
     assert relational6.QUERIES[name](spark, sf_oracle).count() > 0
+
+
+def _plan(spark, name):
+    df = relational6.QUERIES[name](spark, "/root/testdata/sf0.001")
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# q11/q15 deliberately attach a ONE-ROW global scalar via
+# crossJoin(broadcast(...)) — that shows as BroadcastNestedLoopJoin with
+# a single-row build side, the scale-safe decorrelated form.
+_SCALAR_ATTACH = {"q11_important_stock", "q15_top_supplier"}
+
+
+@pytest.mark.parametrize("name", sorted(set(NAMES) - _SCALAR_ATTACH))
+def test_no_cartesian_or_bnlj(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q2_decorrelates_the_scalar_subquery(spark):
+    """Catalyst must rewrite the correlated min-acctbal subquery to an
+    aggregate + join — a per-part re-execution would appear as a
+    subquery node surviving into the physical plan joins."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    # the rewritten plan aggregates min(s_acctbal) once
+    assert "min(" in plan
+
+
+def test_q8_q9_broadcast_the_filtered_part_dim(spark):
+    for name in ("q8_market_share", "q9_product_type_profit"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # the selective part filter is pushed to the scan
+        assert "PushedFilters" in plan, name
+
+
+def test_q16_exclusion_is_an_anti_join(spark):
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
