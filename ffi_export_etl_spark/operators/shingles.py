@@ -191,12 +191,21 @@ def jaccard_pairs(
     need = (F.col("n_sh") * threshold_pct + 99) / 100
     prefix = ranked.filter(
         F.col("_rk") <= F.col("n_sh") - F.floor(need).cast("long") + 1
-    ).select("id", "shingle")
+    ).select("id", "shingle", "n_sh")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # Size filter INSIDE the candidate join (lossless): J >= t forces
+    # n_inter >= t*max(n_a, n_b) and n_inter <= min(n_a, n_b), so
+    # min >= t*max — a pair whose set sizes differ by more than 1/t can
+    # never qualify and is dropped before the (expensive) intersection
+    # join ever sees it. Evaluated map-side inside the equi-join stage.
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")) * 100
+        >= threshold_pct * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
     cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
+               & (F.col("a.id") < F.col("b.id")) & size_ok)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
