@@ -110,6 +110,11 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--shingle-n", type=int, default=None,
                     help="shingle width (default: 3 for word mode, "
                          "5 for char mode)")
+    ap.add_argument("--token-budget", action="append", default=None,
+                    metavar="SOURCE=N",
+                    help="per-source token budget (repeatable), e.g. "
+                         "--token-budget web=1000000; sources without "
+                         "a budget are dropped")
     args = ap.parse_args(argv)
 
     from .plans.curation import curate_documents
@@ -142,6 +147,14 @@ def curate_main(argv: list[str]) -> int:
         max_avg_neg_logprob=args.max_avg_neg_logprob,
         shingle_mode=args.shingle_mode,
         shingle_n=args.shingle_n,
+        token_budgets=(
+            {
+                k: int(v)
+                for k, v in (s.split("=", 1) for s in args.token_budget)
+            }
+            if args.token_budget
+            else None
+        ),
     )
     manifest = write_training_shards(
         curated, args.output, "id", rows_per_shard=args.rows_per_shard

@@ -132,6 +132,78 @@ def split_train_val_test(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "",
+    hash_block_bits: int = 10,
+) -> DataFrame:
+    """Token-BUDGET mixture sampling: real pretraining mixes are
+    specified as "N tokens from source X", not fractions — this keeps,
+    per group, the deterministic hash-ordered run of documents that
+    starts strictly inside the group's budget (overshoot bounded by one
+    document; budget 0 keeps nothing).
+
+    Membership = (cumulative tokens of all hash-earlier docs in the
+    group) < budget, on the SAME (salt, key) md5 axis as hash_sample /
+    weighted_sample — reproducible under any partitioning/retry/engine,
+    SQL-replayable, and monotone: a bigger budget strictly grows the
+    kept set (nested audits, like fraction-based sampling).
+
+    Scale shape: a naive per-group cumsum window is a single reducer
+    per group (one giant source = one hot partition). Instead the
+    uniform hash axis is cut into 2**hash_block_bits contiguous blocks:
+    cumsum WITHIN (group, block) is fully parallel, per-block totals
+    (groups x blocks rows — tiny) turn into block prefix offsets with a
+    window over the totals table only, broadcast back. Same two-pass
+    construction as packing.global_cumsum, keyed per group.
+    """
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0")
+    if default_budget < 0:
+        raise ValueError("default_budget must be >= 0")
+    h = _key_hash(key_col, salt)  # uniform in [0, 2^60)
+    blk = F.shiftright(h, 60 - hash_block_bits)
+    toks = F.col(tokens_col).cast("long")
+    w_in = (
+        Window.partitionBy(group_col, "_blk")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = (
+        df.withColumn("_h", h)
+        .withColumn("_blk", blk)
+        .withColumn("_cum_in", F.sum(toks).over(w_in))
+    )
+    totals = within.groupBy(group_col, "_blk").agg(
+        F.sum(toks).alias("_tot")
+    )
+    w_blk = (
+        Window.partitionBy(group_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "_blk",
+        F.coalesce(F.sum("_tot").over(w_blk), F.lit(0)).alias("_off"),
+    )
+    budget = F.lit(default_budget)
+    for g, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == g, F.lit(b)).otherwise(budget)
+    cum_before = F.col("_off") + F.col("_cum_in") - toks
+    return (
+        within.join(F.broadcast(offsets), [group_col, "_blk"])
+        .filter(cum_before < budget)
+        .drop("_h", "_blk", "_cum_in", "_off")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, salt: str = "", num_partitions: int | None = None
 ) -> DataFrame:

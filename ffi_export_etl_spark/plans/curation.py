@@ -53,6 +53,7 @@ def curate_documents(
     text_col: str = "text",
     source_col: str = "source",
     mixture: dict[str, float] | None = None,
+    token_budgets: dict[str, int] | None = None,
     default_fraction: float = 1.0,
     min_words: int = 20,
     jaccard_threshold_pct: int = 20,
@@ -262,6 +263,16 @@ def curate_documents(
         if mixture is not None
         else quality
     )
+    # Budget-based mixture (how real pretraining mixes are specified:
+    # "N tokens from source X") composes after the fractional one; the
+    # effective n_words column is the token measure. Mutually usable —
+    # most callers pass one or the other.
+    if token_budgets is not None:
+        from ..operators.sampling import token_budget_sample
+
+        mixed = token_budget_sample(
+            mixed, "id", "source", "n_words", token_budgets
+        )
     if persist_intermediates:
         mixed = mixed.persist()
 

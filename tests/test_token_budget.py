@@ -1,0 +1,138 @@
+"""token_budget_sample (operators/sampling.py): deterministic per-source
+token-budget mixture sampling with a DuckDB window-replay oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ffi_export_etl_spark.functions.porthash import duck_md5_long
+from ffi_export_etl_spark.operators.sampling import (
+    NULL_KEY_SENTINEL,
+    token_budget_sample,
+)
+from ffi_export_etl_spark.sources.parquet import load_table
+
+
+def _docs(spark, sf_oracle):
+    return load_table(spark, sf_oracle, "documents").select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
+    )
+
+
+BUDGETS = {"src0": 700, "src1": 300, "src2": 0}
+
+
+def _spark_kept(spark, sf_oracle, budgets=BUDGETS, default=0, **kw):
+    out = token_budget_sample(
+        _docs(spark, sf_oracle), "doc_id", "source", "n_tok",
+        budgets, default_budget=default, **kw,
+    )
+    return {r["doc_id"] for r in out.collect()}
+
+
+def _duck_kept(sf_oracle, budgets=BUDGETS, default=0):
+    h = duck_md5_long(
+        f"coalesce(CAST(doc_id AS VARCHAR), '{NULL_KEY_SENTINEL}')", 15
+    )
+    whens = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in sorted(budgets.items())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_oracle}/documents.parquet'"
+    )
+    rows = con.execute(f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> TRUE)) AS n_tok,
+                   {h} AS h
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok AS cum_before
+            FROM t
+        )
+        SELECT doc_id FROM c
+        WHERE cum_before < (CASE source {whens} ELSE {default} END)
+    """).fetchall()
+    return {r[0] for r in rows}
+
+
+def test_matches_duckdb_window_replay(spark, sf_oracle):
+    assert _spark_kept(spark, sf_oracle) == _duck_kept(sf_oracle)
+
+
+def test_budget_respected_with_bounded_overshoot(spark, sf_oracle):
+    out = token_budget_sample(
+        _docs(spark, sf_oracle), "doc_id", "source", "n_tok", BUDGETS
+    )
+    totals = {
+        r["source"]: (r["tot"], r["mx"])
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx"))
+        .collect()
+    }
+    # every kept doc started strictly inside the budget, so the total
+    # can exceed it by less than one (the largest) document
+    for src, (tot, mx) in totals.items():
+        assert tot - mx < BUDGETS[src]
+    # a zero budget keeps nothing; sources without a budget keep nothing
+    assert "src2" not in totals and set(totals) == {"src0", "src1"}
+
+
+def test_budgets_nest(spark, sf_oracle):
+    small = _spark_kept(spark, sf_oracle, {"src0": 300}, default=0)
+    big = _spark_kept(spark, sf_oracle, {"src0": 1200}, default=0)
+    assert small <= big and len(small) < len(big)
+
+
+def test_block_count_invariance_and_partitioning(spark, sf_oracle):
+    base = _spark_kept(spark, sf_oracle)
+    few_blocks = _spark_kept(spark, sf_oracle, hash_block_bits=2)
+    assert base == few_blocks
+    docs = _docs(spark, sf_oracle).repartition(13)
+    repart = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, "doc_id", "source", "n_tok", BUDGETS
+        ).collect()
+    }
+    assert base == repart
+
+
+def test_curation_pipeline_with_budgets(spark, sf_oracle):
+    """curate_documents(token_budgets=...) bounds each source's output
+    tokens (by the effective n_words measure) with one-doc overshoot."""
+    from ffi_export_etl_spark.plans.curation import curate_documents
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = curate_documents(
+        docs, min_words=5, token_budgets={"src0": 300, "src1": 150},
+        persist_intermediates=False,
+    )
+    stats = {
+        r["source"]: (r["tot"], r["mx"])
+        for r in out.groupBy("source")
+        .agg(F.sum("n_words").alias("tot"), F.max("n_words").alias("mx"))
+        .collect()
+    }
+    assert set(stats) <= {"src0", "src1"} and stats
+    for src, (tot, mx) in stats.items():
+        assert tot - mx < {"src0": 300, "src1": 150}[src]
+
+
+def test_default_budget_and_validation(spark, sf_oracle):
+    everything = _spark_kept(spark, sf_oracle, {}, default=10**12)
+    assert everything == {
+        r["doc_id"] for r in _docs(spark, sf_oracle).collect()
+    }
+    with pytest.raises(ValueError, match=">= 0"):
+        token_budget_sample(
+            _docs(spark, sf_oracle), "doc_id", "source", "n_tok",
+            {"src0": -1},
+        )
