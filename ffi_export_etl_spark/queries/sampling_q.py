@@ -33,6 +33,9 @@ SPLIT_VAL = 0.1
 SPLIT_TEST = 0.05
 SPLIT_VAL_T = int(SPLIT_VAL * (1 << 60))
 SPLIT_TEST_T = int((SPLIT_VAL + SPLIT_TEST) * (1 << 60))
+# token-budget mix: two sources capped by token count (whitespace
+# tokens), everything else budget 0 — the "N tokens from source X" form
+BUDGET_TOKENS = {"src0": 700, "src1": 300}
 
 
 def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +47,11 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group rates via a CASE threshold, no join, no shuffle), and the
     full train/val/test assignment (split_train_val_test — every doc
     tagged split_train/val/test on the same hash axis, disjoint and
-    exhaustive by construction)."""
+    exhaustive by construction), plus the token-BUDGET mixture
+    (token_budget_sample — per-source hash-ordered runs capped by token
+    count via the blocked two-pass cumsum; 'budget' rows)."""
+    from ..operators.sampling import token_budget_sample
+
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     bern = hash_sample(d, "doc_id", SAMPLE_FRACTION).select(
@@ -69,7 +76,23 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("k"),
         F.lit(None).cast("int").alias("label"),
     )
-    return bern.unionByName(strat).unionByName(mix).unionByName(spl)
+    bud = token_budget_sample(
+        d.select(
+            "doc_id", "source",
+            F.size(F.split("text", r"\s+")).alias("_tok"),
+        ),
+        "doc_id", "source", "_tok", BUDGET_TOKENS,
+    ).select(
+        F.lit("budget").alias("kind"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    return (
+        bern.unionByName(strat)
+        .unionByName(mix)
+        .unionByName(spl)
+        .unionByName(bud)
+    )
 
 
 QUERIES = {"samp_pack": samp_pack}
@@ -90,6 +113,10 @@ def key_hash_sql(key: str) -> str:
 _MIX_WHEN = "\n                  ".join(
     f"WHEN '{g}' THEN {int(f * (1 << 60))}"
     for g, f in sorted(MIX_FRACTIONS.items())
+)
+
+_BUDGET_WHEN = " ".join(
+    f"WHEN '{g}' THEN {b}" for g, b in sorted(BUDGET_TOKENS.items())
 )
 
 ORACLE = {
@@ -126,5 +153,20 @@ ORACLE = {
             SELECT doc_id, {_KEY_HASH.format(key="doc_id")} AS h
             FROM documents
         )
+        UNION ALL
+        SELECT 'budget', doc_id, CAST(NULL AS INTEGER)
+        FROM (
+            SELECT doc_id, source,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok AS cum_before
+            FROM (
+                SELECT doc_id, source,
+                       len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+                       {_KEY_HASH.format(key="doc_id")} AS h
+                FROM documents
+            )
+        )
+        WHERE cum_before < CASE source {_BUDGET_WHEN} ELSE 0 END
     """,
 }
