@@ -1,0 +1,99 @@
+"""Continuous curation: the composed incremental pipeline
+(plans/curation_increment.py) driven by Structured Streaming.
+
+Each micro-batch of newly-arrived documents is scrubbed, exact-deduped
+against the content-hash store, near-dup-deduped against the minhash
+signature store (new x stored verified by stored signatures, new x new
+clustered — never stored x stored), quality-filtered, and the SURVIVORS'
+store rows are appended — so tomorrow's batch sees today's corpus and
+curation cost tracks the arrival rate, not the corpus size. This is the
+operational shape of a 100 TB training-data pipeline: a crawl drop lands
+in ``source_dir``, the daemon drains it, curated docs accumulate under
+``kept_path``.
+
+Exactly-once: same per-batch_id overwrite discipline as
+streaming/dedup.py — a replayed micro-batch overwrites its own
+``batch_id=N`` subdirectory in all three sinks, and within a run batches
+execute serially so each joins exactly the stores its predecessors
+wrote. Compact the stores between sessions with dedup.compact_store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..operators.exactdedup import exact_signature_store
+from ..operators.minhash import minhash_signature_store_with_sigs
+from ..plans.curation_increment import curate_increment
+from .dedup import _read_store
+
+
+def streaming_curate(
+    spark: SparkSession,
+    source_dir: str,
+    kept_path: str,
+    exact_store_path: str,
+    minhash_store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    max_files_per_trigger: int = 1,
+    **curate_kw,
+):
+    """Drain ``source_dir`` (parquet doc files) with availableNow
+    through curate_increment; returns the finished query. ``curate_kw``
+    forwards to curate_increment (min_words, jaccard_threshold_pct,
+    shingle_mode, ...). Read the curated corpus back with
+    ``spark.read.parquet(kept_path)`` (batch_id is a partition column).
+    """
+    schema = spark.read.parquet(source_dir).schema  # footer-only probe
+
+    def _process(batch, batch_id: int) -> None:
+        bs = batch.sparkSession
+        # lazy schema templates for the first batch's empty stores
+        exact_like = exact_signature_store(batch, id_col, text_col)
+        mh_like = minhash_signature_store_with_sigs(
+            batch, id_col, text_col,
+            shingle_mode=curate_kw.get("shingle_mode", "word"),
+            n=curate_kw.get("n"),
+        )
+        out = curate_increment(
+            batch,
+            _read_store(bs, exact_store_path, exact_like,
+                        before_batch=batch_id),
+            _read_store(bs, minhash_store_path, mh_like,
+                        before_batch=batch_id),
+            id_col=id_col,
+            text_col=text_col,
+            source_col=source_col,
+            **curate_kw,
+        )
+        try:
+            for frame, root in (
+                (out["kept"], kept_path),
+                (out["exact_delta"], exact_store_path),
+                (out["minhash_delta"], minhash_store_path),
+            ):
+                frame.write.mode("overwrite").parquet(
+                    os.path.join(root, f"batch_id={batch_id}")
+                )
+        finally:
+            for cached in getattr(out["kept"], "_curation_persisted", []):
+                cached.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

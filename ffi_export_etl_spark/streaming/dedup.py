@@ -33,6 +33,7 @@ import os
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.minhash import (
     incremental_candidate_pairs,
@@ -40,12 +41,24 @@ from ..operators.minhash import (
 )
 
 def _read_store(
-    spark: SparkSession, store_path: str, like: DataFrame
+    spark: SparkSession,
+    store_path: str,
+    like: DataFrame,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """The signature index accumulated by prior micro-batches (empty on
     the first batch, schema borrowed from the current batch's index). At
     scale the store is bucketed by (band, bucket); here it is plain
     parquet partitioned by batch_id.
+
+    ``before_batch``: micro-batches execute serially, so batch N's
+    legitimate store is EXACTLY batches < N — and after a failure,
+    Structured Streaming re-runs batch N with its own half-written
+    ``batch_id=N`` rows still on disk. Reading those would let the batch
+    see ITSELF as already-stored (an exact-dedup replay then drops every
+    doc of the batch — a real bug caught by the streaming-curate replay
+    test), so the read prunes batch_id >= before_batch (a partition
+    filter, no data scan of the pruned dirs).
 
     Existence is probed by ATTEMPTING the read, not by local-filesystem
     calls — an os.path probe would silently report an hdfs:// or s3a://
@@ -54,7 +67,10 @@ def _read_store(
     (no store yet); later failures re-raise."""
     cols = [c for c in like.columns if c != "batch_id"]
     try:
-        return spark.read.parquet(store_path).select(*cols)
+        store = spark.read.parquet(store_path)
+        if before_batch is not None and "batch_id" in store.columns:
+            store = store.filter(F.col("batch_id") < before_batch)
+        return store.select(*cols)
     except AnalysisException:  # PATH_NOT_FOUND / empty dir: first batch
         return spark.createDataFrame([], like.select(*cols).schema)
 
@@ -106,7 +122,7 @@ def streaming_incremental_dedup(
         bs = batch.sparkSession
         # sketch ONCE; feeds the join and the sink
         new_banded = sketch(batch).localCheckpoint()
-        stored = _read_store(bs, store_path, new_banded)
+        stored = _read_store(bs, store_path, new_banded, before_batch=batch_id)
         pairs = pair_fn(new_banded, stored)
         # each batch overwrites ITS OWN batch_id=N subdirectory (replay
         # idempotence), written non-partitioned so even an all-empty

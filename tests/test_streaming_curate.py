@@ -1,0 +1,95 @@
+"""streaming/curate.py: the composed incremental curation pipeline
+driven by Structured Streaming — three document waves with cross-wave
+exact and near duplicates."""
+
+from __future__ import annotations
+
+import os
+
+from ffi_export_etl_spark.streaming.curate import streaming_curate
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+OTHER = (
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+)
+THIRD = (
+    "red orange yellow green blue indigo violet cyan magenta white "
+    "black gray pink brown maroon navy teal olive gold silver"
+)
+
+# wave 1: two unique docs; wave 2: near-dup of doc 1 (one word changed),
+# EXACT dup of doc 2, one fresh doc; wave 3: near-dup of wave-2's fresh
+# doc (cross-wave), a fresh doc and its in-batch exact dup.
+WAVES = [
+    [(1, BASE, "web"), (2, OTHER, "web")],
+    [
+        (3, BASE.replace("kappa", "KAPPA"), "web"),
+        (4, OTHER, "web"),
+        (5, THIRD, "web"),
+    ],
+    [
+        (6, THIRD.replace("teal", "TEAL"), "web"),
+        (7, "completely fresh words " * 6, "web"),
+        (8, "completely fresh words " * 6, "web"),
+    ],
+]
+EXPECT_KEPT = {1, 2, 5, 7}
+
+
+def _run(spark, tmp_path, tag):
+    src = str(tmp_path / f"src_{tag}")
+    os.makedirs(src, exist_ok=True)
+    for i, wave in enumerate(WAVES):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / f"kept_{tag}")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=str(tmp_path / f"exact_{tag}"),
+        minhash_store_path=str(tmp_path / f"mh_{tag}"),
+        checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        min_words=5,
+        jaccard_threshold_pct=50,
+    )
+    return kept
+
+
+def test_cross_wave_dedup_and_quality(spark, tmp_path):
+    kept = _run(spark, tmp_path, "a")
+    rows = spark.read.parquet(kept).collect()
+    assert {r["id"] for r in rows} == EXPECT_KEPT
+    # batch_id partition column survives for lineage
+    assert {r["batch_id"] for r in rows} == {0, 1, 2}
+
+
+def test_replay_idempotent(spark, tmp_path):
+    """A fresh-checkpoint replay over the same arrivals overwrites each
+    batch_id subdirectory with identical content — no duplicates."""
+    kept = _run(spark, tmp_path, "b")
+    first = sorted(
+        (r["id"], r["batch_id"])
+        for r in spark.read.parquet(kept).collect()
+    )
+    src = str(tmp_path / "src_b")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=str(tmp_path / "exact_b"),
+        minhash_store_path=str(tmp_path / "mh_b"),
+        checkpoint=str(tmp_path / "ckpt_b2"),  # fresh checkpoint
+        min_words=5,
+        jaccard_threshold_pct=50,
+    )
+    second = sorted(
+        (r["id"], r["batch_id"])
+        for r in spark.read.parquet(kept).collect()
+    )
+    assert first == second
