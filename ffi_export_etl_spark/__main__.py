@@ -110,8 +110,21 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--shingle-n", type=int, default=None,
                     help="shingle width (default: 3 for word mode, "
                          "5 for char mode)")
+    def _budget(s: str) -> tuple[str, int]:
+        src, sep, n = s.partition("=")
+        if not sep or not src:
+            raise argparse.ArgumentTypeError(
+                f"expected SOURCE=N, got {s!r}"
+            )
+        try:
+            return src, int(n)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"budget for {src!r} must be an integer, got {n!r}"
+            ) from None
+
     ap.add_argument("--token-budget", action="append", default=None,
-                    metavar="SOURCE=N",
+                    metavar="SOURCE=N", type=_budget,
                     help="per-source token budget (repeatable), e.g. "
                          "--token-budget web=1000000; sources without "
                          "a budget are dropped")
@@ -148,12 +161,7 @@ def curate_main(argv: list[str]) -> int:
         shingle_mode=args.shingle_mode,
         shingle_n=args.shingle_n,
         token_budgets=(
-            {
-                k: int(v)
-                for k, v in (s.split("=", 1) for s in args.token_budget)
-            }
-            if args.token_budget
-            else None
+            dict(args.token_budget) if args.token_budget else None
         ),
     )
     manifest = write_training_shards(

@@ -89,17 +89,18 @@ def pack_sequences(
         block_size,
     )
     start = F.col("cum") - F.col("n_tokens")  # 0-based global token offset
+    # first_seq/last_seq are LONG: an int32 id wraps past ~2^31
+    # sequences, i.e. a few TB of text at capacity 512 — far below the
+    # scale this module targets. offset_in_seq < capacity stays int.
     return with_cum.select(
         "id",
         "n_tokens",
         start.alias("tok_offset"),
-        F.expr(f"(cum - n_tokens) div {capacity}")
-        .cast("int")
-        .alias("first_seq"),
+        F.expr(f"(cum - n_tokens) div {capacity}").alias("first_seq"),
         ((F.col("cum") - F.col("n_tokens")) % capacity)
         .cast("int")
         .alias("offset_in_seq"),
-        F.expr(f"(cum - 1) div {capacity}").cast("int").alias("last_seq"),
+        F.expr(f"(cum - 1) div {capacity}").alias("last_seq"),
     )
 
 

@@ -170,37 +170,46 @@ def token_budget_sample(
     h = _key_hash(key_col, salt)  # uniform in [0, 2^60)
     blk = F.shiftright(h, 60 - hash_block_bits)
     toks = F.col(tokens_col).cast("long")
+    # NULL groups must not silently vanish in the (null-rejecting)
+    # offsets equi-join — they budget at default_budget like any other
+    # unnamed group, via the module's sentinel (a NULL_KEY_SENTINEL
+    # group named in ``budgets`` would collide, so that name is
+    # reserved; same convention as the key hash).
+    grp = F.coalesce(
+        F.col(group_col).cast("string"), F.lit(NULL_KEY_SENTINEL)
+    )
     w_in = (
-        Window.partitionBy(group_col, "_blk")
+        Window.partitionBy("_grp", "_blk")
         .orderBy("_h", key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = (
-        df.withColumn("_h", h)
+        df.withColumn("_grp", grp)
+        .withColumn("_h", h)
         .withColumn("_blk", blk)
         .withColumn("_cum_in", F.sum(toks).over(w_in))
     )
-    totals = within.groupBy(group_col, "_blk").agg(
+    totals = within.groupBy("_grp", "_blk").agg(
         F.sum(toks).alias("_tot")
     )
     w_blk = (
-        Window.partitionBy(group_col)
+        Window.partitionBy("_grp")
         .orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        group_col,
+        "_grp",
         "_blk",
         F.coalesce(F.sum("_tot").over(w_blk), F.lit(0)).alias("_off"),
     )
     budget = F.lit(default_budget)
     for g, b in sorted(budgets.items()):
-        budget = F.when(F.col(group_col) == g, F.lit(b)).otherwise(budget)
+        budget = F.when(F.col("_grp") == g, F.lit(b)).otherwise(budget)
     cum_before = F.col("_off") + F.col("_cum_in") - toks
     return (
-        within.join(F.broadcast(offsets), [group_col, "_blk"])
+        within.join(F.broadcast(offsets), ["_grp", "_blk"])
         .filter(cum_before < budget)
-        .drop("_h", "_blk", "_cum_in", "_off")
+        .drop("_grp", "_h", "_blk", "_cum_in", "_off")
     )
 
 

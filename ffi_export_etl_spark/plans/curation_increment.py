@@ -139,16 +139,19 @@ def curate_increment(
     n_words = F.when(
         charish_col, F.ceil(F.length("text") / F.lit(2)).cast("int")
     ).otherwise(F.size(F.split(F.col("text"), r"\s+")))
+    # kept feeds all THREE outputs (itself + both store deltas) — each
+    # consumed by its own write action, so without a persist the pair
+    # join, the CC clustering, and the survivor joins would re-execute
+    # once per sink. Persisted here; the caller releases via the
+    # _curation_persisted handles (same contract as
+    # curation.release_curation_caches).
     kept = (
         scrubbed.join(survivors, "id", "left_semi")
         .withColumn("n_words", n_words)
         .filter(F.col("n_words") >= min_words)
-    )
+    ).persist()
     kept_ids = kept.select("id")
-    # the CacheManager holds the scrubbed persist until explicit
-    # unpersist; hand the caller the handle (same contract as
-    # curation.release_curation_caches)
-    kept._curation_persisted = [scrubbed]
+    kept._curation_persisted = [scrubbed, kept]
     return {
         "kept": kept,
         "exact_delta": exact_signature_store(kept, "id", "text"),

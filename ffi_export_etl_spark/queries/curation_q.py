@@ -98,7 +98,10 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("pack").alias("kind"),
         F.col("id"),
-        F.col("first_seq").alias("idx"),
+        # idx is the pack's display slot, int across all arms; the
+        # operator's own first_seq is long (100 TB contract) — the cast
+        # is safe at any driver sf
+        F.col("first_seq").cast("int").alias("idx"),
         F.col("n_tokens"),
         F.concat_ws(
             ":", F.col("tok_offset"), F.col("offset_in_seq"), F.col("last_seq")
@@ -312,8 +315,8 @@ def _e2e_oracle() -> str:
     )
     SELECT m.id, m.source, m.text, m.n_words, m.cluster_id,
            p.cum - p.n_words AS tok_offset,
-           CAST((p.cum - p.n_words) // {E2E_CAPACITY} AS INTEGER) AS first_seq,
-           CAST((p.cum - 1) // {E2E_CAPACITY} AS INTEGER) AS last_seq
+           CAST((p.cum - p.n_words) // {E2E_CAPACITY} AS BIGINT) AS first_seq,
+           CAST((p.cum - 1) // {E2E_CAPACITY} AS BIGINT) AS last_seq
     FROM mixed m JOIN packed p USING (id)
     """
 

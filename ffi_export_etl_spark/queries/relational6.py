@@ -44,28 +44,42 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance equals the per-part MINIMUM among that part's European
     shippers. Expressed via spark.sql so Catalyst's scalar-subquery
     decorrelation (rewrite to aggregate + join) is what runs."""
-    for name in ("part", "supplier", "nation", "region"):
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _ps(spark, sf_dir).createOrReplaceTempView("ps_bridge")
-    return spark.sql(
-        """
-        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
-        FROM part p
-        JOIN ps_bridge ps ON ps.l_partkey = p.p_partkey
-        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
-        JOIN nation n ON n.n_nationkey = s.s_nationkey
-        JOIN region r ON r.r_regionkey = n.n_regionkey
-        WHERE p.p_size >= 45 AND r.r_name = 'EUROPE'
-          AND s.s_acctbal = (
-              SELECT min(s2.s_acctbal)
-              FROM ps_bridge ps2
-              JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
-              JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
-              JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
-              WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
-          )
-        """
-    )
+    # Prefixed view names so a caller's own part/supplier/... temp views
+    # are never clobbered; dropped after spark.sql resolves the plan
+    # (analysis is eager — the returned DataFrame no longer needs them).
+    views = {
+        "_q2_part": load_table(spark, sf_dir, "part"),
+        "_q2_supplier": load_table(spark, sf_dir, "supplier"),
+        "_q2_nation": load_table(spark, sf_dir, "nation"),
+        "_q2_region": load_table(spark, sf_dir, "region"),
+        "_q2_ps": _ps(spark, sf_dir),
+    }
+    for name, frame in views.items():
+        frame.createOrReplaceTempView(name)
+    try:
+        return spark.sql(
+            """
+            SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+            FROM _q2_part p
+            JOIN _q2_ps ps ON ps.l_partkey = p.p_partkey
+            JOIN _q2_supplier s ON s.s_suppkey = ps.l_suppkey
+            JOIN _q2_nation n ON n.n_nationkey = s.s_nationkey
+            JOIN _q2_region r ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_size >= 45 AND r.r_name = 'EUROPE'
+              AND s.s_acctbal = (
+                  SELECT min(s2.s_acctbal)
+                  FROM _q2_ps ps2
+                  JOIN _q2_supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                  JOIN _q2_nation n2 ON n2.n_nationkey = s2.s_nationkey
+                  JOIN _q2_region r2 ON r2.r_regionkey = n2.n_regionkey
+                  WHERE ps2.l_partkey = p.p_partkey
+                    AND r2.r_name = 'EUROPE'
+              )
+            """
+        )
+    finally:
+        for name in views:
+            spark.catalog.dropTempView(name)
 
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,7 @@ from pyspark.sql import SparkSession
 from ..operators.exactdedup import exact_signature_store
 from ..operators.minhash import minhash_signature_store_with_sigs
 from ..plans.curation_increment import curate_increment
-from .dedup import _read_store
+from .dedup import _read_store, _session_base
 
 
 def streaming_curate(
@@ -41,6 +41,7 @@ def streaming_curate(
     text_col: str = "text",
     source_col: str = "source",
     max_files_per_trigger: int = 1,
+    on_existing_store: str = "replay",
     **curate_kw,
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow
@@ -48,8 +49,28 @@ def streaming_curate(
     forwards to curate_increment (min_words, jaccard_threshold_pct,
     shingle_mode, ...). Read the curated corpus back with
     ``spark.read.parquet(kept_path)`` (batch_id is a partition column).
+
+    ``on_existing_store``: see streaming/dedup.py — "replay" (default)
+    treats a fresh checkpoint over existing stores as an idempotent
+    re-delivery; "continue" offsets batch ids past the stores so prior
+    sessions' corpus stays stored and re-arrivals dedup away. Reusing
+    the SAME checkpoint continues correctly with no flag.
     """
     schema = spark.read.parquet(source_dir).schema  # footer-only probe
+    if on_existing_store not in ("replay", "continue"):
+        raise ValueError("on_existing_store must be 'replay' or 'continue'")
+    if on_existing_store == "continue":
+        bases = {
+            kept_path: _session_base(spark, checkpoint, "kept", kept_path),
+            exact_store_path: _session_base(
+                spark, checkpoint, "exact", exact_store_path
+            ),
+            minhash_store_path: _session_base(
+                spark, checkpoint, "minhash", minhash_store_path
+            ),
+        }
+    else:
+        bases = {kept_path: 0, exact_store_path: 0, minhash_store_path: 0}
 
     def _process(batch, batch_id: int) -> None:
         bs = batch.sparkSession
@@ -63,9 +84,9 @@ def streaming_curate(
         out = curate_increment(
             batch,
             _read_store(bs, exact_store_path, exact_like,
-                        before_batch=batch_id),
+                        before_batch=bases[exact_store_path] + batch_id),
             _read_store(bs, minhash_store_path, mh_like,
-                        before_batch=batch_id),
+                        before_batch=bases[minhash_store_path] + batch_id),
             id_col=id_col,
             text_col=text_col,
             source_col=source_col,
@@ -78,7 +99,7 @@ def streaming_curate(
                 (out["minhash_delta"], minhash_store_path),
             ):
                 frame.write.mode("overwrite").parquet(
-                    os.path.join(root, f"batch_id={batch_id}")
+                    os.path.join(root, f"batch_id={bases[root] + batch_id}")
                 )
         finally:
             for cached in getattr(out["kept"], "_curation_persisted", []):

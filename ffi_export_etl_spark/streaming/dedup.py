@@ -75,6 +75,35 @@ def _read_store(
         return spark.createDataFrame([], like.select(*cols).schema)
 
 
+def _session_base(
+    spark: SparkSession, checkpoint: str, tag: str, store_path: str
+) -> int:
+    """Base offset for absolute batch ids in ``continue`` mode: the
+    store's max batch_id + 1, computed ONCE per checkpoint and pinned in
+    a sidecar next to the checkpoint dir (first-writer-wins via
+    mode=ignore) — so a failure replay within the session reuses the
+    same base and its batch_id pruning/overwrite slots stay correct."""
+    sidecar = checkpoint.rstrip("/") + f"_base_{tag}"
+    try:
+        return int(spark.read.json(sidecar).first()["base"])
+    except AnalysisException:
+        pass
+    try:
+        store = spark.read.parquet(store_path)
+        top = (
+            store.select(F.max("batch_id")).first()[0]
+            if "batch_id" in store.columns
+            else None
+        )
+        computed = int(top) + 1 if top is not None else 0
+    except AnalysisException:
+        computed = 0
+    spark.createDataFrame([(computed,)], "base: long").coalesce(1).write.mode(
+        "ignore"
+    ).json(sidecar)
+    return int(spark.read.json(sidecar).first()["base"])
+
+
 def streaming_incremental_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -90,10 +119,26 @@ def streaming_incremental_dedup(
     max_files_per_trigger: int = 1,
     sketch=None,
     pair_fn=None,
+    on_existing_store: str = "replay",
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow,
     emitting candidate near-dup pairs to ``pairs_path`` and growing the
     signature store at ``store_path``. Returns the finished query.
+
+    ``on_existing_store`` declares the intent when a FRESH checkpoint is
+    started against a non-empty store — the driver cannot infer it:
+
+    - ``"replay"`` (default): the run is a re-delivery of the same
+      arrivals; each batch overwrites its slot, output unchanged (the
+      exactly-once idempotence contract).
+    - ``"continue"``: the run continues a prior session over new
+      arrivals; batch ids offset past the store's max (stable per
+      checkpoint via a sidecar), so the prior corpus stays stored and
+      everything already seen dedups away. NOTE: the recommended
+      continuation path is simply REUSING the same checkpoint (Spark
+      then skips processed files and numbers new batches above the old
+      ones — correct with no mode flag); "continue" exists for when the
+      checkpoint is gone.
 
     ``max_bucket_size=None`` by default: the cap is computed against the
     store-so-far, which drifts from the one-shot population while the
@@ -117,12 +162,21 @@ def streaming_incremental_dedup(
         pair_fn = lambda nw, st: incremental_candidate_pairs(  # noqa: E731
             nw, st, max_bucket_size=max_bucket_size
         )
+    if on_existing_store not in ("replay", "continue"):
+        raise ValueError("on_existing_store must be 'replay' or 'continue'")
+    if on_existing_store == "continue":
+        store_base = _session_base(spark, checkpoint, "store", store_path)
+        pairs_base = _session_base(spark, checkpoint, "pairs", pairs_path)
+    else:
+        store_base = pairs_base = 0
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         bs = batch.sparkSession
         # sketch ONCE; feeds the join and the sink
         new_banded = sketch(batch).localCheckpoint()
-        stored = _read_store(bs, store_path, new_banded, before_batch=batch_id)
+        stored = _read_store(
+            bs, store_path, new_banded, before_batch=store_base + batch_id
+        )
         pairs = pair_fn(new_banded, stored)
         # each batch overwrites ITS OWN batch_id=N subdirectory (replay
         # idempotence), written non-partitioned so even an all-empty
@@ -130,10 +184,10 @@ def streaming_incremental_dedup(
         # duplicate was ever found still reads back with the right
         # schema (a partitionBy write of an empty frame leaves nothing)
         pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_path, f"batch_id={batch_id}")
+            os.path.join(pairs_path, f"batch_id={pairs_base + batch_id}")
         )
         new_banded.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
+            os.path.join(store_path, f"batch_id={store_base + batch_id}")
         )
 
     stream = (

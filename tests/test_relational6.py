@@ -30,7 +30,9 @@ def test_nondegenerate_at_oracle_sf(spark, sf_oracle, name):
 
 
 def _plan(spark, name):
-    df = relational6.QUERIES[name](spark, "/root/testdata/sf0.001")
+    from tests.conftest import SF_SMALL
+
+    df = relational6.QUERIES[name](spark, SF_SMALL)
     return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )

@@ -69,6 +69,38 @@ def test_cross_wave_dedup_and_quality(spark, tmp_path):
     assert {r["batch_id"] for r in rows} == {0, 1, 2}
 
 
+def test_continue_mode_cross_session_dedup(spark, tmp_path):
+    """A lost checkpoint + on_existing_store='continue': the re-read of
+    all source files dedups everything already stored (batch ids offset
+    past the store), and a genuinely new wave's fresh doc is kept while
+    its near-dup of a PRIOR SESSION's doc is dropped."""
+    kept = _run(spark, tmp_path, "c")
+    src = str(tmp_path / "src_c")
+    # session 2: one new wave — a near-dup of doc 5 (stored in session
+    # 1) and a fresh doc
+    spark.createDataFrame(
+        [
+            (9, THIRD.replace("gold", "GOLD"), "web"),
+            (10, "ten brand new words never seen in any prior wave ok",
+             "web"),
+        ],
+        "doc_id: long, text: string, source: string",
+    ).coalesce(1).write.parquet(os.path.join(src, "wave3"))
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=str(tmp_path / "exact_c"),
+        minhash_store_path=str(tmp_path / "mh_c"),
+        checkpoint=str(tmp_path / "ckpt_c2"),  # checkpoint lost
+        on_existing_store="continue",
+        min_words=5,
+        jaccard_threshold_pct=50,
+    )
+    rows = spark.read.parquet(kept).collect()
+    assert {r["id"] for r in rows} == EXPECT_KEPT | {10}
+
+
 def test_replay_idempotent(spark, tmp_path):
     """A fresh-checkpoint replay over the same arrivals overwrites each
     batch_id subdirectory with identical content — no duplicates."""

@@ -126,6 +126,31 @@ def test_curation_pipeline_with_budgets(spark, sf_oracle):
         assert tot - mx < {"src0": 300, "src1": 150}[src]
 
 
+def test_null_group_budgets_at_default(spark):
+    """NULL-group rows must not silently vanish (the offsets equi-join
+    is null-rejecting without the sentinel): they budget at
+    default_budget like any other unnamed source."""
+    docs = spark.createDataFrame(
+        [(1, None, 5), (2, None, 5), (3, "web", 5)],
+        "doc_id: long, source: string, n_tok: long",
+    )
+    kept_all = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, "doc_id", "source", "n_tok", {"web": 100},
+            default_budget=10**6,
+        ).collect()
+    }
+    assert kept_all == {1, 2, 3}
+    kept_none = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, "doc_id", "source", "n_tok", {"web": 100},
+        ).collect()
+    }
+    assert kept_none == {3}
+
+
 def test_default_budget_and_validation(spark, sf_oracle):
     everything = _spark_kept(spark, sf_oracle, {}, default=10**12)
     assert everything == {
