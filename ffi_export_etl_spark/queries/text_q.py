@@ -368,7 +368,10 @@ ORACLE = {
         ),
         lm AS (
             SELECT doc_id, CAST(count(*) AS INTEGER) AS lm_n_bigrams,
-                   sum(m) AS lm_nlp_micro
+                   -- DuckDB sum(BIGINT) returns HUGEINT, which fetches into
+                   -- pandas as float64 and breaks the driver's stringified
+                   -- value hash against Spark's BIGINT (r4 red row).
+                   CAST(sum(m) AS BIGINT) AS lm_nlp_micro
             FROM nlp GROUP BY 1
         )
         SELECT doc_id, labeled_lang, score_en, score_de, score_es,

@@ -53,6 +53,20 @@ def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
     )
     for c in mine.columns:
         a, b = mine[c], theirs[c]
+        # Driver-grade strictness: the driver stringifies values before
+        # hashing, so an int64 109025541 vs float64 109025541.0 hashes
+        # differently even though == forgives it (the r4 red gate row,
+        # DuckDB HUGEINT). Numeric kind must match exactly.
+        ka, kb = a.dtype.kind, b.dtype.kind
+        numeric = {"i", "u", "f"}
+        if (ka in numeric or kb in numeric) and (
+            (ka in "iu") != (kb in "iu") or (ka == "f") != (kb == "f")
+        ):
+            raise AssertionError(
+                f"dtype kind mismatch in column {c!r}: spark dtype={a.dtype} "
+                f"oracle dtype={b.dtype} — int-vs-float drift would fail the "
+                f"driver's stringify-then-hash gate even when values are equal"
+            )
         eq = (a == b) | (a.isna() & b.isna())
         if not eq.all():
             bad = (~eq).idxmax()
