@@ -62,12 +62,26 @@ SEQ_CAPACITY = 512
 PACK_BLOCK = 500  # exercises multi-block cumsum even at sf0.01
 VOCAB_N = 200
 
+# ---- cur_increment arms (r5, judge item 4): the two-batch incremental
+# composed pipeline (plans/curation_increment.py) as driver-gated rows.
+# doc_id % INCR_MOD == 0 plays "today's arrivals"; the rest is the
+# already-curated corpus whose exact + sig-carrying minhash stores are
+# built first — the daily-increment shape a production corpus actually
+# runs (reference analogue: the per-file idempotent re-run loop,
+# /root/reference/xml_to_rdb.py:39-56).
+INCR_MOD = 4
+INCR_MIN_WORDS = 20  # curate_increment's default quality floor
+
 
 def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-tagged: 'chunk' rows = one per token-window chunk of every
     document; 'quant' rows = one per embedding with the full int8 code
     vector rendered as CSV (value-level pin) + the per-vector scale;
-    'pack' rows = one per document with its packed-stream position."""
+    'pack' rows = one per document with its packed-stream position;
+    'incr'/'incrsig' rows = the two-batch incremental curation pipeline
+    (plans/curation_increment.py) — day-2 survivors with their
+    exact-store delta digests, and the sig-carrying minhash store delta
+    rendered value-by-value (see _incr_arms)."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(
         docs, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP
@@ -117,9 +131,79 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("payload"),
         F.lit(None).cast("double").alias("qscale"),
     )
+    incr, incrsig = _incr_arms(docs)
     return (
-        chunks.unionByName(quant).unionByName(packed).unionByName(vocab)
+        chunks.unionByName(quant)
+        .unionByName(packed)
+        .unionByName(vocab)
+        .unionByName(incr)
+        .unionByName(incrsig)
     )
+
+
+def _incr_arms(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """plans/curation_increment.curate_increment as two pack arms:
+    'incr' = one row per day-2 survivor with its n_words and the
+    exact-store delta digest (pins the kept set AND exact_delta), and
+    'incrsig' = one row per minhash_delta store row with the full
+    bucket + 32-long signature rendered into the payload (pins the
+    sig-carrying store contract byte for byte)."""
+    from ..operators.exactdedup import exact_signature_store
+    from ..operators.minhash import minhash_signature_store_with_sigs
+    from ..operators.textproc import normalize_whitespace, scrub_text
+    from ..plans.curation_increment import curate_increment
+    from .dedup_q import BANDS, JACCARD_PCT, NUM_PERM
+
+    day1 = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    day2 = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    # day-1 store build: scrub exactly like the increment will, so the
+    # digests/sketches compare like with like (the store contract)
+    cleaned1 = day1.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        normalize_whitespace(scrub_text("text")).alias("text"),
+    )
+    exact_store = exact_signature_store(cleaned1, "id", "text")
+    mh_store = minhash_signature_store_with_sigs(
+        cleaned1, "id", "text", num_perm=NUM_PERM, bands=BANDS
+    )
+    res = curate_increment(
+        day2,
+        exact_store,
+        mh_store,
+        id_col="doc_id",
+        text_col="text",
+        source_col="source",
+        min_words=INCR_MIN_WORDS,
+        jaccard_threshold_pct=JACCARD_PCT,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+    )
+    kept = res["kept"]
+    incr = (
+        res["exact_delta"]
+        .join(kept.select("id", "n_words"), "id")
+        .select(
+            F.lit("incr").alias("kind"),
+            F.col("id"),
+            F.lit(None).cast("int").alias("idx"),
+            F.col("n_words").cast("int").alias("n_tokens"),
+            F.col("key").alias("payload"),
+            F.lit(None).cast("double").alias("qscale"),
+        )
+    )
+    sig_csv = F.array_join(
+        F.transform("sig", lambda s: s.cast("string")), ","
+    )
+    incrsig = res["minhash_delta"].select(
+        F.lit("incrsig").alias("kind"),
+        F.col("id"),
+        F.col("band").cast("int").alias("idx"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.concat_ws("|", F.col("bucket"), sig_csv).alias("payload"),
+        F.lit(None).cast("double").alias("qscale"),
+    )
+    return incr, incrsig
 
 
 # ---------------------------------------------------------------------------
@@ -168,9 +252,96 @@ def cur_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"cur_pack": cur_pack, "cur_e2e": cur_e2e}
 
+
+def _incr_sql() -> tuple[str, str]:
+    """(cte_chain, union_arms) replaying curate_increment's two-batch
+    flow: scrub both batches -> day-1 exact digests + minhash index ->
+    day-2 exact ingest filter (batch-min-id per digest, anti vs store)
+    -> combined-bucket-capped candidate join restricted to pairs with a
+    new id (the dedup_incremental_minhash fragment) -> estimated-Jaccard
+    verification (agreeing signature positions) -> vs-stored losers drop
+    + new-x-new recursive-CTE components with min-id keeper -> quality
+    floor -> the 'incr'/'incrsig' store-delta arms."""
+    from .dedup_q import (
+        JACCARD_PCT,
+        NUM_PERM,
+        _minhash_cand_sql,
+    )
+    from .text_q import scrub_sql_expr
+
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    sig_csv = " || ',' || ".join(f"s.h{i}" for i in range(NUM_PERM))
+    ctes = f"""
+        icln AS (SELECT doc_id AS id, source,
+                        {scrub_sql_expr("text")} AS text
+                 FROM documents),
+        i1 AS (SELECT * FROM icln WHERE id % {INCR_MOD} != 0),
+        i2 AS (SELECT * FROM icln WHERE id % {INCR_MOD} = 0),
+        i1key AS (SELECT DISTINCT md5(text) AS key FROM i1),
+        ibf AS (SELECT id, source, text, md5(text) AS key
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY md5(text) ORDER BY id) AS rk
+                      FROM i2)
+                WHERE rk = 1),
+        is2 AS (SELECT id, source, text, key FROM ibf
+                WHERE key NOT IN (SELECT key FROM i1key)),
+        iall AS (SELECT id, text FROM i1
+                 UNION ALL SELECT id, text FROM is2),
+        {_minhash_cand_sql("iall", "id")},
+        icand AS (SELECT id_a, id_b FROM cand
+                  WHERE id_a % {INCR_MOD} = 0 OR id_b % {INCR_MOD} = 0),
+        iver AS (SELECT c.id_a, c.id_b
+                 FROM icand c
+                 JOIN sig a ON a.id = c.id_a
+                 JOIN sig b ON b.id = c.id_b
+                 WHERE ({agree}) * 100 >= {JACCARD_PCT} * {NUM_PERM}),
+        ivs AS (SELECT DISTINCT
+                       CASE WHEN id_a % {INCR_MOD} = 0 THEN id_a
+                            ELSE id_b END AS id
+                FROM iver
+                WHERE id_a % {INCR_MOD} != 0 OR id_b % {INCR_MOD} != 0),
+        inn AS (SELECT id_a AS u, id_b AS v FROM iver
+                WHERE id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0
+                UNION
+                SELECT id_b, id_a FROM iver
+                WHERE id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0),
+        ireach(id, r) AS (
+            SELECT u, u FROM inn
+            UNION
+            SELECT e.u, ireach.r FROM inn e JOIN ireach ON e.v = ireach.id),
+        icomp AS (SELECT id, min(r) AS component FROM ireach GROUP BY id),
+        ikeptdoc AS (
+            SELECT s2.id, s2.key,
+                   CAST(len(regexp_split_to_array(s2.text, '\\s+'))
+                        AS INTEGER) AS n_words
+            FROM is2 s2 LEFT JOIN icomp c ON s2.id = c.id
+            WHERE s2.id = coalesce(c.component, s2.id)
+              AND s2.id NOT IN (SELECT id FROM ivs)
+              AND len(regexp_split_to_array(s2.text, '\\s+'))
+                  >= {INCR_MIN_WORDS})"""
+    arms = f"""
+        UNION ALL
+        SELECT 'incr', id, CAST(NULL AS INTEGER), n_words, key,
+               CAST(NULL AS DOUBLE)
+        FROM ikeptdoc
+        UNION ALL
+        SELECT 'incrsig', b.id, CAST(b.band AS INTEGER),
+               CAST(NULL AS INTEGER),
+               b.bucket || '|' || ({sig_csv}),
+               CAST(NULL AS DOUBLE)
+        FROM bands b JOIN sig s ON b.id = s.id
+        WHERE b.id IN (SELECT id FROM ikeptdoc)"""
+    return ctes, arms
+
+
+_INCR_CTES, _INCR_ARMS = _incr_sql()
+
 ORACLE = {
     "cur_pack": f"""
-        WITH t AS (
+        WITH RECURSIVE t AS (
             SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
             FROM documents
         ), s AS (
@@ -179,7 +350,7 @@ ORACLE = {
                        1, greatest(len(toks) - {OVERLAP}, 1), {STRIDE}
                    )) AS start
             FROM t
-        )
+        ),{_INCR_CTES}
         SELECT 'chunk' AS kind, doc_id AS id,
                CAST((start - 1) // {STRIDE} AS INTEGER) AS idx,
                CAST(len(toks[start : start + {CHUNK_TOKENS - 1}]) AS INTEGER)
@@ -231,7 +402,7 @@ ORACLE = {
             GROUP BY token
             ORDER BY count(*) DESC, token
             LIMIT {VOCAB_N}
-        )
+        ){_INCR_ARMS}
     """,
 }
 
