@@ -52,7 +52,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["word_count_table", "train_bpe", "apply_bpe", "bpe_encode_word"]
+__all__ = [
+    "word_count_table",
+    "train_bpe",
+    "train_bpe_full",
+    "apply_bpe",
+    "bpe_encode_word",
+]
 
 # the SAME word-splitting semantics as the training side's
 # F.split(col, r"\s+"): Java \s is ASCII-only by default, so the Python
@@ -107,10 +113,25 @@ def train_bpe(
     the ordered merge list [(a, b), ...]. Stops early when no adjacent
     pair reaches ``min_pair_count``. Driver memory holds only the merge
     list and a single argmax row per iteration."""
+    return [
+        (a, b) for a, b, _ in train_bpe_full(
+            word_counts, num_merges, min_pair_count
+        )
+    ]
+
+
+def train_bpe_full(
+    word_counts: DataFrame,
+    num_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """``train_bpe`` with the winning pair count kept per merge:
+    [(a, b, cnt), ...] — the full merge-table row the driver gate pins
+    (queries/curation_q.py 'bpe_merge' arm)."""
     syms = word_counts.select(
         F.split(F.col("word"), "").alias("symbols"), F.col("n")
     ).localCheckpoint(eager=True)
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(num_merges):
             pairs = (
@@ -138,7 +159,7 @@ def train_bpe(
             if top is None or top["cnt"] < min_pair_count:
                 break
             a, b = top["a"], top["b"]
-            merges.append((a, b))
+            merges.append((a, b, int(top["cnt"])))
             nxt = syms.select(
                 _merge_expr(F.col("symbols"), a, b).alias("symbols"),
                 F.col("n"),
