@@ -46,9 +46,36 @@ BENCH_QUERIES = [
 ]
 
 
+LOADAVG_GATE = 4.0  # r5 judge item 3: don't snapshot BENCH under load
+LOADAVG_WAIT_SEC = 90
+
+
+def _load_gate() -> list[float]:
+    """BENCH_r04 shipped a 1.8x load-inflated total. Record the 1-min
+    loadavg; if the host is busy, wait once and re-read — both readings
+    land in the JSON so an inflated run is self-describing."""
+    readings = [round(os.getloadavg()[0], 2)]
+    if readings[0] >= LOADAVG_GATE:
+        print(
+            f"# loadavg {readings[0]} >= {LOADAVG_GATE}: waiting "
+            f"{LOADAVG_WAIT_SEC}s for a quieter host",
+            file=sys.stderr,
+        )
+        time.sleep(LOADAVG_WAIT_SEC)
+        readings.append(round(os.getloadavg()[0], 2))
+        if readings[-1] >= LOADAVG_GATE:
+            print(
+                f"# still loaded ({readings[-1]}); proceeding — treat "
+                "this snapshot's totals as load-inflated",
+                file=sys.stderr,
+            )
+    return readings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    loadavg = _load_gate()
     spark = get_spark(app_name="ffi-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -114,6 +141,15 @@ def main() -> None:
     print(f"# dedup_jaccard_pairs: {jac_sec:.3f}s ({n_jac} rows)",
           file=sys.stderr)
 
+    # cur_pack gained the incremental-curation and BPE arms in r5 —
+    # tracked non-headline so the heavier pack's cost is visible
+    # round-over-round without disturbing the headline total.
+    t0 = time.perf_counter()
+    n_cp = queries["cur_pack"](spark, sf_dir).count()
+    cur_pack_sec = round(time.perf_counter() - t0, 3)
+    print(f"# cur_pack: {cur_pack_sec:.3f}s ({n_cp} rows)",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -129,6 +165,8 @@ def main() -> None:
     out["cur_e2e"] = cur_e2e_sec
     out["text_bm25_topk"] = bm25_sec
     out["dedup_jaccard_pairs"] = jac_sec
+    out["cur_pack"] = cur_pack_sec
+    out["loadavg_1m"] = loadavg
     print(json.dumps(out))
     spark.stop()
 

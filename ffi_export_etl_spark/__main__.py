@@ -86,6 +86,9 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--paragraph-min-repeat", type=int, default=None,
                     help="dedup paragraphs repeated across >= N docs "
                          "down to one canonical copy")
+    ap.add_argument("--span-dedup-tokens", type=int, default=None,
+                    help="cut duplicate cross-document token runs of "
+                         ">= N tokens down to their first occurrence")
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--block-domain", action="append", default=None,
                     help="domain to drop (repeatable; requires --url-col)")
@@ -152,6 +155,7 @@ def curate_main(argv: list[str]) -> int:
         capacity=args.capacity,
         boilerplate_min_docs=args.boilerplate_min_docs,
         paragraph_min_repeat=args.paragraph_min_repeat,
+        span_dedup_tokens=args.span_dedup_tokens,
         url_col=args.url_col,
         domain_blocklist=args.block_domain,
         max_dup_line_frac=args.max_dup_line_frac,

@@ -1,0 +1,165 @@
+"""Cross-document duplicate-SPAN removal — the ExactSubstr shape of
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better"): a verbatim run of >= ``span_tokens`` tokens that occurs more
+than once in the corpus survives only at its first occurrence; every
+other occurrence is cut out of its document, keeping the surrounding
+text.
+
+This completes the dedup family ladder: whole-document exact
+(operators/exactdedup.py), whole-document near-dup sketches
+(minhash/simhash/sign-LSH), paragraph-grain exact
+(textproc.dedup_paragraphs, blank-line blocks), and now sub-paragraph
+token-window grain — the one that catches templated boilerplate, quoted
+chains, and licence text embedded mid-document where no structural
+delimiter exists.
+
+The reference engine has no text surface (extension family; see
+SURVEY.md north star). Scale shape — the suffix-array construction of
+the paper is replaced by the standard distributed approximation over
+fixed-width token windows:
+
+- ONE corpus scan tokenizes and fans out overlapping ``span_tokens``
+  windows per document (posexplode over a sequence — narrow,
+  executor-side, no shuffle).
+- Window digests aggregate once (map-side combined groupBy on the
+  16-byte md5) to find digests with more than one occurrence; the
+  keeper occurrence per digest is the (min doc id, min pos) — computed
+  in the same aggregation, no window function.
+- Non-keeper occurrences join back (one shuffle on the digest) and
+  collapse per document into the set of covered token indices — all
+  JVM higher-order array functions from there (flatten / array_distinct
+  / array_contains filter), no Python in the row path.
+
+Cost: two shuffles (digest agg + digest join) both keyed on digests,
+linear in corpus token count; the quadratic regime exists only when the
+corpus is mostly one repeated string, where the output (rows to remove)
+is itself quadratic. A window whose text occurs k times contributes
+k - 1 removals — bounded by input size.
+
+Determinism: the keeper is the lexicographically smallest (doc id,
+position) occurrence, so results are independent of partitioning and
+engine; the DuckDB oracle replays the exact md5-string digests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["duplicate_spans", "remove_duplicate_spans"]
+
+DEFAULT_SPAN_TOKENS = 20
+
+
+def _windows(
+    docs: DataFrame, id_col: str, text_col: str, span_tokens: int
+) -> DataFrame:
+    """(id, pos, whash) — every overlapping span_tokens-token window.
+    pos is 1-based (matches the SQL oracle's array indexing)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    # NB: F.sequence(1, 0) DESCENDS ([1, 0]) — docs shorter than the
+    # span width must produce an explicitly empty window list
+    hashes = F.when(
+        F.size("_toks") >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - span_tokens + 1),
+            lambda s: F.md5(
+                F.encode(
+                    F.array_join(F.slice("_toks", s, span_tokens), " "),
+                    "UTF-8",
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).select(
+        "id",
+        F.posexplode(hashes).alias("pos0", "whash"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "whash")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+) -> DataFrame:
+    """(id, pos, whash) — every NON-KEEPER occurrence of a duplicated
+    window: its digest occurs more than once corpus-wide and this
+    occurrence is not the (min id, min pos) canonical one. The raw
+    material for removal, also useful as a contamination/copying report
+    on its own."""
+    w = _windows(docs, id_col, text_col, span_tokens)
+    # one aggregation carries the count AND the keeper coordinates:
+    # min(struct(id, pos)) orders lexicographically, exactly the
+    # "first occurrence survives" rule
+    dup = (
+        w.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("id", "pos")).alias("_keep"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("whash", "_keep")
+    )
+    return (
+        w.join(dup, "whash")
+        .filter(
+            (F.col("id") != F.col("_keep.id"))
+            | (F.col("pos") != F.col("_keep.pos"))
+        )
+        .select("id", "pos", "whash")
+    )
+
+
+def _covered(positions: Column, span_tokens: int) -> Column:
+    """Token indices covered by spans starting at ``positions``."""
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                positions,
+                lambda p: F.sequence(p, p + span_tokens - 1),
+            )
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+) -> DataFrame:
+    """Schema: (id, text, n_removed_tokens, n_dup_windows). ``text`` has
+    every duplicated-window occurrence (except the corpus-wide first)
+    cut out at token grain; remaining tokens rejoin with single spaces
+    (the engine's scrub normalizes whitespace the same way, so the
+    output composes with the curation chain). Documents with no
+    duplicated spans pass through with n_removed_tokens = 0."""
+    dups = (
+        duplicate_spans(docs, id_col, text_col, span_tokens)
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_starts"))
+        .select(
+            "id",
+            _covered(F.col("_starts"), span_tokens).alias("_cut"),
+            F.size("_starts").alias("n_dup_windows"),
+        )
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).join(dups, "id", "left")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("_cut"), i + 1),
+    )
+    return base.select(
+        "id",
+        F.when(F.col("_cut").isNull(), F.array_join("_toks", " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
+        F.coalesce(F.size("_cut"), F.lit(0)).alias("n_removed_tokens"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+    )

@@ -62,6 +62,7 @@ def curate_documents(
     capacity: int = 512,
     boilerplate_min_docs: int | None = None,
     paragraph_min_repeat: int | None = None,
+    span_dedup_tokens: int | None = None,
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
     benchmark: DataFrame | None = None,
@@ -88,7 +89,11 @@ def curate_documents(
     eval overlap is judged before any rewriting);
     ``paragraph_min_repeat`` dedups repeated paragraphs down to one
     canonical copy (after line-level boilerplate, before scrubbing —
-    paragraph structure must still exist).
+    paragraph structure must still exist); ``span_dedup_tokens`` cuts
+    cross-document duplicate token RUNS of at least that width down to
+    their first occurrence (operators/spandedup.py — the finest-grain
+    structural dedup, after the coarser ones, before scrubbing shifts
+    token positions).
 
     ``persist_intermediates`` (default on) persists the two most-reused
     boundaries: ``scrubbed`` (consumed by the minhash pair pass, the
@@ -135,6 +140,24 @@ def curate_documents(
             min_repeat=paragraph_min_repeat,
         )
         cur = deduped.withColumnRenamed(id_col, "id").join(
+            cur.select(F.col(id_col).alias("id"), source_col), "id"
+        ).select(
+            F.col("id").alias(id_col), F.col("text").alias(text_col),
+            source_col,
+        )
+    if span_dedup_tokens is not None:
+        # sub-paragraph grain last among the structural dedups (its
+        # token windows see whatever the coarser stages left), still on
+        # RAW text: the scrub's whitespace normalization would shift
+        # token positions under the span coordinates (r5,
+        # operators/spandedup.py — the ExactSubstr shape)
+        from ..operators.spandedup import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(
+            cur, id_col=id_col, text_col=text_col,
+            span_tokens=span_dedup_tokens,
+        )
+        cur = cleaned.join(
             cur.select(F.col(id_col).alias("id"), source_col), "id"
         ).select(
             F.col("id").alias(id_col), F.col("text").alias(text_col),

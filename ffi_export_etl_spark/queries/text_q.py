@@ -138,9 +138,13 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this same corpus as its reference, per-doc negative log-prob in
     EXACT integer micro-units so the oracle compare is float-free) —
     plus the Unicode dominant-script label (operators/scripts.py, the
-    multilingual routing signal) — one row per document."""
+    multilingual routing signal) and the cross-document duplicate-SPAN
+    removal stats (operators/spandedup.py, r5: removed-token count,
+    duplicated-window count, and the md5 of the span-cleaned text so
+    the rebuilt document is value-pinned) — one row per document."""
     from ..operators.lmscore import score_documents, train_bigram_lm
     from ..operators.scripts import dominant_script
+    from ..operators.spandedup import remove_duplicate_spans
 
     d = load_table(spark, sf_dir, "documents")
     bigrams, unigrams, vocab = train_bigram_lm(d)
@@ -152,6 +156,15 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left join: a hypothetical zero-token doc has no bigrams (null lm
     # columns) but must not vanish from the pack
     d = d.join(lm, "doc_id", "left")
+    spans = remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_removed_tokens").alias("span_removed_tokens"),
+        F.col("n_dup_windows").alias("span_dup_windows"),
+        F.md5(F.encode("text", "UTF-8")).alias("span_clean_md5"),
+    )
+    d = d.join(spans, "doc_id")
     toks = _toks()
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -177,6 +190,9 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm_n_bigrams",
         "lm_nlp_micro",
         dominant_script("text").alias("dominant_script"),
+        "span_removed_tokens",
+        "span_dup_windows",
+        "span_clean_md5",
     )
 
 
@@ -214,6 +230,51 @@ QUERIES = {
 }
 
 _DUCK_TOKS = "regexp_split_to_array(text, '\\s+')"
+
+
+def span_dedup_sql(
+    rel: str = "documents",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+) -> str:
+    """DuckDB CTE chain replaying operators/spandedup.py exactly: the
+    same overlapping-window md5 digests, the (min id, min pos) keeper
+    rule via row_number, covered-index sets, and index-filter rebuild.
+    Ends with ``sclean(id, text, n_removed_tokens, n_dup_windows)``."""
+    L = span_tokens
+    return f"""
+    sdt AS (SELECT {id_col} AS id,
+                   regexp_split_to_array(text, '\\s+') AS tk
+            FROM {rel}),
+    sw AS (SELECT id, i AS pos,
+                  md5(array_to_string(tk[i : i + {L - 1}], ' ')) AS whash
+           FROM sdt,
+                UNNEST(generate_series(1, greatest(len(tk) - {L} + 1, 0)))
+                    AS u(i)),
+    sflag AS (SELECT id, pos,
+                     row_number() OVER (PARTITION BY whash
+                                        ORDER BY id, pos) AS rk,
+                     count(*) OVER (PARTITION BY whash) AS n
+              FROM sw),
+    scut AS (SELECT id,
+                    list_distinct(flatten(
+                        list(generate_series(pos, pos + {L - 1})))) AS cut,
+                    count(*) AS n_dup
+             FROM sflag WHERE n > 1 AND rk > 1 GROUP BY id),
+    sclean AS (SELECT d.id,
+                      CASE WHEN c.cut IS NULL
+                           THEN array_to_string(d.tk, ' ')
+                           -- array_to_string of an EMPTY list is NULL
+                           -- in DuckDB; Spark's array_join gives ''
+                           ELSE coalesce(array_to_string(list_transform(
+                               list_filter(generate_series(1, len(d.tk)),
+                                           j -> NOT list_contains(c.cut, j)),
+                               j -> d.tk[j]), ' '), '') END AS text,
+                      CAST(coalesce(len(c.cut), 0) AS INTEGER)
+                          AS n_removed_tokens,
+                      CAST(coalesce(c.n_dup, 0) AS INTEGER)
+                          AS n_dup_windows
+               FROM sdt d LEFT JOIN scut c USING (id))"""
 
 
 def scrub_sql_expr(col: str = "text") -> str:
@@ -327,7 +388,8 @@ ORACLE = {
         FROM b LEFT JOIN rebuilt USING (doc_id)
     """,
     "text_langfp_pack": f"""
-        WITH scr AS (
+        WITH {span_dedup_sql()},
+        scr AS (
             SELECT doc_id, {_script_case_sql("text")} AS dominant_script
             FROM documents
         ),
@@ -385,8 +447,13 @@ ORACLE = {
                    AS n_distinct_tokens,
                lm.lm_n_bigrams,
                lm.lm_nlp_micro,
-               scr.dominant_script
+               scr.dominant_script,
+               sc.n_removed_tokens AS span_removed_tokens,
+               sc.n_dup_windows AS span_dup_windows,
+               md5(sc.sp_text) AS span_clean_md5
         FROM t LEFT JOIN lm USING (doc_id) JOIN scr USING (doc_id)
+        JOIN (SELECT id, text AS sp_text, n_removed_tokens, n_dup_windows
+              FROM sclean) sc ON sc.id = t.doc_id
     """,
 }
 

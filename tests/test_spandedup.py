@@ -1,0 +1,112 @@
+"""Cross-document duplicate-span removal (operators/spandedup.py — the
+ExactSubstr shape of Lee et al. 2022): known-string semantics, the
+first-occurrence-survives keeper rule, within-document repetition, and
+full DuckDB-oracle parity on the real corpus.
+"""
+
+from __future__ import annotations
+
+from ffi_export_etl_spark.operators.spandedup import (
+    duplicate_spans,
+    remove_duplicate_spans,
+)
+from ffi_export_etl_spark.queries.text_q import span_dedup_sql
+from ffi_export_etl_spark.sources.parquet import load_table
+from tests.oracle_utils import compare_to_oracle
+
+L = 5  # small span width so tests stay readable
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_cross_doc_span_removed_keeper_survives(spark):
+    shared = _words("s", 8)  # 8-token run shared verbatim, > L
+    rows = [
+        (1, f"{_words('a', 3)} {shared} {_words('b', 3)}"),
+        (2, f"{_words('c', 4)} {shared} {_words('d', 2)}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(
+            docs, span_tokens=L
+        ).collect()
+    }
+    # doc 1 holds the (min id, min pos) keeper occurrence: untouched
+    assert out[1]["text"] == rows[0][1]
+    assert out[1]["n_removed_tokens"] == 0
+    # doc 2 loses exactly the shared run: 4 windows of 5 tokens
+    # (starts 5..8) cover tokens 5..12 = the 8 shared tokens
+    assert out[2]["text"] == f"{_words('c', 4)} {_words('d', 2)}"
+    assert out[2]["n_removed_tokens"] == 8
+    assert out[2]["n_dup_windows"] == 4
+
+
+def test_within_doc_repetition_second_occurrence_removed(spark):
+    phrase = _words("p", L)
+    doc = f"{phrase} {_words('x', 4)} {phrase}"
+    docs = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    (row,) = remove_duplicate_spans(docs, span_tokens=L).collect()
+    assert row["text"] == f"{phrase} {_words('x', 4)}"
+    assert row["n_removed_tokens"] == L
+    assert row["n_dup_windows"] == 1
+
+
+def test_no_duplicates_and_short_docs_pass_through(spark):
+    rows = [(1, _words("a", 12)), (2, _words("b", 3))]  # doc 2 < L tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(docs, span_tokens=L).collect()
+    }
+    for i, text in rows:
+        assert out[i]["text"] == text
+        assert out[i]["n_removed_tokens"] == 0
+        assert out[i]["n_dup_windows"] == 0
+    assert duplicate_spans(docs, span_tokens=L).count() == 0
+
+
+def test_span_dedup_matches_oracle_on_corpus(spark, sf_small):
+    """Full-value parity with the DuckDB twin on the real documents
+    table at the registered span width (20 tokens)."""
+    docs = load_table(spark, sf_small, "documents")
+    df = remove_duplicate_spans(docs).selectExpr(
+        "id AS doc_id", "text", "n_removed_tokens", "n_dup_windows"
+    )
+    oracle = f"""
+        WITH {span_dedup_sql()}
+        SELECT id AS doc_id, text, n_removed_tokens, n_dup_windows
+        FROM sclean
+    """
+    compare_to_oracle(df, oracle, sf_small)
+
+
+def test_span_dedup_composes_in_curation(spark):
+    """span_dedup_tokens wired into curate_documents: the duplicated run
+    is cut from the non-keeper document BEFORE near-dup clustering, and
+    an otherwise-identical run without the flag keeps it."""
+    from ffi_export_etl_spark.plans.curation import (
+        curate_documents,
+        release_curation_caches,
+    )
+
+    shared = _words("s", 10)
+    rows = [
+        (1, f"{_words('a', 30)} {shared}", "src0"),
+        (2, f"{_words('b', 30)} {shared}", "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = curate_documents(docs, min_words=5)
+    with_span = curate_documents(docs, min_words=5, span_dedup_tokens=L)
+    try:
+        texts_base = {r["id"]: r["text"] for r in base.collect()}
+        texts_span = {r["id"]: r["text"] for r in with_span.collect()}
+    finally:
+        release_curation_caches(base)
+        release_curation_caches(with_span)
+    assert shared in texts_base[1] and shared in texts_base[2]
+    assert shared in texts_span[1]          # keeper occurrence survives
+    assert shared not in texts_span[2]      # duplicate run cut
+    assert texts_span[2].startswith("b0 ")
