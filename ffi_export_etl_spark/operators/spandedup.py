@@ -46,7 +46,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["duplicate_spans", "remove_duplicate_spans"]
+__all__ = [
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "span_digest_store",
+    "incremental_remove_duplicate_spans",
+]
 
 DEFAULT_SPAN_TOKENS = 20
 
@@ -163,3 +168,97 @@ def remove_duplicate_spans(
         F.coalesce(F.size("_cut"), F.lit(0)).alias("n_removed_tokens"),
         F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
     )
+
+
+def span_digest_store(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+) -> DataFrame:
+    """(key) — the persistable DISTINCT window-digest index of a corpus,
+    the span-grain member of the engine's signature-store family
+    (exact / minhash / simhash / sign-LSH stores). At scale write it
+    bucketed on ``key`` (streaming/dedup.compact_store) so the daily
+    increment join co-locates without shuffling the stored side; the
+    stored corpus is never re-windowed."""
+    return (
+        _windows(docs, id_col, text_col, span_tokens)
+        .select(F.col("whash").alias("key"))
+        .distinct()
+    )
+
+
+def incremental_remove_duplicate_spans(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+) -> dict[str, DataFrame]:
+    """The daily-increment shape: span-dedup ONLY the arrivals against
+    the accumulated corpus's digest store. Any new window whose digest
+    is already stored is cut (the stored copy is canonical — same
+    vs-stored rule as curate_increment's near-dup drop); within the
+    batch the (min id, min pos) keeper rule applies as in the one-shot
+    path. Returns ``{"cleaned", "store_delta"}``:
+
+    - ``cleaned``: (id, text, n_removed_tokens, n_dup_windows) for the
+      new docs;
+    - ``store_delta``: the digests of the windows that SURVIVED in the
+      cleaned text, NOT of the raw arrivals — appending removed spans
+      would poison tomorrow's increment into cutting text the corpus no
+      longer contains (re-windowed from the cleaned output in one
+      narrow pass; the arrival batch is days smaller than the corpus,
+      so re-windowing it is the cheap side).
+
+    Cost per day: one window fan-out over the ARRIVALS plus one digest
+    join against the store — never re-reading or re-windowing the
+    stored corpus. Equivalent to the one-shot pass over
+    (corpus + arrivals) restricted to the arrivals whenever arrival
+    windows don't collide with each other AND the store (pinned by
+    test); the deliberate divergence: a store hit cuts the new copy
+    even though the one-shot run would have kept whichever occurrence
+    sorted first — the stored corpus is immutable history.
+    """
+    w = _windows(new_docs, id_col, text_col, span_tokens)
+    vs_stored = w.join(
+        store.select(F.col("key").alias("whash")), "whash", "left_semi"
+    ).select("id", "pos")
+    # within-batch duplicates follow the one-shot keeper rule
+    within = duplicate_spans(
+        new_docs, id_col, text_col, span_tokens
+    ).select("id", "pos")
+    cut_starts = (
+        vs_stored.unionByName(within)
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_starts"))
+        .select(
+            "id",
+            _covered(F.col("_starts"), span_tokens).alias("_cut"),
+            F.size("_starts").alias("n_dup_windows"),
+        )
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    base = new_docs.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).join(cut_starts, "id", "left")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("_cut"), i + 1),
+    )
+    cleaned = base.select(
+        "id",
+        F.when(F.col("_cut").isNull(), F.array_join("_toks", " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
+        F.coalesce(F.size("_cut"), F.lit(0)).alias("n_removed_tokens"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+    )
+    return {
+        "cleaned": cleaned,
+        "store_delta": span_digest_store(
+            cleaned, "id", "text", span_tokens
+        ).join(store, "key", "left_anti"),
+    }

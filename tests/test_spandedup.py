@@ -110,3 +110,78 @@ def test_span_dedup_composes_in_curation(spark):
     assert shared in texts_span[1]          # keeper occurrence survives
     assert shared not in texts_span[2]      # duplicate run cut
     assert texts_span[2].startswith("b0 ")
+
+
+def test_incremental_span_dedup_two_day(spark):
+    """Daily-increment span dedup: day-2 arrivals lose any window the
+    day-1 store already holds (stored copy is canonical) plus
+    within-batch duplicates under the one-shot keeper rule; the store
+    delta carries digests of the SURVIVING text only, so day 3 never
+    cuts against text the corpus no longer contains."""
+    from ffi_export_etl_spark.operators.spandedup import (
+        incremental_remove_duplicate_spans,
+        span_digest_store,
+    )
+
+    shared = _words("s", L)  # exactly one window wide
+    day1 = spark.createDataFrame(
+        [(1, f"{_words('a', 10)} {shared}")], "doc_id long, text string"
+    )
+    store = span_digest_store(day1, span_tokens=L).persist()
+
+    batch_shared = _words("q", L)
+    day2 = spark.createDataFrame(
+        [
+            (10, f"{shared} {_words('m', 6)} {batch_shared}"),  # store hit
+            (11, f"{batch_shared} {_words('n', 6)}"),  # within-batch dup
+            (12, _words("z", 8)),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    res = incremental_remove_duplicate_spans(day2, store, span_tokens=L)
+    out = {r["id"]: r for r in res["cleaned"].collect()}
+    # doc 10: the stored run is cut even though it sorts first in the
+    # batch (stored history is canonical); its batch_shared occurrence
+    # is the batch keeper (min id, min pos) and survives
+    assert out[10]["text"] == f"{_words('m', 6)} {batch_shared}"
+    assert out[10]["n_removed_tokens"] == L
+    # doc 11 loses its copy of batch_shared to doc 10's keeper
+    assert out[11]["text"] == _words("n", 6)
+    assert out[12]["text"] == _words("z", 8)
+
+    # store delta = digests of surviving text only, minus already-stored
+    delta = res["store_delta"]
+    assert delta.join(store, "key", "left_semi").count() == 0
+    day3_doc = spark.createDataFrame(
+        [(20, f"{batch_shared} {_words('y', 2)}")], "doc_id long, text string"
+    )
+    store2 = store.unionByName(delta)
+    res3 = incremental_remove_duplicate_spans(day3_doc, store2, span_tokens=L)
+    (row3,) = res3["cleaned"].collect()
+    # batch_shared survived day 2 (doc 10), so day 3's copy is cut
+    assert row3["text"] == _words("y", 2)
+    store.unpersist()
+
+
+def test_incremental_span_dedup_equals_oneshot_when_disjoint(spark):
+    """With no store hits and no within-batch collisions, the increment
+    is an identity pass — exactly what the one-shot run restricted to
+    the arrivals would do."""
+    from ffi_export_etl_spark.operators.spandedup import (
+        incremental_remove_duplicate_spans,
+        span_digest_store,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, _words("a", 12))], "doc_id long, text string"
+    )
+    day2 = spark.createDataFrame(
+        [(2, _words("b", 12)), (3, _words("c", 12))],
+        "doc_id long, text string",
+    )
+    store = span_digest_store(day1, span_tokens=L)
+    res = incremental_remove_duplicate_spans(day2, store, span_tokens=L)
+    out = {r["id"]: r["text"] for r in res["cleaned"].collect()}
+    assert out == {2: _words("b", 12), 3: _words("c", 12)}
+    # delta holds every new window digest exactly once
+    assert res["store_delta"].count() == 2 * (12 - L + 1)
