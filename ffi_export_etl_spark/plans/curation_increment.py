@@ -93,11 +93,16 @@ def curate_increment(
         scrubbed, "id", "text", n=n, num_perm=num_perm, bands=bands,
         shingle_mode=shingle_mode,
     ).localCheckpoint()
+    # pairs feed THREE consumers (both vs-stored semi-join arms and the
+    # new-x-new clustering input); a live plan would re-run the
+    # candidate+verify join per consumer. Near-dup pairs are
+    # output-sized (bounded by duplicate density), so materializing is
+    # cheap relative to recomputing.
     pairs = incremental_verified_pairs(
         new_banded, minhash_store,
         threshold_pct=jaccard_threshold_pct,
         max_bucket_size=max_bucket_size,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
 
     # any new doc paired with a STORED doc loses to the stored canonical
     stored_ids = minhash_store.select("id").distinct()

@@ -71,6 +71,12 @@ VOCAB_N = 200
 # /root/reference/xml_to_rdb.py:39-56).
 INCR_MOD = 4
 INCR_MIN_WORDS = 20  # curate_increment's default quality floor
+# The gate simulation must REBUILD the day-1 store every run (stateless
+# oracle), which in production is a one-time persisted cost — so the
+# arm runs on a one-third corpus slice to keep that rebuilt-store side
+# lean (measured 18s -> ~6s at sf0.1) while the two-batch semantics
+# stay fully exercised.
+INCR_SLICE_MOD = 3
 
 # ---- BPE arms (r5, judge item 6): train_bpe/apply_bpe driver-gated.
 # A fixed merge count unrolls into a linear DuckDB CTE chain (one
@@ -209,6 +215,7 @@ def _incr_arms(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     from ..plans.curation_increment import curate_increment
     from .dedup_q import BANDS, JACCARD_PCT, NUM_PERM
 
+    docs = docs.filter(F.col("doc_id") % INCR_SLICE_MOD == 0)
     day1 = docs.filter(F.col("doc_id") % INCR_MOD != 0)
     day2 = docs.filter(F.col("doc_id") % INCR_MOD == 0)
     # day-1 store build: scrub exactly like the increment will, so the
@@ -219,9 +226,14 @@ def _incr_arms(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         normalize_whitespace(scrub_text("text")).alias("text"),
     )
     exact_store = exact_signature_store(cleaned1, "id", "text")
+    # The increment traverses the stored index FOUR times (bucket-cap
+    # census, capped join, signature union, stored-id anti side). In
+    # production the store is a materialized parquet/bucketed table; a
+    # live sketch plan here would re-scrub and re-sketch day 1 per
+    # traversal (measured 4x ~5.5s at sf0.1) — checkpoint it once.
     mh_store = minhash_signature_store_with_sigs(
         cleaned1, "id", "text", num_perm=NUM_PERM, bands=BANDS
-    )
+    ).localCheckpoint()
     res = curate_increment(
         day2,
         exact_store,
@@ -332,7 +344,8 @@ def _incr_sql() -> tuple[str, str]:
     ctes = f"""
         icln AS (SELECT doc_id AS id, source,
                         {scrub_sql_expr("text")} AS text
-                 FROM documents),
+                 FROM documents
+                 WHERE doc_id % {INCR_SLICE_MOD} = 0),
         i1 AS (SELECT * FROM icln WHERE id % {INCR_MOD} != 0),
         i2 AS (SELECT * FROM icln WHERE id % {INCR_MOD} = 0),
         i1key AS (SELECT DISTINCT md5(text) AS key FROM i1),
