@@ -185,3 +185,52 @@ def test_incremental_span_dedup_equals_oneshot_when_disjoint(spark):
     assert out == {2: _words("b", 12), 3: _words("c", 12)}
     # delta holds every new window digest exactly once
     assert res["store_delta"].count() == 2 * (12 - L + 1)
+
+
+# --- property-based parity (hypothesis): tiny alphabet forces genuine
+# window collisions; the pure-Python oracle implements the paper rule
+# (first occurrence by (id, pos) survives) independently of the SQL twin.
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abc", min_size=1, max_size=2)
+_TEXT = st.lists(_WORD, min_size=0, max_size=30).map(" ".join)
+
+
+def _py_remove_spans(rows, span_tokens):
+    toks = {i: _re.split(r"\s+", t) for i, t in rows}
+    occ: dict[str, list] = {}
+    for i, _ in sorted(rows):
+        tk = toks[i]
+        for p in range(1, len(tk) - span_tokens + 2):
+            w = " ".join(tk[p - 1 : p - 1 + span_tokens])
+            occ.setdefault(w, []).append((i, p))
+    cut = {i: set() for i, _ in rows}
+    ndup = {i: 0 for i, _ in rows}
+    for w, lst in occ.items():
+        if len(lst) > 1:
+            for i, p in sorted(lst)[1:]:
+                cut[i].update(range(p, p + span_tokens))
+                ndup[i] += 1
+    out = {}
+    for i, _ in rows:
+        tk = toks[i]
+        kept = [t for j, t in enumerate(tk, start=1) if j not in cut[i]]
+        out[i] = (" ".join(kept), len(cut[i]), ndup[i])
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+def test_remove_duplicate_spans_property(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["text"], r["n_removed_tokens"], r["n_dup_windows"])
+        for r in remove_duplicate_spans(docs, span_tokens=3).collect()
+    }
+    assert got == _py_remove_spans(rows, 3)
