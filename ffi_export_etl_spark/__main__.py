@@ -92,6 +92,10 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--block-domain", action="append", default=None,
                     help="domain to drop (repeatable; requires --url-col)")
+    ap.add_argument("--compression-ratio-bounds", type=float, nargs=2,
+                    default=None, metavar=("LO", "HI"),
+                    help="keep docs whose zlib compressed/raw byte ratio "
+                         "lies in [LO, HI] (both tails mark junk)")
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="drop docs whose repeated-line fraction "
                          "exceeds this (Gopher repetition signal)")
@@ -159,6 +163,9 @@ def curate_main(argv: list[str]) -> int:
         url_col=args.url_col,
         domain_blocklist=args.block_domain,
         max_dup_line_frac=args.max_dup_line_frac,
+        compression_ratio_bounds=(tuple(args.compression_ratio_bounds)
+                                  if args.compression_ratio_bounds
+                                  else None),
         max_top_bigram_frac=args.max_top_bigram_frac,
         lm_reference=lm_reference,
         max_avg_neg_logprob=args.max_avg_neg_logprob,

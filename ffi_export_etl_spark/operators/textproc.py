@@ -399,3 +399,68 @@ def dedup_paragraphs(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+def compression_ratio(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """(id, n_raw_bytes, n_compressed_bytes, compression_ratio) — the
+    zlib-compressibility quality signal the large-corpus curation
+    literature uses as a cheap structure detector: highly repetitive or
+    templated text compresses far below natural prose, while
+    random/encoded gibberish barely compresses at all, so BOTH tails of
+    the ratio distribution mark junk.
+
+    Byte-level compression is inherently per-item Python (no Column
+    expression computes DEFLATE), so this runs as an Arrow-batched
+    ``mapInPandas`` kernel with stdlib zlib — the multimodal/BPE tier,
+    one corpus scan, never row-at-a-time. Ratio for empty text is
+    defined as 0.0 (nothing to judge; pair with the min-words quality
+    floor). Deterministic: zlib level fixed, UTF-8 bytes.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = docs.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_field, True),
+            StructField("n_raw_bytes", LongType(), True),
+            StructField("n_compressed_bytes", LongType(), True),
+            StructField("compression_ratio", DoubleType(), True),
+        ]
+    )
+    narrowed = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [
+                (t or "").encode("utf-8") for t in pdf["text"]
+            ]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            n_raw = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_raw_bytes": n_raw,
+                    "n_compressed_bytes": comp,
+                    "compression_ratio": [
+                        (c / r) if r else 0.0 for c, r in zip(comp, n_raw)
+                    ],
+                }
+            )
+
+    return narrowed.mapInPandas(run, schema)

@@ -69,6 +69,7 @@ def curate_documents(
     benchmark_id_col: str = "bench_id",
     decon_n: int = 8,
     max_dup_line_frac: float | None = None,
+    compression_ratio_bounds: tuple[float, float] | None = None,
     max_top_bigram_frac: float | None = None,
     lm_reference: DataFrame | None = None,
     max_avg_neg_logprob: float | None = None,
@@ -256,6 +257,24 @@ def curate_documents(
                 F.col("top_bigram_frac") <= max_top_bigram_frac
             )
         quality = quality.drop("dup_line_frac", "top_bigram_frac")
+    # zlib-compressibility bounds (optional, r5): both tails of the
+    # ratio distribution mark junk — templated/repeated text compresses
+    # far below natural prose, gibberish barely compresses. RAW text,
+    # like the other repetition signals. The only Arrow stage in the
+    # composed plan; byte-level DEFLATE has no Column form.
+    if compression_ratio_bounds is not None:
+        from ..operators.textproc import compression_ratio
+
+        lo, hi = compression_ratio_bounds
+        cr = compression_ratio(docs, id_col=id_col, text_col=text_col)
+        quality = quality.join(
+            cr.filter(
+                (F.col("compression_ratio") >= lo)
+                & (F.col("compression_ratio") <= hi)
+            ).select("id"),
+            "id",
+            "left_semi",
+        )
     # CCNet-style LM filter (optional): score against a reference
     # corpus' bigram model and drop the least reference-like tail
     if max_avg_neg_logprob is not None:

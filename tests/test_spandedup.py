@@ -234,3 +234,51 @@ def test_remove_duplicate_spans_property(spark, texts):
         for r in remove_duplicate_spans(docs, span_tokens=3).collect()
     }
     assert got == _py_remove_spans(rows, 3)
+
+
+# --- compression-ratio quality signal (operators/textproc.py, r5) ---
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    import zlib
+
+    rows = [
+        (1, "the " * 400),                        # templated/repeated
+        (2, " ".join(f"w{i}x{i*7%13}" for i in range(400))),  # prose-ish
+        (3, ""),                                  # empty -> ratio 0.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ffi_export_etl_spark.operators.textproc import compression_ratio
+
+    out = {r["id"]: r for r in compression_ratio(docs).collect()}
+    # exact twin: stdlib zlib at the default level on UTF-8 bytes
+    for i, t in rows:
+        b = t.encode("utf-8")
+        assert out[i]["n_raw_bytes"] == len(b)
+        assert out[i]["n_compressed_bytes"] == len(zlib.compress(b, 6))
+    assert out[1]["compression_ratio"] < 0.05
+    assert out[2]["compression_ratio"] > 0.2
+    assert out[3]["compression_ratio"] == 0.0
+
+
+def test_compression_bounds_compose_in_curation(spark):
+    from ffi_export_etl_spark.plans.curation import (
+        curate_documents,
+        release_curation_caches,
+    )
+
+    rows = [
+        (1, "spam " * 300, "src0"),  # ratio ~0 -> below lo
+        (2, " ".join(f"tok{i}v{i*11%17}" for i in range(300)), "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = curate_documents(docs, min_words=5)
+    bounded = curate_documents(
+        docs, min_words=5, compression_ratio_bounds=(0.1, 0.9)
+    )
+    try:
+        assert {r["id"] for r in base.collect()} == {1, 2}
+        assert {r["id"] for r in bounded.collect()} == {2}
+    finally:
+        release_curation_caches(base)
+        release_curation_caches(bounded)
