@@ -18,9 +18,13 @@ SURVEY.md north star). Scale shape — the suffix-array construction of
 the paper is replaced by the standard distributed approximation over
 fixed-width token windows:
 
-- ONE corpus scan tokenizes and fans out overlapping ``span_tokens``
+- The corpus scan tokenizes and fans out overlapping ``span_tokens``
   windows per document (posexplode over a sequence — narrow,
-  executor-side, no shuffle).
+  executor-side, no shuffle). The window table feeds two subplans
+  (digest aggregation + join-back) whose exchange children differ, so
+  by default the fan-out runs twice per action; ``cache_windows=True``
+  persists it for scan-dominated corpora (the minhash cache_shingles
+  contract — caller owns the release).
 - Window digests aggregate once (map-side combined groupBy on the
   16-byte md5) to find digests with more than one occurrence; the
   keeper occurrence per digest is the (min doc id, min pos) — computed
@@ -84,21 +88,11 @@ def _windows(
     ).select("id", (F.col("pos0") + 1).alias("pos"), "whash")
 
 
-def duplicate_spans(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    span_tokens: int = DEFAULT_SPAN_TOKENS,
-) -> DataFrame:
-    """(id, pos, whash) — every NON-KEEPER occurrence of a duplicated
-    window: its digest occurs more than once corpus-wide and this
-    occurrence is not the (min id, min pos) canonical one. The raw
-    material for removal, also useful as a contamination/copying report
-    on its own."""
-    w = _windows(docs, id_col, text_col, span_tokens)
-    # one aggregation carries the count AND the keeper coordinates:
-    # min(struct(id, pos)) orders lexicographically, exactly the
-    # "first occurrence survives" rule
+def _non_keeper(w: DataFrame) -> DataFrame:
+    """(id, pos, whash) non-keeper occurrences of duplicated windows
+    within a window table. One aggregation carries the count AND the
+    keeper coordinates: min(struct(id, pos)) orders lexicographically,
+    exactly the "first occurrence survives" rule."""
     dup = (
         w.groupBy("whash")
         .agg(
@@ -118,6 +112,33 @@ def duplicate_spans(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+    cache_windows: bool = False,
+) -> DataFrame:
+    """(id, pos, whash) — every NON-KEEPER occurrence of a duplicated
+    window: its digest occurs more than once corpus-wide and this
+    occurrence is not the (min id, min pos) canonical one. The raw
+    material for removal, also useful as a contamination/copying report
+    on its own.
+
+    ``cache_windows``: the window fan-out feeds both the digest
+    aggregation and the join-back, and their exchange children differ
+    (partial-agg vs raw), so ReuseExchange cannot deduplicate them — by
+    default the corpus is tokenized and window-hashed twice per action.
+    True persists the window table (corpus-token-sized) so the scan
+    runs once — right when the corpus scan dominates (real 100 TB
+    runs); the caller owns the release, same contract as
+    minhash_near_duplicates' cache_shingles."""
+    w = _windows(docs, id_col, text_col, span_tokens)
+    if cache_windows:
+        w = w.persist()
+    return _non_keeper(w)
+
+
 def _covered(positions: Column, span_tokens: int) -> Column:
     """Token indices covered by spans starting at ``positions``."""
     return F.array_distinct(
@@ -135,15 +156,18 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = DEFAULT_SPAN_TOKENS,
+    cache_windows: bool = False,
 ) -> DataFrame:
     """Schema: (id, text, n_removed_tokens, n_dup_windows). ``text`` has
     every duplicated-window occurrence (except the corpus-wide first)
     cut out at token grain; remaining tokens rejoin with single spaces
     (the engine's scrub normalizes whitespace the same way, so the
     output composes with the curation chain). Documents with no
-    duplicated spans pass through with n_removed_tokens = 0."""
+    duplicated spans pass through with n_removed_tokens = 0.
+    ``cache_windows``: see duplicate_spans — pass True when the corpus
+    scan dominates so the window fan-out materializes once."""
     dups = (
-        duplicate_spans(docs, id_col, text_col, span_tokens)
+        duplicate_spans(docs, id_col, text_col, span_tokens, cache_windows)
         .groupBy("id")
         .agg(F.collect_list("pos").alias("_starts"))
         .select(
@@ -221,14 +245,16 @@ def incremental_remove_duplicate_spans(
     even though the one-shot run would have kept whichever occurrence
     sorted first — the stored corpus is immutable history.
     """
-    w = _windows(new_docs, id_col, text_col, span_tokens)
+    # window the ARRIVALS exactly once: the table feeds the store
+    # semi-join AND both sides of the within-batch keeper pass, and a
+    # live plan would re-tokenize the batch per consumer. Arrival-sized
+    # (days smaller than the corpus), so materializing is cheap.
+    w = _windows(new_docs, id_col, text_col, span_tokens).localCheckpoint()
     vs_stored = w.join(
         store.select(F.col("key").alias("whash")), "whash", "left_semi"
     ).select("id", "pos")
     # within-batch duplicates follow the one-shot keeper rule
-    within = duplicate_spans(
-        new_docs, id_col, text_col, span_tokens
-    ).select("id", "pos")
+    within = _non_keeper(w).select("id", "pos")
     cut_starts = (
         vs_stored.unionByName(within)
         .distinct()

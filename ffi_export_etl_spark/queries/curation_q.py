@@ -176,17 +176,22 @@ def _bpe_arms(
     merges_full = train_bpe_full(
         word_count_table(docs), BPE_MERGES, min_pair_count=BPE_MIN_PAIR
     )
-    # driver-side createDataFrame is model-sized (<= BPE_MERGES rows)
+    # driver-side createDataFrame is model-sized (<= BPE_MERGES rows).
+    # The winning pair count rides in the PAYLOAD string, not the
+    # pack's int32 n_tokens column: pair counts are token-count-scaled
+    # (int64) and would overflow INTEGER on a large corpus.
     merge_rows = spark.createDataFrame(
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges_full)],
-        "rank bigint, a string, b string, cnt int",
+        "rank bigint, a string, b string, cnt bigint",
     )
     bpe_merge = merge_rows.select(
         F.lit("bpe_merge").alias("kind"),
         F.col("rank").alias("id"),
         F.lit(None).cast("int").alias("idx"),
-        F.col("cnt").cast("int").alias("n_tokens"),
-        F.concat_ws("\x1f", "a", "b").alias("payload"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.concat_ws(
+            "\x1f", "a", "b", F.col("cnt").cast("string")
+        ).alias("payload"),
         F.lit(None).cast("double").alias("qscale"),
     )
     sample = docs.filter(F.col("doc_id") % BPE_SAMPLE_MOD == 0)
@@ -270,6 +275,16 @@ def _incr_arms(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.concat_ws("|", F.col("bucket"), sig_csv).alias("payload"),
         F.lit(None).cast("double").alias("qscale"),
     )
+    # Materialize both arms (tiny: survivor-sized rows), then RELEASE
+    # curate_increment's persisted boundaries — this query callable
+    # cannot hand the _curation_persisted handle to its caller (the
+    # arms union into the pack), and without the release every
+    # cur_pack build in a long-lived session would strand two cached
+    # plans in the CacheManager (the repo's documented cache contract).
+    incr = incr.localCheckpoint()
+    incrsig = incrsig.localCheckpoint()
+    for cached in getattr(res["kept"], "_curation_persisted", []):
+        cached.unpersist()
     return incr, incrsig
 
 
@@ -471,7 +486,7 @@ def _bpe_sql() -> tuple[str, str]:
         f"""
         UNION ALL
         SELECT 'bpe_merge', CAST({k} AS BIGINT), CAST(NULL AS INTEGER),
-               CAST(cnt AS INTEGER), a || {sep} || b,
+               CAST(NULL AS INTEGER), a || {sep} || b || {sep} || cnt,
                CAST(NULL AS DOUBLE)
         FROM bt{k}"""
         for k in range(BPE_MERGES)

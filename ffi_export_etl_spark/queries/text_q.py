@@ -235,13 +235,17 @@ _DUCK_TOKS = "regexp_split_to_array(text, '\\s+')"
 def span_dedup_sql(
     rel: str = "documents",
     id_col: str = "doc_id",
-    span_tokens: int = 20,
+    span_tokens: int | None = None,
 ) -> str:
     """DuckDB CTE chain replaying operators/spandedup.py exactly: the
     same overlapping-window md5 digests, the (min id, min pos) keeper
     rule via row_number, covered-index sets, and index-filter rebuild.
-    Ends with ``sclean(id, text, n_removed_tokens, n_dup_windows)``."""
-    L = span_tokens
+    Ends with ``sclean(id, text, n_removed_tokens, n_dup_windows)``.
+    ``span_tokens`` defaults to the operator's own DEFAULT_SPAN_TOKENS
+    so the gate's oracle can never drift from the Spark twin."""
+    from ..operators.spandedup import DEFAULT_SPAN_TOKENS
+
+    L = DEFAULT_SPAN_TOKENS if span_tokens is None else span_tokens
     return f"""
     sdt AS (SELECT {id_col} AS id,
                    regexp_split_to_array(text, '\\s+') AS tk

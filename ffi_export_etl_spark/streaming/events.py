@@ -201,13 +201,25 @@ def windowed_counts_to_files(
     return q
 
 
-def _sink_ids(out_dir: str, prefix: str) -> list[int]:
+def _sink_ids(
+    out_dir: str, prefix: str, committed_only: bool = False
+) -> list[int]:
+    """Ids of ``prefix=<id>`` subdirectories. ``committed_only`` keeps
+    only dirs carrying the _SUCCESS marker Spark writes on job
+    completion — a generation dir whose write crashed midway must never
+    shadow the inputs it was folding (it would otherwise become the
+    "current" generation and the real rows in the consumed dirs would
+    be skipped on read and deleted on the next compaction)."""
     if not os.path.isdir(out_dir):
         return []
     return [
         int(name.split("=", 1)[1])
         for name in os.listdir(out_dir)
         if name.startswith(prefix + "=")
+        and (
+            not committed_only
+            or os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
+        )
     ]
 
 
@@ -221,23 +233,37 @@ def compact_window_sink(
     previous generation) into one ``compacted=<max_id>`` generation of
     ``num_files`` parquet files, then remove the consumed inputs.
     Idempotent and crash-tolerant BY THE READER RULE (see
-    windowed_counts_to_files): consumed inputs are redundant the moment
-    the new generation exists, so deletion order cannot lose or
-    duplicate rows for ``read_window_sink``. Returns the current
-    generation id (-1 = nothing compacted yet). Also callable between
-    sessions as nightly maintenance, like streaming/dedup.compact_store.
+    windowed_counts_to_files) plus _SUCCESS validation: a generation
+    only counts once its write COMMITTED, so consumed inputs are
+    redundant the moment the new generation exists, a write that
+    crashed midway is garbage-collected and redone (never shadowing the
+    inputs it was folding), and deletion order cannot lose or duplicate
+    rows for ``read_window_sink``. Returns the current generation id
+    (-1 = nothing compacted yet). Also callable between sessions as
+    nightly maintenance, like streaming/dedup.compact_store.
     """
     import shutil
 
-    gens = sorted(_sink_ids(out_dir, "compacted"))
+    # only COMMITTED generations count (_SUCCESS marker): a generation
+    # whose write crashed midway must not shadow the inputs it was
+    # folding — its dir is garbage to be removed and redone
+    gens = sorted(_sink_ids(out_dir, "compacted", committed_only=True))
     cur = gens[-1] if gens else -1
-    # stale older generations (a crash between generation write and
-    # cleanup) are never read — remove them first
-    for g in gens[:-1]:
-        shutil.rmtree(os.path.join(out_dir, f"compacted={g}"), ignore_errors=True)
+    for g in _sink_ids(out_dir, "compacted"):
+        # stale older generations (crash between write and cleanup) and
+        # uncommitted partial writes are never read — remove both
+        if g != cur:
+            shutil.rmtree(
+                os.path.join(out_dir, f"compacted={g}"), ignore_errors=True
+            )
+    # fold only COMMITTED batch dirs: a batch whose write crashed has no
+    # _SUCCESS and will be overwritten by the stream's replay — folding
+    # its partial rows into a generation would freeze them as the
+    # canonical copy (the replayed dir lands at or below the generation
+    # id and is skipped forever)
     eligible = sorted(
         i
-        for i in _sink_ids(out_dir, "batch_id")
+        for i in _sink_ids(out_dir, "batch_id", committed_only=True)
         if i > cur and (before_batch is None or i < before_batch)
     )
     # batch ids <= cur were already folded in (a replay re-created the
@@ -265,13 +291,22 @@ def read_window_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     generation plus every batch directory ABOVE its id. Batch dirs at or
     below the generation are replay artifacts already folded in and are
     skipped — this rule is what lets compaction run without a
-    transaction log."""
-    gens = sorted(_sink_ids(out_dir, "compacted"))
+    transaction log. Only COMMITTED dirs (_SUCCESS marker) are read:
+    a half-written generation or batch never shadows real data.
+
+    Concurrency caveat: the directory listing resolves eagerly but the
+    files read lazily, so a compaction running between this call and
+    the consuming action can delete listed batch dirs (the read then
+    fails rather than silently losing rows). Call it between
+    compactions — or retry on failure; the retry sees the new
+    generation. Single-writer is assumed throughout (one streaming
+    query owns the sink)."""
+    gens = sorted(_sink_ids(out_dir, "compacted", committed_only=True))
     cur = gens[-1] if gens else -1
     paths = [os.path.join(out_dir, f"compacted={cur}")] if cur >= 0 else []
     paths += [
         os.path.join(out_dir, f"batch_id={i}")
-        for i in sorted(_sink_ids(out_dir, "batch_id"))
+        for i in sorted(_sink_ids(out_dir, "batch_id", committed_only=True))
         if i > cur
     ]
     if not paths:

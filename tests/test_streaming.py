@@ -784,3 +784,63 @@ def test_compacting_window_sink_bounds_file_count(spark, tmp_path):
     assert comp_rows3 == base_rows
     compact_window_sink(spark, comp_out)
     assert not os.path.isdir(stale)
+
+
+def test_compaction_ignores_uncommitted_generation(spark, tmp_path):
+    """Crash-tolerance of the generation scheme: a compacted=<id> dir
+    WITHOUT _SUCCESS (a generation write that died midway) must never
+    become the current generation — the reader skips it, and the next
+    compaction garbage-collects it and re-folds the real inputs."""
+    import os
+    import shutil
+
+    from ffi_export_etl_spark.streaming.events import (
+        compact_window_sink,
+        read_window_sink,
+        windowed_counts_to_files,
+    )
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(_events_path()).repartition(6).write.parquet(src)
+    out = str(tmp_path / "out")
+    windowed_counts_to_files(
+        spark, src, out, str(tmp_path / "ck"),
+        window="30 minutes", watermark="10 minutes",
+    )
+    want = {
+        tuple(r)
+        for r in read_window_sink(spark, out).select(
+            F.col("window.start"), "event_type", "n_events"
+        ).collect()
+    }
+
+    # simulate a generation write that crashed midway: data file
+    # present, no _SUCCESS, id higher than every batch
+    partial = os.path.join(out, "compacted=99")
+    os.makedirs(partial)
+    some_batch = next(
+        os.path.join(out, d) for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    for f in os.listdir(some_batch):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(some_batch, f), partial)
+            break
+
+    got = {
+        tuple(r)
+        for r in read_window_sink(spark, out).select(
+            F.col("window.start"), "event_type", "n_events"
+        ).collect()
+    }
+    assert got == want  # partial generation invisible to the reader
+
+    gen = compact_window_sink(spark, out)
+    assert not os.path.isdir(partial)  # garbage-collected, not adopted
+    assert gen < 99
+    got2 = {
+        tuple(r)
+        for r in read_window_sink(spark, out).select(
+            F.col("window.start"), "event_type", "n_events"
+        ).collect()
+    }
+    assert got2 == want
