@@ -1,0 +1,107 @@
+"""URL canonicalization + URL-grain dedup — the step web-corpus
+pipelines run BEFORE content dedup: the same page crawled as
+``http://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#frag`` and
+``https://example.com/a?a=1&b=2`` must collapse to one canonical key so
+recrawls and tracking-parameter variants never reach the (much more
+expensive) content-dedup stages.
+
+Everything is a chained Column expression — regexp extracts, a
+higher-order filter/sort over the query parameters, string rebuild —
+so canonicalization is one codegen'd projection over the scan: no UDF,
+no URL-parser library in the row loop, no shuffle. The dedup is one
+hash-partitioned aggregation on the canonical key (min-id keeper, the
+engine's uniform keeper rule).
+
+Reference parity note: the reference engine has no web/URL surface
+(extension family — complements textproc.filter_blocked_domains).
+
+Canonical form (the common normalization set):
+  - scheme and host lowercased; ``www.`` prefix dropped (optional)
+  - userinfo stripped; default ports (http:80, https:443) stripped
+  - fragment stripped
+  - tracking query parameters removed (``utm_*``, gclid, fbclid,
+    ref, ...), remaining parameters SORTED for order-insensitivity
+  - trailing ``/`` trimmed (so ``/a/`` == ``/a``; bare host keeps none)
+Non-URL strings (no ``host.tld`` shape) pass through trimmed+lowercased
+so the operator is total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["canonicalize_url", "dedup_by_url", "TRACKING_PARAM_RE"]
+
+# parameter names that identify a tracking variant, not a resource
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src|igshid|mc_cid|mc_eid)="
+)
+
+_URL_RE = (
+    r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?"  # 1 scheme
+    r"(?:[^@/?#]*@)?"                        # userinfo (dropped)
+    r"([^/:?#]+)"                            # 2 host
+    r"(?::([0-9]+))?"                        # 3 port
+    r"([/][^?#]*)?"                          # 4 path
+    r"(?:\?([^#]*))?"                        # 5 query
+)
+
+
+def canonicalize_url(col: Column | str, strip_www: bool = True) -> Column:
+    """Canonical URL string as a pure Column expression (see module
+    docstring for the normalization set)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    scheme = F.lower(F.regexp_extract(c, _URL_RE, 1))
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
+    host = F.lower(F.regexp_extract(c, _URL_RE, 2))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(c, _URL_RE, 3)
+    port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(c, _URL_RE, 4)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(c, _URL_RE, 5)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    # a host must look like host.tld to count as a URL; otherwise the
+    # input is free text — return it trimmed+lowercased so the
+    # expression is total (mirrors extract_domain's '' convention)
+    return F.when(
+        host.rlike(r"^[^.]+\.[^.]+"),
+        F.concat(scheme, F.lit("://"), host, port, path, qtail),
+    ).otherwise(F.lower(c))
+
+
+def dedup_by_url(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Keep one document per canonical URL — the min-id occurrence (the
+    engine's uniform keeper rule). One codegen'd projection + one
+    hash aggregation on the canonical key; schema-preserving plus a
+    ``canonical_url`` column on the survivors."""
+    keyed = docs.withColumn(
+        "canonical_url", canonicalize_url(url_col, strip_www)
+    )
+    keepers = (
+        keyed.groupBy("canonical_url")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    return keyed.join(keepers, id_col, "left_semi")

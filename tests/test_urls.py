@@ -1,0 +1,68 @@
+"""URL canonicalization (operators/urls.py): known-pair equivalences,
+non-equivalences that must NOT collapse, totality on free text, and the
+min-id URL dedup."""
+
+from __future__ import annotations
+
+from ffi_export_etl_spark.operators.urls import canonicalize_url, dedup_by_url
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r[0] for r in df.select(canonicalize_url("url")).collect()
+    ]
+
+
+def test_equivalent_variants_collapse(spark):
+    groups = [
+        [  # scheme-less, case, www, default port, tracking, order, slash
+            "http://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#frag",
+            "example.com/a?b=2&a=1",
+            "http://example.com/a/?a=1&b=2&gclid=123",
+            "http://user@example.com/a?a=1&b=2",
+        ],
+        [
+            "https://News.Site.org:443/path/sub/",
+            "https://news.site.org/path/sub",
+        ],
+        ["http://host.tld", "http://host.tld/", "HOST.tld"],
+    ]
+    for g in groups:
+        canon = set(_canon(spark, g))
+        assert len(canon) == 1, (g, canon)
+
+
+def test_distinct_resources_stay_distinct(spark):
+    urls = [
+        "http://example.com/a",      # vs different path
+        "http://example.com/b",
+        "https://example.com/a?x=1", # vs different param VALUE
+        "https://example.com/a?x=2",
+        "http://sub.example.com/a",  # subdomain is a different host
+        "http://example.com:8080/a", # non-default port kept
+        "ftp://example.com/a",       # non-http scheme kept
+    ]
+    canon = _canon(spark, urls)
+    assert len(set(canon)) == len(urls), canon
+    assert "http://example.com:8080/a" in canon
+    assert "ftp://example.com/a" in canon
+
+
+def test_total_on_free_text(spark):
+    canon = _canon(spark, ["not a url", "localhost", "  Mixed Case  "])
+    assert canon == ["not a url", "localhost", "mixed case"]
+
+
+def test_dedup_by_url_keeps_min_id(spark):
+    rows = [
+        (3, "http://example.com/a?utm_source=x"),
+        (1, "example.com/a"),
+        (2, "http://example.com/b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dedup_by_url(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2]
+    (row,) = out.filter("doc_id = 1").collect()
+    assert row["canonical_url"] == "http://example.com/a"
