@@ -60,8 +60,22 @@ def curate_increment(
     bands: int = 8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     shingle_mode: str = "word",
+    span_store: DataFrame | None = None,
+    span_dedup_tokens: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Returns ``{"kept", "exact_delta", "minhash_delta"}``.
+    """Returns ``{"kept", "exact_delta", "minhash_delta"}`` (plus
+    ``"span_delta"`` when the span stage is on).
+
+    ``span_dedup_tokens`` (with ``span_store``, the accumulated window
+    digest index) runs incremental duplicate-SPAN removal FIRST, on the
+    RAW arrivals — the batch pipeline's stage order: token coordinates
+    must pre-date the scrub's whitespace normalization, and a span cut
+    against stored history must happen before digests/sketches are
+    taken, or a doc differing from a stored one only by an
+    already-seen boilerplate run would evade the exact filter.
+    ``span_delta`` carries digests of the SURVIVORS' span-cleaned RAW
+    text only (the store's comparison axis), anti-joined against the
+    store — same survivors-only contract as the other deltas.
 
     ``kept``: (id, source, text, n_words) — the new docs that survive
     exact dedup vs the store, VERIFIED near-dup dedup vs the store and
@@ -74,6 +88,29 @@ def curate_increment(
     survivors; append them (or feed streaming/dedup.compact_store) so
     tomorrow's increment sees today's corpus.
     """
+    span_cleaned = None
+    if span_dedup_tokens is not None:
+        if span_store is None:
+            raise ValueError("span_dedup_tokens requires span_store")
+        from ..operators.spandedup import incremental_remove_duplicate_spans
+
+        sp = incremental_remove_duplicate_spans(
+            new_docs, span_store, id_col, text_col,
+            span_tokens=span_dedup_tokens,
+        )
+        # (id, text) with duplicate runs cut — the RAW-axis text both
+        # the downstream stages and the span store delta consume
+        span_cleaned = sp["cleaned"].select("id", "text")
+        new_docs = span_cleaned.join(
+            new_docs.select(
+                F.col(id_col).alias("id"), F.col(source_col)
+            ),
+            "id",
+        ).select(
+            F.col("id").alias(id_col),
+            F.col("text").alias(text_col),
+            F.col(source_col),
+        )
     cleaned = new_docs.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
@@ -157,8 +194,16 @@ def curate_increment(
     ).persist()
     kept_ids = kept.select("id")
     kept._curation_persisted = [scrubbed, kept]
-    return {
+    out = {
         "kept": kept,
         "exact_delta": exact_signature_store(kept, "id", "text"),
         "minhash_delta": new_banded.join(kept_ids, "id", "left_semi"),
     }
+    if span_cleaned is not None:
+        from ..operators.spandedup import span_digest_store
+
+        out["span_delta"] = span_digest_store(
+            span_cleaned.join(kept_ids, "id", "left_semi"),
+            "id", "text", span_dedup_tokens,
+        ).join(span_store, "key", "left_anti")
+    return out

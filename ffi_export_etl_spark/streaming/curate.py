@@ -42,6 +42,7 @@ def streaming_curate(
     source_col: str = "source",
     max_files_per_trigger: int = 1,
     on_existing_store: str = "replay",
+    span_store_path: str | None = None,
     **curate_kw,
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow
@@ -55,22 +56,33 @@ def streaming_curate(
     re-delivery; "continue" offsets batch ids past the stores so prior
     sessions' corpus stays stored and re-arrivals dedup away. Reusing
     the SAME checkpoint continues correctly with no flag.
+
+    ``span_store_path`` (with ``span_dedup_tokens`` in ``curate_kw``)
+    adds the incremental duplicate-SPAN stage: each batch's text is cut
+    against the accumulated window-digest store FIRST (raw text, the
+    batch pipeline's stage order) and the survivors' span digests are
+    appended like the other store deltas.
     """
     schema = spark.read.parquet(source_dir).schema  # footer-only probe
     if on_existing_store not in ("replay", "continue"):
         raise ValueError("on_existing_store must be 'replay' or 'continue'")
+    span_tokens = curate_kw.get("span_dedup_tokens")
+    if (span_tokens is not None) != (span_store_path is not None):
+        raise ValueError(
+            "span_dedup_tokens (curate_kw) and span_store_path go together"
+        )
+    roots = [kept_path, exact_store_path, minhash_store_path]
+    names = ["kept", "exact", "minhash"]
+    if span_store_path is not None:
+        roots.append(span_store_path)
+        names.append("span")
     if on_existing_store == "continue":
         bases = {
-            kept_path: _session_base(spark, checkpoint, "kept", kept_path),
-            exact_store_path: _session_base(
-                spark, checkpoint, "exact", exact_store_path
-            ),
-            minhash_store_path: _session_base(
-                spark, checkpoint, "minhash", minhash_store_path
-            ),
+            root: _session_base(spark, checkpoint, name, root)
+            for name, root in zip(names, roots)
         }
     else:
-        bases = {kept_path: 0, exact_store_path: 0, minhash_store_path: 0}
+        bases = {root: 0 for root in roots}
 
     def _process(batch, batch_id: int) -> None:
         bs = batch.sparkSession
@@ -81,6 +93,17 @@ def streaming_curate(
             shingle_mode=curate_kw.get("shingle_mode", "word"),
             n=curate_kw.get("n"),
         )
+        span_kw = {}
+        if span_store_path is not None:
+            from ..operators.spandedup import span_digest_store
+
+            span_like = span_digest_store(
+                batch, id_col, text_col, span_tokens
+            )
+            span_kw["span_store"] = _read_store(
+                bs, span_store_path, span_like,
+                before_batch=bases[span_store_path] + batch_id,
+            )
         out = curate_increment(
             batch,
             _read_store(bs, exact_store_path, exact_like,
@@ -90,14 +113,18 @@ def streaming_curate(
             id_col=id_col,
             text_col=text_col,
             source_col=source_col,
+            **span_kw,
             **curate_kw,
         )
+        sinks = [
+            (out["kept"], kept_path),
+            (out["exact_delta"], exact_store_path),
+            (out["minhash_delta"], minhash_store_path),
+        ]
+        if span_store_path is not None:
+            sinks.append((out["span_delta"], span_store_path))
         try:
-            for frame, root in (
-                (out["kept"], kept_path),
-                (out["exact_delta"], exact_store_path),
-                (out["minhash_delta"], minhash_store_path),
-            ):
+            for frame, root in sinks:
                 frame.write.mode("overwrite").parquet(
                     os.path.join(root, f"batch_id={bases[root] + batch_id}")
                 )

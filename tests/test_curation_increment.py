@@ -115,3 +115,72 @@ def test_verified_pairs_kill_bucket_false_positives(spark):
     )
     rows = incremental_verified_pairs(new, stored_dup).collect()
     assert len(rows) == 1 and rows[0]["est_jaccard_pct"] == 100.0
+
+
+def test_curate_increment_span_stage(spark):
+    """Span stage in the composed increment: a day-2 arrival whose text
+    embeds an already-stored boilerplate run is CUT (not dropped), the
+    cut text flows through the exact/near-dup/quality stages, and the
+    span delta carries only the SURVIVORS' cleaned-text digests."""
+    from ffi_export_etl_spark.operators.exactdedup import (
+        exact_signature_store,
+    )
+    from ffi_export_etl_spark.operators.minhash import (
+        minhash_signature_store_with_sigs,
+    )
+    from ffi_export_etl_spark.operators.spandedup import span_digest_store
+    from ffi_export_etl_spark.operators.textproc import (
+        normalize_whitespace,
+        scrub_text,
+    )
+    from ffi_export_etl_spark.plans.curation_increment import (
+        curate_increment,
+    )
+    from pyspark.sql import functions as F
+
+    L = 5
+    boiler = " ".join(f"b{i}" for i in range(L))
+    day1 = spark.createDataFrame(
+        [(1, f"{' '.join(f'd{i}' for i in range(30))} {boiler}", "web")],
+        "doc_id long, text string, source string",
+    )
+    cleaned1 = day1.select(
+        F.col("doc_id").alias("id"), "source",
+        normalize_whitespace(scrub_text("text")).alias("text"),
+    )
+    exact_store = exact_signature_store(cleaned1, "id", "text")
+    mh_store = minhash_signature_store_with_sigs(cleaned1, "id", "text")
+    # span store holds RAW-axis windows of the day-1 corpus
+    span_store = span_digest_store(day1, span_tokens=L).persist()
+
+    fresh = " ".join(f"n{i}" for i in range(30))
+    day2 = spark.createDataFrame(
+        [
+            (10, f"{fresh} {boiler}", "web"),  # boiler run must be cut
+            (11, " ".join(f"q{i}" for i in range(3)), "web"),  # too short
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate_increment(
+        day2, exact_store, mh_store,
+        min_words=10, span_store=span_store, span_dedup_tokens=L,
+    )
+    kept = {r["id"]: r["text"] for r in out["kept"].collect()}
+    assert set(kept) == {10}
+    assert "b0" not in kept[10] and kept[10].startswith("n0 ")
+
+    # delta digests = windows of doc 10's CLEANED text only (doc 11 was
+    # rejected by quality): none already stored, none from raw text
+    delta_keys = {r["key"] for r in out["span_delta"].collect()}
+    expect = {
+        r["key"]
+        for r in span_digest_store(
+            spark.createDataFrame([(10, fresh)], "doc_id long, text string"),
+            span_tokens=L,
+        ).collect()
+    }
+    assert delta_keys == expect
+    assert out["span_delta"].join(span_store, "key", "left_semi").count() == 0
+    for cached in out["kept"]._curation_persisted:
+        cached.unpersist()
+    span_store.unpersist()

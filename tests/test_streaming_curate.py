@@ -125,3 +125,65 @@ def test_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(kept).collect()
     )
     assert first == second
+
+
+def test_streaming_curate_span_store(spark, tmp_path):
+    """Continuous curation with the span store wired in: a wave-2 doc
+    embedding a wave-1 boilerplate run keeps its fresh text with the
+    run CUT (span stage) rather than surviving verbatim, and the span
+    store accumulates the survivors' window digests per batch."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.spandedup import span_digest_store
+
+    L = 5
+    boiler = " ".join(f"sb{i}" for i in range(L))
+    w1_text = f"{' '.join(f'w1t{i}' for i in range(20))} {boiler}"
+    w2_fresh = " ".join(f"w2t{i}" for i in range(20))
+    waves = [
+        [(1, w1_text, "web")],
+        [(2, f"{w2_fresh} {boiler}", "web")],
+    ]
+    src = str(tmp_path / "src_span")
+    _os.makedirs(src, exist_ok=True)
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(_os.path.join(src, f"wave{i}"))
+    kept_path = str(tmp_path / "kept_span")
+    span_path = str(tmp_path / "spanstore")
+    streaming_curate(
+        spark,
+        source_dir=_os.path.join(src, "wave*"),
+        kept_path=kept_path,
+        exact_store_path=str(tmp_path / "exact_span"),
+        minhash_store_path=str(tmp_path / "mh_span"),
+        checkpoint=str(tmp_path / "ckpt_span"),
+        span_store_path=span_path,
+        min_words=5,
+        jaccard_threshold_pct=50,
+        span_dedup_tokens=L,
+    )
+    kept = {
+        r["id"]: r["text"]
+        for r in spark.read.parquet(kept_path).collect()
+    }
+    assert set(kept) == {1, 2}
+    assert "sb0" in kept[1]            # wave-1 keeper holds the run
+    assert "sb0" not in kept[2]        # wave-2 copy cut, doc survives
+    assert kept[2].startswith("w2t0 ")
+
+    # the store holds wave-1's windows plus wave-2's CLEANED windows
+    store = spark.read.parquet(span_path)
+    want = {
+        r["key"]
+        for r in span_digest_store(
+            spark.createDataFrame(
+                [(1, w1_text), (2, w2_fresh)], "doc_id long, text string"
+            ),
+            span_tokens=L,
+        ).collect()
+    }
+    assert {r["key"] for r in store.collect()} == want
