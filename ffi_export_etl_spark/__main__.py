@@ -60,6 +60,79 @@ def build_db_url(section) -> str:
                     int(port) if port else None)
 
 
+def curate_stream_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark curate-stream``: the continuous
+    (daily-increment) shape — drain a drop directory of parquet doc
+    files through streaming_curate against persisted signature stores.
+    Each run is an availableNow drain (cron-able); reusing the same
+    --checkpoint continues where the last run stopped. Prints one JSON
+    line of counts."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark curate-stream",
+        description="Continuously curate newly-arrived parquet document "
+                    "files against persisted exact/minhash (and "
+                    "optionally span) signature stores.",
+    )
+    ap.add_argument("--source-dir", required=True,
+                    help="parquet doc files / glob to drain")
+    ap.add_argument("--kept", required=True,
+                    help="curated output root (batch_id=N dirs)")
+    ap.add_argument("--exact-store", required=True)
+    ap.add_argument("--minhash-store", required=True)
+    ap.add_argument("--span-store", default=None,
+                    help="window-digest store root (requires "
+                         "--span-dedup-tokens)")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--jaccard-threshold-pct", type=int, default=20)
+    ap.add_argument("--shingle-mode", choices=("word", "char"),
+                    default="word")
+    ap.add_argument("--span-dedup-tokens", type=int, default=None)
+    ap.add_argument("--max-files-per-trigger", type=int, default=1)
+    ap.add_argument("--on-existing-store", choices=("replay", "continue"),
+                    default="replay")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark, tune
+    from .streaming.curate import streaming_curate
+
+    spark = tune(get_spark(app_name="ffi-etl-curate-stream"))
+    spark.sparkContext.setLogLevel("ERROR")
+    kw = {}
+    if args.span_dedup_tokens is not None:
+        kw["span_dedup_tokens"] = args.span_dedup_tokens
+    streaming_curate(
+        spark,
+        source_dir=args.source_dir,
+        kept_path=args.kept,
+        exact_store_path=args.exact_store,
+        minhash_store_path=args.minhash_store,
+        checkpoint=args.checkpoint,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        source_col=args.source_col,
+        max_files_per_trigger=args.max_files_per_trigger,
+        on_existing_store=args.on_existing_store,
+        span_store_path=args.span_store,
+        min_words=args.min_words,
+        jaccard_threshold_pct=args.jaccard_threshold_pct,
+        shingle_mode=args.shingle_mode,
+        **kw,
+    )
+    out = {
+        "kept_rows": spark.read.parquet(args.kept).count(),
+        "exact_store_rows": spark.read.parquet(args.exact_store).count(),
+        "minhash_store_rows": spark.read.parquet(args.minhash_store).count(),
+    }
+    if args.span_store is not None:
+        out["span_store_rows"] = spark.read.parquet(args.span_store).count()
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def curate_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark curate``: parquet corpus ->
     curate_documents (scrub -> near-dup keeper -> quality -> packing,
@@ -193,6 +266,8 @@ def main(argv: list[str] | None = None) -> int:
         argv = sys.argv[1:]
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
+    if argv and argv[0] == "curate-stream":
+        return curate_stream_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="python -m ffi_export_etl_spark",
         description="FFI export ETL: XML exports -> transformed tables -> "

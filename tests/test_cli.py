@@ -151,3 +151,50 @@ def test_cli_curate_quality_threshold_flags(spark, tmp_path, capsys):
     assert rc == 0
     lm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert lm["docs_out"] == 8  # gibberish dropped by the LM cut
+
+
+def test_cli_curate_stream_subcommand(spark, tmp_path, capsys):
+    """curate-stream subcommand: two waves drained through the
+    incremental pipeline with all four stores; the cross-wave exact dup
+    drops and the shared run is span-cut from the wave-2 survivor."""
+    import os
+
+    base = " ".join(f"cs{i}" for i in range(25))
+    boiler = "alpha beta gamma delta"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, f"{base} {boiler}", "web")],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(os.path.join(src, "w1"))
+    spark.createDataFrame(
+        [
+            (2, f"{' '.join(f'fresh{i}' for i in range(25))} {boiler}", "web"),
+            (3, f"{base} {boiler}", "web"),  # exact dup of doc 1
+        ],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate-stream",
+        "--source-dir", os.path.join(src, "w*"),
+        "--kept", str(tmp_path / "kept"),
+        "--exact-store", str(tmp_path / "ex"),
+        "--minhash-store", str(tmp_path / "mh"),
+        "--span-store", str(tmp_path / "sp"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--min-words", "5", "--jaccard-threshold-pct", "50",
+        "--span-dedup-tokens", "4",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["kept_rows"] == 2 and report["exact_store_rows"] == 2
+    assert report["span_store_rows"] > 0
+    kept = {
+        r["id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    }
+    assert set(kept) == {1, 2}
+    assert "alpha" in kept[1] and "alpha" not in kept[2]
