@@ -163,6 +163,9 @@ def curate_main(argv: list[str]) -> int:
                     help="cut duplicate cross-document token runs of "
                          ">= N tokens down to their first occurrence")
     ap.add_argument("--url-col", default=None)
+    ap.add_argument("--dedup-urls", action="store_true",
+                    help="collapse recrawl/tracking-variant URLs to one "
+                         "doc per canonical URL (requires --url-col)")
     ap.add_argument("--block-domain", action="append", default=None,
                     help="domain to drop (repeatable; requires --url-col)")
     ap.add_argument("--compression-ratio-bounds", type=float, nargs=2,
@@ -235,6 +238,7 @@ def curate_main(argv: list[str]) -> int:
         span_dedup_tokens=args.span_dedup_tokens,
         url_col=args.url_col,
         domain_blocklist=args.block_domain,
+        dedup_urls=args.dedup_urls,
         max_dup_line_frac=args.max_dup_line_frac,
         compression_ratio_bounds=(tuple(args.compression_ratio_bounds)
                                   if args.compression_ratio_bounds

@@ -65,6 +65,7 @@ def curate_documents(
     span_dedup_tokens: int | None = None,
     url_col: str | None = None,
     domain_blocklist: list[str] | None = None,
+    dedup_urls: bool = False,
     benchmark: DataFrame | None = None,
     benchmark_id_col: str = "bench_id",
     decon_n: int = 8,
@@ -113,6 +114,17 @@ def curate_documents(
     session. At 100 TB prefer writing the mixture output to a staging
     table instead — pass False and checkpoint externally."""
     cur = docs
+    if dedup_urls:
+        # collapse recrawls / tracking-parameter variants at URL grain
+        # BEFORE any text work — one canonical-key aggregation vs the
+        # much more expensive content-dedup stages downstream
+        if url_col is None:
+            raise ValueError("dedup_urls requires url_col")
+        from ..operators.urls import dedup_by_url
+
+        cur = dedup_by_url(cur, url_col=url_col, id_col=id_col).drop(
+            "canonical_url"
+        )
     if domain_blocklist is not None:
         if url_col is None:
             raise ValueError("domain_blocklist requires url_col")

@@ -66,3 +66,32 @@ def test_dedup_by_url_keeps_min_id(spark):
     assert ids == [1, 2]
     (row,) = out.filter("doc_id = 1").collect()
     assert row["canonical_url"] == "http://example.com/a"
+
+
+def test_dedup_urls_composes_in_curation(spark):
+    """--dedup-urls path: two docs that are the same resource modulo
+    tracking params collapse to the min-id copy BEFORE content dedup;
+    distinct resources survive."""
+    from ffi_export_etl_spark.plans.curation import (
+        curate_documents,
+        release_curation_caches,
+    )
+
+    text_a = " ".join(f"a{i}" for i in range(30))
+    text_b = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (1, "http://example.com/a?utm_source=x", "web", text_a),
+        (2, "example.com/a", "web", text_a + " tail"),
+        (3, "http://example.com/b", "web", text_b),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, source string, text string"
+    )
+    out = curate_documents(
+        docs, min_words=5, url_col="url", dedup_urls=True
+    )
+    try:
+        ids = {r["id"] for r in out.collect()}
+    finally:
+        release_curation_caches(out)
+    assert ids == {1, 3}
