@@ -141,13 +141,19 @@ def main() -> None:
     print(f"# dedup_jaccard_pairs: {jac_sec:.3f}s ({n_jac} rows)",
           file=sys.stderr)
 
-    # cur_pack gained the incremental-curation and BPE arms in r5 —
-    # tracked non-headline so the heavier pack's cost is visible
-    # round-over-round without disturbing the headline total.
+    # cur_pack gained the incremental-curation and BPE arms in r5, and
+    # text_langfp_pack the span-dedup arm — both tracked non-headline
+    # so the heavier packs' costs are visible round-over-round without
+    # disturbing the headline total.
     t0 = time.perf_counter()
     n_cp = queries["cur_pack"](spark, sf_dir).count()
     cur_pack_sec = round(time.perf_counter() - t0, 3)
     print(f"# cur_pack: {cur_pack_sec:.3f}s ({n_cp} rows)",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    n_lf = queries["text_langfp_pack"](spark, sf_dir).count()
+    langfp_sec = round(time.perf_counter() - t0, 3)
+    print(f"# text_langfp_pack: {langfp_sec:.3f}s ({n_lf} rows)",
           file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -166,6 +172,7 @@ def main() -> None:
     out["text_bm25_topk"] = bm25_sec
     out["dedup_jaccard_pairs"] = jac_sec
     out["cur_pack"] = cur_pack_sec
+    out["text_langfp_pack"] = langfp_sec
     out["loadavg_1m"] = loadavg
     print(json.dumps(out))
     spark.stop()

@@ -70,9 +70,9 @@ def reduce_embeddings(
 
     The projection is a JVM higher-order fold per component — the
     component vectors are literals baked into the plan (k x dim
-    doubles, kilobytes for real embedding sizes), so the transform
-    stays inside whole-stage codegen: no UDF, no join, no broadcast
-    table."""
+    doubles, kilobytes for real embedding sizes), so the transform is a
+    single JVM projection over the scan (plan-audited): no UDF, no
+    join, no broadcast table, no Python anywhere in the row path."""
     if components is None:
         components = fit_pca(df, vec_col, k)
     x = F.col(vec_col).cast("array<double>")
