@@ -95,15 +95,23 @@ def curate_stream_main(argv: list[str]) -> int:
     ap.add_argument("--on-existing-store", choices=("replay", "continue"),
                     default="replay")
     args = ap.parse_args(argv)
+    if (args.span_store is None) != (args.span_dedup_tokens is None):
+        ap.error("--span-store and --span-dedup-tokens go together")
 
     from .session import get_spark, tune
     from .streaming.curate import streaming_curate
 
     spark = tune(get_spark(app_name="ffi-etl-curate-stream"))
     spark.sparkContext.setLogLevel("ERROR")
-    kw = {}
-    if args.span_dedup_tokens is not None:
-        kw["span_dedup_tokens"] = args.span_dedup_tokens
+    # cron-able daemon contract: an empty drop dir (first tick before
+    # any drop lands, or a glob matching nothing) is a clean zero-work
+    # drain, not a schema-inference traceback
+    try:
+        spark.read.parquet(args.source_dir).schema
+    except Exception:
+        print(json.dumps({"kept_rows": 0, "note": "no input files",
+                          "source_dir": args.source_dir}, sort_keys=True))
+        return 0
     streaming_curate(
         spark,
         source_dir=args.source_dir,
@@ -120,7 +128,7 @@ def curate_stream_main(argv: list[str]) -> int:
         min_words=args.min_words,
         jaccard_threshold_pct=args.jaccard_threshold_pct,
         shingle_mode=args.shingle_mode,
-        **kw,
+        span_dedup_tokens=args.span_dedup_tokens,
     )
     out = {
         "kept_rows": spark.read.parquet(args.kept).count(),

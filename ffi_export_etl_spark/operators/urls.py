@@ -15,15 +15,24 @@ engine's uniform keeper rule).
 Reference parity note: the reference engine has no web/URL surface
 (extension family — complements textproc.filter_blocked_domains).
 
-Canonical form (the common normalization set):
-  - scheme and host lowercased; ``www.`` prefix dropped (optional)
+Canonical form (the common normalization set — this is a DEDUP key,
+not a fetchable address):
+  - ``http`` and ``https`` fold together (an http->https site
+    migration is the most common recrawl variant); other schemes stay
+    distinct; scheme-less and protocol-relative (``//host/p``) inputs
+    parse as web URLs
+  - host lowercased; ``www.`` prefix dropped (optional)
   - userinfo stripped; default ports (http:80, https:443) stripped
   - fragment stripped
-  - tracking query parameters removed (``utm_*``, gclid, fbclid,
-    ref, ...), remaining parameters SORTED for order-insensitivity
+  - tracking query parameters removed case-insensitively (``utm_*``,
+    gclid, fbclid, ref, ...), remaining parameters SORTED for
+    order-insensitivity
   - trailing ``/`` trimmed (so ``/a/`` == ``/a``; bare host keeps none)
-Non-URL strings (no ``host.tld`` shape) pass through trimmed+lowercased
-so the operator is total.
+Non-URL strings (no ``host.tld`` shape, including NULL/empty) pass
+through trimmed+lowercased so the expression is total — and
+``dedup_by_url`` NEVER groups them: only rows whose value parses as a
+real URL participate in the collapse (a mixed corpus where non-web
+docs carry url=NULL must not lose that slice to one arbitrary keeper).
 """
 
 from __future__ import annotations
@@ -48,10 +57,20 @@ _URL_RE = (
 )
 
 
+def _is_url(col: Column | str) -> Column:
+    """True when the value parses as a real URL (dotted host)."""
+    c = F.regexp_replace(
+        F.trim(F.col(col) if isinstance(col, str) else col), r"^//", ""
+    )
+    return F.lower(F.regexp_extract(c, _URL_RE, 2)).rlike(r"^[^.]+\.[^.]+")
+
+
 def canonicalize_url(col: Column | str, strip_www: bool = True) -> Column:
     """Canonical URL string as a pure Column expression (see module
     docstring for the normalization set)."""
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    raw = F.trim(F.col(col) if isinstance(col, str) else col)
+    # protocol-relative '//host/p' is a web URL with the scheme elided
+    c = F.regexp_replace(raw, r"^//", "")
     scheme = F.lower(F.regexp_extract(c, _URL_RE, 1))
     scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
     host = F.lower(F.regexp_extract(c, _URL_RE, 2))
@@ -64,13 +83,18 @@ def canonicalize_url(col: Column | str, strip_www: bool = True) -> Column:
         | ((scheme == "https") & (port == "443")),
         F.lit(""),
     ).otherwise(F.concat(F.lit(":"), port))
+    # DEDUP key: http and https variants of a page are the same page
+    # (the docstring's motivating recrawl case); other schemes distinct
+    scheme = F.when(scheme == "https", F.lit("http")).otherwise(scheme)
     path = F.regexp_extract(c, _URL_RE, 4)
     path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(c, _URL_RE, 5)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            # tracking-param names match case-insensitively (UTM_Source
+            # and utm_source are the same tracker)
+            lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
         )
     )
     qtail = F.when(
@@ -83,7 +107,7 @@ def canonicalize_url(col: Column | str, strip_www: bool = True) -> Column:
     return F.when(
         host.rlike(r"^[^.]+\.[^.]+"),
         F.concat(scheme, F.lit("://"), host, port, path, qtail),
-    ).otherwise(F.lower(c))
+    ).otherwise(F.lower(raw))
 
 
 def dedup_by_url(
@@ -95,13 +119,22 @@ def dedup_by_url(
     """Keep one document per canonical URL — the min-id occurrence (the
     engine's uniform keeper rule). One codegen'd projection + one
     hash aggregation on the canonical key; schema-preserving plus a
-    ``canonical_url`` column on the survivors."""
+    ``canonical_url`` column on the survivors.
+
+    Only rows whose value PARSES as a URL participate in the collapse:
+    NULL / empty / free-text values pass through untouched — grouping
+    them would silently drop every non-web doc but one (they all share
+    a canonical key like NULL or '')."""
     keyed = docs.withColumn(
         "canonical_url", canonicalize_url(url_col, strip_www)
     )
+    urlish = F.col(url_col).isNotNull() & _is_url(url_col)
     keepers = (
-        keyed.groupBy("canonical_url")
+        keyed.filter(urlish)
+        .groupBy("canonical_url")
         .agg(F.min(F.col(id_col)).alias(id_col))
         .select(id_col)
     )
-    return keyed.join(keepers, id_col, "left_semi")
+    return keyed.filter(~urlish | F.col(url_col).isNull()).unionByName(
+        keyed.filter(urlish).join(keepers, id_col, "left_semi")
+    )

@@ -99,8 +99,14 @@ def curate_increment(
             span_tokens=span_dedup_tokens,
         )
         # (id, text) with duplicate runs cut — the RAW-axis text both
-        # the downstream stages and the span store delta consume
-        span_cleaned = sp["cleaned"].select("id", "text")
+        # the downstream stages and the span store delta consume.
+        # Materialized: left live, the corpus-sized span-store semi-join
+        # and the within-batch keeper aggregation would re-run when the
+        # span_delta sink executes (the recorded live-plan-as-store
+        # gotcha); the cleaned batch is arrival-sized.
+        span_cleaned = (
+            sp["cleaned"].select("id", "text").localCheckpoint()
+        )
         new_docs = span_cleaned.join(
             new_docs.select(
                 F.col(id_col).alias("id"), F.col(source_col)

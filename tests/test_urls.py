@@ -21,6 +21,9 @@ def test_equivalent_variants_collapse(spark):
             "example.com/a?b=2&a=1",
             "http://example.com/a/?a=1&b=2&gclid=123",
             "http://user@example.com/a?a=1&b=2",
+            "https://example.com/a?a=1&b=2",   # https folds with http
+            "//example.com/a?a=1&b=2",         # protocol-relative
+            "http://example.com/a?a=1&b=2&UTM_Source=x",  # case-insens
         ],
         [
             "https://News.Site.org:443/path/sub/",
@@ -95,3 +98,17 @@ def test_dedup_urls_composes_in_curation(spark):
     finally:
         release_curation_caches(out)
     assert ids == {1, 3}
+
+
+def test_null_empty_and_freetext_never_collapse(spark):
+    """The silent-data-loss guard: docs whose url is NULL, empty, or
+    free text must ALL survive dedup_by_url — only rows that parse as
+    real URLs participate in the collapse."""
+    rows = [
+        (1, None), (2, None), (3, ""), (4, ""),
+        (5, "not a url"), (6, "not a url"),
+        (7, "http://example.com/a"), (8, "example.com/a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    ids = sorted(r["doc_id"] for r in dedup_by_url(docs).collect())
+    assert ids == [1, 2, 3, 4, 5, 6, 7]  # only the URL pair collapsed
