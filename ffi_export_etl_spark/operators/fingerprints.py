@@ -1,0 +1,131 @@
+"""Winnowing document fingerprints — the rolling-hash fingerprinting
+scheme of Schleimer, Wilkerson & Aiken 2003 ("Winnowing: Local
+Algorithms for Document Fingerprinting", the MOSS algorithm): hash
+every token k-gram, slide a window of w consecutive k-gram hashes, and
+select each window's MINIMUM hash. The selected set is the document's
+fingerprint, with the guarantee the scheme exists for: any shared run
+of at least w + k - 1 tokens between two documents contributes at
+least one IDENTICAL selected fingerprint to both — so fingerprint
+overlap detects local copying with a density of only ~2/(w+1) of the
+k-grams, where the exact span table (operators/spandedup.py) must
+carry every window.
+
+This is the sparse complement of the span family: spandedup locates
+and CUTS every duplicated occurrence (token-exact coordinates, full
+window table); winnowing REPORTS likely local-copy pairs at a fraction
+of the index size — the screening pass a plagiarism/copy scan runs at
+corpus scale before exact verification.
+
+Scale shape: fingerprint selection is entirely per-document (one
+narrow projection over the scan — JVM array ops, no shuffle); the
+overlap report is one explode of the selected fingerprints (sparse by
+construction) + one hash-partitioned aggregation with the same
+bucket-cap discipline as the LSH candidate paths. Hashes come from the
+engine's portable md5 family, so the DuckDB oracle replays selection
+bit-identically (pinned by test).
+
+Ties inside a window select the RIGHTMOST minimal hash (robust
+winnowing's tie rule); since the output is the per-document DISTINCT
+hash set, the rule only matters for density, never correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.porthash import md5_long
+
+__all__ = ["winnow_fingerprints", "winnow_overlap_pairs"]
+
+DEFAULT_K = 5  # k-gram width (tokens)
+DEFAULT_W = 4  # winnowing window (k-gram hashes)
+DEFAULT_MAX_BUCKET = 200  # overlap-report bucket cap (LSH discipline)
+
+
+def _fingerprint_col(text: Column, k: int, w: int) -> Column:
+    """array<bigint> of selected (distinct, sorted) winnowing hashes
+    for one document's text."""
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    # k-gram hash sequence; empty when fewer than k tokens
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda s: md5_long(F.array_join(F.slice(toks, s, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # each window of w consecutive hashes contributes its minimum;
+    # windows shorter than w (doc with < w k-grams) winnow as one window
+    m = F.size(grams)
+    selected = F.when(
+        m > 0,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+                    lambda s: F.array_min(F.slice(grams, s, w)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return selected
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+) -> DataFrame:
+    """(id, fingerprints array<bigint>, n_fingerprints) per document —
+    the winnowed signature set, sorted distinct so it is a stable
+    engine-portable value. Documents shorter than k tokens get an
+    empty set."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        _fingerprint_col(F.col(text_col), k, w).alias("fingerprints"),
+    ).withColumn("n_fingerprints", F.size("fingerprints"))
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    min_shared: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) with id_a < id_b — document pairs sharing
+    at least ``min_shared`` selected fingerprints: the local-copy
+    screening report. By the winnowing guarantee, every pair sharing a
+    verbatim run of >= w + k - 1 tokens appears (with min_shared=1);
+    raise ``min_shared`` to trade recall on short overlaps for a
+    quieter report. ``max_bucket_size`` drops degenerate fingerprints
+    shared by more documents than that (boilerplate hubs) before the
+    quadratic pair expansion — the LSH bucket-cap discipline."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w).select(
+        "id", F.explode("fingerprints").alias("h")
+    )
+    if max_bucket_size is not None:
+        sizes = fp.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+        fp = fp.join(
+            sizes.filter(F.col("_n") <= max_bucket_size).select("h"), "h"
+        )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
