@@ -75,9 +75,14 @@ def read_wet(
             F.element_at("_hb", 1), r"(?m)^Content-Length:\s*(\d+)", 1
         ).cast("int").alias("content_length"),
         # body = everything after the first blank line; trailing record
-        # padding (the CRLFs that feed the next separator) trimmed
+        # padding (the CRLFs that feed the next separator) trimmed.
+        # \z, not \Z: Java's \Z matches BEFORE a final line terminator
+        # (and a bare \r counts), so (\r?\n)+\Z on a body ending in \r
+        # would strip newlines INSIDE the body (hypothesis-found:
+        # '\n\r' became '\r'); \z is the absolute end, matching
+        # Python's \Z semantics the tests normalize with
         F.regexp_replace(
-            F.coalesce(F.element_at("_hb", 2), F.lit("")), r"(\r?\n)+\Z", ""
+            F.coalesce(F.element_at("_hb", 2), F.lit("")), r"(\r?\n)+\z", ""
         ).alias("text"),
     )
     if keep_types:
