@@ -130,13 +130,24 @@ def curate_stream_main(argv: list[str]) -> int:
         shingle_mode=args.shingle_mode,
         span_dedup_tokens=args.span_dedup_tokens,
     )
+    # a drain that processed ZERO batches (source files already consumed
+    # by the checkpoint) against fresh roots leaves no output dirs — a
+    # clean no-op run must print its JSON line, not an AnalysisException
+    def _rows(path: str) -> int:
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:
+            return 0
+
     out = {
-        "kept_rows": spark.read.parquet(args.kept).count(),
-        "exact_store_rows": spark.read.parquet(args.exact_store).count(),
-        "minhash_store_rows": spark.read.parquet(args.minhash_store).count(),
+        "kept_rows": _rows(args.kept),
+        "exact_store_rows": _rows(args.exact_store),
+        "minhash_store_rows": _rows(args.minhash_store),
     }
     if args.span_store is not None:
-        out["span_store_rows"] = spark.read.parquet(args.span_store).count()
+        out["span_store_rows"] = _rows(args.span_store)
+    if out["kept_rows"] == 0:
+        out["note"] = "no batches processed or empty kept corpus"
     print(json.dumps(out, sort_keys=True))
     return 0
 

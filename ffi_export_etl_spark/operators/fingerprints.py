@@ -106,26 +106,35 @@ def winnow_overlap_pairs(
     raise ``min_shared`` to trade recall on short overlaps for a
     quieter report. ``max_bucket_size`` drops degenerate fingerprints
     shared by more documents than that (boilerplate hubs) before the
-    quadratic pair expansion — the LSH bucket-cap discipline."""
+    quadratic pair expansion — the LSH bucket-cap discipline.
+
+    Plan shape: ONE shuffle on ``h`` (groupBy + collect_list — the
+    bucket size check and the pair expansion both happen inside the
+    grouped row, JVM array ops), then the pair-count aggregation. The
+    exploded self-join alternative shuffles the fingerprint table
+    twice on the same key; collecting the bucket halves that, and the
+    collected list is bounded by ``max_bucket_size``."""
     fp = winnow_fingerprints(docs, id_col, text_col, k, w).select(
         "id", F.explode("fingerprints").alias("h")
     )
+    buckets = fp.groupBy("h").agg(F.collect_list("id").alias("_ids"))
     if max_bucket_size is not None:
-        sizes = fp.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
-        fp = fp.join(
-            sizes.filter(F.col("_n") <= max_bucket_size).select("h"), "h"
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    # per-doc fingerprints are distinct, so a bucket never repeats an
+    # id: sorted in-bucket (i, j>i) expansion gives id_a < id_b strict
+    ids = F.array_sort("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-    a = fp.alias("a")
-    b = fp.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -30,9 +30,11 @@ fixed-width token windows:
   keeper occurrence per digest is the (min doc id, min pos) — computed
   in the same aggregation, no window function.
 - Non-keeper occurrences join back (one shuffle on the digest) and
-  collapse per document into the set of covered token indices — all
-  JVM higher-order array functions from there (flatten / array_distinct
-  / array_contains filter), no Python in the row path.
+  collapse per document into MERGED covered-token intervals; the
+  cleaned text is rebuilt by slicing the gaps between intervals — all
+  JVM higher-order array functions, no Python in the row path, and
+  linear in tokens + disjoint cut regions per document (a per-position
+  membership probe would be O(|cut| x |tokens|) on dup-dense docs).
 
 Cost: two shuffles (digest agg + digest join) both keyed on digests,
 linear in corpus token count; the quadratic regime exists only when the
@@ -53,6 +55,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "duplicate_spans",
     "remove_duplicate_spans",
+    "release_span_caches",
     "span_digest_store",
     "incremental_remove_duplicate_spans",
 ]
@@ -131,23 +134,132 @@ def duplicate_spans(
     default the corpus is tokenized and window-hashed twice per action.
     True persists the window table (corpus-token-sized) so the scan
     runs once — right when the corpus scan dominates (real 100 TB
-    runs); the caller owns the release, same contract as
-    minhash_near_duplicates' cache_shingles."""
+    runs); the caller owns the release via
+    ``release_span_caches(result)`` — the persisted handle rides on the
+    result as ``result._span_persisted`` (the curation
+    ``_curation_persisted`` pattern), so a long-lived session never
+    strands a corpus-token-sized cached plan."""
     w = _windows(docs, id_col, text_col, span_tokens)
     if cache_windows:
         w = w.persist()
-    return _non_keeper(w)
+    out = _non_keeper(w)
+    out._span_persisted = [w] if cache_windows else []
+    return out
 
 
-def _covered(positions: Column, span_tokens: int) -> Column:
-    """Token indices covered by spans starting at ``positions``."""
-    return F.array_distinct(
-        F.flatten(
-            F.transform(
-                positions,
-                lambda p: F.sequence(p, p + span_tokens - 1),
+def release_span_caches(result: DataFrame) -> None:
+    """Unpersist the window cache a ``cache_windows=True`` call attached
+    to its result (no-op for uncached results)."""
+    for df in getattr(result, "_span_persisted", []):
+        df.unpersist()
+
+
+def _merged_cut_intervals(starts: Column, span_tokens: int) -> Column:
+    """array<struct<lo:int,hi:int>> — the token ranges covered by spans
+    starting at ``starts``, sorted and merged (overlapping/adjacent
+    ranges fuse; the union of covered indices is unchanged). Size is
+    the number of DISJOINT cut regions — for the pathological
+    single-doc case (hundreds of repeats of one window) the contiguous
+    covers fuse into ONE interval, where a per-position set would hold
+    every covered index."""
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+
+    def step(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last["lo"].alias("lo"),
+                        F.greatest(
+                            last["hi"], p + span_tokens - 1
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.alias("lo"), (p + span_tokens - 1).alias("hi")
+                    )
+                ),
             )
         )
+
+    return F.aggregate(F.array_sort(starts), empty, step)
+
+
+def _kept_tokens(toks: Column, ivs: Column) -> Column:
+    """Tokens outside the merged cut intervals, rebuilt by slicing the
+    GAPS between intervals — linear in tokens + intervals. (The naive
+    per-token ``array_contains(cut, i)`` probe is O(|cut| x |tokens|)
+    per document: one doc of 500 repeats of one window would pay
+    ~10^7 comparisons where this pays one slice.)"""
+    k = F.size(ivs)
+    n = F.size(toks)
+
+    def gap(i: Column) -> Column:
+        lo = F.when(i == 1, F.lit(1)).otherwise(
+            F.element_at(ivs, i - 1)["hi"] + 1
+        )
+        hi = F.when(i <= k, F.element_at(ivs, i)["lo"] - 1).otherwise(n)
+        return F.slice(toks, lo, F.greatest(hi - lo + 1, F.lit(0)))
+
+    return F.flatten(F.transform(F.sequence(F.lit(1), k + 1), gap))
+
+
+def _n_covered(ivs: Column) -> Column:
+    """Total covered token count across disjoint merged intervals."""
+    return F.aggregate(
+        ivs, F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1
+    )
+
+
+def _rebuild_cleaned(
+    docs: DataFrame,
+    starts: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int,
+) -> DataFrame:
+    """(id, text, n_removed_tokens, n_dup_windows) from a table of
+    non-keeper span starts (id, pos) — the shared rebuild of the
+    one-shot and incremental paths."""
+    cut_tbl = (
+        starts.groupBy("id")
+        .agg(F.collect_list("pos").alias("_starts"))
+        .select(
+            "id",
+            _merged_cut_intervals(F.col("_starts"), span_tokens).alias(
+                "_ivs"
+            ),
+            F.size("_starts").alias("n_dup_windows"),
+        )
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        toks.alias("_toks"),
+    ).join(cut_tbl, "id", "left")
+    return base.select(
+        "id",
+        # no cuts -> the ORIGINAL text, whitespace untouched; only
+        # documents that actually lose a span are rejoined with single
+        # spaces (standalone callers keep their newlines)
+        F.when(F.col("_ivs").isNull(), F.col("_text"))
+        .otherwise(
+            F.array_join(_kept_tokens(F.col("_toks"), F.col("_ivs")), " ")
+        )
+        .alias("text"),
+        F.coalesce(_n_covered(F.col("_ivs")), F.lit(0)).alias(
+            "n_removed_tokens"
+        ),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
     )
 
 
@@ -160,38 +272,20 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """Schema: (id, text, n_removed_tokens, n_dup_windows). ``text`` has
     every duplicated-window occurrence (except the corpus-wide first)
-    cut out at token grain; remaining tokens rejoin with single spaces
-    (the engine's scrub normalizes whitespace the same way, so the
-    output composes with the curation chain). Documents with no
-    duplicated spans pass through with n_removed_tokens = 0.
+    cut out at token grain; documents that lose a span rejoin their
+    remaining tokens with single spaces (the engine's scrub normalizes
+    whitespace the same way, so the output composes with the curation
+    chain), while documents with NO duplicated spans pass through with
+    their original text byte-for-byte (n_removed_tokens = 0).
     ``cache_windows``: see duplicate_spans — pass True when the corpus
-    scan dominates so the window fan-out materializes once."""
-    dups = (
-        duplicate_spans(docs, id_col, text_col, span_tokens, cache_windows)
-        .groupBy("id")
-        .agg(F.collect_list("pos").alias("_starts"))
-        .select(
-            "id",
-            _covered(F.col("_starts"), span_tokens).alias("_cut"),
-            F.size("_starts").alias("n_dup_windows"),
-        )
+    scan dominates so the window fan-out materializes once; the
+    persisted handle rides on the result (release_span_caches)."""
+    dups = duplicate_spans(
+        docs, id_col, text_col, span_tokens, cache_windows
     )
-    toks = F.split(F.col(text_col), r"\s+")
-    base = docs.select(
-        F.col(id_col).alias("id"), toks.alias("_toks")
-    ).join(dups, "id", "left")
-    kept = F.filter(
-        F.col("_toks"),
-        lambda t, i: ~F.array_contains(F.col("_cut"), i + 1),
-    )
-    return base.select(
-        "id",
-        F.when(F.col("_cut").isNull(), F.array_join("_toks", " "))
-        .otherwise(F.array_join(kept, " "))
-        .alias("text"),
-        F.coalesce(F.size("_cut"), F.lit(0)).alias("n_removed_tokens"),
-        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-    )
+    out = _rebuild_cleaned(docs, dups, id_col, text_col, span_tokens)
+    out._span_persisted = getattr(dups, "_span_persisted", [])
+    return out
 
 
 def span_digest_store(
@@ -255,32 +349,9 @@ def incremental_remove_duplicate_spans(
     ).select("id", "pos")
     # within-batch duplicates follow the one-shot keeper rule
     within = _non_keeper(w).select("id", "pos")
-    cut_starts = (
-        vs_stored.unionByName(within)
-        .distinct()
-        .groupBy("id")
-        .agg(F.collect_list("pos").alias("_starts"))
-        .select(
-            "id",
-            _covered(F.col("_starts"), span_tokens).alias("_cut"),
-            F.size("_starts").alias("n_dup_windows"),
-        )
-    )
-    toks = F.split(F.col(text_col), r"\s+")
-    base = new_docs.select(
-        F.col(id_col).alias("id"), toks.alias("_toks")
-    ).join(cut_starts, "id", "left")
-    kept = F.filter(
-        F.col("_toks"),
-        lambda t, i: ~F.array_contains(F.col("_cut"), i + 1),
-    )
-    cleaned = base.select(
-        "id",
-        F.when(F.col("_cut").isNull(), F.array_join("_toks", " "))
-        .otherwise(F.array_join(kept, " "))
-        .alias("text"),
-        F.coalesce(F.size("_cut"), F.lit(0)).alias("n_removed_tokens"),
-        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+    starts = vs_stored.unionByName(within).distinct()
+    cleaned = _rebuild_cleaned(
+        new_docs, starts, id_col, text_col, span_tokens
     )
     return {
         "cleaned": cleaned,

@@ -25,7 +25,9 @@ not a fetchable address):
   - userinfo stripped; default ports (http:80, https:443) stripped
   - fragment stripped
   - tracking query parameters removed case-insensitively (``utm_*``,
-    gclid, fbclid, ref, ...), remaining parameters SORTED for
+    gclid, fbclid, msclkid, igshid, mc_*; deliberately NOT bare
+    ``ref``, which sites use as a real resource selector — widen per
+    call via ``tracking_param_re``), remaining parameters SORTED for
     order-insensitivity
   - trailing ``/`` trimmed (so ``/a/`` == ``/a``; bare host keeps none)
 Non-URL strings (no ``host.tld`` shape, including NULL/empty) pass
@@ -42,15 +44,23 @@ from pyspark.sql import functions as F
 
 __all__ = ["canonicalize_url", "dedup_by_url", "TRACKING_PARAM_RE"]
 
-# parameter names that identify a tracking variant, not a resource
+# parameter names that identify a tracking variant, not a resource.
+# Deliberately ONLY the unambiguous trackers: bare `ref` (and friends)
+# double as genuine resource selectors on many sites (?ref=<branch>),
+# and stripping one would collapse distinct pages — callers with a
+# known-tracker site can pass a wider pattern per call.
 TRACKING_PARAM_RE = (
-    r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src|igshid|mc_cid|mc_eid)="
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid)="
 )
 
 _URL_RE = (
     r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?"  # 1 scheme
     r"(?:[^@/?#]*@)?"                        # userinfo (dropped)
-    r"([^/:?#]+)"                            # 2 host
+    # host: label charset only (alnum, dots, hyphens; alnum at the
+    # edges) — NOT a lazy "anything up to the delimiter": free text
+    # with a dot ('Mr. Smith goes to Washington') must not parse as a
+    # host or dedup_by_url would collapse unrelated documents
+    r"([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"  # 2 host
     r"(?::([0-9]+))?"                        # 3 port
     r"([/][^?#]*)?"                          # 4 path
     r"(?:\?([^#]*))?"                        # 5 query
@@ -58,16 +68,29 @@ _URL_RE = (
 
 
 def _is_url(col: Column | str) -> Column:
-    """True when the value parses as a real URL (dotted host)."""
+    """True when the value parses as a real URL: dotted label-charset
+    host, no whitespace anywhere, and no opaque (non-``//``) scheme —
+    ``mailto:user@host.com`` is an address, not a web page, and must
+    never enter the dedup collapse."""
     c = F.regexp_replace(
         F.trim(F.col(col) if isinstance(col, str) else col), r"^//", ""
     )
-    return F.lower(F.regexp_extract(c, _URL_RE, 2)).rlike(r"^[^.]+\.[^.]+")
+    return (
+        F.lower(F.regexp_extract(c, _URL_RE, 2)).rlike(r"^[^.]+\.[^.]+")
+        & ~c.rlike(r"\s")
+        & ~c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(?!//)")
+    )
 
 
-def canonicalize_url(col: Column | str, strip_www: bool = True) -> Column:
+def canonicalize_url(
+    col: Column | str,
+    strip_www: bool = True,
+    tracking_param_re: str = TRACKING_PARAM_RE,
+) -> Column:
     """Canonical URL string as a pure Column expression (see module
-    docstring for the normalization set)."""
+    docstring for the normalization set). ``tracking_param_re`` is the
+    case-insensitive anchored pattern of query-parameter prefixes to
+    strip — override it per corpus when a site's trackers are known."""
     raw = F.trim(F.col(col) if isinstance(col, str) else col)
     # protocol-relative '//host/p' is a web URL with the scheme elided
     c = F.regexp_replace(raw, r"^//", "")
@@ -94,18 +117,21 @@ def canonicalize_url(col: Column | str, strip_www: bool = True) -> Column:
             F.split(query, "&"),
             # tracking-param names match case-insensitively (UTM_Source
             # and utm_source are the same tracker)
-            lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+            lambda p: (p != "") & ~F.lower(p).rlike(tracking_param_re),
         )
     )
     qtail = F.when(
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    # a host must look like host.tld to count as a URL; otherwise the
-    # input is free text — return it trimmed+lowercased so the
-    # expression is total (mirrors extract_domain's '' convention)
+    # same URL-ness test as _is_url (dotted label host, no whitespace,
+    # no opaque scheme); otherwise the input is free text — return it
+    # trimmed+lowercased so the expression is total (mirrors
+    # extract_domain's '' convention)
     return F.when(
-        host.rlike(r"^[^.]+\.[^.]+"),
+        host.rlike(r"^[^.]+\.[^.]+")
+        & ~c.rlike(r"\s")
+        & ~c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(?!//)"),
         F.concat(scheme, F.lit("://"), host, port, path, qtail),
     ).otherwise(F.lower(raw))
 
@@ -115,6 +141,7 @@ def dedup_by_url(
     url_col: str = "url",
     id_col: str = "doc_id",
     strip_www: bool = True,
+    tracking_param_re: str = TRACKING_PARAM_RE,
 ) -> DataFrame:
     """Keep one document per canonical URL — the min-id occurrence (the
     engine's uniform keeper rule). One codegen'd projection + one
@@ -126,7 +153,8 @@ def dedup_by_url(
     them would silently drop every non-web doc but one (they all share
     a canonical key like NULL or '')."""
     keyed = docs.withColumn(
-        "canonical_url", canonicalize_url(url_col, strip_www)
+        "canonical_url",
+        canonicalize_url(url_col, strip_www, tracking_param_re),
     )
     urlish = F.col(url_col).isNotNull() & _is_url(url_col)
     keepers = (

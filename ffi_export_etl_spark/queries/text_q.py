@@ -247,7 +247,7 @@ def span_dedup_sql(
 
     L = DEFAULT_SPAN_TOKENS if span_tokens is None else span_tokens
     return f"""
-    sdt AS (SELECT {id_col} AS id,
+    sdt AS (SELECT {id_col} AS id, text AS orig_text,
                    regexp_split_to_array(text, '\\s+') AS tk
             FROM {rel}),
     sw AS (SELECT id, i AS pos,
@@ -266,8 +266,10 @@ def span_dedup_sql(
                     count(*) AS n_dup
              FROM sflag WHERE n > 1 AND rk > 1 GROUP BY id),
     sclean AS (SELECT d.id,
+                      -- no cuts -> ORIGINAL text, whitespace untouched
+                      -- (matches remove_duplicate_spans' pass-through)
                       CASE WHEN c.cut IS NULL
-                           THEN array_to_string(d.tk, ' ')
+                           THEN d.orig_text
                            -- array_to_string of an EMPTY list is NULL
                            -- in DuckDB; Spark's array_join gives ''
                            ELSE coalesce(array_to_string(list_transform(

@@ -198,3 +198,22 @@ def test_cli_curate_stream_subcommand(spark, tmp_path, capsys):
     }
     assert set(kept) == {1, 2}
     assert "alpha" in kept[1] and "alpha" not in kept[2]
+
+    # advisor no-op case: a second drain on the SAME checkpoint (every
+    # source file already consumed) against FRESH output roots processes
+    # zero batches and leaves no kept dir — must exit 0 with a JSON
+    # line, not an AnalysisException traceback
+    rc = main([
+        "curate-stream",
+        "--source-dir", os.path.join(src, "w*"),
+        "--kept", str(tmp_path / "kept2"),
+        "--exact-store", str(tmp_path / "ex2"),
+        "--minhash-store", str(tmp_path / "mh2"),
+        "--span-store", str(tmp_path / "sp2"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--min-words", "5", "--jaccard-threshold-pct", "50",
+        "--span-dedup-tokens", "4",
+    ])
+    assert rc == 0
+    noop = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert noop["kept_rows"] == 0 and "note" in noop

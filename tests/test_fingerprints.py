@@ -93,6 +93,27 @@ def test_bucket_cap_drops_boilerplate_hubs(spark):
     assert capped == 0
 
 
+def test_overlap_pairs_single_bucket_shuffle(spark):
+    """r6 rewrite: the fingerprint table is shuffled ONCE on h (groupBy
+    + collect_list; cap check and pair expansion happen inside the
+    grouped row) — the exploded self-join paid two shuffles on the same
+    key. Pin the plan: exactly one hashpartitioning exchange on h."""
+    docs = spark.createDataFrame(
+        [(1, _words("a", 20)), (2, _words("a", 20))],
+        "doc_id long, text string",
+    )
+    df = winnow_overlap_pairs(docs, min_shared=1)
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("hashpartitioning(h#") == 1, plan
+    assert "Join" not in plan.split("== Physical Plan ==")[-1], plan
+    # and the results still pin: identical docs share everything
+    (row,) = df.collect()
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["n_shared"] == len(py_winnow(_words("a", 20)))
+
+
 def test_matches_duckdb_oracle_on_corpus(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     df = winnow_fingerprints(docs).selectExpr(

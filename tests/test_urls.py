@@ -112,3 +112,45 @@ def test_null_empty_and_freetext_never_collapse(spark):
     docs = spark.createDataFrame(rows, "doc_id long, url string")
     ids = sorted(r["doc_id"] for r in dedup_by_url(docs).collect())
     assert ids == [1, 2, 3, 4, 5, 6, 7]  # only the URL pair collapsed
+
+
+def test_dotted_freetext_and_mailto_never_collapse(spark):
+    """Advisor case: free text containing a dot, and mailto: values
+    (opaque scheme — parses as userinfo@host without the guard), must
+    NOT classify as URLs: distinct docs sharing such a value all
+    survive."""
+    rows = [
+        (1, "Mr. Smith goes to Washington"),
+        (2, "Mr. Smith goes to Washington"),
+        (3, "mailto:user@host.com"),
+        (4, "mailto:user@host.com"),
+        (5, "host.com and more text"),   # whitespace after a host shape
+        (6, "host.com and more text"),
+        (7, "tel:+1.555.0100"),
+        (8, "tel:+1.555.0100"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dedup_by_url(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5, 6, 7, 8]
+    # and the canonical column is the lowercased passthrough, never a
+    # fabricated http://host form
+    canon = {r["doc_id"]: r["canonical_url"] for r in out.collect()}
+    assert canon[3] == "mailto:user@host.com"
+    assert canon[5] == "host.com and more text"
+
+
+def test_bare_ref_param_is_a_resource_selector(spark):
+    """Advisor case: ?ref=<branch>-style params select a real resource;
+    the default tracker list must NOT strip them."""
+    rows = [
+        (1, "http://code.example.com/repo/file?ref=main"),
+        (2, "http://code.example.com/repo/file?ref=dev"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    assert dedup_by_url(docs).count() == 2
+    # callers who KNOW ref is a tracker on their corpus can widen it
+    wide = dedup_by_url(
+        docs, tracking_param_re=r"^(utm_[a-z]+|gclid|fbclid|ref)="
+    )
+    assert sorted(r["doc_id"] for r in wide.collect()) == [1]
