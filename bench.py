@@ -150,6 +150,14 @@ def main() -> None:
     cur_pack_sec = round(time.perf_counter() - t0, 3)
     print(f"# cur_pack: {cur_pack_sec:.3f}s ({n_cp} rows)",
           file=sys.stderr)
+    # r6: the incremental + BPE training arms split into their own row
+    # (cur_train_pack) so no single gate row exceeds ~8s warm at sf0.1;
+    # tracked non-headline like its parent.
+    t0 = time.perf_counter()
+    n_ct = queries["cur_train_pack"](spark, sf_dir).count()
+    cur_train_sec = round(time.perf_counter() - t0, 3)
+    print(f"# cur_train_pack: {cur_train_sec:.3f}s ({n_ct} rows)",
+          file=sys.stderr)
     t0 = time.perf_counter()
     n_lf = queries["text_langfp_pack"](spark, sf_dir).count()
     langfp_sec = round(time.perf_counter() - t0, 3)
@@ -172,6 +180,7 @@ def main() -> None:
     out["text_bm25_topk"] = bm25_sec
     out["dedup_jaccard_pairs"] = jac_sec
     out["cur_pack"] = cur_pack_sec
+    out["cur_train_pack"] = cur_train_sec
     out["text_langfp_pack"] = langfp_sec
     out["loadavg_1m"] = loadavg
     print(json.dumps(out))

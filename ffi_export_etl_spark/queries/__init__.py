@@ -28,6 +28,7 @@ from . import (
     relational3,
     relational4,
     relational5,
+    relational6,
     sampling_q,
     similarity_q,
     streaming_q,
@@ -53,6 +54,7 @@ _MODULES = (
     relational3,
     relational4,
     relational5,
+    relational6,
     packs,
 )
 

@@ -96,10 +96,14 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     document; 'quant' rows = one per embedding with the full int8 code
     vector rendered as CSV (value-level pin) + the per-vector scale;
     'pack' rows = one per document with its packed-stream position;
-    'incr'/'incrsig' rows = the two-batch incremental curation pipeline
-    (plans/curation_increment.py) — day-2 survivors with their
-    exact-store delta digests, and the sig-carrying minhash store delta
-    rendered value-by-value (see _incr_arms)."""
+    'vocab' rows = tokenizer-prep top-N vocabulary; and the r6 arms:
+    'url' = canonicalize+dedup_by_url over constructed per-doc URL
+    variants (see _url_arm), 'compvec' = the zlib compression-ratio
+    kernel on fixed test vectors (see _compvec_arm), 'qmfeat' = the
+    quality-model feature vector in integer micro-units (see
+    _qmfeat_arm). The expensive two-batch incremental + BPE training
+    arms moved to cur_train_pack (r6: no single gate row above ~8s warm
+    at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(
         docs, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP
@@ -149,16 +153,142 @@ def cur_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("payload"),
         F.lit(None).cast("double").alias("qscale"),
     )
-    incr, incrsig = _incr_arms(docs)
-    bpe_merge, bpe_tok = _bpe_arms(spark, docs)
     return (
         chunks.unionByName(quant)
         .unionByName(packed)
         .unionByName(vocab)
-        .unionByName(incr)
-        .unionByName(incrsig)
+        .unionByName(_url_arm(docs))
+        .unionByName(_compvec_arm(spark))
+        .unionByName(_qmfeat_arm(docs))
+    )
+
+
+def cur_train_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-side curation arms, split out of cur_pack in r6 so
+    no single gate row exceeds ~8s warm at sf0.1: 'incr'/'incrsig' =
+    the two-batch incremental composed pipeline
+    (plans/curation_increment.py — day-2 survivors with exact-store
+    delta digests, and the sig-carrying minhash store delta rendered
+    value-by-value), 'bpe_merge'/'bpe_tok' = BPE tokenizer training and
+    rank-greedy application (operators/bpe.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    incr, incrsig = _incr_arms(docs)
+    bpe_merge, bpe_tok = _bpe_arms(spark, docs)
+    return (
+        incr.unionByName(incrsig)
         .unionByName(bpe_merge)
         .unionByName(bpe_tok)
+    )
+
+
+# ---- r6 cur_pack arms: URL dedup, compression-ratio kernel vectors,
+# quality-model featurization ----
+
+# The documents table carries no url column, so the 'url' arm
+# CONSTRUCTS one deterministically from doc_id: six variants per group
+# of six consecutive ids — four spellings of the same resource
+# (www + default port + tracking params + fragment / https / protocol-
+# relative + param order / bare uppercase host) plus a mailto: and a
+# dotted-free-text value that must NEVER join the collapse. The oracle
+# derives the expected canonical form and min-id keeper set
+# independently of the regexp mechanics, so any drift in
+# operators/urls.py canonicalization or the urlish guard changes the
+# survivor set or payload and fails the hash.
+_URL_MOD = 6
+
+
+def _url_arm(docs: DataFrame) -> DataFrame:
+    from ..operators.urls import dedup_by_url
+
+    g = F.expr(f"CAST(doc_id DIV {_URL_MOD} AS STRING)")
+    v = F.col("doc_id") % _URL_MOD
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://WWW.site"), g,
+                                F.lit(".com:80/p/"), g,
+                                F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(v == 1, F.concat(F.lit("https://site"), g,
+                               F.lit(".com/p/"), g, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("//site"), g, F.lit(".com/p/"), g,
+                               F.lit("/?b=2&a=1&gclid=z")))
+        .when(v == 3, F.concat(F.lit("SITE"), g, F.lit(".com/p/"), g,
+                               F.lit("?a=1&b=2")))
+        .when(v == 4, F.concat(F.lit("mailto:user@site"), g,
+                               F.lit(".com")))
+        .otherwise(F.concat(F.lit("not a url "), g))
+    )
+    out = dedup_by_url(docs.select("doc_id", url.alias("url")))
+    return out.select(
+        F.lit("url").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.col("canonical_url").alias("payload"),
+        F.lit(None).cast("double").alias("qscale"),
+    )
+
+
+# zlib has no DuckDB twin, so the 'compvec' arm pins the Arrow kernel
+# (operators/textproc.compression_ratio) on FIXED test vectors whose
+# compressed sizes are frozen literals in _COMP_EXPECTED — the standard
+# test-vector pin for a pure function. tests/test_curation_arms.py
+# asserts the literals equal live stdlib zlib at the kernel's level, so
+# the oracle can never drift from reality; the corpus-coupled DROP
+# decision is pinned by the curation composition tests.
+_COMP_VECTORS = [
+    (0, ""),
+    (1, "a" * 1000),
+    (2, "the quick brown fox jumps over the lazy dog " * 30),
+    (3, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore"),
+    (4, "0123456789abcdef" * 8),
+]
+# vid -> (n_raw_bytes, n_compressed_bytes) at zlib level 6
+_COMP_EXPECTED = {0: (0, 8), 1: (1000, 17), 2: (1320, 63),
+                  3: (97, 78), 4: (128, 27)}
+
+
+def _compvec_arm(spark: SparkSession) -> DataFrame:
+    from ..operators.textproc import compression_ratio
+
+    vecs = spark.createDataFrame(_COMP_VECTORS, "vid bigint, text string")
+    out = compression_ratio(vecs, id_col="vid")
+    return out.select(
+        F.lit("compvec").alias("kind"),
+        F.col("id"),
+        F.lit(None).cast("int").alias("idx"),
+        F.col("n_compressed_bytes").cast("int").alias("n_tokens"),
+        F.concat_ws(
+            ":",
+            F.col("n_raw_bytes").cast("string"),
+            F.col("n_compressed_bytes").cast("string"),
+        ).alias("payload"),
+        F.col("compression_ratio").alias("qscale"),
+    )
+
+
+def _qmfeat_arm(docs: DataFrame) -> DataFrame:
+    """operators/quality_model.quality_features as a gate arm: the full
+    feature vector in EXACT integer micro-units (round(f * 1e6) — the
+    float-free compare convention), one row per document. The LR fit
+    stays pytest-pinned (iterative optimizer, no SQL oracle); this pins
+    the feature math that would drift silently."""
+    from ..operators.quality_model import FEATURE_COLS, quality_features
+
+    f = quality_features(docs)
+    payload = F.concat_ws(
+        ",",
+        *[
+            F.round(F.col(c) * 1_000_000).cast("bigint").cast("string")
+            for c in FEATURE_COLS
+        ],
+    )
+    return f.select(
+        F.lit("qmfeat").alias("kind"),
+        F.col("id"),
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        payload.alias("payload"),
+        F.lit(None).cast("double").alias("qscale"),
     )
 
 
@@ -332,7 +462,11 @@ def cur_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"cur_pack": cur_pack, "cur_e2e": cur_e2e}
+QUERIES = {
+    "cur_pack": cur_pack,
+    "cur_train_pack": cur_train_pack,
+    "cur_e2e": cur_e2e,
+}
 
 
 def _incr_sql() -> tuple[str, str]:
@@ -503,9 +637,119 @@ def _bpe_sql() -> tuple[str, str]:
 
 _BPE_CTES, _BPE_ARMS = _bpe_sql()
 
+
+def _url_arm_sql() -> str:
+    """The 'url' arm's oracle: expected canonical form + min-id keeper
+    derived from the CONSTRUCTION (independent of the regexp chain the
+    Spark side runs)."""
+    m = _URL_MOD
+    return f"""
+        UNION ALL
+        SELECT 'url', doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+               canonical_url, CAST(NULL AS DOUBLE)
+        FROM (SELECT doc_id, doc_id % {m} AS v,
+                     CASE WHEN doc_id % {m} <= 3
+                          THEN 'http://site' || (doc_id // {m})
+                               || '.com/p/' || (doc_id // {m}) || '?a=1&b=2'
+                          WHEN doc_id % {m} = 4
+                          THEN 'mailto:user@site' || (doc_id // {m}) || '.com'
+                          ELSE 'not a url ' || (doc_id // {m}) END
+                         AS canonical_url
+              FROM documents) u
+        WHERE v > 3 OR doc_id IN (
+              SELECT min(doc_id)
+              FROM (SELECT doc_id, doc_id % {m} AS v, doc_id // {m} AS g
+                    FROM documents) w
+              WHERE v <= 3 GROUP BY g)"""
+
+
+def _compvec_arm_sql() -> str:
+    """The 'compvec' arm's oracle: frozen zlib test-vector literals
+    (kept honest against live stdlib zlib by tests/test_curation_arms.py)."""
+    rows = []
+    for vid, (r, c) in sorted(_COMP_EXPECTED.items()):
+        ratio = f"CAST({c} AS DOUBLE) / {r}" if r else "CAST(0.0 AS DOUBLE)"
+        rows.append(
+            f"""
+        UNION ALL
+        SELECT 'compvec', CAST({vid} AS BIGINT), CAST(NULL AS INTEGER),
+               CAST({c} AS INTEGER), '{r}:{c}', {ratio}"""
+        )
+    return "".join(rows)
+
+
+def _qmfeat_sql() -> tuple[str, str]:
+    """(cte_chain, union_arm) replaying quality_features exactly: the
+    lowered/filtered word tokens, raw bigram tokens capped at 10000
+    (repetition_scores' max_tokens), newline lines — each ratio the
+    same int-over-int double division, payload the same
+    round(f * 1e6) micro-units."""
+    from ..operators.quality_model import _STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    ctes = """
+        qmt AS (SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS wt,
+                       (regexp_split_to_array(text, '\\s+'))[1:10000] AS rt,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x != '') AS nb
+                FROM documents),
+        qmtop AS (SELECT doc_id, max(c) AS topc
+                  FROM (SELECT doc_id, bg, count(*) AS c
+                        FROM (SELECT doc_id, rt[i] || ' ' || rt[i + 1] AS bg
+                              FROM qmt,
+                                   UNNEST(generate_series(1, len(rt) - 1))
+                                       AS u(i))
+                        GROUP BY doc_id, bg)
+                  GROUP BY doc_id),
+        qmf AS (SELECT t.doc_id,
+                       CAST(len(wt) AS DOUBLE) AS f1,
+                       CASE WHEN len(wt) > 0
+                            THEN (length(text) - (len(wt) - 1)) / len(wt)
+                            ELSE 0.0 END AS f2,
+                       CASE WHEN len(wt) > 0
+                            THEN len(list_filter(wt, x ->
+                                 list_contains([__STOPS__], x))) / len(wt)
+                            ELSE 0.0 END AS f3,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^A-Za-z]',
+                                                       '', 'g'))
+                                 / length(text)
+                            ELSE 0.0 END AS f4,
+                       CASE WHEN len(rt) >= 2
+                            THEN coalesce(p.topc, 0) * 2 / len(rt)
+                            ELSE 0.0 END AS f5,
+                       CASE WHEN len(nb) > 0
+                            THEN (len(nb) - len(list_distinct(nb)))
+                                 / len(nb)
+                            ELSE 0.0 END AS f6
+                FROM qmt t LEFT JOIN qmtop p USING (doc_id))""".replace(
+        "__STOPS__", stop_list
+    )
+    arm = """
+        UNION ALL
+        SELECT 'qmfeat', doc_id, CAST(NULL AS INTEGER),
+               CAST(NULL AS INTEGER),
+               concat_ws(',',
+                   CAST(round(f1 * 1000000) AS BIGINT),
+                   CAST(round(f2 * 1000000) AS BIGINT),
+                   CAST(round(f3 * 1000000) AS BIGINT),
+                   CAST(round(f4 * 1000000) AS BIGINT),
+                   CAST(round(f5 * 1000000) AS BIGINT),
+                   CAST(round(f6 * 1000000) AS BIGINT)),
+               CAST(NULL AS DOUBLE)
+        FROM qmf"""
+    return ctes, arm
+
+
+_QMFEAT_CTES, _QMFEAT_ARM = _qmfeat_sql()
+
 ORACLE = {
     "cur_pack": f"""
-        WITH RECURSIVE t AS (
+        WITH t AS (
             SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
             FROM documents
         ), s AS (
@@ -514,7 +758,7 @@ ORACLE = {
                        1, greatest(len(toks) - {OVERLAP}, 1), {STRIDE}
                    )) AS start
             FROM t
-        ),{_INCR_CTES},{_BPE_CTES}
+        ),{_QMFEAT_CTES}
         SELECT 'chunk' AS kind, doc_id AS id,
                CAST((start - 1) // {STRIDE} AS INTEGER) AS idx,
                CAST(len(toks[start : start + {CHUNK_TOKENS - 1}]) AS INTEGER)
@@ -566,9 +810,22 @@ ORACLE = {
             GROUP BY token
             ORDER BY count(*) DESC, token
             LIMIT {VOCAB_N}
-        ){_INCR_ARMS}{_BPE_ARMS}
+        ){_url_arm_sql()}{_compvec_arm_sql()}{_QMFEAT_ARM}
     """,
 }
+
+# cur_train_pack: the incr/incrsig/bpe CTE chains reference only the
+# documents view, so they lift out of cur_pack's WITH verbatim; a
+# zero-row typed head names the pack columns so the arms' UNION ALL
+# blocks ride unchanged.
+ORACLE["cur_train_pack"] = f"""
+    WITH RECURSIVE {_INCR_CTES},{_BPE_CTES}
+    SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS id,
+           CAST(NULL AS INTEGER) AS idx, CAST(NULL AS INTEGER) AS n_tokens,
+           CAST(NULL AS VARCHAR) AS payload, CAST(NULL AS DOUBLE) AS qscale
+    WHERE 1 = 0
+    {_INCR_ARMS}{_BPE_ARMS}
+"""
 
 
 def _e2e_oracle() -> str:

@@ -76,12 +76,19 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-QUERIES = {
+# r6: q21/q22 register through relational6's q_shapes_pack (one driver
+# row for all ten remaining TPC-H shapes) — the functions and oracle
+# SQL live here; SHAPE_* feeds the pack and the pytest pins.
+QUERIES: dict = {}
+
+SHAPE_QUERIES = {
     "q21_waiting_orders": q21_waiting_orders,
     "q22_idle_customers": q22_idle_customers,
 }
 
-ORACLE = {
+ORACLE: dict = {}
+
+SHAPE_ORACLE = {
     "q21_waiting_orders": """
         SELECT s_name, count(*) AS numwait
         FROM lineitem l1

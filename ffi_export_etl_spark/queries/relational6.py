@@ -269,7 +269,7 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_name")
 
 
-QUERIES = {
+SHAPE_QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_product_type_profit": q9_product_type_profit,
@@ -282,7 +282,7 @@ QUERIES = {
 
 _PS = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
 
-ORACLE = {
+SHAPE_ORACLE = {
     "q2_min_cost_supplier": f"""
         WITH ps AS ({_PS})
         SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
@@ -393,3 +393,110 @@ ORACLE = {
         )
     """,
 }
+
+
+# --- q_shapes_pack (r6): all ten remaining TPC-H shapes in ONE driver
+# row. The 50-slot registry was full; union-tagging onto the common
+# (kind, k1, k2, n1, n2, v) schema (the q_count_pack precedent) pins
+# q2/q8/q9/q11/q13/q15/q16/q20 (this module) plus q21/q22
+# (queries/relational4.py) under the gate without new slots — these are
+# the shapes (correlated scalar, view self-reference, NOT IN,
+# multi-EXISTS) most likely to drift silently under a Spark upgrade.
+# The oracle wraps each shape's already-pinned SQL verbatim as a
+# subquery, so pack and singleton pins can never diverge.
+
+
+def _arm(df: DataFrame, kind: str, k1=None, k2=None, n1=None, n2=None,
+         v=None) -> DataFrame:
+    def c(x, t):
+        return (x if x is not None else F.lit(None)).cast(t)
+
+    return df.select(
+        F.lit(kind).alias("kind"),
+        c(k1, "string").alias("k1"),
+        c(k2, "string").alias("k2"),
+        c(n1, "bigint").alias("n1"),
+        c(n2, "bigint").alias("n2"),
+        c(v, "double").alias("v"),
+    )
+
+
+def q_shapes_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational4 import q21_waiting_orders, q22_idle_customers
+
+    arms = [
+        _arm(q2_min_cost_supplier(spark, sf_dir), "q2",
+             k1=F.col("s_name"),
+             k2=F.concat_ws("|", "n_name", "p_name"),
+             n1=F.col("p_partkey"), v=F.col("s_acctbal")),
+        _arm(q8_market_share(spark, sf_dir), "q8",
+             n1=F.col("o_year"), v=F.col("mkt_share")),
+        _arm(q9_product_type_profit(spark, sf_dir), "q9",
+             k1=F.col("nation"), n1=F.col("o_year"),
+             v=F.col("sum_profit")),
+        _arm(q11_important_stock(spark, sf_dir), "q11",
+             k1=F.col("n_name"), v=F.col("value")),
+        _arm(q13_order_count_distribution(spark, sf_dir), "q13",
+             n1=F.col("c_count"), n2=F.col("custdist")),
+        _arm(q15_top_supplier(spark, sf_dir), "q15",
+             k1=F.col("s_name"), n1=F.col("s_suppkey"),
+             v=F.col("total_revenue")),
+        _arm(q16_supplier_part_counts(spark, sf_dir), "q16",
+             k1=F.col("p_brand"), k2=F.col("p_type"),
+             n1=F.col("p_size"), n2=F.col("supplier_cnt")),
+        _arm(q20_promo_volume_suppliers(spark, sf_dir), "q20",
+             k1=F.col("s_name")),
+        _arm(q21_waiting_orders(spark, sf_dir), "q21",
+             k1=F.col("s_name"), n1=F.col("numwait")),
+        _arm(q22_idle_customers(spark, sf_dir), "q22",
+             n1=F.col("nation_bucket"), n2=F.col("numcust"),
+             v=F.col("totacctbal")),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _arm_sql(kind: str, inner: str, k1="NULL", k2="NULL", n1="NULL",
+             n2="NULL", v="NULL") -> str:
+    return (
+        f"SELECT '{kind}' AS kind, CAST({k1} AS VARCHAR) AS k1, "
+        f"CAST({k2} AS VARCHAR) AS k2, CAST({n1} AS BIGINT) AS n1, "
+        f"CAST({n2} AS BIGINT) AS n2, CAST({v} AS DOUBLE) AS v "
+        f"FROM ({inner}) _t"
+    )
+
+
+def _shapes_pack_oracle() -> str:
+    from .relational4 import SHAPE_ORACLE as R4
+
+    arms = [
+        _arm_sql("q2", SHAPE_ORACLE["q2_min_cost_supplier"],
+                 k1="s_name", k2="concat_ws('|', n_name, p_name)",
+                 n1="p_partkey", v="s_acctbal"),
+        _arm_sql("q8", SHAPE_ORACLE["q8_market_share"],
+                 n1="o_year", v="mkt_share"),
+        _arm_sql("q9", SHAPE_ORACLE["q9_product_type_profit"],
+                 k1="nation", n1="o_year", v="sum_profit"),
+        _arm_sql("q11", SHAPE_ORACLE["q11_important_stock"],
+                 k1="n_name", v="value"),
+        _arm_sql("q13", SHAPE_ORACLE["q13_order_count_distribution"],
+                 n1="c_count", n2="custdist"),
+        _arm_sql("q15", SHAPE_ORACLE["q15_top_supplier"],
+                 k1="s_name", n1="s_suppkey", v="total_revenue"),
+        _arm_sql("q16", SHAPE_ORACLE["q16_supplier_part_counts"],
+                 k1="p_brand", k2="p_type", n1="p_size",
+                 n2="supplier_cnt"),
+        _arm_sql("q20", SHAPE_ORACLE["q20_promo_volume_suppliers"],
+                 k1="s_name"),
+        _arm_sql("q21", R4["q21_waiting_orders"],
+                 k1="s_name", n1="numwait"),
+        _arm_sql("q22", R4["q22_idle_customers"],
+                 n1="nation_bucket", n2="numcust", v="totacctbal"),
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
+QUERIES = {"q_shapes_pack": q_shapes_pack}
+ORACLE = {"q_shapes_pack": _shapes_pack_oracle()}

@@ -138,10 +138,18 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this same corpus as its reference, per-doc negative log-prob in
     EXACT integer micro-units so the oracle compare is float-free) —
     plus the Unicode dominant-script label (operators/scripts.py, the
-    multilingual routing signal) and the cross-document duplicate-SPAN
+    multilingual routing signal), the cross-document duplicate-SPAN
     removal stats (operators/spandedup.py, r5: removed-token count,
     duplicated-window count, and the md5 of the span-cleaned text so
-    the rebuilt document is value-pinned) — one row per document."""
+    the rebuilt document is value-pinned), and the winnowing
+    fingerprint columns (operators/fingerprints.py, r6: selected-set
+    size, md5 of the sorted signature set, and the bucket-capped
+    overlap-partner count — the Schleimer et al. local-copy screen) —
+    one row per document."""
+    from ..operators.fingerprints import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
     from ..operators.lmscore import score_documents, train_bigram_lm
     from ..operators.scripts import dominant_script
     from ..operators.spandedup import remove_duplicate_spans
@@ -165,6 +173,30 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode("text", "UTF-8")).alias("span_clean_md5"),
     )
     d = d.join(spans, "doc_id")
+    raw = load_table(spark, sf_dir, "documents")
+    wf = winnow_fingerprints(raw).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_fingerprints").alias("wn_fingerprints"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        "fingerprints", lambda x: x.cast("string")
+                    ),
+                    ",",
+                ),
+                "UTF-8",
+            )
+        ).alias("wfp_md5"),
+    )
+    pairs = winnow_overlap_pairs(raw, min_shared=1)
+    partners = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("wn_overlap_partners"))
+    )
+    d = d.join(wf, "doc_id").join(partners, "doc_id", "left")
     toks = _toks()
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -193,6 +225,11 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_removed_tokens",
         "span_dup_windows",
         "span_clean_md5",
+        "wn_fingerprints",
+        "wfp_md5",
+        F.coalesce(
+            F.col("wn_overlap_partners"), F.lit(0).cast("bigint")
+        ).alias("wn_overlap_partners"),
     )
 
 
@@ -281,6 +318,54 @@ def span_dedup_sql(
                       CAST(coalesce(c.n_dup, 0) AS INTEGER)
                           AS n_dup_windows
                FROM sdt d LEFT JOIN scut c USING (id))"""
+
+
+def winnow_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB CTE chain replaying operators/fingerprints.py exactly at
+    the operator's own defaults: the same k-gram md5_long hashes,
+    rightmost-tie-irrelevant window minima as a sorted distinct set
+    (``wsel(id, fp)``), and the bucket-capped overlap-pair partner
+    counts (``wpart(id, n)``). Shared by the text_langfp_pack oracle
+    and tests/test_fingerprints.py so the twin has one definition."""
+    from ..operators.fingerprints import (
+        DEFAULT_K,
+        DEFAULT_MAX_BUCKET,
+        DEFAULT_W,
+    )
+    from .dedup_q import _DUCK_MD5_15
+
+    k, w, cap = DEFAULT_K, DEFAULT_W, DEFAULT_MAX_BUCKET
+    gram = _DUCK_MD5_15.format(
+        s=f"array_to_string(tk[s : s + {k - 1}], ' ')"
+    )
+    return f"""
+    wt AS (SELECT {id_col} AS id, regexp_split_to_array(text, '\\s+') AS tk
+           FROM {rel}),
+    wg AS (SELECT id,
+                  CASE WHEN len(tk) >= {k}
+                       THEN list_transform(
+                           generate_series(1, len(tk) - {k} + 1),
+                           s -> {gram})
+                       ELSE [] END AS grams
+           FROM wt),
+    wsel AS (SELECT id,
+                    CASE WHEN len(grams) > 0
+                         THEN list_sort(list_distinct(list_transform(
+                             generate_series(1,
+                                 greatest(len(grams) - {w} + 1, 1)),
+                             s -> list_min(grams[s : s + {w - 1}]))))
+                         ELSE [] END AS fp
+             FROM wg),
+    wfp AS (SELECT id, unnest(fp) AS h FROM wsel),
+    wcap AS (SELECT h FROM wfp GROUP BY h HAVING count(*) <= {cap}),
+    wpair AS (SELECT a.id AS id_a, b.id AS id_b
+              FROM wfp a JOIN wfp b ON a.h = b.h AND a.id < b.id
+              WHERE a.h IN (SELECT h FROM wcap)
+              GROUP BY 1, 2),
+    wpart AS (SELECT id, count(*) AS n
+              FROM (SELECT id_a AS id FROM wpair
+                    UNION ALL SELECT id_b FROM wpair)
+              GROUP BY id)"""
 
 
 def scrub_sql_expr(col: str = "text") -> str:
@@ -395,6 +480,7 @@ ORACLE = {
     """,
     "text_langfp_pack": f"""
         WITH {span_dedup_sql()},
+        {winnow_sql()},
         scr AS (
             SELECT doc_id, {_script_case_sql("text")} AS dominant_script
             FROM documents
@@ -456,10 +542,18 @@ ORACLE = {
                scr.dominant_script,
                sc.n_removed_tokens AS span_removed_tokens,
                sc.n_dup_windows AS span_dup_windows,
-               md5(sc.sp_text) AS span_clean_md5
+               md5(sc.sp_text) AS span_clean_md5,
+               CAST(len(ws.fp) AS INTEGER) AS wn_fingerprints,
+               -- array_to_string of an EMPTY list is NULL in DuckDB;
+               -- Spark's array_join gives ''
+               md5(coalesce(array_to_string(ws.fp, ','), ''))
+                   AS wfp_md5,
+               CAST(coalesce(wp.n, 0) AS BIGINT) AS wn_overlap_partners
         FROM t LEFT JOIN lm USING (doc_id) JOIN scr USING (doc_id)
         JOIN (SELECT id, text AS sp_text, n_removed_tokens, n_dup_windows
               FROM sclean) sc ON sc.id = t.doc_id
+        JOIN wsel ws ON ws.id = t.doc_id
+        LEFT JOIN wpart wp ON wp.id = t.doc_id
     """,
 }
 

@@ -12,7 +12,6 @@ from ffi_export_etl_spark.operators.fingerprints import (
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
-from ffi_export_etl_spark.queries.dedup_q import _DUCK_MD5_15
 from ffi_export_etl_spark.sources.parquet import load_table
 from tests.oracle_utils import compare_to_oracle
 
@@ -115,37 +114,21 @@ def test_overlap_pairs_single_bucket_shuffle(spark):
 
 
 def test_matches_duckdb_oracle_on_corpus(spark, sf_small):
+    """Parity via the PROMOTED twin (queries/text_q.winnow_sql — the
+    same CTE chain the text_langfp_pack gate oracle runs since r6)."""
+    from ffi_export_etl_spark.queries.text_q import winnow_sql
+
     docs = load_table(spark, sf_small, "documents")
     df = winnow_fingerprints(docs).selectExpr(
         "id AS doc_id",
         "array_join(fingerprints, ',') AS fp_csv",
         "n_fingerprints",
     )
-    gram = _DUCK_MD5_15.format(
-        s="array_to_string(tk[s : s + {last}], ' ')".format(last=K - 1)
-    )
     oracle = f"""
-        WITH t AS (SELECT doc_id,
-                          regexp_split_to_array(text, '\\s+') AS tk
-                   FROM documents),
-        g AS (SELECT doc_id,
-                     CASE WHEN len(tk) >= {K}
-                          THEN list_transform(
-                              generate_series(1, len(tk) - {K} + 1),
-                              s -> {gram})
-                          ELSE [] END AS grams
-              FROM t),
-        sel AS (SELECT doc_id,
-                       CASE WHEN len(grams) > 0
-                            THEN list_sort(list_distinct(list_transform(
-                                generate_series(1,
-                                    greatest(len(grams) - {W} + 1, 1)),
-                                s -> list_min(grams[s : s + {W - 1}]))))
-                            ELSE [] END AS fp
-                FROM g)
-        SELECT doc_id,
+        WITH {winnow_sql()}
+        SELECT id AS doc_id,
                coalesce(array_to_string(fp, ','), '') AS fp_csv,
                CAST(len(fp) AS INTEGER) AS n_fingerprints
-        FROM sel
+        FROM wsel
     """
     compare_to_oracle(df, oracle, sf_small)
