@@ -94,6 +94,10 @@ def curate_stream_main(argv: list[str]) -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
     ap.add_argument("--on-existing-store", choices=("replay", "continue"),
                     default="replay")
+    ap.add_argument("--kept-compact-every", type=int, default=None,
+                    help="fold the kept corpus's batch dirs into one "
+                         "generation every N batches (bounds file "
+                         "count for cron-driven daemons)")
     args = ap.parse_args(argv)
     if (args.span_store is None) != (args.span_dedup_tokens is None):
         ap.error("--span-store and --span-dedup-tokens go together")
@@ -125,6 +129,7 @@ def curate_stream_main(argv: list[str]) -> int:
         max_files_per_trigger=args.max_files_per_trigger,
         on_existing_store=args.on_existing_store,
         span_store_path=args.span_store,
+        kept_compact_every=args.kept_compact_every,
         min_words=args.min_words,
         jaccard_threshold_pct=args.jaccard_threshold_pct,
         shingle_mode=args.shingle_mode,
@@ -139,8 +144,18 @@ def curate_stream_main(argv: list[str]) -> int:
         except Exception:
             return 0
 
+    def _kept_rows() -> int:
+        # the generation-aware reader (valid on plain and compacted
+        # layouts); a zero-batch drain may have created no root at all
+        from .streaming.curate import read_kept
+
+        try:
+            return read_kept(spark, args.kept).count()
+        except Exception:
+            return 0
+
     out = {
-        "kept_rows": _rows(args.kept),
+        "kept_rows": _kept_rows(),
         "exact_store_rows": _rows(args.exact_store),
         "minhash_store_rows": _rows(args.minhash_store),
     }

@@ -16,18 +16,45 @@ streaming/dedup.py — a replayed micro-batch overwrites its own
 ``batch_id=N`` subdirectory in all three sinks, and within a run batches
 execute serially so each joins exactly the stores its predecessors
 wrote. Compact the stores between sessions with dedup.compact_store.
+
+Small-file story (r6): the kept corpus accumulates one parquet dir per
+micro-batch per drain — a cron-driven daemon would grow thousands of
+kilobyte dirs per day and directory listing would eventually dominate
+reads. ``kept_compact_every`` folds committed batch dirs into
+``compacted=<max_id>`` generations mid-run (the streaming/events.py
+window-sink machinery — the committed-generation reader rule makes it
+crash/replay-safe with no transaction log); ``read_kept`` is the
+matching reader, valid on both the plain and the compacted layout.
+``compact_kept`` runs the same fold as between-session maintenance.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.exactdedup import exact_signature_store
 from ..operators.minhash import minhash_signature_store_with_sigs
 from ..plans.curation_increment import curate_increment
 from .dedup import _read_store, _session_base
+from .events import compact_window_sink, read_window_sink
+
+
+def read_kept(spark: SparkSession, kept_path: str) -> DataFrame:
+    """Read the curated corpus: newest committed generation + batch dirs
+    above its id (identical rule to events.read_window_sink — on a
+    never-compacted sink this is simply every committed batch dir)."""
+    return read_window_sink(spark, kept_path)
+
+
+def compact_kept(
+    spark: SparkSession, kept_path: str, num_files: int = 4
+) -> int:
+    """Between-session maintenance: fold all committed kept batch dirs
+    (plus the previous generation) into one ``compacted=<max_id>``
+    generation of ``num_files`` files. Returns the generation id."""
+    return compact_window_sink(spark, kept_path, num_files=num_files)
 
 
 def streaming_curate(
@@ -43,6 +70,8 @@ def streaming_curate(
     max_files_per_trigger: int = 1,
     on_existing_store: str = "replay",
     span_store_path: str | None = None,
+    kept_compact_every: int | None = None,
+    kept_files_per_generation: int = 4,
     **curate_kw,
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow
@@ -62,6 +91,12 @@ def streaming_curate(
     against the accumulated window-digest store FIRST (raw text, the
     batch pipeline's stage order) and the survivors' span digests are
     appended like the other store deltas.
+
+    ``kept_compact_every``: every N batches, fold the kept corpus's
+    committed batch dirs into one generation (file count stays
+    O(kept_files_per_generation + N), not O(total batches)); read the
+    corpus with ``read_kept`` once compaction is on — a plain
+    root-level read would see mixed partition dir names.
     """
     schema = spark.read.parquet(source_dir).schema  # footer-only probe
     if on_existing_store not in ("replay", "continue"):
@@ -131,6 +166,19 @@ def streaming_curate(
         finally:
             for cached in getattr(out["kept"], "_curation_persisted", []):
                 cached.unpersist()
+        if (
+            kept_compact_every
+            and batch_id > 0
+            and batch_id % kept_compact_every == 0
+        ):
+            # only absolute ids < this batch's slot are committed
+            # predecessors; this batch's own dir stays out of the fold
+            compact_window_sink(
+                bs,
+                kept_path,
+                num_files=kept_files_per_generation,
+                before_batch=bases[kept_path] + batch_id,
+            )
 
     stream = (
         spark.readStream.schema(schema)
