@@ -71,14 +71,16 @@ def _is_url(col: Column | str) -> Column:
     """True when the value parses as a real URL: dotted label-charset
     host, no whitespace anywhere, and no opaque (non-``//``) scheme —
     ``mailto:user@host.com`` is an address, not a web page, and must
-    never enter the dedup collapse."""
+    never enter the dedup collapse. A colon followed by digits is a
+    PORT (``example.com:8080/a`` is scheme-less host+port, not an
+    opaque scheme), so the lookahead admits it."""
     c = F.regexp_replace(
         F.trim(F.col(col) if isinstance(col, str) else col), r"^//", ""
     )
     return (
         F.lower(F.regexp_extract(c, _URL_RE, 2)).rlike(r"^[^.]+\.[^.]+")
         & ~c.rlike(r"\s")
-        & ~c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(?!//)")
+        & ~c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(?![/][/]|[0-9])")
     )
 
 
@@ -131,7 +133,7 @@ def canonicalize_url(
     return F.when(
         host.rlike(r"^[^.]+\.[^.]+")
         & ~c.rlike(r"\s")
-        & ~c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(?!//)"),
+        & ~c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(?![/][/]|[0-9])"),
         F.concat(scheme, F.lit("://"), host, port, path, qtail),
     ).otherwise(F.lower(raw))
 

@@ -108,19 +108,69 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 'pcasem' arm (r6): PCA reduction feeding SemDeDup --------------
+# A FIXED literal basis (k=3 rows of DIM exact-binary rationals) pins
+# operators/reduce.reduce_embeddings' plan-literal projection fold —
+# the transform path that runs over 100 TB — while the eigenbasis FIT
+# stays pytest-pinned against its numpy twin (an eigendecomposition has
+# no SQL oracle). The projected vectors route through
+# operators/semdedup.semdedup_pairs with a sign-quadrant cell
+# assignment (replayable exactly; the Lloyd assignment is already
+# gate-pinned by the 'kmeans' arm), so the within-cell cosine pairing +
+# threshold + cell-size cap all carry driver rows.
+PCA_K = 3
+PCA_COMPS = [
+    [((i * (j + 2) + 1) % 7 - 3) / 4.0 for i in range(DIM)]
+    for j in range(PCA_K)
+]
+PCASEM_THRESHOLD = 0.99
+
+
+def _pcasem_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reduce import reduce_embeddings
+    from ..operators.semdedup import semdedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    red = reduce_embeddings(e, "embedding", k=PCA_K, components=PCA_COMPS)
+    cells = red.select(
+        F.col("vec_id").alias("id"),
+        (
+            (F.col("reduced")[0] >= 0).cast("int") * 2
+            + (F.col("reduced")[1] >= 0).cast("int")
+        ).alias("cell"),
+    )
+    pairs = semdedup_pairs(
+        red,
+        dim=PCA_K,
+        threshold=PCASEM_THRESHOLD,
+        vec_col="reduced",
+        cells=cells,
+    )
+    return pairs.select(
+        F.lit("pcasem").alias("kind"),
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("nbr_id"),
+        "cos",
+        F.col("cell").cast("int").alias("rnk"),
+    )
+
+
 def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both cell-probed IVF variants union-tagged into one driver row
-    (registry-slot fold, precedent: samp_pack): 'ivf' probes the given
-    label cells, 'kmeans' probes deterministic Lloyd cells over
-    unlabeled data. Same (query_id, nbr_id, cos, rnk) grain; each arm's
-    oracle is unchanged, just tagged."""
+    """Both cell-probed IVF variants plus the PCA->SemDeDup chain
+    union-tagged into one driver row (registry-slot fold, precedent:
+    samp_pack): 'ivf' probes the given label cells, 'kmeans' probes
+    deterministic Lloyd cells over unlabeled data, 'pcasem' (r6)
+    projects embeddings onto a fixed literal PCA basis and reports the
+    within-quadrant semantic near-dup pairs. Same (query_id, nbr_id,
+    cos, rnk) grain — for 'pcasem' the rnk column carries the cell id;
+    each arm's oracle is unchanged, just tagged."""
     ivf = ann_topk_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("kind"), "*"
     )
     km = ann_topk_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("kind"), "*"
     )
-    return ivf.unionByName(km)
+    return ivf.unionByName(km).unionByName(_pcasem_arm(spark, sf_dir))
 
 
 QUERIES = {
@@ -271,6 +321,43 @@ def _kmeans_sql() -> str:
     """
 
 
+
+
+def _pcasem_sql() -> str:
+    """The 'pcasem' arm's oracle: the same literal basis projected with
+    list_dot_product (the engine pair already pinned IEEE-identical by
+    every ANN row), sign-quadrant cells, the semdedup cell-size cap,
+    and the rounded-cosine threshold on within-cell pairs."""
+    from ..operators.semdedup import DEFAULT_MAX_CELL
+
+    proj = ",\n               ".join(
+        f"list_dot_product(vv, [{', '.join(repr(c) for c in comp)}])"
+        for comp in PCA_COMPS
+    )
+    return f"""
+        WITH {_VN},
+        pred AS (SELECT vec_id,
+                        [{proj}] AS r
+                 FROM v),
+        pcell AS (SELECT vec_id, r,
+                         (CASE WHEN r[1] >= 0 THEN 2 ELSE 0 END
+                          + CASE WHEN r[2] >= 0 THEN 1 ELSE 0 END) AS cell,
+                         sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm
+                  FROM pred),
+        pok AS (SELECT cell FROM pcell GROUP BY cell
+                HAVING count(*) <= {DEFAULT_MAX_CELL})
+        SELECT query_id, nbr_id, cos, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                   round(list_dot_product(a.r, b.r) / (a.nrm * b.nrm), 6)
+                       AS cos,
+                   CAST(a.cell AS INTEGER) AS rnk
+            FROM pcell a
+            JOIN pcell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE a.cell IN (SELECT cell FROM pok)
+        ) WHERE cos >= {PCASEM_THRESHOLD}
+    """
+
+
 ORACLE = {
     "ann_topk_bruteforce": f"""
         WITH {_VN},
@@ -287,6 +374,8 @@ ORACLE = {
         SELECT 'ivf' AS kind, * FROM ({_ivf_sql()})
         UNION ALL
         SELECT 'kmeans' AS kind, * FROM ({_kmeans_sql()})
+        UNION ALL
+        SELECT 'pcasem' AS kind, * FROM ({_pcasem_sql()})
     """,
     "ann_label_centroids": """
         WITH flat AS (

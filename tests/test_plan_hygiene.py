@@ -106,16 +106,18 @@ def test_no_row_udfs_anywhere_in_registry(spark):
     # Sweep EVERY registered query (not just hand-picked hot paths):
     # no row-at-a-time Python (BatchEvalPython) in any plan; Arrow-batched
     # Python (MapInPandas) only where per-item Python is the point — the
-    # multimodal decode query and cur_pack's apply_bpe arm (rank-greedy
-    # BPE encode: a per-merge Column chain would nest thousands deep;
-    # operators/bpe.py module docstring). Streaming queries execute on
-    # build (run_to_completion) and are covered by test_streaming instead.
+    # multimodal decode query, cur_train_pack's apply_bpe arm
+    # (rank-greedy BPE encode: a per-merge Column chain would nest
+    # thousands deep; operators/bpe.py module docstring), and cur_pack's
+    # compvec arm (byte-level zlib has no Column form;
+    # operators/textproc.compression_ratio). Streaming queries execute
+    # on build (run_to_completion) and are covered by test_streaming.
     for name, fn in QUERIES.items():
         if name.startswith("stream_"):
             continue
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
-        if name not in ("mm_pack", "cur_pack"):
+        if name not in ("mm_pack", "cur_pack", "cur_train_pack"):
             assert "MapInPandas" not in plan, name
             assert "ArrowEvalPython" not in plan, name
 

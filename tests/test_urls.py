@@ -52,6 +52,18 @@ def test_distinct_resources_stay_distinct(spark):
     assert "ftp://example.com/a" in canon
 
 
+def test_schemeless_host_with_port_is_a_url(spark):
+    """A colon + digits after the host is a PORT, not an opaque scheme:
+    scheme-less 'example.com:8080/a' must still canonicalize and
+    collapse with its explicit-scheme spelling."""
+    rows = [
+        (1, "http://example.com:8080/a"),
+        (2, "example.com:8080/a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    assert sorted(r["doc_id"] for r in dedup_by_url(docs).collect()) == [1]
+
+
 def test_total_on_free_text(spark):
     canon = _canon(spark, ["not a url", "localhost", "  Mixed Case  "])
     assert canon == ["not a url", "localhost", "mixed case"]
