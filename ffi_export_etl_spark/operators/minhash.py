@@ -73,11 +73,19 @@ def minhash_signatures(
     )
 
 
-def _banded(wide_sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, bucket) — bucket key is the joined band slice (string
-    equality join key; portable across engines, no second-level hashing)."""
+def _banded(
+    wide_sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, band, bucket[, *carry]) — bucket key is the joined band
+    slice (string equality join key; portable across engines, no
+    second-level hashing). ``carry`` columns ride through the explode
+    so callers never need to join band rows back to their source."""
     return wide_sigs.select(
         "id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -95,7 +103,7 @@ def _banded(wide_sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket", *carry)
 
 
 def lsh_candidate_pairs(
@@ -278,13 +286,23 @@ def minhash_signature_store_with_sigs(
     Jaccard = fraction of agreeing signature positions, no stored
     document ever re-read or re-shingled. Costs num_perm longs per row
     over the plain (id, band, bucket) store; at scale store it bucketed
-    by (band, bucket) like the plain variant."""
+    by (band, bucket) like the plain variant.
+
+    The sig array rides THROUGH the band explode (one narrow projection
+    after the signature aggregation) rather than joining the banded
+    table back to the signatures on id: the join form costs two extra
+    id-hash shuffles of the sig-carrying table AND re-executes the
+    shingle aggregation on both join branches (measured 3.9s -> 0.6s on
+    a 1250-doc sf0.1 slice, identical rows)."""
     sigs = signatures_from_shingles(
         build_shingles(docs, id_col, text_col, n, shingle_mode), num_perm
     )
     sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_perm)])
-    return _banded(sigs, bands, num_perm // bands).join(
-        sigs.select("id", sig_arr.alias("sig")), "id"
+    return _banded(
+        sigs.withColumn("sig", sig_arr),
+        bands,
+        num_perm // bands,
+        carry=("sig",),
     )
 
 
