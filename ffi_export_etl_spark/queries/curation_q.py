@@ -170,10 +170,21 @@ def cur_train_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/curation_increment.py — day-2 survivors with exact-store
     delta digests, and the sig-carrying minhash store delta rendered
     value-by-value), 'bpe_merge'/'bpe_tok' = BPE tokenizer training and
-    rank-greedy application (operators/bpe.py)."""
+    rank-greedy application (operators/bpe.py).
+
+    The two arm families run EAGER builds (store checkpoints on the
+    incr side, the driver-paced merge loop on the BPE side) that are
+    fully independent, so they're built on two threads — Spark accepts
+    concurrent job submission from one session, and overlapping the
+    builds cuts the row's wall time to ~max of the two families."""
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents")
-    incr, incrsig = _incr_arms(docs)
-    bpe_merge, bpe_tok = _bpe_arms(spark, docs)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_incr = pool.submit(_incr_arms, docs)
+        f_bpe = pool.submit(_bpe_arms, spark, docs)
+        incr, incrsig = f_incr.result()
+        bpe_merge, bpe_tok = f_bpe.result()
     return (
         incr.unionByName(incrsig)
         .unionByName(bpe_merge)

@@ -114,7 +114,7 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the transform path that runs over 100 TB — while the eigenbasis FIT
 # stays pytest-pinned against its numpy twin (an eigendecomposition has
 # no SQL oracle). The projected vectors route through
-# operators/semdedup.semdedup_pairs with a sign-quadrant cell
+# operators/semdedup.semdedup_pairs with a grid-quantized cell
 # assignment (replayable exactly; the Lloyd assignment is already
 # gate-pinned by the 'kmeans' arm), so the within-cell cosine pairing +
 # threshold + cell-size cap all carry driver rows.
@@ -124,6 +124,17 @@ PCA_COMPS = [
     for j in range(PCA_K)
 ]
 PCASEM_THRESHOLD = 0.99
+# Grid-quantized cells over the reduced space (floor(r_i * SCALE) per
+# dim, combined injectively): the IVF-style assignment whose cell count
+# GROWS with the occupied volume. Sign-quadrant cells (2 bits -> 4
+# cells) made within-cell pairing quadratic in corpus size — 2000
+# sf0.1 vectors already cost 2x the grid's runtime, and at 100 TB a
+# constant cell count is a non-starter. Reduced coords here are
+# ~N(0, 0.5), so SCALE=2 (width 0.5) yields ~10-20 vectors per
+# occupied cell at sf0.1. floor on IEEE doubles replays exactly in
+# DuckDB (the engine pair is already pinned by every ANN row).
+PCASEM_GRID_SCALE = 2
+PCASEM_GRID_BASE = 1000  # per-dim bin ids stay within +-500 at SCALE=2
 
 
 def _pcasem_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,13 +143,14 @@ def _pcasem_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     red = reduce_embeddings(e, "embedding", k=PCA_K, components=PCA_COMPS)
-    cells = red.select(
-        F.col("vec_id").alias("id"),
-        (
-            (F.col("reduced")[0] >= 0).cast("int") * 2
-            + (F.col("reduced")[1] >= 0).cast("int")
-        ).alias("cell"),
-    )
+    bins = [
+        F.floor(F.col("reduced")[i] * PCASEM_GRID_SCALE).cast("long")
+        for i in range(PCA_K)
+    ]
+    cell = bins[0]
+    for b in bins[1:]:
+        cell = cell * PCASEM_GRID_BASE + b
+    cells = red.select(F.col("vec_id").alias("id"), cell.alias("cell"))
     pairs = semdedup_pairs(
         red,
         dim=PCA_K,
@@ -161,7 +173,7 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp_pack): 'ivf' probes the given label cells, 'kmeans' probes
     deterministic Lloyd cells over unlabeled data, 'pcasem' (r6)
     projects embeddings onto a fixed literal PCA basis and reports the
-    within-quadrant semantic near-dup pairs. Same (query_id, nbr_id,
+    within-grid-cell semantic near-dup pairs. Same (query_id, nbr_id,
     cos, rnk) grain — for 'pcasem' the rnk column carries the cell id;
     each arm's oracle is unchanged, just tagged."""
     ivf = ann_topk_ivf(spark, sf_dir).select(
@@ -326,22 +338,25 @@ def _kmeans_sql() -> str:
 def _pcasem_sql() -> str:
     """The 'pcasem' arm's oracle: the same literal basis projected with
     list_dot_product (the engine pair already pinned IEEE-identical by
-    every ANN row), sign-quadrant cells, the semdedup cell-size cap,
-    and the rounded-cosine threshold on within-cell pairs."""
+    every ANN row), the grid-quantized cells, the semdedup cell-size
+    cap, and the rounded-cosine threshold on within-cell pairs."""
     from ..operators.semdedup import DEFAULT_MAX_CELL
 
     proj = ",\n               ".join(
         f"list_dot_product(vv, [{', '.join(repr(c) for c in comp)}])"
         for comp in PCA_COMPS
     )
+    g, base = PCASEM_GRID_SCALE, PCASEM_GRID_BASE
+    cell = f"CAST(floor(r[1] * {g}) AS BIGINT)"
+    for i in range(2, PCA_K + 1):
+        cell = f"({cell} * {base} + CAST(floor(r[{i}] * {g}) AS BIGINT))"
     return f"""
         WITH {_VN},
         pred AS (SELECT vec_id,
                         [{proj}] AS r
                  FROM v),
         pcell AS (SELECT vec_id, r,
-                         (CASE WHEN r[1] >= 0 THEN 2 ELSE 0 END
-                          + CASE WHEN r[2] >= 0 THEN 1 ELSE 0 END) AS cell,
+                         {cell} AS cell,
                          sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm
                   FROM pred),
         pok AS (SELECT cell FROM pcell GROUP BY cell
