@@ -177,36 +177,49 @@ def incremental_candidate_pairs(
 
     Equals the full-recompute candidate set restricted to pairs with at
     least one new id (pinned by test). The bucket cap applies to the
-    COMBINED bucket population, like the one-shot path."""
-    combined = stored_banded.unionByName(new_banded)
+    COMBINED bucket population, like the one-shot path.
+
+    ONE shuffle, like lsh_candidate_pairs: tag rows new/stored, group
+    each (band, bucket) to a sorted struct array, drop over-cap buckets
+    AND stored-only buckets (the vast majority of a mature store — they
+    can't produce a pair involving a new id, so they're pruned before
+    any expansion), then emit intra-array pairs keeping those touching
+    a new row. The previous join formulation (cap census + two keep
+    joins + newxstored join + newxnew self-join) shuffled ~5 times and
+    re-executed LIVE store plans once per reference."""
+    tagged = stored_banded.select(
+        "id", "band", "bucket", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_banded.select("id", "band", "bucket", F.lit(True).alias("is_new"))
+    )
+    buckets = tagged.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("id", "is_new"))).alias("rows")
+    )
     if max_bucket_size is not None:
-        sizes = combined.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bn")
+        buckets = buckets.filter(F.size("rows") <= max_bucket_size)
+    buckets = buckets.filter(
+        F.exists("rows", lambda r: r["is_new"])
+        & (F.size("rows") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("rows"),
+            lambda x, i: F.transform(
+                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    (x["is_new"] | y["is_new"]).alias("any_new"),
+                ),
+            ),
         )
-        keep = sizes.filter(F.col("_bn") <= max_bucket_size).select(
-            "band", "bucket"
-        )
-        new_banded = new_banded.join(keep, ["band", "bucket"])
-        stored_banded = stored_banded.join(keep, ["band", "bucket"])
-    nw = new_banded.alias("n")
-    st = stored_banded.alias("s")
-    cross = nw.join(
-        st,
-        (F.col("n.band") == F.col("s.band"))
-        & (F.col("n.bucket") == F.col("s.bucket")),
-    ).select(
-        F.least(F.col("n.id"), F.col("s.id")).alias("id_a"),
-        F.greatest(F.col("n.id"), F.col("s.id")).alias("id_b"),
-    ).filter(F.col("id_a") != F.col("id_b"))
-    a = nw
-    b = new_banded.alias("m")
-    within = a.join(
-        b,
-        (F.col("n.band") == F.col("m.band"))
-        & (F.col("n.bucket") == F.col("m.bucket"))
-        & (F.col("n.id") < F.col("m.id")),
-    ).select(F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b"))
-    return cross.unionByName(within).distinct()
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.any_new") & (F.col("p.id_a") != F.col("p.id_b")))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def minhash_near_duplicates(
