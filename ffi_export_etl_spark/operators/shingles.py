@@ -47,8 +47,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(shingle)
 
 
-def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long table, one row per distinct shingle per doc.
+def word_shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shs) — each document's DISTINCT word-n-gram shingle SET as
+    one array row. The set form is what Jaccard verification consumes
+    (map-side array_intersect); the exploded long table
+    (shingle_table) derives from it.
 
     Adaptively repartitions by id first (operators/spread.py): document
     corpora often arrive locally as ONE parquet file -> one partition,
@@ -71,8 +76,15 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
             F.slice("_toks", 1 + j, length),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return toks.select(
-        "id", F.explode(F.array_distinct(shingle)).alias("shingle")
+    return toks.select("id", F.array_distinct(shingle).alias("shs"))
+
+
+def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) long table, one row per distinct shingle per doc —
+    the explode of word_shingle_arrays (see there for the spread and
+    projection-structure notes)."""
+    return word_shingle_arrays(docs, id_col, text_col, n).select(
+        "id", F.explode("shs").alias("shingle")
     )
 
 
@@ -94,6 +106,16 @@ def char_shingle_table(
     n=5 chars carries roughly the information of a word bigram in CJK;
     the MinHash/LSH layers on top are shingle-agnostic.
     """
+    return char_shingle_arrays(docs, id_col, text_col, n).select(
+        "id", F.explode("shs").alias("shingle")
+    )
+
+
+def char_shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, shs) — the char-n-gram shingle SET per document (the array
+    form char_shingle_table explodes; see its docstring)."""
     from .textproc import normalize_whitespace
 
     normed = normalize_whitespace(F.col(text_col))
@@ -108,9 +130,7 @@ def char_shingle_table(
             F.slice("_cs", 1 + j, length),
             lambda a, b: F.concat(a, b),
         )
-    return chars.select(
-        "id", F.explode(F.array_distinct(shingle)).alias("shingle")
-    )
+    return chars.select("id", F.array_distinct(shingle).alias("shs"))
 
 
 def default_shingle_n(mode: str) -> int:
@@ -142,6 +162,25 @@ def build_shingles(
     raise ValueError(f"unknown shingle mode {mode!r} (want word|char)")
 
 
+def build_shingle_arrays(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int | None,
+    mode: str = "word",
+) -> DataFrame:
+    """(id, shs) — build_shingles' per-document SET form (the exploded
+    table is its explode); consumed where whole sets are compared
+    map-side (jaccard_pairs verification)."""
+    if n is None:
+        n = default_shingle_n(mode)
+    if mode == "word":
+        return word_shingle_arrays(docs, id_col, text_col, n)
+    if mode == "char":
+        return char_shingle_arrays(docs, id_col, text_col, n)
+    raise ValueError(f"unknown shingle mode {mode!r} (want word|char)")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str,
@@ -168,25 +207,27 @@ def jaccard_pairs(
     rank + a join on rare prefix tokens (small fan-out by construction) +
     candidate-pinned verification — linear-ish in practice; the truly
     quadratic regime (everything near-duplicate) is quadratic in the
-    OUTPUT, which no exact algorithm avoids.
+    OUTPUT, which no exact algorithm avoids. Verification joins the
+    candidate pairs to the per-doc shingle ARRAYS (one row per doc) and
+    intersects map-side — never a full-corpus exploded-table shuffle.
     """
-    # The shingle table feeds five subplans (doc-frequency ranking,
-    # sizes, prefix, both verification sides). cache_shingles=True
-    # persists it — right when the corpus scan dominates (real 100 TB
-    # runs) — but the caller owns the release; default False recomputes
-    # like minhash's same-named default, so a registry/bench run never
-    # pins the largest intermediate for the session lifetime.
-    sh = build_shingles(docs, id_col, text_col, n, mode)
+    # The array table feeds four subplans (doc-frequency ranking via
+    # its explode, the prefix, both verification sides).
+    # cache_shingles=True persists it — right when the corpus scan
+    # dominates (real 100 TB runs) — but the caller owns the release;
+    # default False recomputes like minhash's same-named default, so a
+    # registry/bench run never pins the largest intermediate for the
+    # session lifetime.
+    arr = build_shingle_arrays(docs, id_col, text_col, n, mode)
     if cache_shingles:
-        sh.persist()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        arr.persist()
+    # n_sh rides through the explode — no separate sizes join
+    sh = arr.select(
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("id").orderBy("_df", "shingle")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "id")
-    )
+    ranked = sh.join(freq, "shingle").withColumn("_rk", F.row_number().over(w))
     # prefix length = n - ceil(pct*n/100) + 1, in integer arithmetic
     need = (F.col("n_sh") * threshold_pct + 99) / 100
     prefix = ranked.filter(
@@ -209,20 +250,20 @@ def jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cands.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # Verification: ship each CANDIDATE doc's shingle set (one array row
+    # per doc — candidate-bounded, never the full exploded corpus) and
+    # intersect map-side. The former explode-join-groupBy counted the
+    # intersection by shuffling candidate_pairs x shingles rows.
+    va = arr.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
+    vb = arr.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .withColumn(
+            "n_union",
+            (F.size("sa") + F.size("sb")).cast("long") - F.col("n_inter"),
+        )
         .filter(F.col("n_inter") * 100 >= threshold_pct * F.col("n_union"))
         .select(
             "id_a",
