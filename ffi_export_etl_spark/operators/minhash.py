@@ -179,15 +179,27 @@ def incremental_candidate_pairs(
     least one new id (pinned by test). The bucket cap applies to the
     COMBINED bucket population, like the one-shot path.
 
-    ONE shuffle, like lsh_candidate_pairs: tag rows new/stored, group
-    each (band, bucket) to a sorted struct array, drop over-cap buckets
-    AND stored-only buckets (the vast majority of a mature store — they
-    can't produce a pair involving a new id, so they're pruned before
-    any expansion), then emit intra-array pairs keeping those touching
-    a new row. The previous join formulation (cap census + two keep
-    joins + newxstored join + newxnew self-join) shuffled ~5 times and
-    re-executed LIVE store plans once per reference."""
-    tagged = stored_banded.select(
+    ONE shuffle of the rows that can matter, like lsh_candidate_pairs:
+    the stored side is first semi-joined (broadcast — the new batch's
+    distinct bucket set is batch-sized by the daily-increment contract)
+    to the buckets the new batch actually touches, so a mature store
+    ships only touched buckets into the shuffle instead of its whole
+    index; then tag rows new/stored, group each (band, bucket) to a
+    sorted struct array, drop over-cap buckets, and emit intra-array
+    pairs keeping those touching a new row. Every stored row of a
+    touched bucket survives the semi-join, so the cap still sees the
+    full combined population. The previous join formulation (cap census
+    + two keep joins + newxstored join + newxnew self-join) shuffled the
+    entire store ~5 times and re-executed LIVE store plans once per
+    reference."""
+    # no .distinct() on the bucket list: the broadcast hash build dedups
+    # keys anyway, and a distinct would add a shuffle (and, for LIVE new
+    # plans, a second sketch execution) for nothing
+    new_buckets = new_banded.select("band", "bucket")
+    stored_touched = stored_banded.join(
+        F.broadcast(new_buckets), ["band", "bucket"], "left_semi"
+    )
+    tagged = stored_touched.select(
         "id", "band", "bucket", F.lit(False).alias("is_new")
     ).unionByName(
         new_banded.select("id", "band", "bucket", F.lit(True).alias("is_new"))
@@ -197,10 +209,10 @@ def incremental_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("rows") <= max_bucket_size)
-    buckets = buckets.filter(
-        F.exists("rows", lambda r: r["is_new"])
-        & (F.size("rows") >= 2)
-    )
+    # every bucket contains >= 1 new row by the semi-join above; only
+    # singleton buckets (a new row with no co-bucketed partner) remain
+    # to drop before expansion
+    buckets = buckets.filter(F.size("rows") >= 2)
     pair_structs = F.flatten(
         F.transform(
             F.col("rows"),
