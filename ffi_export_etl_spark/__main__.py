@@ -102,6 +102,8 @@ def curate_stream_main(argv: list[str]) -> int:
     if (args.span_store is None) != (args.span_dedup_tokens is None):
         ap.error("--span-store and --span-dedup-tokens go together")
 
+    from pyspark.sql.utils import AnalysisException
+
     from .session import get_spark, tune
     from .streaming.curate import streaming_curate
 
@@ -112,7 +114,9 @@ def curate_stream_main(argv: list[str]) -> int:
     # drain, not a schema-inference traceback
     try:
         spark.read.parquet(args.source_dir).schema
-    except Exception:
+    except AnalysisException:
+        # ONLY the path-level failure class: a corrupt store or IO/auth
+        # error must traceback, not masquerade as a clean empty drain
         print(json.dumps({"kept_rows": 0, "note": "no input files",
                           "source_dir": args.source_dir}, sort_keys=True))
         return 0
@@ -139,19 +143,25 @@ def curate_stream_main(argv: list[str]) -> int:
     # by the checkpoint) against fresh roots leaves no output dirs — a
     # clean no-op run must print its JSON line, not an AnalysisException
     def _rows(path: str) -> int:
+        # AnalysisException = root does not exist (clean zero-batch
+        # drain); anything else — corrupt footer, permission/auth
+        # failure — must surface, not print rows: 0 with exit 0 (the
+        # _read_store docstring's silent-wrong-output failure class)
         try:
             return spark.read.parquet(path).count()
-        except Exception:
+        except AnalysisException:
             return 0
 
     def _kept_rows() -> int:
         # the generation-aware reader (valid on plain and compacted
         # layouts); a zero-batch drain may have created no root at all
+        # (AnalysisException from the listing, ValueError = read_kept's
+        # explicit empty-sink signal)
         from .streaming.curate import read_kept
 
         try:
             return read_kept(spark, args.kept).count()
-        except Exception:
+        except (AnalysisException, ValueError):
             return 0
 
     out = {

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .xplode import explode_nonempty
 from pyspark.sql.window import Window
 
 __all__ = ["bm25_topk", "query_terms_df"]
@@ -92,10 +94,10 @@ def bm25_topk(
     # tokenize+explode is per-doc CPU work in the scan stage: spread an
     # under-partitioned (few-file) corpus across cores first; identity
     # on a many-file corpus (no raw-text shuffle at scale)
-    base = spread_per_doc(docs, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
+    base = explode_nonempty(
+        spread_per_doc(docs, id_col),
+        [F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")],
+        toks, "term",
     )
     qvocab = query_terms.select("term").distinct()
     # Broadcast filter BEFORE the (doc, term) shuffle: only postings for

@@ -44,6 +44,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .xplode import explode_nonempty
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -72,9 +74,10 @@ def word_count_table(
 ) -> DataFrame:
     """(word, n) over whitespace-lowercased tokens — the one corpus scan
     training runs on. Map-side combined groupBy; empty tokens dropped."""
-    tok = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
     return (
-        docs.select(tok)
+        explode_nonempty(
+            docs, [], F.split(F.lower(F.col(text_col)), r"\s+"), "word"
+        )
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.porthash import md5_long
+from .xplode import explode_nonempty
 
 __all__ = ["winnow_fingerprints", "winnow_overlap_pairs"]
 
@@ -43,23 +44,27 @@ DEFAULT_W = 4  # winnowing window (k-gram hashes)
 DEFAULT_MAX_BUCKET = 200  # overlap-report bucket cap (LSH discipline)
 
 
-def _fingerprint_col(text: Column, k: int, w: int) -> Column:
-    """array<bigint> of selected (distinct, sorted) winnowing hashes
-    for one document's text."""
-    toks = F.split(text, r"\s+")
+def _gram_hashes(toks: Column, k: int) -> Column:
+    """k-gram md5 sequence (positional, NOT distinct) from a token
+    array ATTRIBUTE; empty when fewer than k tokens. The caller must
+    pass a bound column, not an inline split() — see winnow_fingerprints
+    for why."""
     n = F.size(toks)
-    # k-gram hash sequence; empty when fewer than k tokens
-    grams = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
             lambda s: md5_long(F.array_join(F.slice(toks, s, k), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    # each window of w consecutive hashes contributes its minimum;
-    # windows shorter than w (doc with < w k-grams) winnow as one window
+
+
+def _selected_col(grams: Column, w: int) -> Column:
+    """Selected (distinct, sorted) winnowing minima over a gram-hash
+    ATTRIBUTE; windows shorter than w (doc with < w k-grams) winnow as
+    one window."""
     m = F.size(grams)
-    selected = F.when(
+    return F.when(
         m > 0,
         F.array_sort(
             F.array_distinct(
@@ -70,7 +75,6 @@ def _fingerprint_col(text: Column, k: int, w: int) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return selected
 
 
 def winnow_fingerprints(
@@ -83,10 +87,27 @@ def winnow_fingerprints(
     """(id, fingerprints array<bigint>, n_fingerprints) per document —
     the winnowed signature set, sorted distinct so it is a stable
     engine-portable value. Documents shorter than k tokens get an
-    empty set."""
-    return docs.select(
+    empty set.
+
+    Built in STAGED projections (token array -> gram hashes ->
+    selection) so each intermediate is a bound, multi-referenced
+    attribute. The original single-expression form inlined the token
+    split and the whole gram-hash array into every per-element lambda
+    reference (the word_shingles pitfall), re-hashing all grams once
+    per window position — O(n_grams * n_grams * k) md5 work per doc,
+    measured 188s to materialize sf0.1 where this form takes ~2s.
+    (bench/sweep count() runs never caught it: the fingerprint column
+    prunes away under count, so the gate's sf0.01 value compare was
+    the only true materialization.)"""
+    toks_df = docs.select(
         F.col(id_col).alias("id"),
-        _fingerprint_col(F.col(text_col), k, w).alias("fingerprints"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    )
+    grams_df = toks_df.select(
+        "id", _gram_hashes(F.col("_toks"), k).alias("_grams")
+    )
+    return grams_df.select(
+        "id", _selected_col(F.col("_grams"), w).alias("fingerprints")
     ).withColumn("n_fingerprints", F.size("fingerprints"))
 
 
@@ -98,6 +119,7 @@ def winnow_overlap_pairs(
     w: int = DEFAULT_W,
     min_shared: int = 2,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared) with id_a < id_b — document pairs sharing
     at least ``min_shared`` selected fingerprints: the local-copy
@@ -108,21 +130,36 @@ def winnow_overlap_pairs(
     shared by more documents than that (boilerplate hubs) before the
     quadratic pair expansion — the LSH bucket-cap discipline.
 
-    Plan shape: ONE shuffle on ``h`` (groupBy + collect_list — the
+    Plan shape: ONE shuffle on ``h`` (groupBy + sorted collect — the
     bucket size check and the pair expansion both happen inside the
     grouped row, JVM array ops), then the pair-count aggregation. The
     exploded self-join alternative shuffles the fingerprint table
     twice on the same key; collecting the bucket halves that, and the
-    collected list is bounded by ``max_bucket_size``."""
-    fp = winnow_fingerprints(docs, id_col, text_col, k, w).select(
-        "id", F.explode("fingerprints").alias("h")
+    collected list is bounded by ``max_bucket_size``.
+
+    ``fingerprints``: a precomputed winnow_fingerprints frame for the
+    same (docs, k, w) — callers that already materialized the selection
+    (text_langfp_pack reports the sets AND the overlap) pass it here so
+    the per-doc md5 selection pass runs once, not once per consumer."""
+    if fingerprints is None:
+        fingerprints = winnow_fingerprints(docs, id_col, text_col, k, w)
+    # explode_nonempty, NOT plain explode: the optimizer would infer
+    # `size(fingerprints) > 0` and push it below the staged projections
+    # with the ENTIRE selection expression inlined — re-evaluated per
+    # row on top of the real computation (measured 195s vs 3s at
+    # sf0.1; operators/xplode.py module docstring).
+    fp = explode_nonempty(fingerprints, ["id"], "fingerprints", "h")
+    # sort IN the aggregation (like lsh_candidate_pairs): an unaliased
+    # array_sort referenced from the expansion lambdas would be inlined
+    # and re-evaluated per element (the word_shingles pitfall)
+    buckets = fp.groupBy("h").agg(
+        F.sort_array(F.collect_list("id")).alias("_ids")
     )
-    buckets = fp.groupBy("h").agg(F.collect_list("id").alias("_ids"))
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     # per-doc fingerprints are distinct, so a bucket never repeats an
     # id: sorted in-bucket (i, j>i) expansion gives id_a < id_b strict
-    ids = F.array_sort("_ids")
+    ids = F.col("_ids")
     pairs = F.flatten(
         F.transform(
             ids,
@@ -133,7 +170,7 @@ def winnow_overlap_pairs(
         )
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        explode_nonempty(buckets, [], pairs, "p")
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .xplode import explode_nonempty
+
 __all__ = ["train_bigram_lm", "score_documents", "BOS"]
 
 BOS = "\x02"  # sentinel: never produced by whitespace tokenization
@@ -50,8 +52,8 @@ def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return docs.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    return explode_nonempty(
+        docs, [F.col(id_col).alias("id")], pairs, "p"
     ).select("id", "p.w1", "p.w2")
 
 

@@ -28,6 +28,7 @@ from ..functions.porthash import (
     perm_coefficients,
     spark_perm,
 )
+from .xplode import explode_nonempty
 from .shingles import build_shingles
 
 # A bucket of B members contributes B^2/2 candidate pairs; a degenerate
@@ -138,8 +139,7 @@ def lsh_candidate_pairs(
         )
     )
     return (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
+        explode_nonempty(buckets.filter(F.size("ids") >= 2), [], pair_structs, "p")
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -227,7 +227,7 @@ def incremental_candidate_pairs(
         )
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        explode_nonempty(buckets, [], pair_structs, "p")
         .filter(F.col("p.any_new") & (F.col("p.id_a") != F.col("p.id_b")))
         .select("p.id_a", "p.id_b")
         .distinct()

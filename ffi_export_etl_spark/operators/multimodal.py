@@ -29,6 +29,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .xplode import explode_nonempty
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -138,10 +140,8 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     idx = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
     )
-    return media.select(
-        "media_id",
-        "kind",
-        F.explode(idx).alias("frame_index"),
+    return explode_nonempty(
+        media, ["media_id", "kind"], idx, "frame_index"
     )
 
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .xplode import explode_nonempty
+
 DEFAULT_BLOCK_SIZE = 100_000
 
 
@@ -127,11 +129,10 @@ def sequence_manifest(packed: DataFrame, capacity: int) -> DataFrame:
         F.col("tok_offset") + F.col("n_tokens"), seq_start + capacity
     )
     return (
-        packed.select(
-            "id",
-            "tok_offset",
-            "n_tokens",
-            F.explode(F.sequence("first_seq", "last_seq")).alias("s"),
+        explode_nonempty(
+            packed,
+            ["id", "tok_offset", "n_tokens"],
+            F.sequence("first_seq", "last_seq"), "s",
         )
         .filter(F.col("n_tokens") > 0)
         .select(

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .spread import spread_per_doc
+from .xplode import explode_nonempty
 
 
 def tokens(text: Column) -> Column:
@@ -83,8 +84,9 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     """(id, shingle) long table, one row per distinct shingle per doc —
     the explode of word_shingle_arrays (see there for the spread and
     projection-structure notes)."""
-    return word_shingle_arrays(docs, id_col, text_col, n).select(
-        "id", F.explode("shs").alias("shingle")
+    return explode_nonempty(
+        word_shingle_arrays(docs, id_col, text_col, n),
+        ["id"], "shs", "shingle",
     )
 
 
@@ -106,8 +108,9 @@ def char_shingle_table(
     n=5 chars carries roughly the information of a word bigram in CJK;
     the MinHash/LSH layers on top are shingle-agnostic.
     """
-    return char_shingle_arrays(docs, id_col, text_col, n).select(
-        "id", F.explode("shs").alias("shingle")
+    return explode_nonempty(
+        char_shingle_arrays(docs, id_col, text_col, n),
+        ["id"], "shs", "shingle",
     )
 
 
@@ -222,8 +225,8 @@ def jaccard_pairs(
     if cache_shingles:
         arr.persist()
     # n_sh rides through the explode — no separate sizes join
-    sh = arr.select(
-        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
+    sh = explode_nonempty(
+        arr, ["id", F.size("shs").alias("n_sh")], "shs", "shingle"
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("id").orderBy("_df", "shingle")

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.porthash import hyperplane_coefficients, md5_long
 from .minhash import DEFAULT_MAX_BUCKET
 from .quantize import quantize_embedding
+from .xplode import explode_nonempty
 
 
 def as_double(vec: Column) -> Column:
@@ -283,8 +284,7 @@ def lsh_banded_pairs(
         )
     )
     return (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
+        explode_nonempty(buckets.filter(F.size("ids") >= 2), [], pair_structs, "p")
         .select("p.id_a", "p.id_b")
         .distinct()
     )

@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .xplode import posexplode_nonempty
+
 __all__ = [
     "duplicate_spans",
     "remove_duplicate_spans",
@@ -83,11 +85,13 @@ def _windows(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        F.col(id_col).alias("id"), toks.alias("_toks")
-    ).select(
-        "id",
-        F.posexplode(hashes).alias("pos0", "whash"),
+    # posexplode_nonempty: plain posexplode makes the optimizer infer
+    # size(hashes) > 0 and push it below the projection with the whole
+    # md5-window expression inlined — computed twice per doc
+    # (operators/xplode.py)
+    return posexplode_nonempty(
+        docs.select(F.col(id_col).alias("id"), toks.alias("_toks")),
+        ["id"], hashes, "pos0", "whash",
     ).select("id", (F.col("pos0") + 1).alias("pos"), "whash")
 
 

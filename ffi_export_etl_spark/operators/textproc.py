@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .xplode import explode_nonempty, posexplode_nonempty
+
 # (pattern, replacement) applied in order; order matters (emails before
 # bare domains would, e.g., double-redact).
 SCRUB_RULES: tuple[tuple[str, str], ...] = (
@@ -225,9 +227,9 @@ def strip_boilerplate_lines(
     ``broadcast_boiler=True`` only when the set is known tiny (e.g. a
     curated hand-list) to pin the broadcast up front.
     """
-    lines = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    lines = posexplode_nonempty(
+        docs, [F.col(id_col).alias("id")],
+        F.split(F.col(text_col), r"\n"), "pos", "line",
     )
     norm = F.trim(F.col("line"))
     boiler = (
@@ -281,9 +283,7 @@ def vocab_top_tokens(
     from pyspark.sql import Window
 
     counts = (
-        docs.select(
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
-        )
+        explode_nonempty(docs, [], F.split(F.col(text_col), r"\s+"), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
@@ -324,9 +324,8 @@ def chunk_documents(
     chunks = F.transform(
         starts, lambda s: F.slice(toks, s, chunk_tokens)
     )
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(chunks).alias("chunk_index", "_chunk"),
+    return posexplode_nonempty(
+        docs, [F.col(id_col).alias("id")], chunks, "chunk_index", "_chunk"
     ).select(
         "id",
         "chunk_index",
@@ -360,9 +359,9 @@ def dedup_paragraphs(
     order preserved; documents whose every paragraph was stripped come
     back with empty text (drop downstream via a quality filter).
     """
-    paras = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias("pos", "para"),
+    paras = posexplode_nonempty(
+        docs, [F.col(id_col).alias("id")],
+        F.split(F.col(text_col), r"\n{2,}"), "pos", "para",
     )
     key = F.md5(F.encode(F.trim(F.col("para")), "UTF-8"))
     keyed = paras.withColumn("_key", key)

@@ -23,6 +23,7 @@ from ..operators.similarity import (
     lsh_topk,
 )
 from ..sources.parquet import load_table
+from ..operators.xplode import posexplode_nonempty
 
 TOPK = 10
 N_QUERIES = 5  # vec_id 0..4 serve as query vectors
@@ -69,9 +70,8 @@ def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import as_double
 
     return (
-        e.select(
-            "label",
-            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        posexplode_nonempty(
+            e, ["label"], as_double(F.col("embedding")), "pos", "x"
         )
         .groupBy("label", "pos")
         .agg(

@@ -174,7 +174,14 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.join(spans, "doc_id")
     raw = load_table(spark, sf_dir, "documents")
-    wf = winnow_fingerprints(raw).select(
+    # the winnowed selection feeds TWO consumers (the per-doc columns
+    # and the overlap-pair pipeline); materialize it once — lazily it
+    # would tokenize + md5 every k-gram of the corpus once per branch
+    # (the review-measured double-selection). Row count = |docs|, array
+    # size ~2·n_tokens/(w+1): doc-bounded, cheap to pin. At 100 TB the
+    # same boundary is a persisted table.
+    wfull = winnow_fingerprints(raw).localCheckpoint()
+    wf = wfull.select(
         F.col("id").alias("doc_id"),
         F.col("n_fingerprints").alias("wn_fingerprints"),
         F.md5(
@@ -189,7 +196,7 @@ def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("wfp_md5"),
     )
-    pairs = winnow_overlap_pairs(raw, min_shared=1)
+    pairs = winnow_overlap_pairs(raw, min_shared=1, fingerprints=wfull)
     partners = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))

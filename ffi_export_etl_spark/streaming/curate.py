@@ -33,12 +33,43 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..operators.exactdedup import exact_signature_store
 from ..operators.minhash import minhash_signature_store_with_sigs
 from ..plans.curation_increment import curate_increment
 from .dedup import _read_store, _session_base
 from .events import compact_window_sink, read_window_sink
+
+
+def _kept_max_id(spark: SparkSession, kept_path: str) -> int | None:
+    """Max occupied absolute id of the kept corpus — generation-aware.
+
+    A plain parquet read of a compacted kept root either throws (mixed
+    ``compacted=``/``batch_id=`` partition dir names) or yields no
+    batch_id column, so a continue-mode session base computed that way
+    silently restarts at 0 — new batches then land AT OR BELOW the
+    current generation id, where read_kept skips them and the next
+    compaction DELETES them. This probe combines (a) the local dir
+    listing (committed generations + every batch dir, even uncommitted
+    ones — a crashed dir's id stays burned rather than reused) with
+    (b) the plain batch_id scan for roots the listing can't see
+    (hdfs://, s3a:// — never compacted, since the generation machinery
+    is local-filesystem)."""
+    from .events import _sink_ids
+
+    ids = list(_sink_ids(kept_path, "compacted", committed_only=True))
+    ids += list(_sink_ids(kept_path, "batch_id"))
+    try:
+        store = spark.read.parquet(kept_path)
+        if "batch_id" in store.columns:
+            top = store.select(F.max("batch_id")).first()[0]
+            if top is not None:
+                ids.append(int(top))
+    except AnalysisException:
+        pass  # absent root, or mixed partition names (listing covers it)
+    return max(ids) if ids else None
 
 
 def read_kept(spark: SparkSession, kept_path: str) -> DataFrame:
@@ -112,8 +143,18 @@ def streaming_curate(
         roots.append(span_store_path)
         names.append("span")
     if on_existing_store == "continue":
+        # the kept root needs the generation-aware probe (the stores are
+        # never compacted in place — compact_store writes a separate
+        # bucketed table — so their plain batch_id scan stays correct)
         bases = {
-            root: _session_base(spark, checkpoint, name, root)
+            root: _session_base(
+                spark, checkpoint, name, root,
+                max_id_fn=(
+                    (lambda r=root: _kept_max_id(spark, r))
+                    if root == kept_path
+                    else None
+                ),
+            )
             for name, root in zip(names, roots)
         }
     else:

@@ -76,28 +76,42 @@ def _read_store(
 
 
 def _session_base(
-    spark: SparkSession, checkpoint: str, tag: str, store_path: str
+    spark: SparkSession,
+    checkpoint: str,
+    tag: str,
+    store_path: str,
+    max_id_fn=None,
 ) -> int:
     """Base offset for absolute batch ids in ``continue`` mode: the
     store's max batch_id + 1, computed ONCE per checkpoint and pinned in
     a sidecar next to the checkpoint dir (first-writer-wins via
     mode=ignore) — so a failure replay within the session reuses the
-    same base and its batch_id pruning/overwrite slots stay correct."""
+    same base and its batch_id pruning/overwrite slots stay correct.
+
+    ``max_id_fn``: optional zero-arg probe returning the store's max
+    occupied absolute id (or None for an empty store), replacing the
+    default plain-parquet batch_id scan — required for roots whose
+    layout a plain read cannot parse (the kept corpus once compaction
+    has produced ``compacted=`` generations; see curate._kept_max_id)."""
     sidecar = checkpoint.rstrip("/") + f"_base_{tag}"
     try:
         return int(spark.read.json(sidecar).first()["base"])
     except AnalysisException:
         pass
-    try:
-        store = spark.read.parquet(store_path)
-        top = (
-            store.select(F.max("batch_id")).first()[0]
-            if "batch_id" in store.columns
-            else None
-        )
+    if max_id_fn is not None:
+        top = max_id_fn()
         computed = int(top) + 1 if top is not None else 0
-    except AnalysisException:
-        computed = 0
+    else:
+        try:
+            store = spark.read.parquet(store_path)
+            top = (
+                store.select(F.max("batch_id")).first()[0]
+                if "batch_id" in store.columns
+                else None
+            )
+            computed = int(top) + 1 if top is not None else 0
+        except AnalysisException:
+            computed = 0
     spark.createDataFrame([(computed,)], "base: long").coalesce(1).write.mode(
         "ignore"
     ).json(sidecar)

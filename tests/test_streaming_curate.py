@@ -242,3 +242,68 @@ def test_kept_compaction_bounds_files(spark, tmp_path):
     # exactly one data-bearing parquet file remains after num_files=1
     files = glob.glob(os.path.join(kept, "compacted=*", "*.parquet"))
     assert len(files) == 1
+
+
+def test_continue_mode_after_kept_compaction(spark, tmp_path):
+    """Review fix (r6): a continue-mode session whose kept corpus was
+    COMPACTED must base its absolute batch ids ABOVE the generation id.
+    The plain-parquet base probe cannot parse the mixed compacted=/
+    batch_id= layout and silently restarted at 0 — day-2 batches then
+    landed at or below the generation id, where read_kept skips them
+    and the next compaction deletes them (data loss)."""
+    import glob
+
+    from ffi_export_etl_spark.streaming.curate import (
+        compact_kept,
+        read_kept,
+    )
+
+    src = str(tmp_path / "src_g")
+    os.makedirs(src)
+    for i in range(3):  # day 1: three fresh waves
+        text = " ".join(f"d1w{i}t{j}" for j in range(25))
+        spark.createDataFrame(
+            [(200 + i, text, "web")],
+            "doc_id: long, text: string, source: string",
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_g")
+    common = dict(
+        kept_path=kept,
+        exact_store_path=str(tmp_path / "exact_g"),
+        minhash_store_path=str(tmp_path / "mh_g"),
+        min_words=5,
+        jaccard_threshold_pct=50,
+    )
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        checkpoint=str(tmp_path / "ckpt_g1"),
+        **common,
+    )
+    gen = compact_kept(spark, kept, num_files=1)  # nightly maintenance
+    assert gen == 2
+    # day 2: lost checkpoint + continue; one fresh wave
+    spark.createDataFrame(
+        [(210, " ".join(f"d2t{j}" for j in range(25)), "web")],
+        "doc_id: long, text: string, source: string",
+    ).coalesce(1).write.parquet(os.path.join(src, "wave3"))
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        checkpoint=str(tmp_path / "ckpt_g2"),
+        on_existing_store="continue",
+        **common,
+    )
+    # day 2's batches landed ABOVE the generation id...
+    tail = [
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(kept, "batch_id=*"))
+    ]
+    assert tail and min(tail) > gen, sorted(tail)
+    # ...so the generation-aware reader sees day 1 AND day 2
+    got = {r["id"] for r in read_kept(spark, kept).collect()}
+    assert got == {200, 201, 202, 210}
+    # and a later compaction folds, never deletes, the day-2 rows
+    compact_kept(spark, kept, num_files=1)
+    got2 = {r["id"] for r in read_kept(spark, kept).collect()}
+    assert got2 == got
