@@ -73,3 +73,36 @@ def test_q8_q9_broadcast_the_filtered_part_dim(spark):
 def test_q16_exclusion_is_an_anti_join(spark):
     plan = _plan(spark, "q16_supplier_part_counts")
     assert "LeftAnti" in plan
+
+# --- relational4's folded shapes (q21/q22) keep singleton pins too ---
+# (review fix r6: the q_shapes_pack fold removed their own driver rows;
+# without these a q21/q22 regression would surface only as an opaque
+# 10-arm pack hash mismatch)
+R4_NAMES = None
+
+
+def _r4():
+    from ffi_export_etl_spark.queries import relational4
+
+    return relational4
+
+
+def test_every_r4_shape_has_an_oracle():
+    r4 = _r4()
+    assert set(r4.SHAPE_ORACLE) == set(r4.SHAPE_QUERIES)
+    assert set(r4.SHAPE_QUERIES) == {"q21_waiting_orders",
+                                     "q22_idle_customers"}
+
+
+@pytest.mark.parametrize(
+    "name", ["q21_waiting_orders", "q22_idle_customers"]
+)
+def test_r4_shape_matches_oracle(spark, sf_oracle, name):
+    r4 = _r4()
+    df = r4.SHAPE_QUERIES[name](spark, sf_oracle)
+    compare_to_oracle(df, r4.SHAPE_ORACLE[name], sf_oracle)
+    # q22's NOT-EXISTS + above-average-balance filter is legitimately
+    # empty at sf0.01 (verified equal to the oracle's empty set; the
+    # sf0.1 sweep exercises it non-empty) — only q21 must be non-empty
+    if name == "q21_waiting_orders":
+        assert df.count() > 0, f"{name} degenerate at sf0.01"
