@@ -1,0 +1,151 @@
+"""operators/validate.py — single-pass data-quality constraint suite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffi_export_etl_spark.operators.validate import CheckSuite, assert_suite
+
+
+def _report(df, suite):
+    return {r["check"]: r.asDict() for r in suite.run(df).collect()}
+
+
+def test_row_checks_count_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, None, -3), (3, "xx", 10), (None, "de", 999)],
+        "id bigint, lang string, n bigint",
+    )
+    rep = _report(
+        df,
+        CheckSuite()
+        .not_null("id")
+        .not_null("lang")
+        .in_range("n", 0, 100)
+        .accepted_values("lang", ["en", "de", "fr"])
+        .matches("lang", "^[a-z]{2}$"),
+    )
+    assert rep["not_null:id"]["n_violations"] == 1
+    assert not rep["not_null:id"]["passed"]
+    assert rep["not_null:lang"]["n_violations"] == 1
+    # -3 out of range, 999 out of range => 2 violations
+    assert rep["in_range:n"]["n_violations"] == 2
+    # None and "xx" both violate accepted_values (NULL counts as violation)
+    assert rep["accepted_values:lang"]["n_violations"] == 2
+    # "xx" matches the regex; only NULL violates
+    assert rep["matches:lang"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in rep.values())
+
+
+def test_unique_exact_and_approx_and_min_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None)], "id bigint, k string"
+    )
+    rep = _report(
+        df,
+        CheckSuite()
+        .unique("id")
+        .unique("k")  # 3 non-null, 2 distinct -> 1 violation
+        .min_rows(4)
+        .min_rows(10),
+    )
+    assert rep["unique:id"]["passed"]
+    assert rep["unique:k"]["n_violations"] == 1 and not rep["unique:k"]["passed"]
+    assert rep["min_rows:4"]["passed"]
+    assert rep["min_rows:10"]["n_violations"] == 6
+    assert not rep["min_rows:10"]["passed"]
+
+    # approx form agrees with exact on small cardinalities
+    rep2 = _report(df, CheckSuite().unique("k", approx=True, max_violations=0))
+    assert rep2["unique:k"]["n_violations"] == 1
+
+
+def test_null_fraction_micro_math(spark):
+    # 1 null of 4 rows = 25%: passes at 25%, fails at 24.9999%
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, None)], "id bigint, v string"
+    )
+    ok = _report(df, CheckSuite().null_fraction_at_most("v", 0.25))
+    assert ok["null_fraction:v"]["passed"]
+    bad = _report(df, CheckSuite().null_fraction_at_most("v", 0.249999))
+    assert not bad["null_fraction:v"]["passed"]
+
+
+def test_satisfies_and_thresholds(spark):
+    df = spark.createDataFrame(
+        [("abc", 3), ("de", 2), ("fgh", 99)], "text string, n bigint"
+    )
+    rep = _report(
+        df,
+        CheckSuite()
+        .satisfies("len_consistent", F.col("n") == F.length("text"),
+                   column="n")
+        .satisfies("len_tolerant", F.col("n") == F.length("text"),
+                   column="n", max_violations=1),
+    )
+    assert rep["len_consistent"]["n_violations"] == 1
+    assert not rep["len_consistent"]["passed"]
+    assert rep["len_tolerant"]["passed"]  # 1 violation allowed
+
+
+def test_empty_frame_and_empty_suite(spark):
+    df = spark.createDataFrame([], "id bigint")
+    rep = _report(
+        df, CheckSuite().not_null("id").unique("id").min_rows(1)
+    )
+    assert rep["not_null:id"]["n_violations"] == 0
+    assert rep["not_null:id"]["passed"]
+    assert rep["unique:id"]["n_violations"] == 0
+    assert rep["min_rows:1"]["n_violations"] == 1
+    assert not rep["min_rows:1"]["passed"]
+    with pytest.raises(ValueError, match="no checks"):
+        CheckSuite().run(df)
+
+
+def test_duplicate_names_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate"):
+        CheckSuite().not_null("a").not_null("a")
+
+
+def test_single_scan_plan(spark):
+    """All row checks compile into ONE aggregate over ONE scan —
+    no per-check jobs. unique() adds Catalyst's expand, so keep the
+    no-unique suite's plan to a single Aggregate pair."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    plan = (
+        CheckSuite()
+        .not_null("id").in_range("m", 0, 6).min_rows(1)
+        .run(df)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Aggregate") <= 2  # partial+final pair, one scan
+    assert plan.count("Range") == 1
+
+
+def test_assert_suite_raises_with_detail(spark):
+    df = spark.createDataFrame([(1,), (1,)], "id bigint")
+    with pytest.raises(ValueError, match="unique:id"):
+        assert_suite(df, CheckSuite().unique("id"))
+    # passing suite is silent
+    assert_suite(df, CheckSuite().not_null("id"))
+
+
+def test_documents_suite(spark, sf_oracle):
+    """The suite a curation pipeline would gate the corpus on."""
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    rep = _report(
+        docs,
+        CheckSuite()
+        .not_null("doc_id")
+        .unique("doc_id")
+        .in_range("n_chars", 1, 1_000_000)
+        .matches("lang", "^[a-z]{2}$")
+        .satisfies("n_chars_is_len", F.col("n_chars") == F.length("text"),
+                   column="n_chars")
+        .null_fraction_at_most("text", 0.01)
+        .min_rows(100),
+    )
+    assert all(r["passed"] for r in rep.values()), rep
