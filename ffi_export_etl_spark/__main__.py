@@ -198,6 +198,10 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--capacity", type=int, default=512,
                     help="tokens per packed training sequence")
     ap.add_argument("--rows-per-shard", type=int, default=100_000)
+    ap.add_argument("--shard-format", choices=("parquet", "orc"),
+                    default="parquet",
+                    help="training-shard file format (manifest stays "
+                         "parquet either way)")
     ap.add_argument("--boilerplate-min-docs", type=int, default=None,
                     help="strip lines repeated across >= N docs")
     ap.add_argument("--paragraph-min-repeat", type=int, default=None,
@@ -297,7 +301,8 @@ def curate_main(argv: list[str]) -> int:
         ),
     )
     manifest = write_training_shards(
-        curated, args.output, "id", rows_per_shard=args.rows_per_shard
+        curated, args.output, "id", rows_per_shard=args.rows_per_shard,
+        data_format=args.shard_format,
     )
     shards = manifest.collect()
     print(json.dumps({

@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from ..operators.sampling import _key_hash, deterministic_shuffle
 
 
+FORMATS = ("parquet", "orc")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -37,28 +40,40 @@ def write_training_shards(
     rows_per_shard: int = 100_000,
     salt: str = "",
     num_partitions: int | None = None,
+    data_format: str = "parquet",
 ) -> DataFrame:
-    """Write ``df`` as ordered parquet training shards under ``path``;
-    returns the manifest DataFrame (file, n_rows, first_key, last_key —
-    in stream order) after writing it to ``path + '/_manifest'``.
+    """Write ``df`` as ordered training shards under ``path``; returns
+    the manifest DataFrame (file, n_rows, first_key, last_key — in
+    stream order) after writing it to ``path + '/_manifest'``.
 
     ``num_partitions`` sizes the range partitions explicitly; the
     default keeps Spark's ``spark.sql.shuffle.partitions`` (counting the
     corpus to derive it would cost an extra scan) and lets
     maxRecordsPerFile bound rows within each partition.
+
+    ``data_format`` selects the shard file format — ``parquet`` or
+    ``orc`` (both Spark-native vectorized readers; maxRecordsPerFile
+    and the within-partition physical order work identically). The
+    manifest is ALWAYS parquet: it is a control-plane artifact the
+    loader reads driver-side, not training data.
     """
+    if data_format not in FORMATS:
+        raise ValueError(
+            f"data_format must be one of {FORMATS}, got {data_format!r}"
+        )
     ordered = deterministic_shuffle(
         df, key_col, salt=salt, num_partitions=num_partitions
     )
     (
         ordered.write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_shard)
-        .parquet(path)
+        .format(data_format)
+        .save(path)
     )
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    written = spark.read.format(data_format).load(path)
     files = sorted(written.inputFiles())
-    manifest = _manifest_from_footers(spark, files, key_col)
+    manifest = _manifest_from_footers(spark, files, key_col, data_format)
     if manifest is None:
         # non-pyarrow-reachable store: fall back to one distributed scan.
         # first/last IN STREAM ORDER = min/max along the hash axis the
@@ -86,10 +101,13 @@ def write_training_shards(
     return spark.read.parquet(os.path.join(path, "_manifest")).orderBy("file")
 
 
-def _manifest_from_footers(spark, files: list[str], key_col: str):
-    """Metadata-cheap manifest: row counts come from each shard's parquet
-    FOOTER, first/last keys from reading only the first/last row group's
-    key column (rows are physically in stream order inside a shard, so
+def _manifest_from_footers(
+    spark, files: list[str], key_col: str, data_format: str = "parquet"
+):
+    """Metadata-cheap manifest: row counts come from each shard's footer
+    (parquet metadata / ORC file footer), first/last keys from reading
+    only the first/last row group's (parquet) or stripe's (ORC) key
+    column (rows are physically in stream order inside a shard, so
     positional first/last IS the stream-order range). Cost is O(files)
     small reads on the driver instead of re-scanning the corpus the sink
     just wrote. Returns None when pyarrow cannot reach the store (e.g.
@@ -105,15 +123,28 @@ def _manifest_from_footers(spark, files: list[str], key_col: str):
                 local = local[len("file:"):]
                 while local.startswith("//"):
                     local = local[1:]
-            pf = pq.ParquetFile(local)
-            n = pf.metadata.num_rows
             first = last = None
-            if n > 0:
-                first = pf.read_row_group(0, columns=[key_col]).column(0)[0].as_py()
-                last_tbl = pf.read_row_group(
-                    pf.metadata.num_row_groups - 1, columns=[key_col]
-                )
-                last = last_tbl.column(0)[-1].as_py()
+            if data_format == "orc":
+                import pyarrow.orc as po
+
+                of = po.ORCFile(local)
+                n = of.nrows
+                if n > 0:
+                    first = of.read_stripe(0, columns=[key_col]).column(
+                        0
+                    )[0].as_py()
+                    last = of.read_stripe(
+                        of.nstripes - 1, columns=[key_col]
+                    ).column(0)[-1].as_py()
+            else:
+                pf = pq.ParquetFile(local)
+                n = pf.metadata.num_rows
+                if n > 0:
+                    first = pf.read_row_group(0, columns=[key_col]).column(0)[0].as_py()
+                    last_tbl = pf.read_row_group(
+                        pf.metadata.num_row_groups - 1, columns=[key_col]
+                    )
+                    last = last_tbl.column(0)[-1].as_py()
             rows.append((os.path.basename(local), n, first, last))
     except Exception:
         return None

@@ -84,6 +84,22 @@ def test_cli_curate_subcommand(spark, tmp_path, capsys):
     total = spark.read.parquet(out).count()
     assert total == 9
 
+    # --shard-format orc: same counts, ORC shard files, parquet manifest
+    out_orc = str(tmp_path / "shards_orc")
+    rc = main([
+        "curate", "--input", src, "--output", out_orc,
+        "--min-words", "10", "--capacity", "64",
+        "--rows-per-shard", "4", "--shard-format", "orc",
+        "--url-col", "url", "--block-domain", "spam.bad",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs_out"] == 9
+    import glob
+    assert glob.glob(out_orc + "/part-*.orc")
+    assert spark.read.orc(out_orc).count() == 9
+    assert spark.read.parquet(out_orc + "/_manifest").count() == report["n_shards"]
+
 
 def test_cli_curate_quality_threshold_flags(spark, tmp_path, capsys):
     """The repetition-threshold and LM flags reach curate_documents: a
