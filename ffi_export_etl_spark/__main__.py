@@ -226,6 +226,15 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="drop docs whose top-bigram coverage exceeds "
                          "this")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet eval set (bench_id, text) to "
+                         "decontaminate against (shared 8-grams)")
+    ap.add_argument("--decon-n", type=int, default=8,
+                    help="contamination shingle width (words)")
+    ap.add_argument("--decon-containment-pct", type=int, default=None,
+                    help="switch decontamination to the normalized "
+                         "rule: drop docs holding >= PCT%% of any "
+                         "benchmark item's n-grams")
     ap.add_argument("--lm-reference", default=None,
                     help="parquet reference corpus for the bigram-LM "
                          "quality filter (enables --max-avg-neg-logprob)")
@@ -274,6 +283,11 @@ def curate_main(argv: list[str]) -> int:
         if args.lm_reference is not None
         else None
     )
+    benchmark = (
+        spark.read.parquet(args.benchmark)
+        if args.benchmark is not None
+        else None
+    )
     curated = curate_documents(
         docs,
         id_col=args.id_col,
@@ -292,6 +306,9 @@ def curate_main(argv: list[str]) -> int:
                                   if args.compression_ratio_bounds
                                   else None),
         max_top_bigram_frac=args.max_top_bigram_frac,
+        benchmark=benchmark,
+        decon_n=args.decon_n,
+        decon_min_containment_pct=args.decon_containment_pct,
         lm_reference=lm_reference,
         max_avg_neg_logprob=args.max_avg_neg_logprob,
         shingle_mode=args.shingle_mode,

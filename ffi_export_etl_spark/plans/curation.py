@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 from ..operators.components import dedup_clusters
 from ..operators.minhash import minhash_near_duplicates
 from ..operators.packing import pack_sequences
-from ..operators.decontaminate import decontaminate
+from ..operators.decontaminate import (
+    decontaminate,
+    decontaminate_by_containment,
+)
 from ..operators.sampling import weighted_sample
 from ..operators.textproc import (
     dedup_paragraphs,
@@ -69,6 +72,7 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     benchmark_id_col: str = "bench_id",
     decon_n: int = 8,
+    decon_min_containment_pct: int | None = None,
     max_dup_line_frac: float | None = None,
     compression_ratio_bounds: tuple[float, float] | None = None,
     max_top_bigram_frac: float | None = None,
@@ -88,7 +92,9 @@ def curate_documents(
     structure must still exist, so it runs before whitespace
     normalization collapses newlines; ``benchmark`` decontaminates
     against an eval set (shared ``decon_n``-grams, on the RAW text so
-    eval overlap is judged before any rewriting);
+    eval overlap is judged before any rewriting; set
+    ``decon_min_containment_pct`` to switch from the absolute
+    shared-count rule to the normalized >=pct-of-the-item rule);
     ``paragraph_min_repeat`` dedups repeated paragraphs down to one
     canonical copy (after line-level boilerplate, before scrubbing —
     paragraph structure must still exist); ``span_dedup_tokens`` cuts
@@ -132,10 +138,18 @@ def curate_documents(
             cur, url_col=url_col, blocklist=domain_blocklist
         )
     if benchmark is not None:
-        cur = decontaminate(
-            cur, benchmark, id_col=id_col, text_col=text_col,
-            bench_id_col=benchmark_id_col, n=decon_n,
-        )
+        if decon_min_containment_pct is not None:
+            # normalized rule: >= pct of the bench item's n-grams leaked
+            cur = decontaminate_by_containment(
+                cur, benchmark, id_col=id_col, text_col=text_col,
+                bench_id_col=benchmark_id_col, n=decon_n,
+                min_containment_pct=decon_min_containment_pct,
+            )
+        else:
+            cur = decontaminate(
+                cur, benchmark, id_col=id_col, text_col=text_col,
+                bench_id_col=benchmark_id_col, n=decon_n,
+            )
     if boilerplate_min_docs is not None:
         stripped = strip_boilerplate_lines(
             cur, id_col=id_col, text_col=text_col,

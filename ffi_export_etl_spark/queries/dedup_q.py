@@ -29,7 +29,10 @@ from ..functions.porthash import (
     perm_coefficients,
 )
 from ..operators.minhash import DEFAULT_MAX_BUCKET, minhash_near_duplicates
-from ..operators.decontaminate import contamination_hits
+from ..operators.decontaminate import (
+    contamination_containment,
+    contamination_hits,
+)
 from ..operators.shingles import jaccard_pairs
 from ..operators.simhash import BITS as SIMHASH_BITS
 from ..operators.simhash import CHUNK_BITS, CHUNK_MASK, CHUNKS
@@ -49,6 +52,7 @@ EMB_DIM = 64
 
 DECON_N = 8  # the standard 8-gram contamination rule
 DECON_BENCH_MOD = 100  # doc_id % 100 == 0 plays the "benchmark" set
+DECON_CONTAIN_PCT = 50  # containment rule: >=50% of a bench item's 8-grams
 
 
 def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +67,12 @@ def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing >= 1 word 8-gram, where doc_id % DECON_BENCH_MOD == 0 plays
     the benchmark set. Benchmark shingles broadcast; corpus side is one
     linear shingle scan.
+
+    'contain' rows — the NORMALIZED contamination rule
+    (contamination_containment): pairs where >= DECON_CONTAIN_PCT
+    percent of the benchmark item's distinct 8-grams appear in the doc;
+    n carries the floor containment percentage (integer cross-multiply
+    decision, no float division).
     """
     d = load_table(spark, sf_dir, "documents")
     exact = (
@@ -90,7 +100,16 @@ def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bench_id").alias("b"),
         F.col("n_shared").alias("n"),
     )
-    return exact.unionByName(decon)
+    contain = contamination_containment(
+        d, bench, n=DECON_N, min_containment_pct=DECON_CONTAIN_PCT
+    ).select(
+        F.lit("contain").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("id").alias("a"),
+        F.col("bench_id").alias("b"),
+        F.col("containment_pct").alias("n"),
+    )
+    return exact.unionByName(decon).unionByName(contain)
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,16 +410,28 @@ _DECON_SHINGLES = f"""
 ORACLE = {
     "dedup_jaccard_pairs": JACCARD_PAIRS_ORACLE,
     "dedup_exact_pack": f"""
-        WITH ds AS ({_DECON_SHINGLES})
+        WITH ds AS MATERIALIZED ({_DECON_SHINGLES}),
+        bs AS MATERIALIZED (
+            SELECT doc_id AS bench_id, shingle FROM ds
+            WHERE doc_id % {DECON_BENCH_MOD} = 0
+        ),
+        bn AS (SELECT bench_id, count(*) AS n_bench FROM bs GROUP BY bench_id),
+        ch AS (
+            SELECT c.doc_id AS a, b.bench_id, count(*) AS n_shared
+            FROM ds c JOIN bs b USING (shingle)
+            GROUP BY c.doc_id, b.bench_id
+        )
         SELECT 'exact' AS kind, md5(text) AS key, min(doc_id) AS a,
                CAST(NULL AS BIGINT) AS b, count(*) AS n
         FROM documents GROUP BY md5(text)
         UNION ALL
-        SELECT 'decon', CAST(NULL AS VARCHAR), c.doc_id, b.doc_id, count(*)
-        FROM ds c
-        JOIN (SELECT * FROM ds WHERE doc_id % {DECON_BENCH_MOD} = 0) b
-          USING (shingle)
-        GROUP BY c.doc_id, b.doc_id
+        SELECT 'decon', CAST(NULL AS VARCHAR), a, bench_id, n_shared
+        FROM ch
+        UNION ALL
+        SELECT 'contain', CAST(NULL AS VARCHAR), a, bench_id,
+               (100 * n_shared) // n_bench
+        FROM ch JOIN bn USING (bench_id)
+        WHERE n_shared * 100 >= {DECON_CONTAIN_PCT} * n_bench
     """,
     "dedup_minhash_lsh": f"""
         WITH {_minhash_pairs_sql()}

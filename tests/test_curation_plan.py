@@ -117,6 +117,40 @@ def test_curate_documents_blocklist_and_decontamination(spark):
     assert {r["id"] for r in out} == {1}
 
 
+def test_curate_documents_containment_decontamination(spark):
+    """decon_min_containment_pct switches to the normalized rule: a doc
+    holding a SMALL absolute overlap that is a LARGE fraction of a short
+    bench item is dropped, while the absolute-count default keeps it."""
+    bench_q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler1 = " ".join(f"one{j} red apple orchard" for j in range(10))
+    filler2 = " ".join(f"two{j} blue river stones" for j in range(10))
+    rows = [
+        # bench has 7 4-grams; doc 1 embeds the first 7 tokens -> 4/7 = 57%
+        (1, "alpha beta gamma delta epsilon zeta eta " + filler1, "web"),
+        (2, filler2 + " unrelated entirely", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    bench = spark.createDataFrame([(9, bench_q)], ["bench_id", "text"])
+    kept_norm = {
+        r["id"]
+        for r in curate_documents(
+            docs, min_words=5, benchmark=bench, decon_n=4,
+            decon_min_containment_pct=50,
+        ).collect()
+    }
+    assert kept_norm == {2}
+    # absolute rule at min_overlap default 1 also drops doc 1; at the
+    # normalized 80% bar doc 1 survives (57% < 80)
+    kept_high = {
+        r["id"]
+        for r in curate_documents(
+            docs, min_words=5, benchmark=bench, decon_n=4,
+            decon_min_containment_pct=80,
+        ).collect()
+    }
+    assert kept_high == {1, 2}
+
+
 def test_persist_intermediates_equivalent(spark):
     """The persisted-boundary fast path must land the identical result
     as the pure-lazy plan (persist is a performance choice, never a

@@ -851,6 +851,59 @@ def test_decontaminate_removes_benchmark_overlap(spark):
     assert strict == {1, 2, 3, 4}
 
 
+def test_contamination_containment_normalized_rule(spark):
+    """decontaminate.py containment: the threshold is the FRACTION of the
+    benchmark item's distinct n-grams found in the doc, verified against
+    a pure-Python shingle twin."""
+    from ffi_export_etl_spark.operators.decontaminate import (
+        contamination_containment,
+        decontaminate_by_containment,
+    )
+
+    def py_shingles(text, n=4):
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # doc 1: contains 7 of bench's 7 4-grams (verbatim) -> 100%
+    # doc 2: contains the first 5 tokens -> 2 of 7 4-grams -> 28%
+    # doc 3: disjoint -> no row
+    docs = spark.createDataFrame(
+        [
+            (1, f"pad start {bench_q} pad end"),
+            (2, "alpha beta gamma delta epsilon completely different tail"),
+            (3, "nothing shared here at all in any window of words"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, bench_q)], ["bench_id", "text"])
+
+    got = {
+        r["id"]: (r["n_shared"], r["n_bench"], r["containment_pct"])
+        for r in contamination_containment(
+            docs, bench, n=4, min_containment_pct=0
+        ).collect()
+    }
+    bsh = py_shingles(bench_q)
+    for doc_id, text in [(1, f"pad start {bench_q} pad end"),
+                         (2, "alpha beta gamma delta epsilon completely different tail")]:
+        shared = len(py_shingles(text) & bsh)
+        assert got[doc_id] == (shared, len(bsh), shared * 100 // len(bsh))
+    assert 3 not in got
+    assert got[1][2] == 100 and got[2][2] == 100 * 2 // 7
+
+    # the 70% rule drops only doc 1; 20% drops both overlapping docs
+    kept70 = {r["doc_id"] for r in decontaminate_by_containment(
+        docs, bench, n=4, min_containment_pct=70).collect()}
+    assert kept70 == {2, 3}
+    kept20 = {r["doc_id"] for r in decontaminate_by_containment(
+        docs, bench, n=4, min_containment_pct=20).collect()}
+    assert kept20 == {3}
+    # a benchmark item too short for any n-gram contaminates nothing
+    tiny = spark.createDataFrame([(9, "too short")], ["bench_id", "text"])
+    assert contamination_containment(docs, tiny, n=4).count() == 0
+
+
 def test_extract_domain_and_blocklist(spark):
     from ffi_export_etl_spark.operators.textproc import (
         extract_domain,
