@@ -226,6 +226,10 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="drop docs whose top-bigram coverage exceeds "
                          "this")
+    ap.add_argument("--require-input-quality", action="store_true",
+                    help="gate the run on input data-quality checks "
+                         "(non-null unique ids, non-null text); exit 2 "
+                         "with a JSON error line on failure")
     ap.add_argument("--benchmark", default=None,
                     help="parquet eval set (bench_id, text) to "
                          "decontaminate against (shared 8-grams)")
@@ -277,6 +281,21 @@ def curate_main(argv: list[str]) -> int:
     spark = tune(get_spark(app_name="ffi-etl-curate"))
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
+    if args.require_input_quality:
+        from .operators.validate import CheckSuite, assert_suite
+
+        try:
+            assert_suite(
+                docs,
+                CheckSuite()
+                .not_null(args.id_col)
+                .unique(args.id_col)
+                .not_null(args.text_col)
+                .min_rows(1),
+            )
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}, sort_keys=True))
+            return 2
     n_in = docs.count()
     lm_reference = (
         spark.read.parquet(args.lm_reference)

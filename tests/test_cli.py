@@ -101,6 +101,39 @@ def test_cli_curate_subcommand(spark, tmp_path, capsys):
     assert spark.read.parquet(out_orc + "/_manifest").count() == report["n_shards"]
 
 
+def test_cli_curate_input_quality_gate(spark, tmp_path, capsys):
+    """--require-input-quality: a duplicate-id corpus exits 2 with a JSON
+    error naming the failed check; a clean corpus passes the gate."""
+    from ffi_export_etl_spark.__main__ import main
+
+    bad = spark.createDataFrame(
+        [(1, "s", " ".join(f"a{j}" for j in range(30))),
+         (1, "s", " ".join(f"b{j}" for j in range(30)))],
+        "doc_id: long, source: string, text: string",
+    )
+    src = str(tmp_path / "bad")
+    bad.write.parquet(src)
+    rc = main(["curate", "--input", src,
+               "--output", str(tmp_path / "o"),
+               "--require-input-quality"])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "unique:doc_id" in err["error"]
+
+    good = spark.createDataFrame(
+        [(1, "s", " ".join(f"a{j}" for j in range(30))),
+         (2, "s", " ".join(f"b{j}" for j in range(30)))],
+        "doc_id: long, source: string, text: string",
+    )
+    src2 = str(tmp_path / "good")
+    good.write.parquet(src2)
+    rc = main(["curate", "--input", src2,
+               "--output", str(tmp_path / "o2"),
+               "--min-words", "5", "--require-input-quality"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs_in"] == 2
+
+
 def test_cli_curate_quality_threshold_flags(spark, tmp_path, capsys):
     """The repetition-threshold and LM flags reach curate_documents: a
     top-bigram spam doc is dropped only when the flag is passed, and a
