@@ -161,7 +161,11 @@ class CheckSuite:
                 nn = F.count(F.col(c.column))
                 nd = (F.approx_count_distinct(F.col(c.column), c.rsd)
                       if c.approx else F.count_distinct(F.col(c.column)))
-                aggs.append((nn - nd).cast("bigint").alias(f"v_{i}"))
+                # clamp: HLL++ can OVERestimate, making nn - nd negative
+                aggs.append(
+                    F.greatest(F.lit(0).cast("bigint"), (nn - nd))
+                    .cast("bigint").alias(f"v_{i}")
+                )
             else:  # min_rows — violation derived from _n below
                 aggs.append(F.lit(0).cast("bigint").alias(f"v_{i}"))
         wide = df.agg(*aggs)

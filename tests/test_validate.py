@@ -59,6 +59,10 @@ def test_unique_exact_and_approx_and_min_rows(spark):
     # approx form agrees with exact on small cardinalities
     rep2 = _report(df, CheckSuite().unique("k", approx=True, max_violations=0))
     assert rep2["unique:k"]["n_violations"] == 1
+    # and can never report negative violations when HLL overestimates
+    wide = spark.range(0, 2000).selectExpr("cast(id as string) AS u")
+    rep3 = _report(wide, CheckSuite().unique("u", approx=True))
+    assert rep3["unique:u"]["n_violations"] >= 0
 
 
 def test_null_fraction_micro_math(spark):
