@@ -145,9 +145,14 @@ class CheckSuite:
 
     # -- compile + run -------------------------------------------------
 
-    def run(self, df: DataFrame) -> DataFrame:
+    def run(self, df: DataFrame, by: list[str] | None = None) -> DataFrame:
+        """``by`` adds grouping columns: one report per group (e.g.
+        per-source quality dashboards). Same single scan — the grouped
+        aggregate is map-side combined on the group key; thresholds
+        (incl. min_rows) apply PER GROUP."""
         if not self._checks:
             raise ValueError("CheckSuite has no checks")
+        by = list(by or [])
         aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
         for i, c in enumerate(self._checks):
             if c.cond is not None:
@@ -168,9 +173,9 @@ class CheckSuite:
                 )
             else:  # min_rows — violation derived from _n below
                 aggs.append(F.lit(0).cast("bigint").alias(f"v_{i}"))
-        wide = df.agg(*aggs)
+        wide = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
-        proj: list[Column] = [F.col("_n")]
+        proj: list[Column] = [*[F.col(c) for c in by], F.col("_n")]
         for i, c in enumerate(self._checks):
             v = F.col(f"v_{i}")
             if c.kind == "min_rows":
@@ -198,13 +203,14 @@ class CheckSuite:
                 F.col(f"pass_{i}"),
             ]
         return wide.select(
+            *by,
             F.col("_n").alias("n_rows"),
             F.stack(F.lit(len(self._checks)), *stack_args).alias(
                 "check", "kind", "column", "n_violations", "threshold",
                 "passed",
             ),
         ).select(
-            "check", "kind", "column", "n_rows", "n_violations",
+            *by, "check", "kind", "column", "n_rows", "n_violations",
             "threshold", "passed",
         )
 

@@ -153,3 +153,28 @@ def test_documents_suite(spark, sf_oracle):
         .min_rows(100),
     )
     assert all(r["passed"] for r in rep.values()), rep
+
+
+def test_grouped_report_per_source(spark):
+    """run(df, by=['source']): one report per group, thresholds applied
+    per group (min_rows catches the thin source)."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, None), ("a", 3, "y"), ("b", 4, "z")],
+        "source string, id bigint, v string",
+    )
+    rep = {
+        (r["source"], r["check"]): r.asDict()
+        for r in CheckSuite()
+        .not_null("v")
+        .min_rows(2)
+        .run(df, by=["source"])
+        .collect()
+    }
+    assert rep[("a", "not_null:v")]["n_violations"] == 1
+    assert rep[("a", "not_null:v")]["n_rows"] == 3
+    assert rep[("b", "not_null:v")]["n_violations"] == 0
+    assert rep[("a", "min_rows:2")]["passed"]
+    assert not rep[("b", "min_rows:2")]["passed"]
+    assert rep[("b", "min_rows:2")]["n_violations"] == 1
+    cols = CheckSuite().not_null("v").run(df, by=["source"]).columns
+    assert cols[0] == "source" and "check" in cols
