@@ -55,3 +55,103 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
         "column", "n_rows", "n_nonnull", "approx_distinct",
         "min_val", "max_val",
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    max_null_frac_delta: float = 0.05,
+    distinct_ratio_bounds: tuple[float, float] = (0.5, 2.0),
+    max_row_ratio_change: float = 0.5,
+) -> DataFrame:
+    """Schema/shape drift between two ``profile_table`` outputs — the
+    "did today's batch silently degrade" report a recurring ingest
+    wants between snapshots.
+
+    Inputs are profile frames (already aggregated: one row per column),
+    so this is a tiny column-name join — no corpus scan here; the
+    corpus-sized work happened in the two profile_table calls. One row
+    per column present in either snapshot:
+
+    (column, n_rows_old, n_rows_new, null_frac_delta, distinct_ratio,
+     minmax_changed, drift_reasons, drifted)
+
+    Reasons: 'added' / 'removed' (column set changed), 'null_frac'
+    (non-null rate moved more than ``max_null_frac_delta``),
+    'cardinality' (approx-distinct ratio outside
+    ``distinct_ratio_bounds``, null-count-robust), 'row_volume'
+    (row-count ratio changed more than ``max_row_ratio_change`` —
+    reported on every column since profiles are per-column),
+    'minmax' (value range shifted; informational in drift_reasons only
+    when a real bound moved — NOT part of ``drifted`` because min/max
+    move legitimately on any growing corpus).
+    """
+    o = old.select(
+        F.col("column"),
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nonnull").alias("nn_old"),
+        F.col("approx_distinct").alias("ad_old"),
+        F.col("min_val").alias("mn_old"),
+        F.col("max_val").alias("mx_old"),
+    )
+    n = new.select(
+        F.col("column"),
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nonnull").alias("nn_new"),
+        F.col("approx_distinct").alias("ad_new"),
+        F.col("min_val").alias("mn_new"),
+        F.col("max_val").alias("mx_new"),
+    )
+    j = o.join(n, "column", "full_outer")
+    null_frac = lambda nn, nr: (  # noqa: E731 — local formula alias
+        1 - F.col(nn) / F.greatest(F.col(nr), F.lit(1))
+    )
+    null_delta = F.abs(
+        null_frac("nn_new", "n_rows_new") - null_frac("nn_old", "n_rows_old")
+    )
+    distinct_ratio = F.col("ad_new") / F.greatest(F.col("ad_old"), F.lit(1))
+    row_ratio = F.col("n_rows_new") / F.greatest(F.col("n_rows_old"), F.lit(1))
+    minmax_changed = (
+        F.col("mn_old") != F.col("mn_new")
+    ) | (F.col("mx_old") != F.col("mx_new"))
+    # value-drift metrics only apply when the column exists on BOTH
+    # sides; an added/removed column reports just that one reason
+    both = F.col("n_rows_old").isNotNull() & F.col("n_rows_new").isNotNull()
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_rows_old").isNull(), F.lit("added")),
+            F.when(F.col("n_rows_new").isNull(), F.lit("removed")),
+            F.when(
+                both & (null_delta > F.lit(max_null_frac_delta)),
+                F.lit("null_frac"),
+            ),
+            F.when(
+                both
+                & (
+                    (distinct_ratio < F.lit(distinct_ratio_bounds[0]))
+                    | (distinct_ratio > F.lit(distinct_ratio_bounds[1]))
+                ),
+                F.lit("cardinality"),
+            ),
+            F.when(
+                both & (F.abs(row_ratio - 1) > F.lit(max_row_ratio_change)),
+                F.lit("row_volume"),
+            ),
+            F.when(
+                both & F.coalesce(minmax_changed, F.lit(False)),
+                F.lit("minmax"),
+            ),
+        )
+    )
+    return j.select(
+        "column",
+        "n_rows_old",
+        "n_rows_new",
+        F.round(null_delta, 6).alias("null_frac_delta"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.coalesce(minmax_changed, F.lit(False)).alias("minmax_changed"),
+        reasons.alias("drift_reasons"),
+        (
+            F.size(F.array_remove(reasons, "minmax")) > 0
+        ).alias("drifted"),
+    )

@@ -178,3 +178,46 @@ def test_grouped_report_per_source(spark):
     assert rep[("b", "min_rows:2")]["n_violations"] == 1
     cols = CheckSuite().not_null("v").run(df, by=["source"]).columns
     assert cols[0] == "source" and "check" in cols
+
+
+def test_profile_drift_reasons(spark):
+    """operators/profile.py profile_drift: added/removed columns,
+    null-rate jumps, cardinality collapapse, and row-volume swings are
+    flagged; pure min/max movement is informational only."""
+    from ffi_export_etl_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"u{i}", "x") for i in range(100)], "id bigint, u string, gone string"
+    )
+    # new: 'gone' dropped, 'fresh' added, u collapses to 2 values,
+    # id range extends (minmax only), row volume x3, u gains 40% nulls
+    new = spark.createDataFrame(
+        [
+            (i, (None if i % 10 < 4 else f"v{i % 2}"), "y")
+            for i in range(300)
+        ],
+        "id bigint, u string, fresh string",
+    )
+    rep = {
+        r["column"]: r.asDict()
+        for r in profile_drift(
+            profile_table(old), profile_table(new)
+        ).collect()
+    }
+    assert rep["gone"]["drift_reasons"] == ["removed"]
+    assert rep["gone"]["drifted"]
+    assert rep["fresh"]["drift_reasons"] == ["added"]
+    assert "null_frac" in rep["u"]["drift_reasons"]
+    assert "cardinality" in rep["u"]["drift_reasons"]
+    assert "row_volume" in rep["u"]["drift_reasons"]
+    assert rep["u"]["drifted"]
+    # id: row_volume + minmax move, but minmax alone never sets drifted
+    assert "minmax" in rep["id"]["drift_reasons"]
+    assert rep["id"]["minmax_changed"]
+
+    # identical snapshots: nothing drifts
+    same = profile_drift(profile_table(old), profile_table(old)).collect()
+    assert all(not r["drifted"] and r["drift_reasons"] == [] for r in same)
