@@ -238,7 +238,8 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--decon-containment-pct", type=int, default=None,
                     help="switch decontamination to the normalized "
                          "rule: drop docs holding >= PCT%% of any "
-                         "benchmark item's n-grams")
+                         "benchmark item's n-grams (requires "
+                         "--benchmark)")
     ap.add_argument("--lm-reference", default=None,
                     help="parquet reference corpus for the bigram-LM "
                          "quality filter (enables --max-avg-neg-logprob)")
@@ -273,6 +274,8 @@ def curate_main(argv: list[str]) -> int:
                          "--token-budget web=1000000; sources without "
                          "a budget are dropped")
     args = ap.parse_args(argv)
+    if args.decon_containment_pct is not None and args.benchmark is None:
+        ap.error("--decon-containment-pct requires --benchmark")
 
     from .plans.curation import curate_documents
     from .session import get_spark, tune
@@ -281,22 +284,34 @@ def curate_main(argv: list[str]) -> int:
     spark = tune(get_spark(app_name="ffi-etl-curate"))
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
+    n_in = None
     if args.require_input_quality:
-        from .operators.validate import CheckSuite, assert_suite
+        from pyspark.errors import AnalysisException
 
+        from .operators.validate import CheckSuite, format_failures
+
+        suite = (
+            CheckSuite()
+            .not_null(args.id_col)
+            .unique(args.id_col)
+            .not_null(args.text_col)
+            .min_rows(1)
+        )
         try:
-            assert_suite(
-                docs,
-                CheckSuite()
-                .not_null(args.id_col)
-                .unique(args.id_col)
-                .not_null(args.text_col)
-                .min_rows(1),
-            )
-        except ValueError as e:
+            rows = suite.run(docs).collect()
+        except AnalysisException as e:
+            # e.g. the corpus is missing the id/text column entirely —
+            # still the gate's job to report as JSON, not a traceback
             print(json.dumps({"error": str(e)}, sort_keys=True))
             return 2
-    n_in = docs.count()
+        msg = format_failures(rows)
+        if msg:
+            print(json.dumps({"error": msg}, sort_keys=True))
+            return 2
+        # the suite's single scan already counted the corpus
+        n_in = rows[0]["n_rows"]
+    if n_in is None:
+        n_in = docs.count()
     lm_reference = (
         spark.read.parquet(args.lm_reference)
         if args.lm_reference is not None

@@ -79,12 +79,17 @@ def profile_drift(
     Reasons: 'added' / 'removed' (column set changed), 'null_frac'
     (non-null rate moved more than ``max_null_frac_delta``),
     'cardinality' (approx-distinct ratio outside
-    ``distinct_ratio_bounds``, null-count-robust), 'row_volume'
-    (row-count ratio changed more than ``max_row_ratio_change`` —
-    reported on every column since profiles are per-column),
-    'minmax' (value range shifted; informational in drift_reasons only
-    when a real bound moved — NOT part of ``drifted`` because min/max
-    move legitimately on any growing corpus).
+    ``distinct_ratio_bounds`` BOTH raw and row-volume-normalized: an
+    id-like column on a corpus that legitimately tripled triples its
+    distinct count — raw ratio 3, normalized 1, no flag; a saturated
+    enum column on the same corpus holds distinct steady — raw 1,
+    normalized 1/3, no flag; a genuine collapse fails both),
+    'row_volume' (row-count ratio changed more than
+    ``max_row_ratio_change`` — reported on every column since profiles
+    are per-column), 'minmax' (value range shifted, null-safe so a
+    column going from all-NULL to valued reports; informational in
+    drift_reasons only — NOT part of ``drifted`` because min/max move
+    legitimately on any growing corpus).
     """
     o = old.select(
         F.col("column"),
@@ -111,9 +116,10 @@ def profile_drift(
     )
     distinct_ratio = F.col("ad_new") / F.greatest(F.col("ad_old"), F.lit(1))
     row_ratio = F.col("n_rows_new") / F.greatest(F.col("n_rows_old"), F.lit(1))
-    minmax_changed = (
-        F.col("mn_old") != F.col("mn_new")
-    ) | (F.col("mx_old") != F.col("mx_new"))
+    norm_distinct_ratio = distinct_ratio / row_ratio
+    minmax_changed = ~F.col("mn_old").eqNullSafe(F.col("mn_new")) | ~F.col(
+        "mx_old"
+    ).eqNullSafe(F.col("mx_new"))
     # value-drift metrics only apply when the column exists on BOTH
     # sides; an added/removed column reports just that one reason
     both = F.col("n_rows_old").isNotNull() & F.col("n_rows_new").isNotNull()
@@ -130,6 +136,10 @@ def profile_drift(
                 & (
                     (distinct_ratio < F.lit(distinct_ratio_bounds[0]))
                     | (distinct_ratio > F.lit(distinct_ratio_bounds[1]))
+                )
+                & (
+                    (norm_distinct_ratio < F.lit(distinct_ratio_bounds[0]))
+                    | (norm_distinct_ratio > F.lit(distinct_ratio_bounds[1]))
                 ),
                 F.lit("cardinality"),
             ),

@@ -215,17 +215,28 @@ class CheckSuite:
         )
 
 
+def format_failures(rows) -> str | None:
+    """One-line description of the failed checks in a collected report
+    (None when everything passed) — shared by assert_suite and callers
+    that already hold the report and want the message without a second
+    run (e.g. the curate CLI reuses the report's n_rows as its input
+    count, saving a corpus scan)."""
+    failed = [r for r in rows if not r["passed"]]
+    if not failed:
+        return None
+    lines = ", ".join(
+        f"{r['check']} ({r['n_violations']} violations"
+        f" of {r['n_rows']} rows)" for r in failed
+    )
+    return f"data-quality checks failed: {lines}"
+
+
 def assert_suite(df: DataFrame, suite: CheckSuite) -> None:
     """Raise ValueError listing every failed check (pipeline gate form).
 
     The collect here is bounded by the NUMBER OF CHECKS (suite-sized,
     not data-sized) — the single underlying scan happened in run().
     """
-    rows = suite.run(df).collect()
-    failed = [r for r in rows if not r["passed"]]
-    if failed:
-        lines = ", ".join(
-            f"{r['check']} ({r['n_violations']} violations"
-            f" of {r['n_rows']} rows)" for r in failed
-        )
-        raise ValueError(f"data-quality checks failed: {lines}")
+    msg = format_failures(suite.run(df).collect())
+    if msg:
+        raise ValueError(msg)

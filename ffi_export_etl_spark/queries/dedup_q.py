@@ -29,15 +29,13 @@ from ..functions.porthash import (
     perm_coefficients,
 )
 from ..operators.minhash import DEFAULT_MAX_BUCKET, minhash_near_duplicates
-from ..operators.decontaminate import (
-    contamination_containment,
-    contamination_hits,
-)
+from ..operators.decontaminate import contamination_containment
 from ..operators.shingles import jaccard_pairs
 from ..operators.simhash import BITS as SIMHASH_BITS
 from ..operators.simhash import CHUNK_BITS, CHUNK_MASK, CHUNKS
 from ..operators.simhash import simhash_near_duplicates
 from ..operators.similarity import cosine_pairs_bucketed
+from ..operators.xplode import explode_nonempty
 from ..sources.parquet import load_table
 
 JACCARD_PCT = 20  # word-trigram Jaccard >= 0.20 => near-duplicate
@@ -93,23 +91,39 @@ def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    decon = contamination_hits(d, bench, n=DECON_N).select(
-        F.lit("decon").alias("kind"),
-        F.lit(None).cast("string").alias("key"),
-        F.col("id").alias("a"),
-        F.col("bench_id").alias("b"),
-        F.col("n_shared").alias("n"),
+    # ONE shingle-scan + broadcast-join + count subplan feeds BOTH arms:
+    # at pct=0 contamination_containment returns every >=1-shared-gram
+    # pair (== contamination_hits), and each hit row fans to its 'decon'
+    # row plus, when the cross-multiply passes, its 'contain' row.
+    hits = contamination_containment(
+        d, bench, n=DECON_N, min_containment_pct=0
     )
-    contain = contamination_containment(
-        d, bench, n=DECON_N, min_containment_pct=DECON_CONTAIN_PCT
+    arm_structs = F.array_compact(
+        F.array(
+            F.struct(
+                F.lit("decon").alias("kind"), F.col("n_shared").alias("n")
+            ),
+            F.when(
+                F.col("n_shared") * 100
+                >= F.lit(DECON_CONTAIN_PCT) * F.col("n_bench"),
+                F.struct(
+                    F.lit("contain").alias("kind"),
+                    F.col("containment_pct").alias("n"),
+                ),
+            ),
+        )
+    )
+    decon_contain = explode_nonempty(
+        hits.select("id", "bench_id", arm_structs.alias("_arms")),
+        ["id", "bench_id"], "_arms", "arm",
     ).select(
-        F.lit("contain").alias("kind"),
+        F.col("arm.kind").alias("kind"),
         F.lit(None).cast("string").alias("key"),
         F.col("id").alias("a"),
         F.col("bench_id").alias("b"),
-        F.col("containment_pct").alias("n"),
+        F.col("arm.n").alias("n"),
     )
-    return exact.unionByName(decon).unionByName(contain)
+    return exact.unionByName(decon_contain)
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +430,7 @@ ORACLE = {
             WHERE doc_id % {DECON_BENCH_MOD} = 0
         ),
         bn AS (SELECT bench_id, count(*) AS n_bench FROM bs GROUP BY bench_id),
-        ch AS (
+        ch AS MATERIALIZED (
             SELECT c.doc_id AS a, b.bench_id, count(*) AS n_shared
             FROM ds c JOIN bs b USING (shingle)
             GROUP BY c.doc_id, b.bench_id

@@ -133,6 +133,32 @@ def test_cli_curate_input_quality_gate(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["docs_in"] == 2
 
+    # a corpus MISSING the id column reports JSON + exit 2, not a traceback
+    noid = spark.createDataFrame(
+        [(" ".join(f"c{j}" for j in range(30)), "s")], "text: string, source: string"
+    )
+    src3 = str(tmp_path / "noid")
+    noid.write.parquet(src3)
+    rc = main(["curate", "--input", src3,
+               "--output", str(tmp_path / "o3"),
+               "--require-input-quality"])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "doc_id" in err["error"]
+
+
+def test_cli_curate_containment_requires_benchmark(tmp_path, capsys):
+    """--decon-containment-pct without --benchmark is an argparse error,
+    not a silent no-op decontamination."""
+    import pytest as _pytest
+
+    from ffi_export_etl_spark.__main__ import main
+
+    with _pytest.raises(SystemExit) as ei:
+        main(["curate", "--input", "x", "--output", str(tmp_path / "o"),
+              "--decon-containment-pct", "70"])
+    assert ei.value.code == 2
+    assert "--benchmark" in capsys.readouterr().err
+
 
 def test_cli_curate_quality_threshold_flags(spark, tmp_path, capsys):
     """The repetition-threshold and LM flags reach curate_documents: a

@@ -217,7 +217,22 @@ def test_profile_drift_reasons(spark):
     # id: row_volume + minmax move, but minmax alone never sets drifted
     assert "minmax" in rep["id"]["drift_reasons"]
     assert rep["id"]["minmax_changed"]
+    # id's distinct count tripled ONLY because rows tripled — the
+    # row-normalized ratio is 1, so no cardinality flag
+    assert "cardinality" not in rep["id"]["drift_reasons"]
 
     # identical snapshots: nothing drifts
     same = profile_drift(profile_table(old), profile_table(old)).collect()
     assert all(not r["drifted"] and r["drift_reasons"] == [] for r in same)
+
+    # all-NULL -> valued transition is a null-safe minmax change
+    o2 = spark.createDataFrame([(i, None) for i in range(10)],
+                               "id bigint, score string")
+    n2 = spark.createDataFrame([(i, str(i)) for i in range(10)],
+                               "id bigint, score string")
+    rep2 = {
+        r["column"]: r.asDict()
+        for r in profile_drift(profile_table(o2), profile_table(n2)).collect()
+    }
+    assert rep2["score"]["minmax_changed"]
+    assert "minmax" in rep2["score"]["drift_reasons"]
