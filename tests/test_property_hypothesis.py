@@ -298,3 +298,54 @@ def test_wav_roundtrip_property(n, rate, seed):
         f.writeframes(samples.tobytes())
     arr, got_rate = decode_wav(buf.getvalue())
     assert got_rate == rate and np.array_equal(arr[:, 0], samples)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.sampled_from(["en", "de", "xx", "Zz"])),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_check_suite_counts_property(spark, rows):
+    """CheckSuite violation counts == a pure-Python fold over the same
+    rows, for every check kind in one single-scan suite."""
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+
+    df = spark.createDataFrame(rows, "n: bigint, lang: string")
+    rep = {
+        r["check"]: r["n_violations"]
+        for r in (
+            CheckSuite()
+            .not_null("n")
+            .in_range("n", -10, 10)
+            .accepted_values("lang", ["en", "de"])
+            .matches("lang", "^[a-z]{2}$")
+            .unique("lang")
+            .min_rows(3)
+            .run(df)
+            .collect()
+        )
+    }
+    ns = [r[0] for r in rows]
+    langs = [r[1] for r in rows]
+    assert rep["not_null:n"] == sum(v is None for v in ns)
+    assert rep["in_range:n"] == sum(
+        v is None or not (-10 <= v <= 10) for v in ns
+    )
+    assert rep["accepted_values:lang"] == sum(
+        v is None or v not in ("en", "de") for v in langs
+    )
+    import re as _re
+
+    assert rep["matches:lang"] == sum(
+        v is None or not _re.search("^[a-z]{2}$", v) for v in langs
+    )
+    nonnull = [v for v in langs if v is not None]
+    assert rep["unique:lang"] == len(nonnull) - len(set(nonnull))
+    assert rep["min_rows:3"] == max(0, 3 - len(rows))
