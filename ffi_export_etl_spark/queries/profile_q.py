@@ -13,6 +13,19 @@ Two union-tagged arm families over the documents table:
   exact <= 3*rsd, which the oracle pins to TRUE for every column.
   Deterministic: HLL++ on identical input yields identical estimates.
 
+- ``arm='drift'`` — profile_drift between the corpus and its
+  doc_id%3==0 third (a deterministic "smaller snapshot"), fed with
+  EXACT-distinct profiles (count_distinct in place of the HLL column)
+  so every input is engine-replayable; the arm pins the drift DECISION
+  logic — reasons string (row_volume fires at 1/3 volume; minmax where
+  a real bound moved; cardinality correctly does NOT fire because the
+  row-normalized ratio stays in-bounds), the null-safe minmax flag, and
+  the drifted verdict. Mapping: n_rows=n_rows_old, n_nonnull=n_rows_new,
+  n_distinct=0, min_val=comma-joined reasons, max_val=minmax_changed,
+  hll_ok=drifted. Float ratio columns are NOT pinned (IEEE-identical in
+  both engines, but rounding conventions differ; the booleans they feed
+  are).
+
 - ``arm='dq'`` — a CheckSuite constraint report (Deequ-vocabulary
   checks compiled to ONE aggregate scan) mapped onto the same schema;
   the oracle recomputes every violation count + pass decision in plain
@@ -32,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.profile import profile_table
+from ..operators.profile import profile_drift, profile_table
 from ..operators.validate import CheckSuite
 from ..sources.parquet import load_table
 
@@ -62,6 +75,39 @@ def _dq_suite() -> CheckSuite:
         )
         .null_fraction_at_most("text", 0.01)
         .min_rows(100)
+    )
+
+
+DRIFT_MOD = 3  # the "new snapshot" = doc_id % 3 == 0 third
+
+
+def _exact_profile(d: DataFrame) -> DataFrame:
+    """profile_table's schema with EXACT distinct counts — the
+    engine-replayable profile the drift arm feeds to profile_drift
+    (one aggregate; the count_distincts share one expand)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in d.columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"ad_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    row = d.agg(*aggs)
+    stack_args = []
+    for c in d.columns:
+        stack_args += [
+            F.lit(c), F.col(f"nn_{c}"), F.col(f"ad_{c}"),
+            F.col(f"mn_{c}"), F.col(f"mx_{c}"),
+        ]
+    return row.select(
+        F.col("_n").alias("n_rows"),
+        F.stack(F.lit(len(d.columns)), *stack_args).alias(
+            "column", "n_nonnull", "approx_distinct", "min_val", "max_val"
+        ),
+    ).select(
+        "column", "n_rows", "n_nonnull", "approx_distinct",
+        "min_val", "max_val",
     )
 
 
@@ -106,7 +152,20 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kind").alias("max_val"),
         F.col("passed").alias("hll_ok"),
     )
-    return profile_rows.unionByName(dq_rows)
+    drift_rows = profile_drift(
+        _exact_profile(d),
+        _exact_profile(d.filter(F.col("doc_id") % DRIFT_MOD == 0)),
+    ).select(
+        F.lit("drift").alias("arm"),
+        "column",
+        F.col("n_rows_old").alias("n_rows"),
+        F.col("n_rows_new").alias("n_nonnull"),
+        F.lit(0).cast("bigint").alias("n_distinct"),
+        F.array_join("drift_reasons", ",").alias("min_val"),
+        F.col("minmax_changed").cast("string").alias("max_val"),
+        F.col("drifted").alias("hll_ok"),
+    )
+    return profile_rows.unionByName(dq_rows).unionByName(drift_rows)
 
 
 QUERIES = {"prof_pack": prof_pack}
@@ -169,4 +228,62 @@ _DQ_SQL = "\n        UNION ALL\n".join(
     for name, viol, thresh, col, kind, passed in _DQ_ARMS
 )
 
-ORACLE = {"prof_pack": _PROFILE_ARMS + "\n        UNION ALL\n" + _DQ_SQL}
+def _profile_cte(rel: str) -> str:
+    """Per-column exact profile rows (col, nr, nn, ad, mn, mx) over any
+    documents-shaped relation — the oracle twin of _exact_profile."""
+    return "\n            UNION ALL\n".join(
+        f"""            SELECT '{c}' AS col, count(*) AS nr,
+                   count({c}) AS nn, count(DISTINCT {c}) AS ad,
+                   CAST(min({c}) AS VARCHAR) AS mn,
+                   CAST(max({c}) AS VARCHAR) AS mx
+            FROM {rel}"""
+        for c in _DOC_COLS
+    )
+
+
+# thresholds mirror profile_drift's defaults; every ratio is the same
+# IEEE bigint->double division Spark performs, so the boolean decisions
+# (the pinned columns) are engine-identical even though the raw ratios
+# would render differently.
+_DRIFT_SQL = f"""
+        SELECT 'drift' AS arm, col AS "column",
+               nro AS n_rows, nrn AS n_nonnull,
+               CAST(0 AS BIGINT) AS n_distinct,
+               concat_ws(',',
+                   CASE WHEN nfd > 0.05 THEN 'null_frac' END,
+                   CASE WHEN (drr < 0.5 OR drr > 2.0)
+                         AND (ndrr < 0.5 OR ndrr > 2.0)
+                        THEN 'cardinality' END,
+                   CASE WHEN abs(rr - 1) > 0.5 THEN 'row_volume' END,
+                   CASE WHEN mmc THEN 'minmax' END) AS min_val,
+               CAST(mmc AS VARCHAR) AS max_val,
+               (nfd > 0.05
+                OR ((drr < 0.5 OR drr > 2.0) AND (ndrr < 0.5 OR ndrr > 2.0))
+                OR abs(rr - 1) > 0.5) AS hll_ok
+        FROM (
+            SELECT o.col,
+                   o.nr AS nro, n.nr AS nrn,
+                   abs((1 - n.nn / greatest(n.nr, 1))
+                       - (1 - o.nn / greatest(o.nr, 1))) AS nfd,
+                   n.ad / greatest(o.ad, 1) AS drr,
+                   (n.ad / greatest(o.ad, 1))
+                       / (n.nr / greatest(o.nr, 1)) AS ndrr,
+                   n.nr / greatest(o.nr, 1) AS rr,
+                   (o.mn IS DISTINCT FROM n.mn
+                    OR o.mx IS DISTINCT FROM n.mx) AS mmc
+            FROM ({_profile_cte("documents")}) o
+            JOIN ({_profile_cte(
+                "(SELECT * FROM documents WHERE doc_id % 3 = 0)")}) n
+              USING (col)
+        )
+"""
+
+ORACLE = {
+    "prof_pack": (
+        _PROFILE_ARMS
+        + "\n        UNION ALL\n"
+        + _DQ_SQL
+        + "\n        UNION ALL\n"
+        + _DRIFT_SQL
+    )
+}
