@@ -60,6 +60,20 @@ def build_db_url(section) -> str:
                     int(port) if port else None)
 
 
+def _stream_input_suite(args):
+    """The per-batch gate suite for --require-input-quality (same
+    contract as the batch curate gate, minus min_rows — an empty
+    micro-batch is normal between drops)."""
+    from .operators.validate import CheckSuite
+
+    return (
+        CheckSuite()
+        .not_null(args.id_col)
+        .unique(args.id_col)
+        .not_null(args.text_col)
+    )
+
+
 def curate_stream_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark curate-stream``: the continuous
     (daily-increment) shape — drain a drop directory of parquet doc
@@ -98,9 +112,19 @@ def curate_stream_main(argv: list[str]) -> int:
                     help="fold the kept corpus's batch dirs into one "
                          "generation every N batches (bounds file "
                          "count for cron-driven daemons)")
+    ap.add_argument("--require-input-quality", action="store_true",
+                    help="gate every micro-batch on data-quality "
+                         "checks (non-null unique ids, non-null text)")
+    ap.add_argument("--quarantine", default=None,
+                    help="divert failing batches whole to this root "
+                         "(batch_id=N dirs with a _dq_error column) "
+                         "instead of stopping the stream; requires "
+                         "--require-input-quality")
     args = ap.parse_args(argv)
     if (args.span_store is None) != (args.span_dedup_tokens is None):
         ap.error("--span-store and --span-dedup-tokens go together")
+    if args.quarantine is not None and not args.require_input_quality:
+        ap.error("--quarantine requires --require-input-quality")
 
     from pyspark.sql.utils import AnalysisException
 
@@ -138,6 +162,11 @@ def curate_stream_main(argv: list[str]) -> int:
         jaccard_threshold_pct=args.jaccard_threshold_pct,
         shingle_mode=args.shingle_mode,
         span_dedup_tokens=args.span_dedup_tokens,
+        input_suite=(
+            _stream_input_suite(args) if args.require_input_quality
+            else None
+        ),
+        quarantine_path=args.quarantine,
     )
     # a drain that processed ZERO batches (source files already consumed
     # by the checkpoint) against fresh roots leaves no output dirs — a
@@ -171,6 +200,8 @@ def curate_stream_main(argv: list[str]) -> int:
     }
     if args.span_store is not None:
         out["span_store_rows"] = _rows(args.span_store)
+    if args.quarantine is not None:
+        out["quarantined_rows"] = _rows(args.quarantine)
     if out["kept_rows"] == 0:
         out["note"] = "no batches processed or empty kept corpus"
     print(json.dumps(out, sort_keys=True))

@@ -103,6 +103,8 @@ def streaming_curate(
     span_store_path: str | None = None,
     kept_compact_every: int | None = None,
     kept_files_per_generation: int = 4,
+    input_suite=None,
+    quarantine_path: str | None = None,
     **curate_kw,
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow
@@ -128,6 +130,16 @@ def streaming_curate(
     O(kept_files_per_generation + N), not O(total batches)); read the
     corpus with ``read_kept`` once compaction is on — a plain
     root-level read would see mixed partition dir names.
+
+    ``input_suite`` (operators/validate.CheckSuite): per-batch quality
+    gate, run on each micro-batch BEFORE any curation or store work
+    (one scan of the batch). A failing batch is diverted whole to
+    ``quarantine_path`` (per-batch_id overwrite dir — idempotent under
+    replay like every other sink here — with a ``_dq_error`` column
+    naming the failed checks) and contributes NOTHING to the kept
+    corpus or the stores; a later fixed re-drop arrives as a new batch.
+    Without ``quarantine_path`` a failing batch raises instead,
+    stopping the stream (fail-fast mode).
     """
     schema = spark.read.parquet(source_dir).schema  # footer-only probe
     if on_existing_store not in ("replay", "continue"):
@@ -160,8 +172,27 @@ def streaming_curate(
     else:
         bases = {root: 0 for root in roots}
 
+    if quarantine_path is not None and input_suite is None:
+        raise ValueError("quarantine_path requires input_suite")
+
     def _process(batch, batch_id: int) -> None:
         bs = batch.sparkSession
+        if input_suite is not None:
+            from ..operators.validate import format_failures
+
+            msg = format_failures(input_suite.run(batch).collect())
+            if msg:
+                if quarantine_path is None:
+                    raise ValueError(f"batch {batch_id}: {msg}")
+                batch.withColumn(
+                    "_dq_error", F.lit(msg)
+                ).write.mode("overwrite").parquet(
+                    os.path.join(
+                        quarantine_path,
+                        f"batch_id={bases[kept_path] + batch_id}",
+                    )
+                )
+                return
         # lazy schema templates for the first batch's empty stores
         exact_like = exact_signature_store(batch, id_col, text_col)
         mh_like = minhash_signature_store_with_sigs(

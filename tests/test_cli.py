@@ -292,3 +292,54 @@ def test_cli_curate_stream_subcommand(spark, tmp_path, capsys):
     assert rc == 0
     noop = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert noop["kept_rows"] == 0 and "note" in noop
+
+
+def test_cli_curate_stream_quality_gate(spark, tmp_path, capsys):
+    """curate-stream --require-input-quality --quarantine: the bad wave
+    (duplicate ids) is diverted and reported; the clean wave curates."""
+    import os
+
+    src = str(tmp_path / "srcq")
+    os.makedirs(src)
+    good = " ".join(f"g{i}" for i in range(25))
+    spark.createDataFrame(
+        [(1, good, "web")], "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(os.path.join(src, "w1"))
+    spark.createDataFrame(
+        [(5, good + " tail", "web"), (5, "other words " * 10, "web")],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+
+    from ffi_export_etl_spark.__main__ import main
+
+    quarantine = str(tmp_path / "quar")
+    rc = main([
+        "curate-stream",
+        "--source-dir", os.path.join(src, "w*"),
+        "--kept", str(tmp_path / "keptq"),
+        "--exact-store", str(tmp_path / "exq"),
+        "--minhash-store", str(tmp_path / "mhq"),
+        "--checkpoint", str(tmp_path / "ckq"),
+        "--min-words", "5",
+        "--require-input-quality", "--quarantine", quarantine,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["kept_rows"] == 1
+    assert report["quarantined_rows"] == 2
+    quar = spark.read.parquet(quarantine).collect()
+    assert all("unique:doc_id" in r["_dq_error"] for r in quar)
+
+    # --quarantine without the gate flag is an argparse error
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main([
+            "curate-stream",
+            "--source-dir", os.path.join(src, "w*"),
+            "--kept", str(tmp_path / "k2"),
+            "--exact-store", str(tmp_path / "e2"),
+            "--minhash-store", str(tmp_path / "m2"),
+            "--checkpoint", str(tmp_path / "c2"),
+            "--quarantine", quarantine,
+        ])

@@ -307,3 +307,84 @@ def test_continue_mode_after_kept_compaction(spark, tmp_path):
     compact_kept(spark, kept, num_files=1)
     got2 = {r["id"] for r in read_kept(spark, kept).collect()}
     assert got2 == got
+
+
+def test_per_batch_quality_gate_quarantines(spark, tmp_path):
+    """input_suite + quarantine_path: a wave with duplicate ids is
+    diverted whole (stores and kept untouched by it), clean waves
+    curate normally, and the quarantined rows carry the failure."""
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+
+    src = str(tmp_path / "src_q")
+    os.makedirs(src, exist_ok=True)
+    waves = [
+        [(1, BASE, "web"), (2, OTHER, "web")],
+        [(7, THIRD, "web"), (7, THIRD + " extra", "web")],  # dup ids -> bad
+        [(9, "totally new words " * 6, "web")],
+    ]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_q")
+    quarantine = str(tmp_path / "quarantine_q")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=str(tmp_path / "exact_q"),
+        minhash_store_path=str(tmp_path / "mh_q"),
+        checkpoint=str(tmp_path / "ckpt_q"),
+        min_words=5,
+        jaccard_threshold_pct=50,
+        input_suite=CheckSuite().not_null("doc_id").unique("doc_id"),
+        quarantine_path=quarantine,
+    )
+    kept_rows = spark.read.parquet(kept).collect()
+    assert {r["id"] for r in kept_rows} == {1, 2, 9}
+    quar = spark.read.parquet(quarantine).collect()
+    assert sorted(r["doc_id"] for r in quar) == [7, 7]
+    assert all("unique:doc_id" in r["_dq_error"] for r in quar)
+    # the bad wave left no store delta: batch_id 1 absent from stores
+    exact_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "exact_q")).collect()
+    }
+    assert 1 not in exact_ids
+
+
+def test_quality_gate_failfast_without_quarantine(spark, tmp_path):
+    """input_suite without quarantine_path: the stream raises on the
+    first failing batch."""
+    import pytest as _pytest
+
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import streaming_curate as sc
+
+    src = str(tmp_path / "src_f")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(1, BASE, "web"), (1, OTHER, "web")],
+        "doc_id: long, text: string, source: string",
+    ).coalesce(1).write.parquet(os.path.join(src, "wave0"))
+    with _pytest.raises(Exception, match="unique:doc_id"):
+        sc(
+            spark,
+            source_dir=os.path.join(src, "wave*"),
+            kept_path=str(tmp_path / "kept_f"),
+            exact_store_path=str(tmp_path / "exact_f"),
+            minhash_store_path=str(tmp_path / "mh_f"),
+            checkpoint=str(tmp_path / "ckpt_f"),
+            min_words=5,
+            input_suite=CheckSuite().unique("doc_id"),
+        )
+    with _pytest.raises(ValueError, match="requires input_suite"):
+        sc(
+            spark,
+            source_dir=os.path.join(src, "wave*"),
+            kept_path=str(tmp_path / "kept_f2"),
+            exact_store_path=str(tmp_path / "exact_f2"),
+            minhash_store_path=str(tmp_path / "mh_f2"),
+            checkpoint=str(tmp_path / "ckpt_f2"),
+            quarantine_path=str(tmp_path / "quar_f2"),
+        )
