@@ -21,6 +21,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.htmlx import (
+    extract_links,
+    extract_title,
+    extract_title_sql,
+    html_to_text,
+    html_to_text_sql,
+    n_links_sql,
+)
 from ..operators.scripts import SCRIPT_CLASSES
 from ..operators.textproc import (
     dedup_paragraphs,
@@ -58,6 +66,51 @@ LINE_TOKENS = 2
 # operators/textproc.dedup_paragraphs strips repeats down to the min-id
 # canonical copy; the oracle replays the digest/keeper/reassembly chain
 PARA_TOKENS = 5
+# html-extraction arm: each doc is wrapped in this HTML template
+# (('id',) / ('text',) splice the row's values) exercising title/style/
+# head removal, comments, entities, block breaks, links, and the generic
+# tag strip around real free text; operators/htmlx.py then extracts
+# title / text / link count, and the oracle replays the SAME segment
+# list through the SAME rule table (html_to_text_sql).
+HTML_SEGS: tuple[tuple[str, ...], ...] = (
+    ("lit", "<html><head><title>Doc "),
+    ("id",),
+    (
+        "lit",
+        " &amp; co</title><style>p{c:1}</style></head>"
+        "<body><!-- x --><h1>H &lt;b&gt;</h1><p>",
+    ),
+    ("text",),
+    ("lit", '</p><script>var q = "1 < 2";</script><a href="https://ex.com/'),
+    ("id",),
+    ("lit", '?a=1">l1</a><A HREF="http://ex.org/'),
+    ("id",),
+    ("lit", '">l2</A><ul><li>tail&nbsp;end</li></ul></body></html>'),
+)
+
+
+def _html_col() -> Column:
+    parts = []
+    for seg in HTML_SEGS:
+        if seg[0] == "lit":
+            parts.append(F.lit(seg[1]))
+        elif seg[0] == "id":
+            parts.append(F.col("doc_id").cast("string"))
+        else:
+            parts.append(F.col("text"))
+    return F.concat(*parts)
+
+
+def _html_sql() -> str:
+    parts = []
+    for seg in HTML_SEGS:
+        if seg[0] == "lit":
+            parts.append("'" + seg[1].replace("'", "''") + "'")
+        elif seg[0] == "id":
+            parts.append("CAST(doc_id AS VARCHAR)")
+        else:
+            parts.append("text")
+    return "(" + " || ".join(parts) + ")"
 
 
 def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +123,10 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textproc.scrub_text chain, emails/URLs/IPs/phones to
     typed placeholders), and paragraph-level exact dedup over
     PARA_TOKENS-token paragraphs (operators/textproc.dedup_paragraphs —
-    repeated paragraphs survive only in their min-id doc) — one row per
+    repeated paragraphs survive only in their min-id doc), and HTML
+    text/title/link extraction over a per-doc synthesized HTML wrapper
+    (operators/htmlx.py — script/style/head/comment removal, entity
+    decode, block breaks, tag strip all value-pinned) — one row per
     document."""
     d = load_table(spark, sf_dir, "documents")
     toks = _toks()
@@ -115,6 +171,9 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         scrubbed.alias("scrubbed"),
         (scrubbed != F.col("text")).alias("changed"),
+        extract_title(_html_col()).alias("html_title"),
+        html_to_text(_html_col()).alias("html_text"),
+        F.size(extract_links(_html_col())).alias("html_n_links"),
     )
     paras_text = F.array_join(
         F.transform(
@@ -482,6 +541,9 @@ ORACLE = {
                 AND (length(text) - (n_words - 1)) / n_words >= 2.0) AS keep,
                {scrub_sql_expr("text")} AS scrubbed,
                {scrub_sql_expr("text")} != text AS changed,
+               {extract_title_sql(_html_sql())} AS html_title,
+               {html_to_text_sql(_html_sql())} AS html_text,
+               CAST({n_links_sql(_html_sql())} AS INTEGER) AS html_n_links,
                coalesce(rebuilt.pdedup, '') AS pdedup
         FROM b LEFT JOIN rebuilt USING (doc_id)
     """,
