@@ -271,6 +271,10 @@ def curate_main(argv: list[str]) -> int:
                          "rule: drop docs holding >= PCT%% of any "
                          "benchmark item's n-grams (requires "
                          "--benchmark)")
+    ap.add_argument("--input-html", action="store_true",
+                    help="input text column is raw HTML: extract plain "
+                         "text (drop script/style/head, decode "
+                         "entities, strip tags) before any other stage")
     ap.add_argument("--lm-reference", default=None,
                     help="parquet reference corpus for the bigram-LM "
                          "quality filter (enables --max-avg-neg-logprob)")
@@ -363,6 +367,7 @@ def curate_main(argv: list[str]) -> int:
         boilerplate_min_docs=args.boilerplate_min_docs,
         paragraph_min_repeat=args.paragraph_min_repeat,
         span_dedup_tokens=args.span_dedup_tokens,
+        input_html=args.input_html,
         url_col=args.url_col,
         domain_blocklist=args.block_domain,
         dedup_urls=args.dedup_urls,

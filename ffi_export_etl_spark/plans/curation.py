@@ -78,6 +78,7 @@ def curate_documents(
     max_top_bigram_frac: float | None = None,
     lm_reference: DataFrame | None = None,
     max_avg_neg_logprob: float | None = None,
+    input_html: bool = False,
     persist_intermediates: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
@@ -86,6 +87,8 @@ def curate_documents(
     in the packed token stream.
 
     Optional stages, in the order the curation literature prescribes:
+    ``input_html`` extracts plain text from raw-HTML corpora before
+    everything else (operators/htmlx.py — every later judge sees prose);
     ``domain_blocklist`` (with ``url_col``) drops blocklisted sources
     before any text work; ``boilerplate_min_docs`` strips lines repeated
     across that many documents FIRST among the text stages — line
@@ -120,6 +123,15 @@ def curate_documents(
     session. At 100 TB prefer writing the mixture output to a staging
     table instead — pass False and checkpoint externally."""
     cur = docs
+    if input_html:
+        # crawl corpora arrive as raw HTML: extract plain text FIRST so
+        # every downstream judge (decontamination n-grams, boilerplate
+        # lines, quality stats, dedup shingles) sees prose, not markup.
+        # One chained-regexp projection, codegen, no extra scan
+        # (operators/htmlx.py).
+        from ..operators.htmlx import html_to_text
+
+        cur = cur.withColumn(text_col, html_to_text(text_col))
     if dedup_urls:
         # collapse recrawls / tracking-parameter variants at URL grain
         # BEFORE any text work — one canonical-key aggregation vs the

@@ -343,3 +343,42 @@ def test_cli_curate_stream_quality_gate(spark, tmp_path, capsys):
             "--checkpoint", str(tmp_path / "c2"),
             "--quarantine", quarantine,
         ])
+
+
+def test_cli_curate_input_html(spark, tmp_path, capsys):
+    """--input-html: HTML corpora are extracted to plain text before any
+    curation stage — markup never reaches the quality filter (the tag
+    soup would otherwise inflate word counts), and the shard text is
+    the extracted prose."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "s0",
+                "<html><head><title>t</title><style>p{x:1}</style></head>"
+                "<body><p>" + " ".join(f"w{i}_{j}" for j in range(30))
+                + "</p><script>var a_b_c_d_e_f_g_h_i_j_k = 1;</script>"
+                "</body></html>",
+            )
+            for i in range(6)
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    src = str(tmp_path / "html_docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "html_shards")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--min-words", "10", "--capacity", "64",
+        "--rows-per-shard", "4", "--input-html",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs_in"] == 6 and report["docs_out"] == 6
+    texts = [r["text"] for r in spark.read.parquet(out).collect()]
+    assert all("<" not in t and "var" not in t and "title" not in t
+               for t in texts)
+    assert all(t.startswith("w") for t in texts)
