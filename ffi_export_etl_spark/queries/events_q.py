@@ -26,11 +26,22 @@ def _with_ts_us(ev: DataFrame) -> DataFrame:
     return ev.withColumn("ts_us", event_micros(ev))
 
 
+IV_LEN_US = 90 * 60 * 10**6   # interval arm: 90-minute windows
+IV_BIN_US = 30 * 60 * 10**6   # bin width ~ len/3: fan-out 3-4 bins/interval
+
+
 def evt_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both JSON property-extraction paths over events.props, union-tagged
-    into one slot: 'extract' = get_json_object (path extraction, string
-    in/out), 'typed' = from_json with a declared schema (schema-on-read
-    typed struct). Either way JVM-side, no Python in the loop."""
+    """Both JSON property-extraction paths over events.props plus the
+    bin-bucketed interval join, union-tagged into one slot: 'extract' =
+    get_json_object (path extraction, string in/out), 'typed' =
+    from_json with a declared schema (schema-on-read typed struct),
+    'interval' = operators/rangejoin.interval_join of every event onto
+    the 90-minute window opening at each event type's first event (pure
+    range, no equality key — the oracle replays it as a direct
+    inequality join, pinning the bin/explode/filter mechanics). All
+    JVM-side, no Python in the loop."""
+    from ..operators.rangejoin import interval_join
+
     ev = load_table(spark, sf_dir, "events")
     extract = ev.select(
         F.lit("extract").alias("kind"),
@@ -47,7 +58,22 @@ def evt_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         (parsed.getField("k") % 10).alias("k_mod10"),
     )
-    return extract.unionByName(typed)
+    ev_us = _with_ts_us(ev)
+    iv = ev_us.groupBy(F.col("event_type").alias("iv_type")).agg(
+        F.min("ts_us").alias("ivs")
+    ).withColumn("ive", F.col("ivs") + F.lit(IV_LEN_US))
+    pairs = interval_join(
+        ev_us.select("event_id", "ts_us"), iv,
+        "ts_us", "ivs", "ive", IV_BIN_US,
+    )
+    ranged = pairs.select(
+        F.lit("interval").alias("kind"),
+        "event_id",
+        F.col("iv_type").alias("event_type"),
+        F.lit(None).cast("bigint").alias("k"),
+        F.lit(None).cast("bigint").alias("k_mod10"),
+    )
+    return extract.unionByName(typed).unionByName(ranged)
 
 
 def evt_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +180,7 @@ QUERIES = {
 }
 
 ORACLE = {
-    "evt_json_pack": """
+    "evt_json_pack": f"""
         SELECT 'extract' AS kind, event_id, event_type,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                CAST(NULL AS BIGINT) AS k_mod10
@@ -164,6 +190,14 @@ ORACLE = {
                CAST(json_extract_string(props, '$.k') AS BIGINT),
                CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
         FROM events
+        UNION ALL
+        SELECT 'interval', e.event_id, i.iv_type,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM events e
+        JOIN (SELECT event_type AS iv_type, min(epoch_us(ts)) AS ivs
+              FROM events GROUP BY 1) i
+          ON epoch_us(e.ts) >= i.ivs
+         AND epoch_us(e.ts) < i.ivs + {IV_LEN_US}
     """,
     "evt_hourly_rollup": f"""
         SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
