@@ -57,6 +57,84 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def profile_batch(df: DataFrame, lg_config_k: int = 12) -> DataFrame:
+    """ONE wide row of mergeable profile state for a batch: row count,
+    per-column non-null counts, typed min/max, and an HLL DataSketch
+    (``hll_sketch_agg``) of each column's STRING rendering (uniform
+    input type; distinct values stay distinct under the cast).
+
+    This is the incremental-profiling primitive: profile each ingest
+    batch once (one scan, map-side combined), append the row to a tiny
+    store table, and get the full-corpus profile from the store alone —
+    at 100 TB the corpus is scanned once per batch ever, never per
+    report. Unlike ``approx_count_distinct`` (whose HLL++ state is
+    internal to one aggregation), DataSketches rows are first-class
+    binary values: storable, and mergeable across batches with
+    ``hll_union_agg`` — the same discipline as the dedup family's
+    incremental stores. min/max stay in their NATIVE types here (string
+    rendering would order "10" < "9"); they become strings only in
+    :func:`profile_from_batches`' final unpivot."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in df.columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.hll_sketch_agg(
+                F.col(c).cast("string"), F.lit(lg_config_k)
+            ).alias(f"hll_{c}"),
+            F.min(F.col(c)).alias(f"mn_{c}"),
+            F.max(F.col(c)).alias(f"mx_{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+def profile_from_batches(store: DataFrame) -> DataFrame:
+    """Fold a store of :func:`profile_batch` rows into ONE corpus
+    profile with the exact ``profile_table`` output schema (so it
+    composes with :func:`profile_drift` unchanged): counts sum, min/max
+    fold in their native types, sketches union (``hll_union_agg``), and
+    the estimate is rendered per column. The fold costs one pass over
+    the STORE — batch-count-many rows, never the corpus.
+
+    Determinism note: the exact columns (counts, min/max) are
+    bit-identical under ANY batch order; the HLL estimate is only
+    approximately order-invariant (~1% wobble — the DataSketches union
+    gadget's internal mode transitions depend on feed order), which is
+    inherent to sketch unions and inside the sketch's own error band."""
+    cols = [c[3:] for c in store.columns if c.startswith("nn_")]
+    aggs = [F.sum("_n").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(f"nn_{c}").alias(f"nn_{c}"),
+            F.hll_union_agg(F.col(f"hll_{c}"), F.lit(True)).alias(
+                f"hll_{c}"
+            ),
+            F.min(f"mn_{c}").alias(f"mn_{c}"),
+            F.max(f"mx_{c}").alias(f"mx_{c}"),
+        ]
+    row = store.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"nn_{c}"),
+            # all-null/empty batches union to a null sketch -> 0 distinct
+            F.coalesce(
+                F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
+            ),
+            F.col(f"mn_{c}").cast("string"),
+            F.col(f"mx_{c}").cast("string"),
+        ]
+    return row.select(
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_rows"),
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "column", "n_nonnull", "approx_distinct", "min_val", "max_val"
+        ),
+    ).select(
+        "column", "n_rows", "n_nonnull", "approx_distinct",
+        "min_val", "max_val",
+    )
+
+
 def profile_drift(
     old: DataFrame,
     new: DataFrame,

@@ -114,7 +114,11 @@ def _exact_profile(d: DataFrame) -> DataFrame:
 def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile arm: one row per documents column (exact counts from the
     one-scan profile + exact distinct + HLL-within-tolerance flag).
-    dq arm: one row per constraint from the single-scan CheckSuite."""
+    dq arm: one row per constraint from the single-scan CheckSuite.
+    incr arm: the same corpus profile rebuilt from three per-batch
+    mergeable sketch rows (operators/profile.profile_batch ->
+    profile_from_batches) — the incremental-profiling path value-pinned
+    against the direct aggregation."""
     d = load_table(spark, sf_dir, "documents")
     prof = profile_table(d, rsd=RSD)
     exact = d.agg(
@@ -152,6 +156,32 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kind").alias("max_val"),
         F.col("passed").alias("hll_ok"),
     )
+    # incr arm: the corpus profile rebuilt from three per-batch sketch
+    # rows (doc_id%3 split) through the MERGEABLE store path — exact
+    # stats value-pinned against the direct full-corpus aggregation,
+    # the HLL-union estimate pinned as a tolerance boolean
+    from functools import reduce
+
+    from ..operators.profile import profile_batch, profile_from_batches
+
+    store = reduce(
+        DataFrame.unionByName,
+        [profile_batch(d.filter(F.col("doc_id") % 3 == m)) for m in range(3)],
+    )
+    incr_rows = profile_from_batches(store).join(exact_long, "column").select(
+        F.lit("incr").alias("arm"),
+        "column",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            / F.greatest(F.col("n_distinct"), F.lit(1))
+            <= 0.15
+        ).alias("hll_ok"),
+    )
     drift_rows = profile_drift(
         _exact_profile(d),
         _exact_profile(d.filter(F.col("doc_id") % DRIFT_MOD == 0)),
@@ -165,15 +195,25 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minmax_changed").cast("string").alias("max_val"),
         F.col("drifted").alias("hll_ok"),
     )
-    return profile_rows.unionByName(dq_rows).unionByName(drift_rows)
+    return (
+        profile_rows.unionByName(dq_rows)
+        .unionByName(drift_rows)
+        .unionByName(incr_rows)
+    )
 
 
 QUERIES = {"prof_pack": prof_pack}
 
 _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
-_PROFILE_ARMS = "\n        UNION ALL\n".join(
-    f"""        SELECT 'profile' AS arm, '{c}' AS "column",
+def _exact_arm_sql(arm: str) -> str:
+    """Exact per-column profile rows tagged ``arm`` — serves both the
+    'profile' arm and the 'incr' arm (three per-batch sketch rows folded
+    through the mergeable store are exactly the full-corpus aggregation:
+    counts sum, min/max fold; the HLL-union estimate is pinned via the
+    hll_ok tolerance boolean, TRUE on both sides)."""
+    return "\n        UNION ALL\n".join(
+        f"""        SELECT '{arm}' AS arm, '{c}' AS "column",
                count(*) AS n_rows,
                count({c}) AS n_nonnull,
                count(DISTINCT {c}) AS n_distinct,
@@ -181,8 +221,11 @@ _PROFILE_ARMS = "\n        UNION ALL\n".join(
                CAST(max({c}) AS VARCHAR) AS max_val,
                TRUE AS hll_ok
         FROM documents"""
-    for c in _DOC_COLS
-)
+        for c in _DOC_COLS
+    )
+
+
+_PROFILE_ARMS = _exact_arm_sql("profile")
 
 # (check name, violations SQL, threshold, target column, kind,
 #  passed SQL override or None for violations <= threshold)
@@ -285,5 +328,7 @@ ORACLE = {
         + _DQ_SQL
         + "\n        UNION ALL\n"
         + _DRIFT_SQL
+        + "\n        UNION ALL\n"
+        + _exact_arm_sql("incr")
     )
 }
