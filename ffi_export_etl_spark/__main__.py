@@ -120,6 +120,11 @@ def curate_stream_main(argv: list[str]) -> int:
                          "(batch_id=N dirs with a _dq_error column) "
                          "instead of stopping the stream; requires "
                          "--require-input-quality")
+    ap.add_argument("--profile-store", default=None,
+                    help="append one mergeable profile row per batch "
+                         "(HLL sketches + exact counts over the kept "
+                         "rows); report over it with the 'profile' "
+                         "subcommand's --from-store")
     args = ap.parse_args(argv)
     if (args.span_store is None) != (args.span_dedup_tokens is None):
         ap.error("--span-store and --span-dedup-tokens go together")
@@ -167,6 +172,7 @@ def curate_stream_main(argv: list[str]) -> int:
             else None
         ),
         quarantine_path=args.quarantine,
+        profile_store_path=args.profile_store,
     )
     # a drain that processed ZERO batches (source files already consumed
     # by the checkpoint) against fresh roots leaves no output dirs — a
@@ -401,6 +407,73 @@ def curate_main(argv: list[str]) -> int:
     return 0
 
 
+def profile_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark profile``: per-column profile of
+    a parquet table (or of an incremental profile STORE, never
+    rescanning the corpus), optionally saved and/or drifted against an
+    earlier saved profile. Prints one JSON line:
+    {"profile": [per-column rows], "drift": [rows]?}."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark profile",
+        description="One-scan table profile / incremental-store report "
+                    "/ snapshot drift.",
+    )
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet table to profile (one scan)")
+    src.add_argument("--from-store",
+                     help="fold a profile store (profile_batch rows, "
+                          "e.g. curate-stream --profile-store) into the "
+                          "corpus profile — reads ONLY the store")
+    ap.add_argument("--append-store", default=None,
+                    help="with --input: also append this table's "
+                         "mergeable profile row to the store dir")
+    ap.add_argument("--save", default=None,
+                    help="write the profile rows as parquet (snapshot "
+                         "for later --drift-against)")
+    ap.add_argument("--drift-against", default=None,
+                    help="earlier --save output: also report "
+                         "profile_drift (old=that, new=this)")
+    args = ap.parse_args(argv)
+    if args.append_store and not args.input:
+        ap.error("--append-store requires --input")
+
+    from .operators.profile import (
+        profile_batch,
+        profile_drift,
+        profile_from_batches,
+        profile_table,
+    )
+    from .session import get_spark, tune
+
+    spark = tune(get_spark(app_name="ffi-etl-profile"))
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.input:
+        table = spark.read.parquet(args.input)
+        prof = profile_table(table)
+        if args.append_store:
+            profile_batch(table).write.mode("append").parquet(
+                args.append_store
+            )
+    else:
+        prof = profile_from_batches(spark.read.parquet(args.from_store))
+    if args.save:
+        prof.write.mode("overwrite").parquet(args.save)
+        prof = spark.read.parquet(args.save)  # report what was saved
+    out = {"profile": sorted(
+        (r.asDict() for r in prof.collect()), key=lambda r: r["column"]
+    )}
+    if args.drift_against:
+        old = spark.read.parquet(args.drift_against)
+        out["drift"] = sorted(
+            (r.asDict() for r in profile_drift(old, prof).collect()),
+            key=lambda r: r["column"],
+        )
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -408,6 +481,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_main(argv[1:])
     if argv and argv[0] == "curate-stream":
         return curate_stream_main(argv[1:])
+    if argv and argv[0] == "profile":
+        return profile_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="python -m ffi_export_etl_spark",
         description="FFI export ETL: XML exports -> transformed tables -> "

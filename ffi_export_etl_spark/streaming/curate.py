@@ -105,6 +105,7 @@ def streaming_curate(
     kept_files_per_generation: int = 4,
     input_suite=None,
     quarantine_path: str | None = None,
+    profile_store_path: str | None = None,
     **curate_kw,
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow
@@ -140,6 +141,15 @@ def streaming_curate(
     corpus or the stores; a later fixed re-drop arrives as a new batch.
     Without ``quarantine_path`` a failing batch raises instead,
     stopping the stream (fail-fast mode).
+
+    ``profile_store_path``: append one mergeable profile row per batch
+    (operators/profile.profile_batch over the batch's KEPT rows, read
+    back from the just-written sink file — no second pipeline
+    traversal). The full-corpus profile is then
+    ``profile_from_batches(spark.read.parquet(profile_store_path))`` —
+    a fold over batch-count-many rows, never a corpus rescan; feed two
+    snapshots to profile_drift for ingest monitoring. Same per-batch_id
+    overwrite discipline as every sink here, so replays are idempotent.
     """
     schema = spark.read.parquet(source_dir).schema  # footer-only probe
     if on_existing_store not in ("replay", "continue"):
@@ -238,6 +248,20 @@ def streaming_curate(
         finally:
             for cached in getattr(out["kept"], "_curation_persisted", []):
                 cached.unpersist()
+        if profile_store_path is not None:
+            from ..operators.profile import profile_batch
+
+            kept_dir = os.path.join(
+                kept_path, f"batch_id={bases[kept_path] + batch_id}"
+            )
+            profile_batch(bs.read.parquet(kept_dir)).write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(
+                    profile_store_path,
+                    f"batch_id={bases[kept_path] + batch_id}",
+                )
+            )
         if (
             kept_compact_every
             and batch_id > 0

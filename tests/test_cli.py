@@ -382,3 +382,50 @@ def test_cli_curate_input_html(spark, tmp_path, capsys):
     assert all("<" not in t and "var" not in t and "title" not in t
                for t in texts)
     assert all(t.startswith("w") for t in texts)
+
+
+def test_cli_profile_subcommand(spark, tmp_path, capsys):
+    """profile subcommand: one-scan profile JSON, --save snapshot,
+    --drift-against an earlier snapshot, and --from-store folding."""
+    d1 = spark.createDataFrame(
+        [(i, "en", f"text {i}") for i in range(100)],
+        "doc_id: long, lang: string, text: string",
+    )
+    d2 = spark.createDataFrame(
+        [(i, "en" if i % 2 else None, f"text {i}") for i in range(300)],
+        "doc_id: long, lang: string, text: string",
+    )
+    p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    d1.write.parquet(p1)
+    d2.write.parquet(p2)
+    snap = str(tmp_path / "snap")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main(["profile", "--input", p1, "--save", snap])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    prof = {r["column"]: r for r in rep["profile"]}
+    assert prof["doc_id"]["n_rows"] == 100
+    assert prof["doc_id"]["min_val"] == "0"
+    assert "drift" not in rep
+
+    # drift: tripled rows + lang nulls appeared
+    rc = main(["profile", "--input", p2, "--drift-against", snap])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    drift = {r["column"]: r for r in rep["drift"]}
+    assert "row_volume" in drift["doc_id"]["drift_reasons"]
+    assert "null_frac" in drift["lang"]["drift_reasons"]
+
+    # incremental store: append both tables, fold without rescanning
+    store = str(tmp_path / "pstore_cli")
+    assert main(["profile", "--input", p1, "--append-store", store]) == 0
+    assert main(["profile", "--input", p2, "--append-store", store]) == 0
+    capsys.readouterr()
+    assert main(["profile", "--from-store", store]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    prof = {r["column"]: r for r in rep["profile"]}
+    assert prof["doc_id"]["n_rows"] == 400
+    assert prof["doc_id"]["n_nonnull"] == 400
+    assert prof["lang"]["n_nonnull"] == 100 + 150

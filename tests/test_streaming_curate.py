@@ -388,3 +388,53 @@ def test_quality_gate_failfast_without_quarantine(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt_f2"),
             quarantine_path=str(tmp_path / "quar_f2"),
         )
+
+
+def test_profile_store_accumulates_mergeable_rows(spark, tmp_path):
+    """--profile-store surface: one mergeable profile row per batch over
+    the KEPT rows; the folded store reproduces the kept corpus's exact
+    stats without rescanning it."""
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.profile import (
+        profile_from_batches,
+        profile_table,
+    )
+
+    src = str(tmp_path / "src_p")
+    os.makedirs(src, exist_ok=True)
+    for i, wave in enumerate(WAVES):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_p")
+    pstore = str(tmp_path / "pstore")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=str(tmp_path / "exact_p"),
+        minhash_store_path=str(tmp_path / "mh_p"),
+        checkpoint=str(tmp_path / "ckpt_p"),
+        min_words=5,
+        jaccard_threshold_pct=50,
+        profile_store_path=pstore,
+    )
+    store = spark.read.parquet(pstore)
+    assert {r["batch_id"] for r in store.select("batch_id").collect()} == {
+        0, 1, 2,
+    }
+    folded = {
+        r["column"]: r.asDict()
+        for r in profile_from_batches(store).collect()
+    }
+    kept_df = spark.read.parquet(kept).drop("batch_id")
+    direct = {
+        r["column"]: r.asDict() for r in profile_table(kept_df).collect()
+    }
+    assert set(folded) == set(direct)
+    for c in folded:
+        for k in ("n_rows", "n_nonnull", "min_val", "max_val"):
+            assert folded[c][k] == direct[c][k], (c, k)
+    exact_ids = kept_df.select(F.count_distinct("id")).collect()[0][0]
+    assert abs(folded["id"]["approx_distinct"] - exact_ids) <= 1
