@@ -277,6 +277,14 @@ def curate_main(argv: list[str]) -> int:
                          "rule: drop docs holding >= PCT%% of any "
                          "benchmark item's n-grams (requires "
                          "--benchmark)")
+    ap.add_argument("--c4-line-clean", action="store_true",
+                    help="C4 line rule: keep only lines ending in "
+                         "terminal punctuation with >= 3 words; drop "
+                         "pages with lorem-ipsum/brace markers")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="Gopher document-quality heuristics (word "
+                         "count, word length, symbol/bullet/ellipsis "
+                         "ratios, alphabetic fraction, stopwords)")
     ap.add_argument("--input-html", action="store_true",
                     help="input text column is raw HTML: extract plain "
                          "text (drop script/style/head, decode "
@@ -374,6 +382,8 @@ def curate_main(argv: list[str]) -> int:
         paragraph_min_repeat=args.paragraph_min_repeat,
         span_dedup_tokens=args.span_dedup_tokens,
         input_html=args.input_html,
+        c4_line_clean=args.c4_line_clean,
+        gopher_rules=args.gopher_rules,
         url_col=args.url_col,
         domain_blocklist=args.block_domain,
         dedup_urls=args.dedup_urls,

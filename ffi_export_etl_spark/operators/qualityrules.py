@@ -1,0 +1,283 @@
+"""C4 line-level cleanup and Gopher document-quality rules.
+
+The two canonical rule sets from the corpus-curation literature that the
+stats-threshold filters (length / stopword-ratio / repetition in
+operators/textproc.py) don't cover:
+
+- **C4** (Raffel et al. 2020, "Exploring the Limits of Transfer
+  Learning", appendix C): line-level cleanup — keep only lines that end
+  in terminal punctuation and have enough words; drop whole pages
+  containing blocklisted markers (lorem ipsum, curly braces = leaked
+  code/templates).
+- **Gopher** (Rae et al. 2021, "Scaling Language Models", table A1):
+  document-level heuristics — word-count bounds, mean word length
+  bounds, symbol-to-word ratios (hashes, ellipses), bullet/ellipsis
+  line fractions, alphabetic-word fraction, minimum distinct stopwords.
+
+Everything is per-document array/string Column expressions — split /
+filter / transform / aggregate, no explode, no shuffle, no UDF — so
+applying both rule sets to 100 TB is one scan inside whole-stage
+codegen. Thresholds are exact integer/ratio comparisons so a DuckDB
+twin (list_filter/len over the same splits) decides identically; the
+regexes are RE2-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---- C4 ----------------------------------------------------------------
+
+# a kept line ends in terminal punctuation (quote-closed variants too)
+C4_TERMINAL_RE = r'[.!?"”]\s*$'
+C4_MIN_LINE_WORDS = 3
+# any of these anywhere on the page drops the whole document
+C4_PAGE_DROP_MARKERS = ("lorem ipsum", "{")
+
+
+def c4_page_drop(col: Column | str) -> Column:
+    """TRUE when the document trips a C4 page-level drop marker
+    (case-insensitive substring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    out = F.lit(False)
+    for m in C4_PAGE_DROP_MARKERS:
+        out = out | low.contains(m)
+    return out
+
+
+def c4_clean_lines(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+):
+    """C4 line-level cleanup: (id, c4_text, c4_n_lines_kept,
+    c4_n_lines_dropped, c4_page_drop).
+
+    A line survives iff it ends in terminal punctuation AND has at
+    least ``min_line_words`` whitespace words; surviving lines rejoin
+    in order. ``c4_page_drop`` marks documents the page-level markers
+    would remove outright (reported, not applied — the caller's filter
+    decides, mirroring how `keep` flags work elsewhere here). Array-
+    local: no explode, no shuffle."""
+    lines = F.split(F.col(text_col), r"\n")
+    keep = lambda ln: (  # noqa: E731 — local predicate alias
+        ln.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+    )
+    kept = F.filter(lines, keep)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("c4_text"),
+        F.size(kept).alias("c4_n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("c4_n_lines_dropped"),
+        c4_page_drop(text_col).alias("c4_page_drop"),
+    )
+
+
+# ---- Gopher ------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1   # '#' or '...' per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8     # words containing a letter
+GOPHER_MIN_STOPWORDS_HIT = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+):
+    """Gopher repetition-free quality heuristics, one row per document:
+
+    (id, g_n_words, g_mean_word_len, g_symbol_ratio, g_bullet_frac,
+     g_ellipsis_frac, g_alpha_frac, g_n_stopwords_hit, gopher_reasons,
+     gopher_keep)
+
+    ``gopher_reasons`` lists every tripped rule (empty array = clean);
+    ``gopher_keep`` is their conjunction. Word-length / symbol / alpha
+    ratios divide exact integer counts, so a SQL twin decides
+    identically. The word-count bounds are parameters because Gopher's
+    50-word floor is calibrated for web pages — callers filtering other
+    grains (titles, code cells) re-bound it."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+    )
+    n_words = F.size(words)
+    # mean word length over exact ints (empty docs: null, trips bounds)
+    total_len = F.aggregate(
+        words, F.lit(0), lambda a, w: a + F.length(w)
+    )
+    mean_wl = F.when(n_words > 0, total_len / n_words)
+    n_symbols = (
+        F.size(F.split(F.col(text_col), r"#", -1)) - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^([-*•]|\d+[.)])")))
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    low_words = F.transform(words, lambda w: F.lower(w))
+    n_stop_hit = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(low_words, s))
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(
+                (n_words < min_words) | (n_words > max_words),
+                F.lit("word_count"),
+            ),
+            F.when(
+                mean_wl.isNull()
+                | (mean_wl < GOPHER_MIN_MEAN_WORD_LEN)
+                | (mean_wl > GOPHER_MAX_MEAN_WORD_LEN),
+                F.lit("mean_word_len"),
+            ),
+            F.when(
+                symbol_ratio > GOPHER_MAX_SYMBOL_WORD_RATIO,
+                F.lit("symbol_ratio"),
+            ),
+            F.when(
+                bullet_frac > GOPHER_MAX_BULLET_LINE_FRAC,
+                F.lit("bullet_lines"),
+            ),
+            F.when(
+                ellipsis_frac > GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+                F.lit("ellipsis_lines"),
+            ),
+            F.when(
+                alpha_frac < GOPHER_MIN_ALPHA_WORD_FRAC,
+                F.lit("alpha_words"),
+            ),
+            F.when(
+                n_stop_hit < GOPHER_MIN_STOPWORDS_HIT,
+                F.lit("stopwords"),
+            ),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("g_n_words"),
+        mean_wl.alias("g_mean_word_len"),
+        symbol_ratio.alias("g_symbol_ratio"),
+        bullet_frac.alias("g_bullet_frac"),
+        ellipsis_frac.alias("g_ellipsis_frac"),
+        alpha_frac.alias("g_alpha_frac"),
+        n_stop_hit.alias("g_n_stopwords_hit"),
+        reasons.alias("gopher_reasons"),
+        (F.size(reasons) == 0).alias("gopher_keep"),
+    )
+
+
+# ---- DuckDB twins (generated from the SAME constants) -------------------
+
+def c4_kept_lines_sql(col: str = "text", min_line_words: int = C4_MIN_LINE_WORDS) -> str:
+    """DuckDB list expr of the lines :func:`c4_clean_lines` keeps."""
+    words = (
+        "list_filter(regexp_split_to_array(trim(ln), '\\s+'),"
+        " w -> w != '')"
+    )
+    return (
+        f"list_filter(regexp_split_to_array({col}, '\\n'), "
+        f"ln -> regexp_matches(ln, '[.!?\"”]\\s*$') "
+        f"AND len({words}) >= {min_line_words})"
+    )
+
+
+def c4_page_drop_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`c4_page_drop`."""
+    return "(" + " OR ".join(
+        f"contains(lower({col}), '{m}')" for m in C4_PAGE_DROP_MARKERS
+    ) + ")"
+
+
+def gopher_sql_exprs(
+    col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> tuple[str, str]:
+    """(reasons_csv_expr, keep_expr): DuckDB twins of gopher_quality's
+    decision columns — same thresholds, same declared reason order,
+    exact integer/ratio math so both engines decide identically."""
+    words = (
+        f"list_filter(regexp_split_to_array({col}, '\\s+'),"
+        " w -> w != '')"
+    )
+    lines = (
+        f"list_filter(list_transform(regexp_split_to_array({col}, '\\n'),"
+        " x -> trim(x)), ln -> ln != '')"
+    )
+    nw = f"len({words})"
+    tl = f"list_aggregate(list_transform({words}, w -> length(w)), 'sum')"
+    nsym = (
+        f"len(regexp_split_to_array({col}, '#')) - 1"
+        f" + len(regexp_split_to_array({col}, '\\.\\.\\.')) - 1"
+    )
+    nl = f"len({lines})"
+    nbul = (
+        f"len(list_filter({lines},"
+        " ln -> regexp_matches(ln, '^([-*•]|[0-9]+[.)])')))"
+    )
+    nell = (
+        f"len(list_filter({lines},"
+        " ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$')))"
+    )
+    nalpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    stop_list = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    nstop = (
+        f"len(list_filter([{stop_list}], s -> list_contains("
+        f"list_transform({words}, w -> lower(w)), s)))"
+    )
+    flags = (
+        ("word_count", f"({nw} < {min_words} OR {nw} > {max_words})"),
+        ("mean_word_len",
+         f"({nw} = 0 OR {tl} / {nw} < {GOPHER_MIN_MEAN_WORD_LEN}"
+         f" OR {tl} / {nw} > {GOPHER_MAX_MEAN_WORD_LEN})"),
+        ("symbol_ratio",
+         f"(CASE WHEN {nw} > 0 THEN ({nsym}) / {nw} ELSE 0.0 END"
+         f" > {GOPHER_MAX_SYMBOL_WORD_RATIO})"),
+        ("bullet_lines",
+         f"(CASE WHEN {nl} > 0 THEN {nbul} / {nl} ELSE 0.0 END"
+         f" > {GOPHER_MAX_BULLET_LINE_FRAC})"),
+        ("ellipsis_lines",
+         f"(CASE WHEN {nl} > 0 THEN {nell} / {nl} ELSE 0.0 END"
+         f" > {GOPHER_MAX_ELLIPSIS_LINE_FRAC})"),
+        ("alpha_words",
+         f"(CASE WHEN {nw} > 0 THEN {nalpha} / {nw} ELSE 0.0 END"
+         f" < {GOPHER_MIN_ALPHA_WORD_FRAC})"),
+        ("stopwords", f"({nstop} < {GOPHER_MIN_STOPWORDS_HIT})"),
+    )
+    reasons = "concat_ws(','," + ", ".join(
+        f"CASE WHEN {expr} THEN '{name}' END" for name, expr in flags
+    ) + ")"
+    keep = "NOT (" + " OR ".join(expr for _, expr in flags) + ")"
+    return reasons, keep

@@ -79,6 +79,8 @@ def curate_documents(
     lm_reference: DataFrame | None = None,
     max_avg_neg_logprob: float | None = None,
     input_html: bool = False,
+    c4_line_clean: bool = False,
+    gopher_rules: bool = False,
     persist_intermediates: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
@@ -104,7 +106,11 @@ def curate_documents(
     cross-document duplicate token RUNS of at least that width down to
     their first occurrence (operators/spandedup.py — the finest-grain
     structural dedup, after the coarser ones, before scrubbing shifts
-    token positions).
+    token positions); ``c4_line_clean`` applies the C4 line rule
+    (terminal punctuation + min words, page-drop markers) last among
+    the line/structure stages; ``gopher_rules`` adds the Gopher
+    document-quality heuristics at the quality stage (both
+    operators/qualityrules.py, judged on raw post-HTML text).
 
     ``persist_intermediates`` (default on) persists the two most-reused
     boundaries: ``scrubbed`` (consumed by the minhash pair pass, the
@@ -132,6 +138,11 @@ def curate_documents(
         from ..operators.htmlx import html_to_text
 
         cur = cur.withColumn(text_col, html_to_text(text_col))
+    # the raw-TEXT baseline for the quality signals computed on
+    # unscrubbed text (repetition, compression, gopher): post-HTML
+    # extraction (signals must judge prose, not markup), pre-everything
+    # else
+    raw_text = cur
     if dedup_urls:
         # collapse recrawls / tracking-parameter variants at URL grain
         # BEFORE any text work — one canonical-key aggregation vs the
@@ -201,6 +212,22 @@ def curate_documents(
         ).select(
             F.col("id").alias(id_col), F.col("text").alias(text_col),
             source_col,
+        )
+    if c4_line_clean:
+        # C4 line rule (terminal punctuation + min words) and page-drop
+        # markers, LAST among the line/structure stages (it consumes
+        # whatever boilerplate/paragraph/span dedup left) and before the
+        # scrub collapses line structure. Narrow one-scan projection.
+        from ..operators.qualityrules import c4_clean_lines
+
+        cleaned = c4_clean_lines(cur, id_col=id_col, text_col=text_col)
+        cur = (
+            cleaned.filter(~F.col("c4_page_drop"))
+            .select("id", F.col("c4_text").alias(text_col))
+            .join(cur.select(F.col(id_col).alias("id"), source_col), "id")
+            .select(
+                F.col("id").alias(id_col), text_col, source_col,
+            )
         )
     # The per-doc script flag (9 regexp_count scans) is materialized
     # INSIDE the scrubbed projection in auto mode, so it is evaluated
@@ -282,7 +309,7 @@ def curate_documents(
     if max_dup_line_frac is not None or max_top_bigram_frac is not None:
         from ..operators.textproc import repetition_scores
 
-        rep = repetition_scores(docs, id_col=id_col, text_col=text_col)
+        rep = repetition_scores(raw_text, id_col=id_col, text_col=text_col)
         quality = quality.join(
             rep.select("id", "dup_line_frac", "top_bigram_frac"), "id"
         )
@@ -295,6 +322,17 @@ def curate_documents(
                 F.col("top_bigram_frac") <= max_top_bigram_frac
             )
         quality = quality.drop("dup_line_frac", "top_bigram_frac")
+    if gopher_rules:
+        # Gopher document-level heuristics (operators/qualityrules.py)
+        # on the raw text, same rationale as the repetition signals:
+        # scrub placeholders and whitespace collapse must not perturb
+        # the statistics. One narrow scan + a semi-join on the keepers.
+        from ..operators.qualityrules import gopher_quality
+
+        gq = gopher_quality(raw_text, id_col=id_col, text_col=text_col)
+        quality = quality.join(
+            gq.filter("gopher_keep").select("id"), "id", "left_semi"
+        )
     # zlib-compressibility bounds (optional, r5): both tails of the
     # ratio distribution mark junk — templated/repeated text compresses
     # far below natural prose, gibberish barely compresses. RAW text,
@@ -304,7 +342,7 @@ def curate_documents(
         from ..operators.textproc import compression_ratio
 
         lo, hi = compression_ratio_bounds
-        cr = compression_ratio(docs, id_col=id_col, text_col=text_col)
+        cr = compression_ratio(raw_text, id_col=id_col, text_col=text_col)
         quality = quality.join(
             cr.filter(
                 (F.col("compression_ratio") >= lo)

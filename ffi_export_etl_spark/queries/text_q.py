@@ -29,6 +29,13 @@ from ..operators.htmlx import (
     html_to_text_sql,
     n_links_sql,
 )
+from ..operators.qualityrules import (
+    c4_clean_lines,
+    c4_kept_lines_sql,
+    c4_page_drop_sql,
+    gopher_quality,
+    gopher_sql_exprs,
+)
 from ..operators.scripts import SCRIPT_CLASSES
 from ..operators.textproc import (
     dedup_paragraphs,
@@ -66,6 +73,9 @@ LINE_TOKENS = 2
 # operators/textproc.dedup_paragraphs strips repeats down to the min-id
 # canonical copy; the oracle replays the digest/keeper/reassembly chain
 PARA_TOKENS = 5
+# C4 arm: relined lines are LINE_TOKENS words wide, so the line rule
+# runs with a matching min-words threshold
+C4_LINE_WORDS = 2
 # html-extraction arm: each doc is wrapped in this HTML template
 # (('id',) / ('text',) splice the row's values) exercising title/style/
 # head removal, comments, entities, block breaks, links, and the generic
@@ -185,7 +195,35 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd = dedup_paragraphs(
         d.select("doc_id", paras_text.alias("text")), "doc_id", "text"
     ).select("doc_id", F.col("text").alias("pdedup"))
-    return stats.join(pd, "doc_id")
+    # C4 line-rule arm over a reshaped corpus: even 0-based relined
+    # lines get terminal punctuation (so the rule keeps exactly those),
+    # and every 97th doc gets a page-drop marker line; the oracle
+    # replays the construction + the shared SQL twins
+    c4_lines = F.transform(
+        relined,
+        lambda x, i: F.concat(
+            x, F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit(""))
+        ),
+    )
+    c4_input = F.concat(
+        F.array_join(c4_lines, "\n"),
+        F.when(
+            F.col("doc_id") % 97 == 0, F.lit("\n{ brace }")
+        ).otherwise(F.lit("")),
+    )
+    c4 = c4_clean_lines(
+        d.select("doc_id", c4_input.alias("text")),
+        "doc_id", "text", min_line_words=C4_LINE_WORDS,
+    ).select(
+        F.col("id").alias("doc_id"),
+        "c4_text", "c4_n_lines_kept", "c4_page_drop",
+    )
+    gq = gopher_quality(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        F.array_join("gopher_reasons", ",").alias("gopher_reasons_csv"),
+        "gopher_keep",
+    )
+    return stats.join(pd, "doc_id").join(c4, "doc_id").join(gq, "doc_id")
 
 
 def text_langfp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +530,20 @@ _PARAS = (
     f"s -> array_to_string(tk[s : s + {PARA_TOKENS - 1}], ' '))"
 )
 
+# C4 arm construction twins (DuckDB list_transform index is 1-based
+# where Spark's transform index is 0-based — hence (i-1))
+_C4_LINES = (
+    f"list_transform({_RELINED}, (x, i) -> x ||"
+    " (CASE WHEN (i-1) % 2 = 0 THEN '.' ELSE '' END))"
+)
+_C4_INPUT = (
+    f"(array_to_string({_C4_LINES}, chr(10))"
+    " || CASE WHEN doc_id % 97 = 0 THEN chr(10) || '{ brace }'"
+    " ELSE '' END)"
+)
+_C4_KEPT = c4_kept_lines_sql(_C4_INPUT, min_line_words=C4_LINE_WORDS)
+_GOPHER_REASONS, _GOPHER_KEEP = gopher_sql_exprs("text")
+
 ORACLE = {
     "text_stats_pack": f"""
         WITH t AS (
@@ -544,7 +596,13 @@ ORACLE = {
                {extract_title_sql(_html_sql())} AS html_title,
                {html_to_text_sql(_html_sql())} AS html_text,
                CAST({n_links_sql(_html_sql())} AS INTEGER) AS html_n_links,
-               coalesce(rebuilt.pdedup, '') AS pdedup
+               coalesce(rebuilt.pdedup, '') AS pdedup,
+               coalesce(array_to_string({_C4_KEPT}, chr(10)), '')
+                   AS c4_text,
+               CAST(len({_C4_KEPT}) AS INTEGER) AS c4_n_lines_kept,
+               {c4_page_drop_sql(_C4_INPUT)} AS c4_page_drop,
+               {_GOPHER_REASONS} AS gopher_reasons_csv,
+               {_GOPHER_KEEP} AS gopher_keep
         FROM b LEFT JOIN rebuilt USING (doc_id)
     """,
     "text_langfp_pack": f"""

@@ -429,3 +429,37 @@ def test_cli_profile_subcommand(spark, tmp_path, capsys):
     assert prof["doc_id"]["n_rows"] == 400
     assert prof["doc_id"]["n_nonnull"] == 400
     assert prof["lang"]["n_nonnull"] == 100 + 150
+
+
+def test_cli_curate_c4_and_gopher(spark, tmp_path, capsys):
+    """--c4-line-clean drops nav junk lines and lorem-ipsum pages;
+    --gopher-rules drops symbol-soup docs the length filter passes."""
+    good = ("the quick brown fox jumps over that lazy dog and we have "
+            "watched it repeatedly. " * 4)
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", good + "\nHome About Contact\n" + good),
+            (2, "s0", good + " lorem ipsum dolor."),       # page drop
+            (3, "s0", ("the of and to " + "# " * 30 + "word. ") * 6),  # symbols
+            (4, "s0", "all of those winter evenings were spent with the "
+                  "family reading books that we have kept for years. " * 4),
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    src = str(tmp_path / "qr_docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "qr_shards")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--min-words", "10", "--c4-line-clean", "--gopher-rules",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs_in"] == 4
+    rows = {r["id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # doc 2 page-dropped, doc 3 gopher symbol_ratio-dropped
+    assert set(rows) == {1, 4}
+    assert "Home About Contact" not in rows[1]

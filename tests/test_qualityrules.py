@@ -1,0 +1,134 @@
+"""C4 line cleanup + Gopher quality rules (operators/qualityrules.py):
+known-answer rule coverage and DuckDB parity of the decisions over the
+real sf0.01 corpus."""
+
+from __future__ import annotations
+
+import duckdb
+
+from ffi_export_etl_spark.operators.qualityrules import (
+    c4_clean_lines,
+    c4_kept_lines_sql,
+    c4_page_drop_sql,
+    gopher_quality,
+    gopher_sql_exprs,
+)
+
+DOCS = [
+    # clean prose: every line terminal-punctuated, >= 3 words
+    (1, "This is a good sentence.\nAnother full line follows here."),
+    # mixed: nav fragment (no punctuation), short line, kept line
+    (2, "Home About Contact\nOK.\nThis line stays right here."),
+    # page-drop marker
+    (3, "Totally fine text. But then Lorem Ipsum dolor sit amet."),
+    (4, "function f() { return 1; }\nReal sentence afterwards, kept."),
+    (5, ""),
+]
+
+
+def test_c4_known_answers(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in c4_clean_lines(df, min_line_words=3).collect()
+    }
+    assert got[1]["c4_text"] == DOCS[0][1]
+    assert got[1]["c4_n_lines_dropped"] == 0 and not got[1]["c4_page_drop"]
+    # nav fragment (no terminal punct) and 1-word "OK." both drop
+    assert got[2]["c4_text"] == "This line stays right here."
+    assert got[2]["c4_n_lines_kept"] == 1
+    assert got[2]["c4_n_lines_dropped"] == 2
+    assert got[3]["c4_page_drop"] is True   # lorem ipsum, any case
+    assert got[4]["c4_page_drop"] is True   # curly brace
+    assert got[5]["c4_text"] == "" and got[5]["c4_n_lines_kept"] == 0
+
+
+GOPHER_DOCS = [
+    # clean: enough words, normal lengths, stopwords present
+    (1, "the quick brown fox jumps over that lazy dog and we have "
+        "watched it do this many times with great joy in the field " * 3),
+    # too short
+    (2, "the end."),
+    # symbol soup
+    (3, "the of and that have with be to " + "# " * 40 + "word " * 60),
+    # bullet wall
+    (4, "\n".join(f"- the item {i} of that list have with be to" for i in range(20))),
+    # no stopwords (non-English-ish)
+    (5, "zzz qqq www " * 40),
+]
+
+
+def test_gopher_known_answers(spark):
+    df = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict() for r in gopher_quality(df).collect()
+    }
+    assert got[1]["gopher_keep"] and got[1]["gopher_reasons"] == []
+    assert "word_count" in got[2]["gopher_reasons"]
+    assert "symbol_ratio" in got[3]["gopher_reasons"]
+    assert "bullet_lines" in got[4]["gopher_reasons"]
+    assert "stopwords" in got[5]["gopher_reasons"]
+    assert not got[5]["gopher_keep"]
+
+
+def test_c4_duckdb_parity_real_corpus(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    got = {
+        r["id"]: (r["c4_text"], r["c4_n_lines_kept"], r["c4_page_drop"])
+        for r in c4_clean_lines(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf_oracle}/documents.parquet'"
+    )
+    kept = c4_kept_lines_sql()
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"""SELECT doc_id,
+                       coalesce(array_to_string({kept}, chr(10)), ''),
+                       len({kept}),
+                       {c4_page_drop_sql()}
+                FROM documents"""
+        ).fetchall()
+    }
+    assert got == oracle
+
+
+def test_gopher_duckdb_parity_real_corpus(spark, sf_oracle):
+    """The DECISIONS (reasons + keep) replayed in SQL over sf0.01 plus
+    the synthetic rule-trippers appended — exact integer/ratio math on
+    both sides."""
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, t) for i, t in GOPHER_DOCS],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    got = {
+        r["id"]: (",".join(r["gopher_reasons"]), r["gopher_keep"])
+        for r in gopher_quality(both).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d0 AS FROM '{sf_oracle}/documents.parquet'"
+    )
+    con.register(
+        "extra",
+        __import__("pandas").DataFrame(
+            [(10_000_000 + i, t) for i, t in GOPHER_DOCS],
+            columns=["doc_id", "text"],
+        ),
+    )
+    reasons_sql, keep_sql = gopher_sql_exprs("text")
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""SELECT doc_id, {reasons_sql}, {keep_sql}
+                FROM (SELECT doc_id, text FROM d0
+                      UNION ALL SELECT doc_id, text FROM extra)"""
+        ).fetchall()
+    }
+    assert got == oracle
