@@ -1,0 +1,106 @@
+"""PageRank over a link graph — crawl-frontier / source prioritization.
+
+A web-scale curation pipeline ranks its URL frontier (and weights
+sources) by link authority; PageRank is the canonical score. Input is
+the edge list that ``operators/htmlx.extract_links`` + URL
+canonicalization produce; output is (node, rank) summing to ~1.
+
+Spark-first power iteration with the same discipline as
+operators/components.py:
+
+- each iteration is ONE shuffle (contributions grouped by destination)
+  plus two driver-side SCALARS (total node count, dangling rank mass) —
+  the collect()s are one-row aggregates, model-sized, never data-sized;
+- the rank frame is ``localCheckpoint``-ed per round (materialize +
+  truncate lineage — an iterative plan otherwise grows super-linearly
+  in Catalyst) and the PREVIOUS round's blocks are freed eagerly
+  (components.py _free_rdds) instead of waiting on the ContextCleaner;
+- out-degrees are computed once and persisted for the loop's lifetime;
+- dangling nodes (no out-links — most frontier URLs!) redistribute
+  their mass uniformly each round, keeping total rank at 1 so scores
+  are comparable across corpora.
+
+Fixed iteration count (default 10) rather than convergence-delta: the
+cost model at 100 TB is then exactly ``iterations`` shuffles, and a
+fixed count is what makes the DuckDB oracle replayable as an unrolled
+MATERIALIZED CTE chain (tests/test_pagerank.py — the BPE-loop
+precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import _free_rdds, _persistent_ids
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of damped power
+    iteration with uniform dangling redistribution. Self-loops count
+    (a page linking itself keeps mass); duplicate edges are collapsed —
+    multiplicity is link spam, not authority."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = nodes.join(deg, "node", "left").persist()
+    # one-row aggregate -> driver scalar (bounded, never data-sized)
+    n = base.count()
+    if n == 0:
+        return base.select(
+            "node", F.lit(0.0).alias("rank")
+        )
+    seen = _persistent_ids(spark)
+    ranks = base.select(
+        "node", "deg", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
+    prev_ids = _persistent_ids(spark) - seen
+    for _ in range(iterations):
+        # one-row aggregate -> driver scalar: mass parked on dangling
+        # nodes this round, redistributed uniformly
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).collect()[0][0]
+        contribs = (
+            ranks.join(e, ranks["node"] == e["u"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("_c"))
+        )
+        seen = _persistent_ids(spark)
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+        ).localCheckpoint()
+        cur_ids = _persistent_ids(spark) - seen
+        _free_rdds(spark, prev_ids)
+        prev_ids = cur_ids
+    base.unpersist()
+    return ranks.select("node", "rank")
