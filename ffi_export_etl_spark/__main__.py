@@ -461,11 +461,16 @@ def profile_main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if args.input:
         table = spark.read.parquet(args.input)
-        prof = profile_table(table)
         if args.append_store:
-            profile_batch(table).write.mode("append").parquet(
-                args.append_store
-            )
+            # ONE corpus scan: materialize the mergeable row, append it,
+            # and derive the report from it (profile_from_batches has
+            # profile_table's schema; only the distinct estimator
+            # differs — HLL DataSketch vs HLL++, same tolerance class)
+            batch = profile_batch(table).localCheckpoint()
+            batch.write.mode("append").parquet(args.append_store)
+            prof = profile_from_batches(batch)
+        else:
+            prof = profile_table(table)
     else:
         prof = profile_from_batches(spark.read.parquet(args.from_store))
     if args.save:

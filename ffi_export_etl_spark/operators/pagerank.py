@@ -64,9 +64,9 @@ def pagerank(
     # one-row aggregate -> driver scalar (bounded, never data-sized)
     n = base.count()
     if n == 0:
-        return base.select(
-            "node", F.lit(0.0).alias("rank")
-        )
+        empty = base.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
+        base.unpersist()  # nothing cached may outlive the call
+        return empty
     seen = _persistent_ids(spark)
     ranks = base.select(
         "node", "deg", F.lit(1.0 / n).alias("rank")

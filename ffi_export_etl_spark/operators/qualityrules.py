@@ -29,8 +29,12 @@ from pyspark.sql import functions as F
 
 # ---- C4 ----------------------------------------------------------------
 
-# a kept line ends in terminal punctuation (quote-closed variants too)
-C4_TERMINAL_RE = r'[.!?"”]\s*$'
+# a kept line ends in terminal punctuation (quote-closed variants too).
+# \z (absolute end), NOT $: Java's $ also matches BEFORE a final Unicode
+# line terminator (U+0085/U+2028/U+2029) where RE2's $ does not — \z
+# means both engines judge NEL/LS-terminated lines identically (the WET
+# reader's \Z-vs-\z lesson, round 5)
+C4_TERMINAL_RE = r'[.!?"”]\s*\z'
 C4_MIN_LINE_WORDS = 3
 # any of these anywhere on the page drops the whole document
 C4_PAGE_DROP_MARKERS = ("lorem ipsum", "{")
@@ -57,23 +61,42 @@ def c4_clean_lines(
     c4_n_lines_dropped, c4_page_drop).
 
     A line survives iff it ends in terminal punctuation AND has at
-    least ``min_line_words`` whitespace words; surviving lines rejoin
-    in order. ``c4_page_drop`` marks documents the page-level markers
+    least ``min_line_words`` whitespace words (empty split tokens from
+    leading tabs / trailing \\r never count — the SQL twin's w != ''
+    filter, same predicate both engines); surviving lines rejoin in
+    order. ``c4_page_drop`` marks documents the page-level markers
     would remove outright (reported, not applied — the caller's filter
     decides, mirroring how `keep` flags work elsewhere here). Array-
-    local: no explode, no shuffle."""
-    lines = F.split(F.col(text_col), r"\n")
+    local: no explode, no shuffle; the line array and the kept subset
+    are staged as aliased projections so each is evaluated once, not
+    once per reference (the Catalyst lambda-inlining gotcha)."""
     keep = lambda ln: (  # noqa: E731 — local predicate alias
         ln.rlike(C4_TERMINAL_RE)
-        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(ln), r"\s+"), lambda w: w != ""
+                )
+            )
+            >= min_line_words
+        )
     )
-    kept = F.filter(lines, keep)
-    return docs.select(
+    staged = docs.select(
         F.col(id_col).alias("id"),
-        F.array_join(kept, "\n").alias("c4_text"),
-        F.size(kept).alias("c4_n_lines_kept"),
-        (F.size(lines) - F.size(kept)).alias("c4_n_lines_dropped"),
+        F.split(F.col(text_col), r"\n").alias("_lines"),
         c4_page_drop(text_col).alias("c4_page_drop"),
+    ).select(
+        "id",
+        "_lines",
+        F.filter(F.col("_lines"), keep).alias("_kept"),
+        "c4_page_drop",
+    )
+    return staged.select(
+        "id",
+        F.array_join("_kept", "\n").alias("c4_text"),
+        F.size("_kept").alias("c4_n_lines_kept"),
+        (F.size("_lines") - F.size("_kept")).alias("c4_n_lines_dropped"),
+        "c4_page_drop",
     )
 
 
@@ -89,6 +112,11 @@ GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8     # words containing a letter
 GOPHER_MIN_STOPWORDS_HIT = 2
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# shared verbatim by the Spark side and the SQL twins (\z, not $ — see
+# C4_TERMINAL_RE)
+GOPHER_BULLET_RE = r"^([-*•]|\d+[.)])"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*\z"
+GOPHER_ALPHA_RE = r"[A-Za-z]"
 
 
 def gopher_quality(
@@ -109,51 +137,74 @@ def gopher_quality(
     ratios divide exact integer counts, so a SQL twin decides
     identically. The word-count bounds are parameters because Gopher's
     50-word floor is calibrated for web pages — callers filtering other
-    grains (titles, code cells) re-bound it."""
-    words = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+    grains (titles, code cells) re-bound it.
+
+    Plan shape: the word/line arrays are staged as aliased projections
+    so each array is BUILT once per row and every later reference is a
+    bound attribute — an unaliased array expr referenced from N lambdas
+    would be inlined and re-evaluated N times (the measured Catalyst
+    gotcha from the winnowing fix). Three narrow selects, still one
+    scan, no shuffle."""
+    arrays = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+        ).alias("_w"),
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)
+            ),
+            lambda ln: ln != "",
+        ).alias("_ln"),
+        (
+            F.size(F.split(F.col(text_col), r"#", -1)) - 1
+            + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+        ).alias("_nsym"),
+    ).select(
+        "id", "_w", "_ln", "_nsym",
+        F.transform(F.col("_w"), lambda w: F.lower(w)).alias("_lw"),
     )
-    n_words = F.size(words)
-    # mean word length over exact ints (empty docs: null, trips bounds)
-    total_len = F.aggregate(
-        words, F.lit(0), lambda a, w: a + F.length(w)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    counts = arrays.select(
+        "id",
+        F.size("_w").alias("g_n_words"),
+        F.aggregate(
+            F.col("_w"), F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("_tl"),
+        "_nsym",
+        F.size("_ln").alias("_nl"),
+        F.size(
+            F.filter(F.col("_ln"), lambda ln: ln.rlike(GOPHER_BULLET_RE))
+        ).alias("_nbul"),
+        F.size(
+            F.filter(
+                F.col("_ln"), lambda ln: ln.rlike(GOPHER_ELLIPSIS_RE)
+            )
+        ).alias("_nell"),
+        F.size(
+            F.filter(F.col("_w"), lambda w: w.rlike(GOPHER_ALPHA_RE))
+        ).alias("_nalpha"),
+        F.size(
+            F.filter(
+                stop_arr,
+                lambda s: F.array_contains(F.col("_lw"), s),
+            )
+        ).alias("g_n_stopwords_hit"),
     )
-    mean_wl = F.when(n_words > 0, total_len / n_words)
-    n_symbols = (
-        F.size(F.split(F.col(text_col), r"#", -1)) - 1
-        + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
-    )
-    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(
+    nw = F.col("g_n_words")
+    mean_wl = F.when(nw > 0, F.col("_tl") / nw)
+    symbol_ratio = F.when(nw > 0, F.col("_nsym") / nw).otherwise(F.lit(0.0))
+    nl = F.col("_nl")
+    bullet_frac = F.when(nl > 0, F.col("_nbul") / nl).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(nl > 0, F.col("_nell") / nl).otherwise(
         F.lit(0.0)
     )
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
-        lambda ln: ln != "",
-    )
-    n_lines = F.size(lines)
-    bullet_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda ln: ln.rlike(r"^([-*•]|\d+[.)])")))
-        / n_lines,
-    ).otherwise(F.lit(0.0))
-    ellipsis_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
-        / n_lines,
-    ).otherwise(F.lit(0.0))
-    alpha_frac = F.when(
-        n_words > 0,
-        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
-    ).otherwise(F.lit(0.0))
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    low_words = F.transform(words, lambda w: F.lower(w))
-    n_stop_hit = F.size(
-        F.filter(stop_arr, lambda s: F.array_contains(low_words, s))
-    )
+    alpha_frac = F.when(nw > 0, F.col("_nalpha") / nw).otherwise(F.lit(0.0))
+    n_stop_hit = F.col("g_n_stopwords_hit")
     reasons = F.array_compact(
         F.array(
             F.when(
-                (n_words < min_words) | (n_words > max_words),
+                (nw < min_words) | (nw > max_words),
                 F.lit("word_count"),
             ),
             F.when(
@@ -184,21 +235,30 @@ def gopher_quality(
             ),
         )
     )
-    return docs.select(
-        F.col(id_col).alias("id"),
-        n_words.alias("g_n_words"),
+    scored = counts.select(
+        "id",
+        "g_n_words",
         mean_wl.alias("g_mean_word_len"),
         symbol_ratio.alias("g_symbol_ratio"),
         bullet_frac.alias("g_bullet_frac"),
         ellipsis_frac.alias("g_ellipsis_frac"),
         alpha_frac.alias("g_alpha_frac"),
-        n_stop_hit.alias("g_n_stopwords_hit"),
+        "g_n_stopwords_hit",
         reasons.alias("gopher_reasons"),
-        (F.size(reasons) == 0).alias("gopher_keep"),
+    )
+    return scored.withColumn(
+        "gopher_keep", F.size("gopher_reasons") == 0
     )
 
 
 # ---- DuckDB twins (generated from the SAME constants) -------------------
+
+def _sql_re(pattern: str) -> str:
+    """A shared regex constant as a DuckDB string literal — the literal
+    IS the Java-side pattern, so editing a constant moves both engines
+    together (every pattern here is RE2-safe by construction)."""
+    return "'" + pattern.replace("'", "''") + "'"
+
 
 def c4_kept_lines_sql(col: str = "text", min_line_words: int = C4_MIN_LINE_WORDS) -> str:
     """DuckDB list expr of the lines :func:`c4_clean_lines` keeps."""
@@ -208,7 +268,7 @@ def c4_kept_lines_sql(col: str = "text", min_line_words: int = C4_MIN_LINE_WORDS
     )
     return (
         f"list_filter(regexp_split_to_array({col}, '\\n'), "
-        f"ln -> regexp_matches(ln, '[.!?\"”]\\s*$') "
+        f"ln -> regexp_matches(ln, {_sql_re(C4_TERMINAL_RE)}) "
         f"AND len({words}) >= {min_line_words})"
     )
 
@@ -245,13 +305,16 @@ def gopher_sql_exprs(
     nl = f"len({lines})"
     nbul = (
         f"len(list_filter({lines},"
-        " ln -> regexp_matches(ln, '^([-*•]|[0-9]+[.)])')))"
+        f" ln -> regexp_matches(ln, {_sql_re(GOPHER_BULLET_RE)})))"
     )
     nell = (
         f"len(list_filter({lines},"
-        " ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$')))"
+        f" ln -> regexp_matches(ln, {_sql_re(GOPHER_ELLIPSIS_RE)})))"
     )
-    nalpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    nalpha = (
+        f"len(list_filter({words},"
+        f" w -> regexp_matches(w, {_sql_re(GOPHER_ALPHA_RE)})))"
+    )
     stop_list = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     nstop = (
         f"len(list_filter([{stop_list}], s -> list_contains("

@@ -132,3 +132,67 @@ def test_gopher_duckdb_parity_real_corpus(spark, sf_oracle):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_c4_line_edge_parity(spark):
+    """CRLF / tab / Unicode-line-terminator edges (review findings —
+    empirically divergent before the fix): empty split tokens never
+    count as words, and the \\z anchor means Java and RE2 judge
+    NEL/LS-terminated lines identically."""
+    cases = [
+        (1, "Hi there.\r\nA full three word line.\r\n\tTwo words.\r"),
+        (2, "One two three stop."),      # NEL at end of text
+        (3, "waiting for more dots... "),  # LS at end of text
+        (4, "Tab\tseparated three words."),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["id"]: (r["c4_text"], r["c4_n_lines_kept"])
+        for r in c4_clean_lines(df, min_line_words=3).collect()
+    }
+    # 2-word CRLF lines drop; the 5-word line survives with its \r
+    assert got[1][1] == 1
+    assert got[1][0] == "A full three word line.\r"
+    # '.'+NEL is not terminal in EITHER engine (\s excludes NEL, \z is
+    # absolute end) — deterministic cross-engine, documented behavior
+    assert got[2] == ("", 0)
+    assert got[4][1] == 1
+    con = duckdb.connect()
+    con.register(
+        "t",
+        __import__("pandas").DataFrame(cases, columns=["doc_id", "text"]),
+    )
+    kept = c4_kept_lines_sql()
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""SELECT doc_id,
+                       coalesce(array_to_string({kept}, chr(10)), ''),
+                       len({kept})
+                FROM t"""
+        ).fetchall()
+    }
+    assert got == oracle
+
+
+def test_gopher_terminator_edge_parity(spark):
+    """Ellipsis-line rule with U+2028-terminated lines decides the same
+    in both engines (the \\z fix)."""
+    doc = [
+        (1, "the words go on and on...  more... " * 3
+            + "\nthe end be to of.")
+    ]
+    df = spark.createDataFrame(doc, "doc_id long, text string")
+    got = [
+        (",".join(r["gopher_reasons"]), r["gopher_keep"])
+        for r in gopher_quality(df).collect()
+    ][0]
+    con = duckdb.connect()
+    con.register(
+        "t", __import__("pandas").DataFrame(doc, columns=["doc_id", "text"])
+    )
+    reasons_sql, keep_sql = gopher_sql_exprs("text")
+    oracle = con.execute(
+        f"SELECT {reasons_sql}, {keep_sql} FROM t"
+    ).fetchone()
+    assert got == (oracle[0], oracle[1])
