@@ -118,7 +118,9 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     incr arm: the same corpus profile rebuilt from three per-batch
     mergeable sketch rows (operators/profile.profile_batch ->
     profile_from_batches) — the incremental-profiling path value-pinned
-    against the direct aggregation."""
+    against the direct aggregation.
+    diff arm: corpus_diff_counts of the corpus vs a deterministic
+    edited/removed/added variant — per-status counts + id ranges."""
     d = load_table(spark, sf_dir, "documents")
     prof = profile_table(d, rsd=RSD)
     exact = d.agg(
@@ -195,10 +197,39 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minmax_changed").cast("string").alias("max_val"),
         F.col("drifted").alias("hll_ok"),
     )
+    # diff arm: snapshot diff of the corpus vs a deterministic variant
+    # (every 5th doc removed, every 3rd edited, every 7th re-keyed as an
+    # addition) through operators/corpusdiff — per-status counts and id
+    # ranges value-pinned against the oracle's direct full-outer join
+    from ..operators.corpusdiff import corpus_diff_counts
+
+    base_docs = d.select("doc_id", "text")
+    variant = base_docs.filter(F.col("doc_id") % 5 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        base_docs.filter(F.col("doc_id") % 7 == 2).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    diff_rows = corpus_diff_counts(base_docs, variant).select(
+        F.lit("diff").alias("arm"),
+        F.col("status").alias("column"),
+        F.col("n_docs").alias("n_rows"),
+        F.col("n_docs").alias("n_nonnull"),
+        F.lit(0).cast("bigint").alias("n_distinct"),
+        F.col("min_id").cast("string").alias("min_val"),
+        F.col("max_id").cast("string").alias("max_val"),
+        F.lit(True).alias("hll_ok"),
+    )
     return (
         profile_rows.unionByName(dq_rows)
         .unionByName(drift_rows)
         .unionByName(incr_rows)
+        .unionByName(diff_rows)
     )
 
 
@@ -321,6 +352,35 @@ _DRIFT_SQL = f"""
         )
 """
 
+# the diff arm's variant corpus + full-outer status join (md5 compare =
+# the operator's digest decision, portable across engines)
+_DIFF_SQL = """
+        SELECT 'diff' AS arm, status AS "column",
+               count(*) AS n_rows, count(*) AS n_nonnull,
+               CAST(0 AS BIGINT) AS n_distinct,
+               CAST(min(id) AS VARCHAR) AS min_val,
+               CAST(max(id) AS VARCHAR) AS max_val,
+               TRUE AS hll_ok
+        FROM (
+            SELECT coalesce(o.doc_id, v.doc_id) AS id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN v.doc_id IS NULL THEN 'removed'
+                        WHEN md5(o.text) != md5(v.text) THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents o
+            FULL OUTER JOIN (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN text || ' EDITED'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 5 != 1
+                UNION ALL
+                SELECT doc_id + 1000000, text
+                FROM documents WHERE doc_id % 7 = 2
+            ) v ON o.doc_id = v.doc_id
+        )
+        GROUP BY status
+"""
+
 ORACLE = {
     "prof_pack": (
         _PROFILE_ARMS
@@ -330,5 +390,7 @@ ORACLE = {
         + _DRIFT_SQL
         + "\n        UNION ALL\n"
         + _exact_arm_sql("incr")
+        + "\n        UNION ALL\n"
+        + _DIFF_SQL
     )
 }
