@@ -489,6 +489,47 @@ def profile_main(argv: list[str]) -> int:
     return 0
 
 
+def diff_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark diff``: id-level snapshot diff
+    of two parquet corpora (added/removed/changed/unchanged counts +
+    id ranges). One JSON line."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark diff",
+        description="Corpus snapshot diff by content digest.",
+    )
+    ap.add_argument("--old", required=True)
+    ap.add_argument("--new", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    args = ap.parse_args(argv)
+
+    from .operators.corpusdiff import corpus_diff_counts
+    from .session import get_spark, tune
+
+    spark = tune(get_spark(app_name="ffi-etl-diff"))
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = corpus_diff_counts(
+        spark.read.parquet(args.old),
+        spark.read.parquet(args.new),
+        id_col=args.id_col,
+        text_col=args.text_col,
+    ).collect()
+    out = {
+        r["status"]: {
+            "n_docs": r["n_docs"],
+            "min_id": r["min_id"],
+            "max_id": r["max_id"],
+        }
+        for r in rows
+    }
+    for status in ("added", "removed", "changed", "unchanged"):
+        out.setdefault(status, {"n_docs": 0, "min_id": None, "max_id": None})
+    print(json.dumps(out, sort_keys=True, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -498,6 +539,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_stream_main(argv[1:])
     if argv and argv[0] == "profile":
         return profile_main(argv[1:])
+    if argv and argv[0] == "diff":
+        return diff_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="python -m ffi_export_etl_spark",
         description="FFI export ETL: XML exports -> transformed tables -> "

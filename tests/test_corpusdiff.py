@@ -42,3 +42,27 @@ def test_identical_and_disjoint(spark):
     b = spark.createDataFrame([(9, "z")], "doc_id long, text string")
     got = {r["id"]: r["status"] for r in corpus_diff(a, b).collect()}
     assert got == {1: "removed", 2: "removed", 9: "added"}
+
+
+def test_diff_cli(spark, tmp_path, capsys):
+    import json
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "doc_id long, text string"
+    )
+    po, pn = str(tmp_path / "o"), str(tmp_path / "n")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main(["diff", "--old", po, "--new", pn])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["unchanged"]["n_docs"] == 1
+    assert rep["changed"]["n_docs"] == 1
+    assert rep["added"] == {"n_docs": 1, "min_id": 3, "max_id": 3}
+    assert rep["removed"]["n_docs"] == 0
