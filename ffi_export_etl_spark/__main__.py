@@ -530,9 +530,79 @@ def diff_main(argv: list[str]) -> int:
     return 0
 
 
+def rank_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark rank``: PageRank over a link
+    graph. Input is either an edge table (src, dst) or raw crawled
+    pages (--html: url + html columns — links are extracted and both
+    sides canonicalized, composing htmlx -> urls -> pagerank). Writes
+    (node, rank) parquet and prints a JSON summary with the top ranks.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark rank",
+        description="PageRank over a link graph or a crawled page set.",
+    )
+    ap.add_argument("--input", required=True, help="parquet table")
+    ap.add_argument("--output", required=True, help="(node, rank) parquet")
+    ap.add_argument("--html", action="store_true",
+                    help="input is (url, html) pages: extract hrefs and "
+                         "canonicalize both endpoints first")
+    ap.add_argument("--src-col", default="src")
+    ap.add_argument("--dst-col", default="dst")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--html-col", default="html")
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--top", type=int, default=10,
+                    help="top-N ranks echoed in the JSON summary")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.pagerank import pagerank
+    from .session import get_spark, tune
+
+    spark = tune(get_spark(app_name="ffi-etl-rank"))
+    spark.sparkContext.setLogLevel("ERROR")
+    table = spark.read.parquet(args.input)
+    if args.html:
+        from .operators.htmlx import extract_links
+        from .operators.urls import canonicalize_url
+
+        edges = table.select(
+            canonicalize_url(args.url_col).alias("src"),
+            F.explode(extract_links(args.html_col)).alias("_href"),
+        ).select("src", canonicalize_url("_href").alias("dst"))
+    else:
+        edges = table.select(
+            F.col(args.src_col).alias("src"),
+            F.col(args.dst_col).alias("dst"),
+        )
+    ranks = pagerank(
+        edges, damping=args.damping, iterations=args.iterations
+    )
+    ranks.write.mode("overwrite").parquet(args.output)
+    saved = spark.read.parquet(args.output)
+    top = [
+        {"node": r["node"], "rank": r["rank"]}
+        for r in saved.orderBy(F.col("rank").desc(), "node")
+        .limit(args.top).collect()
+    ]
+    print(json.dumps({
+        "n_nodes": saved.count(),
+        "iterations": args.iterations,
+        "top": top,
+        "output": args.output,
+    }, sort_keys=True, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    if argv and argv[0] == "rank":
+        return rank_main(argv[1:])
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
     if argv and argv[0] == "curate-stream":

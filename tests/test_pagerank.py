@@ -149,3 +149,31 @@ def test_composes_with_link_extraction(spark):
     assert set(got) == {"a", "b", "c"}
     # b and c exchange mass and outrank the unlinked root
     assert got["a"] < got["b"] and got["a"] < got["c"]
+
+
+def test_rank_cli_html_mode(spark, tmp_path, capsys):
+    """rank --html: crawled pages -> link extraction -> URL
+    canonicalization -> PageRank, end to end; tracking-parameter and
+    www variants collapse to one node."""
+    import json
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/", '<a href="http://b.example/p">x</a>'
+             '<a href="http://WWW.b.example/p?utm_source=z">dup</a>'),
+            ("http://b.example/p", '<a href="http://a.example/">y</a>'),
+        ],
+        "url string, html string",
+    )
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "ranks")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main(["rank", "--input", src, "--output", out, "--html"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_nodes"] == 2  # variants collapsed
+    ranks = {r["node"]: r["rank"] for r in spark.read.parquet(out).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
