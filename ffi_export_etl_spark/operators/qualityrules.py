@@ -56,6 +56,7 @@ def c4_clean_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_words: int = C4_MIN_LINE_WORDS,
+    extra_cols: tuple[str, ...] = (),
 ):
     """C4 line-level cleanup: (id, c4_text, c4_n_lines_kept,
     c4_n_lines_dropped, c4_page_drop).
@@ -69,7 +70,11 @@ def c4_clean_lines(
     decides, mirroring how `keep` flags work elsewhere here). Array-
     local: no explode, no shuffle; the line array and the kept subset
     are staged as aliased projections so each is evaluated once, not
-    once per reference (the Catalyst lambda-inlining gotcha)."""
+    once per reference (the Catalyst lambda-inlining gotcha).
+
+    ``extra_cols`` names input columns carried through unchanged — the
+    zero-cost alternative to joining the result back onto the source
+    (a per-doc projection never needs a shuffle to keep its context)."""
     keep = lambda ln: (  # noqa: E731 — local predicate alias
         ln.rlike(C4_TERMINAL_RE)
         & (
@@ -81,15 +86,18 @@ def c4_clean_lines(
             >= min_line_words
         )
     )
+    passthru = [F.col(c) for c in extra_cols]
     staged = docs.select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), r"\n").alias("_lines"),
         c4_page_drop(text_col).alias("c4_page_drop"),
+        *passthru,
     ).select(
         "id",
         "_lines",
         F.filter(F.col("_lines"), keep).alias("_kept"),
         "c4_page_drop",
+        *extra_cols,
     )
     return staged.select(
         "id",
@@ -97,6 +105,7 @@ def c4_clean_lines(
         F.size("_kept").alias("c4_n_lines_kept"),
         (F.size("_lines") - F.size("_kept")).alias("c4_n_lines_dropped"),
         "c4_page_drop",
+        *extra_cols,
     )
 
 
@@ -125,6 +134,7 @@ def gopher_quality(
     text_col: str = "text",
     min_words: int = GOPHER_MIN_WORDS,
     max_words: int = GOPHER_MAX_WORDS,
+    extra_cols: tuple[str, ...] = (),
 ):
     """Gopher repetition-free quality heuristics, one row per document:
 
@@ -144,7 +154,9 @@ def gopher_quality(
     bound attribute — an unaliased array expr referenced from N lambdas
     would be inlined and re-evaluated N times (the measured Catalyst
     gotcha from the winnowing fix). Three narrow selects, still one
-    scan, no shuffle."""
+    scan, no shuffle. ``extra_cols`` names input columns carried
+    through unchanged (see :func:`c4_clean_lines`)."""
+    passthru = [F.col(c) for c in extra_cols]
     arrays = docs.select(
         F.col(id_col).alias("id"),
         F.filter(
@@ -160,9 +172,11 @@ def gopher_quality(
             F.size(F.split(F.col(text_col), r"#", -1)) - 1
             + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
         ).alias("_nsym"),
+        *passthru,
     ).select(
         "id", "_w", "_ln", "_nsym",
         F.transform(F.col("_w"), lambda w: F.lower(w)).alias("_lw"),
+        *extra_cols,
     )
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     counts = arrays.select(
@@ -190,6 +204,7 @@ def gopher_quality(
                 lambda s: F.array_contains(F.col("_lw"), s),
             )
         ).alias("g_n_stopwords_hit"),
+        *extra_cols,
     )
     nw = F.col("g_n_words")
     mean_wl = F.when(nw > 0, F.col("_tl") / nw)
@@ -245,6 +260,7 @@ def gopher_quality(
         alpha_frac.alias("g_alpha_frac"),
         "g_n_stopwords_hit",
         reasons.alias("gopher_reasons"),
+        *extra_cols,
     )
     return scored.withColumn(
         "gopher_keep", F.size("gopher_reasons") == 0
