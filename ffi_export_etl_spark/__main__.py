@@ -322,6 +322,13 @@ def curate_main(argv: list[str]) -> int:
                     help="per-source token budget (repeatable), e.g. "
                          "--token-budget web=1000000; sources without "
                          "a budget are dropped")
+    ap.add_argument("--temperature-alpha", type=float, default=None,
+                    help="temperature-mix the sources: rate_i derived "
+                         "from corpus-share^alpha (0.5 = sqrt mixing; "
+                         "<1 up-weights small sources)")
+    ap.add_argument("--temperature-budget", type=int, default=None,
+                    help="expected kept docs for --temperature-alpha "
+                         "(default: corpus size)")
     args = ap.parse_args(argv)
     if args.decon_containment_pct is not None and args.benchmark is None:
         ap.error("--decon-containment-pct requires --benchmark")
@@ -402,6 +409,8 @@ def curate_main(argv: list[str]) -> int:
         token_budgets=(
             dict(args.token_budget) if args.token_budget else None
         ),
+        temperature_alpha=args.temperature_alpha,
+        temperature_budget=args.temperature_budget,
     )
     manifest = write_training_shards(
         curated, args.output, "id", rows_per_shard=args.rows_per_shard,

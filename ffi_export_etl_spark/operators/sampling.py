@@ -232,3 +232,101 @@ def deterministic_shuffle(
         df = df.repartitionByRange(num_partitions, h.asc(), F.col(key_col).asc())
         return df.sortWithinPartitions(h.asc(), F.col(key_col).asc())
     return df.orderBy(h.asc(), F.col(key_col).asc())
+
+
+HASH_SPACE = 1 << 60  # _key_hash's domain; thresholds scale into it
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    total_budget: int | None = None,
+) -> DataFrame:
+    """(source, n_docs, mix_prob, sample_rate) — temperature (alpha)
+    mixing, the canonical multilingual / multi-source rule (XLM-R, mT5):
+    sample source i with probability q_i ∝ p_i^alpha where p_i is its
+    corpus share; alpha < 1 up-weights small sources (alpha=1 natural,
+    alpha=0 uniform). ``sample_rate`` converts the target mixture into
+    a per-source Bernoulli rate hitting an EXPECTED ``total_budget``
+    kept docs (default: corpus size): rate_i = min(1, B*q_i / n_i) —
+    truncated at 1, no upsampling (a capped source leaves the realized
+    budget slightly under B; re-run with a higher B to compensate).
+
+    Everything is in-plan: one groupBy (tiny result), a one-row ordered
+    fold for the normalizer, a broadcast scalar attach — no corpus
+    rescan, no driver-side math.
+
+    Cross-engine determinism (gate-grade): n_i^alpha for the default
+    alpha=0.5 is ``sqrt`` — IEEE correctly rounded, bit-identical on
+    JVM and C — and the normalizer folds the per-source weights in
+    SORTED source order via an explicit sequential fold (F.aggregate
+    here, list_reduce in DuckDB): float addition is order-sensitive,
+    so an unordered SUM could differ in the last ulp and flip a
+    membership threshold. Other alphas use pow(), which libms do NOT
+    guarantee correctly rounded — fine in production, but pin only
+    sqrt-alpha rates in an exact oracle."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = (
+        F.sqrt("n_docs") if alpha == 0.5
+        else F.pow("n_docs", F.lit(float(alpha)))
+    )
+    weighted = counts.withColumn("_w", w)
+    scalars = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "_w"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_w"],
+        ).alias("_wsum"),
+        F.sum("n_docs").alias("_n_total"),
+    )
+    # one-row broadcast scalar attach (never a shuffle)
+    joined = weighted.crossJoin(F.broadcast(scalars))
+    budget = (
+        F.lit(int(total_budget)) if total_budget is not None
+        else F.col("_n_total")
+    )
+    mix_prob = F.col("_w") / F.col("_wsum")
+    rate = F.least(F.lit(1.0), budget * mix_prob / F.col("n_docs"))
+    return joined.select(
+        "source",
+        "n_docs",
+        mix_prob.alias("mix_prob"),
+        rate.alias("sample_rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    total_budget: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-mixture sample: membership =
+    key hash under the source's :func:`temperature_mixture_rates` rate.
+    The rates table broadcasts (source-count-sized); rows whose source
+    is NULL have no rate and are dropped (route them to a named
+    source first if they must participate). One corpus scan + one tiny
+    aggregation scan — membership is replayable like every sampler
+    here."""
+    rates = temperature_mixture_rates(
+        # NULL-source rows neither receive a rate nor skew the
+        # normalizer (they are dropped by the join below either way)
+        df.filter(F.col(source_col).isNotNull()),
+        source_col=source_col, alpha=alpha, total_budget=total_budget,
+    ).select(
+        F.col("source").alias(source_col),
+        F.floor(F.col("sample_rate") * F.lit(float(HASH_SPACE)))
+        .cast("bigint")
+        .alias("_threshold"),
+    )
+    h = _key_hash(key_col, salt)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h < F.col("_threshold"))
+        .drop("_threshold")
+    )

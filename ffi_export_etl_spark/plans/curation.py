@@ -81,6 +81,8 @@ def curate_documents(
     input_html: bool = False,
     c4_line_clean: bool = False,
     gopher_rules: bool = False,
+    temperature_alpha: float | None = None,
+    temperature_budget: int | None = None,
     persist_intermediates: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
@@ -390,6 +392,17 @@ def curate_documents(
 
         mixed = token_budget_sample(
             mixed, "id", "source", "n_words", token_budgets
+        )
+    # temperature (alpha) mixing — the "no hand-tuned rates" mixture:
+    # per-source rates derive from corpus shares in-plan
+    # (operators/sampling.temperature_mixture_rates); composes after
+    # the explicit mixtures like token_budgets does
+    if temperature_alpha is not None:
+        from ..operators.sampling import temperature_sample
+
+        mixed = temperature_sample(
+            mixed, "id", "source",
+            alpha=temperature_alpha, total_budget=temperature_budget,
         )
     if persist_intermediates:
         mixed = mixed.persist()

@@ -36,6 +36,8 @@ SPLIT_TEST_T = int((SPLIT_VAL + SPLIT_TEST) * (1 << 60))
 # token-budget mix: two sources capped by token count (whitespace
 # tokens), everything else budget 0 — the "N tokens from source X" form
 BUDGET_TOKENS = {"src0": 700, "src1": 300}
+# temperature-mixture arm: expected kept docs under alpha=0.5 mixing
+TEMP_BUDGET = 300
 
 
 def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +51,11 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged split_train/val/test on the same hash axis, disjoint and
     exhaustive by construction), plus the token-BUDGET mixture
     (token_budget_sample — per-source hash-ordered runs capped by token
-    count via the blocked two-pass cumsum; 'budget' rows)."""
-    from ..operators.sampling import token_budget_sample
+    count via the blocked two-pass cumsum; 'budget' rows), and the
+    temperature (alpha=0.5) mixture (temperature_sample — in-plan
+    sqrt-share rates with the ordered normalizer fold, so the oracle's
+    doubles are bit-identical; 'temp' rows)."""
+    from ..operators.sampling import temperature_sample, token_budget_sample
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
@@ -87,11 +92,19 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("k"),
         F.lit(None).cast("int").alias("label"),
     )
+    temp = temperature_sample(
+        d, "doc_id", "source", alpha=0.5, total_budget=TEMP_BUDGET
+    ).select(
+        F.lit("temp").alias("kind"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("int").alias("label"),
+    )
     return (
         bern.unionByName(strat)
         .unionByName(mix)
         .unionByName(spl)
         .unionByName(bud)
+        .unionByName(temp)
     )
 
 
@@ -168,5 +181,26 @@ ORACLE = {
             )
         )
         WHERE cum_before < CASE source {_BUDGET_WHEN} ELSE 0 END
+        UNION ALL
+        SELECT 'temp', doc_id, CAST(NULL AS INTEGER)
+        FROM documents d
+        JOIN (
+            SELECT tw.source,
+                   CAST(floor(
+                       least(1.0,
+                             ({TEMP_BUDGET} * (tw.w / tn.wsum)) / tw.n)
+                       * 1152921504606846976.0) AS BIGINT) AS thr
+            FROM (SELECT source, count(*) AS n, sqrt(count(*)) AS w
+                  FROM documents GROUP BY source) tw,
+                 (SELECT list_reduce(
+                             list_transform(
+                                 list_sort(list(
+                                     struct_pack(s := source, w := w))),
+                                 x -> x.w),
+                             (a, b) -> a + b) AS wsum
+                  FROM (SELECT source, sqrt(count(*)) AS w
+                        FROM documents GROUP BY source)) tn
+        ) r USING (source)
+        WHERE {_KEY_HASH.format(key="doc_id")} < r.thr
     """,
 }

@@ -463,3 +463,34 @@ def test_cli_curate_c4_and_gopher(spark, tmp_path, capsys):
     # doc 2 page-dropped, doc 3 gopher symbol_ratio-dropped
     assert set(rows) == {1, 4}
     assert "Home About Contact" not in rows[1]
+
+
+def test_cli_curate_temperature_mix(spark, tmp_path, capsys):
+    """--temperature-alpha: small sources keep a larger share than the
+    natural distribution would give them."""
+    rows = [
+        (i, "big" if i < 170 else "small",
+         " ".join(f"u{i}w{j}" for j in range(25)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, source: string, text: string"
+    )
+    src = str(tmp_path / "tmix")
+    docs.write.parquet(src)
+    out = str(tmp_path / "tmix_out")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--min-words", "10",
+        "--temperature-alpha", "0.5", "--temperature-budget", "100",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(out)
+    by_src = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    # natural share of 'small' is 15%; sqrt mixing roughly doubles it
+    frac_small = by_src.get("small", 0) / report["docs_out"]
+    assert frac_small > 0.2, by_src

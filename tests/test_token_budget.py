@@ -161,3 +161,77 @@ def test_default_budget_and_validation(spark, sf_oracle):
             _docs(spark, sf_oracle), "doc_id", "source", "n_tok",
             {"src0": -1},
         )
+
+def test_temperature_mixture_rates_numpy_twin(spark):
+    """alpha-mixing math vs a numpy twin; alpha<1 up-weights small
+    sources; alpha=1 is the natural distribution."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    sizes = {"big": 800, "mid": 150, "tiny": 50}
+    rows = [
+        (f"{s}_{i}", s) for s, n in sizes.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {
+        r["source"]: r.asDict()
+        for r in temperature_mixture_rates(df, alpha=0.5).collect()
+    }
+    w = {s: np.sqrt(n) for s, n in sizes.items()}
+    wsum = sum(w[s] for s in sorted(sizes))
+    n_total = sum(sizes.values())
+    for s, n in sizes.items():
+        q = w[s] / wsum
+        assert got[s]["n_docs"] == n
+        assert got[s]["mix_prob"] == pytest.approx(q, rel=1e-12)
+        assert got[s]["sample_rate"] == pytest.approx(
+            min(1.0, n_total * q / n), rel=1e-12
+        )
+    # alpha=0.5 shifts mass toward the small source vs natural share
+    assert got["tiny"]["mix_prob"] > sizes["tiny"] / n_total
+    assert got["big"]["mix_prob"] < sizes["big"] / n_total
+    # alpha=1: mix_prob == natural share, every rate 1.0 at full budget
+    nat = {
+        r["source"]: r.asDict()
+        for r in temperature_mixture_rates(df, alpha=1.0).collect()
+    }
+    for s, n in sizes.items():
+        assert nat[s]["mix_prob"] == pytest.approx(n / n_total, rel=1e-12)
+        assert nat[s]["sample_rate"] == pytest.approx(1.0)
+
+
+def test_temperature_sample_expected_counts(spark):
+    """Realized per-source counts track budget * mix_prob (hash-Bernoulli
+    tolerance); NULL sources are dropped by contract."""
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    rows = [(f"d{i}", "big" if i < 1600 else "small") for i in range(2000)]
+    rows.append(("nullrow", None))
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    budget = 1000
+    kept = temperature_sample(df, "doc_id", total_budget=budget)
+    rates = {
+        r["source"]: r.asDict()
+        for r in temperature_mixture_rates(
+            df.filter(F.col("source").isNotNull()), alpha=0.5
+        ).collect()
+    }
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert None not in by_src
+    for s in ("big", "small"):
+        expect = budget * rates[s]["mix_prob"]
+        assert abs(by_src[s] - expect) < 0.15 * expect + 10, (s, by_src)
