@@ -332,6 +332,8 @@ def curate_main(argv: list[str]) -> int:
     args = ap.parse_args(argv)
     if args.decon_containment_pct is not None and args.benchmark is None:
         ap.error("--decon-containment-pct requires --benchmark")
+    if args.temperature_budget is not None and args.temperature_alpha is None:
+        ap.error("--temperature-budget requires --temperature-alpha")
 
     from .plans.curation import curate_documents
     from .session import get_spark, tune
@@ -578,10 +580,15 @@ def rank_main(argv: list[str]) -> int:
     if args.html:
         from .operators.htmlx import extract_links
         from .operators.urls import canonicalize_url
+        from .operators.xplode import explode_nonempty
 
-        edges = table.select(
-            canonicalize_url(args.url_col).alias("src"),
-            F.explode(extract_links(args.html_col)).alias("_href"),
+        # explode_nonempty, not F.explode: the optimizer would push a
+        # size() filter that re-runs the extraction regex per scan
+        edges = explode_nonempty(
+            table,
+            [canonicalize_url(args.url_col).alias("src")],
+            extract_links(args.html_col),
+            "_href",
         ).select("src", canonicalize_url("_href").alias("dst"))
     else:
         edges = table.select(

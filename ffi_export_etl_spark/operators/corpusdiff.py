@@ -26,18 +26,26 @@ def corpus_diff(
 ) -> DataFrame:
     """(id, status) for every id in either snapshot: 'added' (new side
     only), 'removed' (old side only), 'changed' (both, different text
-    digest — NULL text and empty text are distinct digests), 'unchanged'.
+    digest), 'unchanged'. The digest prepends a null-flag character
+    ('N' for NULL, 'V' for a value) so NULL, empty, and any literal
+    text are all pairwise distinct — no sentinel value a real document
+    could collide with.
     """
-    o = old.select(
-        F.col(id_col).alias("id"),
-        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("\0")), "UTF-8"))
-        .alias("_ho"),
-    )
-    n = new.select(
-        F.col(id_col).alias("id"),
-        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("\0")), "UTF-8"))
-        .alias("_hn"),
-    )
+    def _digest(col):
+        return F.md5(
+            F.encode(
+                F.concat(
+                    F.when(F.col(col).isNull(), F.lit("N")).otherwise(
+                        F.lit("V")
+                    ),
+                    F.coalesce(F.col(col), F.lit("")),
+                ),
+                "UTF-8",
+            )
+        )
+
+    o = old.select(F.col(id_col).alias("id"), _digest(text_col).alias("_ho"))
+    n = new.select(F.col(id_col).alias("id"), _digest(text_col).alias("_hn"))
     return o.join(n, "id", "full_outer").select(
         "id",
         F.when(F.col("_ho").isNull(), F.lit("added"))

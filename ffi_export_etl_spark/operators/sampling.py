@@ -21,6 +21,11 @@ from ..functions.porthash import MERSENNE31, md5_long
 # rows without a decision. The oracle replays the same coalesce.
 NULL_KEY_SENTINEL = "<null>"
 
+# _key_hash's domain: every membership threshold scales a fraction/rate
+# into [0, HASH_SPACE). ONE definition — the SQL oracles interpolate it
+# too, so a width change can never desynchronize samplers from twins.
+HASH_SPACE = 1 << 60
+
 
 def _key_hash(key_col: str, salt: str):
     return md5_long(
@@ -43,7 +48,7 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     h = _key_hash(key_col, salt)
-    threshold = int(fraction * (1 << 60))
+    threshold = int(fraction * HASH_SPACE)
     return df.filter(h < F.lit(threshold))
 
 
@@ -73,10 +78,10 @@ def weighted_sample(
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError("default_fraction must be in [0, 1]")
     h = _key_hash(key_col, salt)
-    threshold = F.lit(int(default_fraction * (1 << 60)))
+    threshold = F.lit(int(default_fraction * HASH_SPACE))
     for g, f in sorted(fractions.items()):
         threshold = F.when(
-            F.col(group_col) == g, F.lit(int(f * (1 << 60)))
+            F.col(group_col) == g, F.lit(int(f * HASH_SPACE))
         ).otherwise(threshold)
     return df.filter(h < threshold)
 
@@ -122,8 +127,8 @@ def split_train_val_test(
     if val_fraction + test_fraction > 1:
         raise ValueError("val_fraction + test_fraction must be <= 1")
     h = _key_hash(key_col, salt)
-    val_t = int(val_fraction * (1 << 60))
-    test_t = int((val_fraction + test_fraction) * (1 << 60))
+    val_t = int(val_fraction * HASH_SPACE)
+    test_t = int((val_fraction + test_fraction) * HASH_SPACE)
     return df.withColumn(
         "split",
         F.when(h < F.lit(val_t), F.lit("val"))
@@ -233,8 +238,6 @@ def deterministic_shuffle(
         return df.sortWithinPartitions(h.asc(), F.col(key_col).asc())
     return df.orderBy(h.asc(), F.col(key_col).asc())
 
-
-HASH_SPACE = 1 << 60  # _key_hash's domain; thresholds scale into it
 
 
 def temperature_mixture_rates(

@@ -393,10 +393,16 @@ def curate_documents(
         mixed = token_budget_sample(
             mixed, "id", "source", "n_words", token_budgets
         )
+    if persist_intermediates:
+        mixed = mixed.persist()
+    persisted_mix = mixed  # the handle to release, even if rebound below
     # temperature (alpha) mixing — the "no hand-tuned rates" mixture:
     # per-source rates derive from corpus shares in-plan
     # (operators/sampling.temperature_mixture_rates); composes after
-    # the explicit mixtures like token_budgets does
+    # the explicit mixtures like token_budgets does, and AFTER the
+    # persist boundary: the rates aggregation traverses its input a
+    # second time (one tiny groupBy + the membership probe), which must
+    # hit the cache, not re-run the whole upstream pipeline
     if temperature_alpha is not None:
         from ..operators.sampling import temperature_sample
 
@@ -404,8 +410,6 @@ def curate_documents(
             mixed, "id", "source",
             alpha=temperature_alpha, total_budget=temperature_budget,
         )
-    if persist_intermediates:
-        mixed = mixed.persist()
 
     packed = pack_sequences(mixed, id_col="id", text_col="text", capacity=capacity)
     out = mixed.join(
@@ -423,7 +427,7 @@ def curate_documents(
     # cached plans live in the CacheManager until explicitly unpersisted;
     # hand the caller the handles (see release_curation_caches)
     out._curation_persisted = (
-        [scrubbed, mixed] if persist_intermediates else []
+        [scrubbed, persisted_mix] if persist_intermediates else []
     )
     return out
 

@@ -365,7 +365,11 @@ _DIFF_SQL = """
             SELECT coalesce(o.doc_id, v.doc_id) AS id,
                    CASE WHEN o.doc_id IS NULL THEN 'added'
                         WHEN v.doc_id IS NULL THEN 'removed'
-                        WHEN md5(o.text) != md5(v.text) THEN 'changed'
+                        WHEN md5((CASE WHEN o.text IS NULL THEN 'N'
+                                       ELSE 'V' END) || coalesce(o.text, ''))
+                          != md5((CASE WHEN v.text IS NULL THEN 'N'
+                                       ELSE 'V' END) || coalesce(v.text, ''))
+                            THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM documents o
             FULL OUTER JOIN (

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.porthash import MERSENNE31, duck_md5_long
 from ..operators.sampling import (
+    HASH_SPACE,
     NULL_KEY_SENTINEL,
     hash_sample,
     split_train_val_test,
@@ -23,7 +24,7 @@ from ..operators.sampling import (
 from ..sources.parquet import load_table
 
 SAMPLE_FRACTION = 0.25
-SAMPLE_THRESHOLD = int(SAMPLE_FRACTION * (1 << 60))  # mirrors hash_sample
+SAMPLE_THRESHOLD = int(SAMPLE_FRACTION * HASH_SPACE)  # mirrors hash_sample
 STRAT_N = 5
 # data-mixture weights: named sources at explicit rates, the long tail at
 # the default — exercises both paths of weighted_sample
@@ -31,8 +32,8 @@ MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 MIX_DEFAULT = 0.05
 SPLIT_VAL = 0.1
 SPLIT_TEST = 0.05
-SPLIT_VAL_T = int(SPLIT_VAL * (1 << 60))
-SPLIT_TEST_T = int((SPLIT_VAL + SPLIT_TEST) * (1 << 60))
+SPLIT_VAL_T = int(SPLIT_VAL * HASH_SPACE)
+SPLIT_TEST_T = int((SPLIT_VAL + SPLIT_TEST) * HASH_SPACE)
 # token-budget mix: two sources capped by token count (whitespace
 # tokens), everything else budget 0 — the "N tokens from source X" form
 BUDGET_TOKENS = {"src0": 700, "src1": 300}
@@ -124,7 +125,7 @@ def key_hash_sql(key: str) -> str:
     return _KEY_HASH.format(key=key)
 
 _MIX_WHEN = "\n                  ".join(
-    f"WHEN '{g}' THEN {int(f * (1 << 60))}"
+    f"WHEN '{g}' THEN {int(f * HASH_SPACE)}"
     for g, f in sorted(MIX_FRACTIONS.items())
 )
 
@@ -155,7 +156,7 @@ ORACLE = {
         WHERE {_KEY_HASH.format(key="doc_id")} <
               CASE source
                   {_MIX_WHEN}
-                  ELSE {int(MIX_DEFAULT * (1 << 60))}
+                  ELSE {int(MIX_DEFAULT * HASH_SPACE)}
               END
         UNION ALL
         SELECT 'split_' || (CASE WHEN h < {SPLIT_VAL_T} THEN 'val'
@@ -189,9 +190,10 @@ ORACLE = {
                    CAST(floor(
                        least(1.0,
                              ({TEMP_BUDGET} * (tw.w / tn.wsum)) / tw.n)
-                       * 1152921504606846976.0) AS BIGINT) AS thr
+                       * {float(HASH_SPACE)}) AS BIGINT) AS thr
             FROM (SELECT source, count(*) AS n, sqrt(count(*)) AS w
-                  FROM documents GROUP BY source) tw,
+                  FROM documents WHERE source IS NOT NULL
+                  GROUP BY source) tw,
                  (SELECT list_reduce(
                              list_transform(
                                  list_sort(list(
@@ -199,7 +201,8 @@ ORACLE = {
                                  x -> x.w),
                              (a, b) -> a + b) AS wsum
                   FROM (SELECT source, sqrt(count(*)) AS w
-                        FROM documents GROUP BY source)) tn
+                        FROM documents WHERE source IS NOT NULL
+                        GROUP BY source)) tn
         ) r USING (source)
         WHERE {_KEY_HASH.format(key="doc_id")} < r.thr
     """,

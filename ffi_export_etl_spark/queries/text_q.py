@@ -205,6 +205,7 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = staged.select(
         "doc_id",
         "text",
+        "_rl",  # the C4-input construction reuses the staged lines
         n_words.alias("n_words"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias(
             "n_bpe_tokens"
@@ -251,14 +252,12 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats, "doc_id", "text",
         extra_cols=tuple(c for c in stats.columns if c != "doc_id"),
     )
-    relined_g = F.transform(
-        F.sequence(
-            F.lit(1), F.size(_toks()), F.lit(LINE_TOKENS)
-        ),
-        lambda s: F.array_join(F.slice(_toks(), s, LINE_TOKENS), " "),
-    )
+    # _rl is a bound attribute carried from the staged projection — NOT
+    # a rebuilt _toks() expression, which a transform lambda would
+    # inline and re-evaluate once per line (the quadratic the staging
+    # exists to prevent)
     c4_lines = F.transform(
-        relined_g,
+        F.col("_rl"),
         lambda x, i: F.concat(
             x, F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit(""))
         ),
@@ -281,7 +280,7 @@ def text_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         *[
             c for c in stats.columns
-            if c not in ("doc_id", "text")
+            if c not in ("doc_id", "text", "_rl")
         ],
         "c4_text",
         "c4_n_lines_kept",
