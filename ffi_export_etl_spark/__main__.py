@@ -125,6 +125,14 @@ def curate_stream_main(argv: list[str]) -> int:
                          "(HLL sketches + exact counts over the kept "
                          "rows); report over it with the 'profile' "
                          "subcommand's --from-store")
+    ap.add_argument("--input-html", action="store_true",
+                    help="arrivals are raw HTML: extract plain text "
+                         "before any stage (keep this flag constant "
+                         "across sessions of one store family)")
+    ap.add_argument("--c4-line-clean", action="store_true",
+                    help="C4 line rule + page-drop markers per batch")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="Gopher document-quality heuristics per batch")
     args = ap.parse_args(argv)
     if (args.span_store is None) != (args.span_dedup_tokens is None):
         ap.error("--span-store and --span-dedup-tokens go together")
@@ -167,6 +175,9 @@ def curate_stream_main(argv: list[str]) -> int:
         jaccard_threshold_pct=args.jaccard_threshold_pct,
         shingle_mode=args.shingle_mode,
         span_dedup_tokens=args.span_dedup_tokens,
+        input_html=args.input_html,
+        c4_line_clean=args.c4_line_clean,
+        gopher_rules=args.gopher_rules,
         input_suite=(
             _stream_input_suite(args) if args.require_input_quality
             else None

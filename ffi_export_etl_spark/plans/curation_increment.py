@@ -62,6 +62,9 @@ def curate_increment(
     shingle_mode: str = "word",
     span_store: DataFrame | None = None,
     span_dedup_tokens: int | None = None,
+    input_html: bool = False,
+    c4_line_clean: bool = False,
+    gopher_rules: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns ``{"kept", "exact_delta", "minhash_delta"}`` (plus
     ``"span_delta"`` when the span stage is on).
@@ -87,7 +90,35 @@ def curate_increment(
     ``exact_delta`` / ``minhash_delta``: the store rows for the
     survivors; append them (or feed streaming/dedup.compact_store) so
     tomorrow's increment sees today's corpus.
+
+    ``input_html`` / ``c4_line_clean`` / ``gopher_rules`` mirror the
+    batch pipeline's per-document stages (all state-free, so increments
+    need no extra store): HTML extraction first, the C4 line rule last
+    among line stages, Gopher applied to the survivors post-dedup.
+    Digests/sketches are taken over the post-stage text — run every
+    session of one store family with the same flag set.
     """
+    if input_html:
+        # HTML arrivals extract to prose FIRST, like the batch pipeline
+        # (every later judge — span coordinates, digests, quality —
+        # sees text, not markup). Store-consistency caveat: digests are
+        # taken over the post-extraction axis, so run every session of
+        # one store family with the same flag set.
+        from ..operators.htmlx import html_to_text
+
+        new_docs = new_docs.withColumn(text_col, html_to_text(text_col))
+    gq_keep = None
+    if gopher_rules:
+        # decided on the raw post-HTML text (scrub placeholders must
+        # not perturb the statistics), APPLIED after dedup like the
+        # batch pipeline — the keeper choice must not depend on quality
+        from ..operators.qualityrules import gopher_quality
+
+        gq_keep = (
+            gopher_quality(new_docs, id_col, text_col)
+            .filter("gopher_keep")
+            .select("id")
+        )
     span_cleaned = None
     if span_dedup_tokens is not None:
         if span_store is None:
@@ -116,6 +147,20 @@ def curate_increment(
             F.col("id").alias(id_col),
             F.col("text").alias(text_col),
             F.col(source_col),
+        )
+    if c4_line_clean:
+        # C4 line rule + page-drop markers, last line-structure stage
+        # before the scrub collapses newlines (batch-pipeline order)
+        from ..operators.qualityrules import c4_clean_lines
+
+        c4f = c4_clean_lines(
+            new_docs, id_col=id_col, text_col=text_col,
+            extra_cols=(source_col,),
+        )
+        new_docs = c4f.filter(~F.col("c4_page_drop")).select(
+            F.col("id").alias(id_col),
+            F.col("c4_text").alias(text_col),
+            source_col,
         )
     cleaned = new_docs.select(
         F.col(id_col).alias("id"),
@@ -197,7 +242,10 @@ def curate_increment(
         scrubbed.join(survivors, "id", "left_semi")
         .withColumn("n_words", n_words)
         .filter(F.col("n_words") >= min_words)
-    ).persist()
+    )
+    if gq_keep is not None:
+        kept = kept.join(gq_keep, "id", "left_semi")
+    kept = kept.persist()
     kept_ids = kept.select("id")
     kept._curation_persisted = [scrubbed, kept]
     out = {

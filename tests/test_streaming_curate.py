@@ -438,3 +438,55 @@ def test_profile_store_accumulates_mergeable_rows(spark, tmp_path):
             assert folded[c][k] == direct[c][k], (c, k)
     exact_ids = kept_df.select(F.count_distinct("id")).collect()[0][0]
     assert abs(folded["id"]["approx_distinct"] - exact_ids) <= 1
+
+
+def test_streaming_quality_stages(spark, tmp_path):
+    """input_html + c4_line_clean + gopher_rules in the incremental
+    path: HTML arrivals extract to prose, page-drop markers divert
+    docs, symbol-soup fails gopher — across two waves with the stores
+    still deduplicating."""
+    good = ("the quick brown fox jumps over that lazy dog and we have "
+            "watched it do so. " * 5)
+    other = ("all of those winter evenings were spent with the family "
+             "reading books that we have kept. " * 5)
+    waves = [
+        [
+            (1, "<html><body><p>" + good + "</p>"
+                "<script>var x=1;</script></body></html>", "web"),
+            (2, "<p>" + good + " lorem ipsum dolor.</p>", "web"),  # page drop
+        ],
+        [
+            (3, "<p>" + good + "</p>", "web"),               # exact dup of 1
+            (4, "<p>" + other + "</p>", "web"),
+            # ends with '.', so C4 keeps the line; gopher's symbol-ratio
+            # rule is what must drop it
+            (5, "<p>the of and to that have be with " + "# " * 60
+                + "done.</p>", "web"),
+        ],
+    ]
+    src = str(tmp_path / "src_q")
+    os.makedirs(src, exist_ok=True)
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_q")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=str(tmp_path / "exact_q"),
+        minhash_store_path=str(tmp_path / "mh_q"),
+        checkpoint=str(tmp_path / "ckpt_q"),
+        min_words=10,
+        jaccard_threshold_pct=50,
+        input_html=True,
+        c4_line_clean=True,
+        gopher_rules=True,
+    )
+    rows = spark.read.parquet(kept).collect()
+    by_id = {r["id"]: r["text"] for r in rows}
+    # 1 kept (prose extracted, no markup), 2 page-dropped, 3 deduped
+    # against the wave-1 store, 4 kept, 5 gopher-dropped
+    assert set(by_id) == {1, 4}
+    assert "<" not in by_id[1] and "var" not in by_id[1]
