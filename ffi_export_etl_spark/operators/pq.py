@@ -211,7 +211,19 @@ def pq_topk(
         cand.join(F.broadcast(lut), ["sub", "cell"])
         .filter(F.col("nbr_id") != F.col("query_id"))
         .groupBy("query_id", "nbr_id")
-        .agg(F.round(F.sum("d"), round_digits).alias("adc_dist"))
+        # ordered fold, not SUM: float addition is order-sensitive and
+        # an engine-replaying oracle must add the M terms in the same
+        # sequence (collect_list still map-side combines; M is tiny)
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("sub", "d"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["d"],
+                ),
+                round_digits,
+            ).alias("adc_dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
     return (

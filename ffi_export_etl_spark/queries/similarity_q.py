@@ -137,6 +137,52 @@ PCASEM_GRID_SCALE = 2
 PCASEM_GRID_BASE = 1000  # per-dim bin ids stay within +-500 at SCALE=2
 
 
+# --- 'pq' arm (r6): product quantization encode + ADC search --------
+# FIXED literal codebooks (exact-binary quarter rationals) pin the
+# SCALE path — per-subspace encode argmin and the ADC lookup-sum top-k
+# (operators/pq.py) — while codebook TRAINING stays pytest-pinned
+# against its numpy twin (same split as pcasem: fit offline, transform
+# at 100 TB). Distances round at 6 and the ADC sum folds in sub order,
+# so the oracle's doubles are bit-identical.
+PQ_M = 4
+PQ_K = 4
+PQ_DSUB = DIM // PQ_M
+PQ_CODEBOOKS = {
+    (s, c): [
+        (((s + 1) * (c + 2) * (i + 3) + 5) % 9 - 4) / 4.0
+        for i in range(PQ_DSUB)
+    ]
+    for s in range(PQ_M)
+    for c in range(PQ_K)
+}
+
+
+def _pq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = spark.createDataFrame(
+        [
+            (s, c, PQ_CODEBOOKS[(s, c)])
+            for s in range(PQ_M)
+            for c in range(PQ_K)
+        ],
+        "sub int, cell int, centroid array<double>",
+    )
+    codes = pq_encode(e, cb, DIM, m=PQ_M)
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(codes, cb, qs, k=TOPK, dim=DIM, m=PQ_M)
+    return top.select(
+        F.lit("pq").alias("kind"),
+        "query_id",
+        "nbr_id",
+        F.col("adc_dist").alias("cos"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
 def _pcasem_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.reduce import reduce_embeddings
     from ..operators.semdedup import semdedup_pairs
@@ -168,21 +214,30 @@ def _pcasem_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both cell-probed IVF variants plus the PCA->SemDeDup chain
-    union-tagged into one driver row (registry-slot fold, precedent:
-    samp_pack): 'ivf' probes the given label cells, 'kmeans' probes
-    deterministic Lloyd cells over unlabeled data, 'pcasem' (r6)
-    projects embeddings onto a fixed literal PCA basis and reports the
-    within-grid-cell semantic near-dup pairs. Same (query_id, nbr_id,
-    cos, rnk) grain — for 'pcasem' the rnk column carries the cell id;
-    each arm's oracle is unchanged, just tagged."""
+    """Both cell-probed IVF variants, the PCA->SemDeDup chain, and the
+    product-quantization ADC search union-tagged into one driver row
+    (registry-slot fold, precedent: samp_pack): 'ivf' probes the given
+    label cells, 'kmeans' probes deterministic Lloyd cells over
+    unlabeled data, 'pcasem' (r6) projects embeddings onto a fixed
+    literal PCA basis and reports within-grid-cell semantic near-dup
+    pairs, 'pq' (r6) encodes the corpus against fixed literal codebooks
+    and ranks by ADC lookup-sum distance (operators/pq.py). Same
+    (query_id, nbr_id, cos, rnk) grain — 'pcasem' carries the cell id
+    in rnk, 'pq' carries the ascending ADC distance in cos; each arm's
+    oracle is unchanged, just tagged."""
+    # (the 'pq' arm rides the same grain: cos carries the ADC distance,
+    # ascending — kind disambiguates)
     ivf = ann_topk_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("kind"), "*"
     )
     km = ann_topk_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("kind"), "*"
     )
-    return ivf.unionByName(km).unionByName(_pcasem_arm(spark, sf_dir))
+    return (
+        ivf.unionByName(km)
+        .unionByName(_pcasem_arm(spark, sf_dir))
+        .unionByName(_pq_arm(spark, sf_dir))
+    )
 
 
 QUERIES = {
@@ -373,6 +428,63 @@ def _pcasem_sql() -> str:
     """
 
 
+def _pq_sql() -> str:
+    """The 'pq' arm's oracle: literal codebooks -> per-sub argmin encode
+    -> query LUT -> ADC sum in sub order (list_reduce over list_sort =
+    the operator's F.aggregate over array_sort, same add sequence)."""
+    cb_rows = ", ".join(
+        f"({s}, {c}, [{', '.join(repr(x) for x in PQ_CODEBOOKS[(s, c)])}])"
+        for s in range(PQ_M)
+        for c in range(PQ_K)
+    )
+    d = PQ_DSUB
+    sub_slice = f"vv[s.sub * {d} + 1 : s.sub * {d} + {d}]"
+    sqd = (
+        "list_reduce(list_transform({sv}, (x, i) ->"
+        " (x - cb.cen[i]) * (x - cb.cen[i])), (a, b) -> a + b)"
+    )
+    return f"""
+        WITH {_VN},
+        subs(sub) AS (VALUES {", ".join(f"({s})" for s in range(PQ_M))}),
+        cb(sub, cell, cen) AS (VALUES {cb_rows}),
+        sv AS MATERIALIZED (
+            SELECT vec_id, s.sub, {sub_slice} AS svv
+            FROM v, subs s),
+        enc AS MATERIALIZED (
+            SELECT vec_id, sub, cell FROM (
+                SELECT sv.vec_id, sv.sub, cb.cell,
+                       row_number() OVER (
+                           PARTITION BY sv.vec_id, sv.sub
+                           ORDER BY round({sqd.format(sv="sv.svv")}, 6),
+                                    cb.cell) AS rk
+                FROM sv JOIN cb ON sv.sub = cb.sub
+            ) WHERE rk = 1),
+        lut AS MATERIALIZED (
+            SELECT sv.vec_id AS query_id, sv.sub, cb.cell,
+                   round({sqd.format(sv="sv.svv")}, 6) AS d
+            FROM sv JOIN cb ON sv.sub = cb.sub
+            WHERE sv.vec_id < {N_QUERIES}),
+        adc AS (
+            SELECT l.query_id, e.vec_id AS nbr_id,
+                   round(list_reduce(
+                       list_transform(
+                           list_sort(list(struct_pack(s := e.sub,
+                                                      d := l.d))),
+                           x -> x.d),
+                       (a, b) -> a + b), 6) AS cos
+            FROM enc e
+            JOIN lut l ON e.sub = l.sub AND e.cell = l.cell
+            WHERE e.vec_id != l.query_id
+            GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, nbr_id, cos, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos, nbr_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= {TOPK}
+    """
+
+
 ORACLE = {
     "ann_topk_bruteforce": f"""
         WITH {_VN},
@@ -391,6 +503,8 @@ ORACLE = {
         SELECT 'kmeans' AS kind, * FROM ({_kmeans_sql()})
         UNION ALL
         SELECT 'pcasem' AS kind, * FROM ({_pcasem_sql()})
+        UNION ALL
+        SELECT 'pq' AS kind, * FROM ({_pq_sql()})
     """,
     "ann_label_centroids": """
         WITH flat AS (
