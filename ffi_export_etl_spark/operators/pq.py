@@ -41,10 +41,6 @@ from pyspark.sql import functions as F
 from ..functions.porthash import md5_long
 from .similarity import as_double
 
-_SQDIST = "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " \
-          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
-
-
 def _sq_l2(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -89,23 +85,29 @@ def pq_train(
     sv = _subvectors(vectors, dim, m, id_col, vec_col)
     sv.persist()
     d_sub = dim // m
-    seed_ids = [
-        r["id"]
-        for r in sv.select("id")
+    seed_rows = (
+        sv.select("id")
         .distinct()
         .orderBy(md5_long(F.col("id").cast("string"), 15), F.col("id"))
         .limit(k)
         .collect()  # k ids — model-sized driver list
-    ]
+    )
     spark = vectors.sparkSession
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     seed_df = spark.createDataFrame(
-        [(sid, c) for c, sid in enumerate(seed_ids)], "id string, cell int"
-    ).withColumn("id", F.col("id").cast(sv.schema["id"].dataType))
+        [(r["id"], c) for c, r in enumerate(seed_rows)],
+        StructType(
+            [
+                StructField("id", sv.schema["id"].dataType),
+                StructField("cell", IntegerType()),
+            ]
+        ),
+    )
     cents = (
         sv.join(F.broadcast(seed_df), "id")
         .select("sub", "cell", F.col("sv").alias("centroid"))
     )
-    assign = None
     for _ in range(max(iters, 1)):
         scored = sv.join(F.broadcast(cents), "sub").withColumn(
             "d", F.round(_sq_l2(F.col("sv"), F.col("centroid")), round_digits)
@@ -185,6 +187,8 @@ def pq_topk(
     estimate. ``codes`` is pq_encode output; queries stay exact. The LUT
     (query x sub x cell) broadcasts; candidate cost is M lookups summed
     map-side."""
+    # one-row aggregate over the model-sized codebook table -> driver
+    # scalar (never data-sized)
     mm = m if m is not None else codebooks.agg(
         F.countDistinct("sub")
     ).collect()[0][0]

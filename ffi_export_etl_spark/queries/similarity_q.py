@@ -170,10 +170,7 @@ def _pq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub int, cell int, centroid array<double>",
     )
     codes = pq_encode(e, cb, DIM, m=PQ_M)
-    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    top = pq_topk(codes, cb, qs, k=TOPK, dim=DIM, m=PQ_M)
+    top = pq_topk(codes, cb, _queries_df(e), k=TOPK, dim=DIM, m=PQ_M)
     return top.select(
         F.lit("pq").alias("kind"),
         "query_id",
