@@ -235,3 +235,91 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "nbr_id", "adc_dist", "rnk")
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    cells: DataFrame | None = None,
+    coarse_k: int = 16,
+    nprobe: int = 3,
+    k: int = 10,
+    m: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF+PQ — the billion-vector ANN shape: a coarse quantizer
+    (lloyd_cells, or a caller-supplied (id, cell) table) prunes the
+    corpus to the ``nprobe`` cells nearest each query, and ADC ranks
+    only the codes inside those cells. Corpus-side cost per query batch:
+    the cell equi-join's slice (~nprobe/coarse_k of the codes), never
+    the whole code table — this is what bounds the ADC shuffle that
+    exhaustive :func:`pq_topk` pays.
+
+    ``vectors`` is only used to fit the coarse cells when ``cells`` is
+    None; production keeps both artifacts (cells + codes) stored and
+    passes them in.
+    """
+    from .similarity import cosine, dimension_centroids
+    from pyspark.sql import Window as W
+
+    if cells is None:
+        from .similarity import lloyd_cells
+
+        cells = lloyd_cells(
+            vectors, dim, k=coarse_k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    cents = dimension_centroids(
+        vectors.join(
+            cells.withColumnRenamed("id", id_col), id_col
+        ),
+        dim, "cell", vec_col, round_digits,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    qc = q.join(F.broadcast(cents)).withColumn(
+        "ccos", F.round(cosine(F.col("qv"), F.col("centroid")), round_digits)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # restrict the code table to the probed cells BEFORE ADC: the probe
+    # set is (queries x nprobe) — broadcast — and the semi-join slices
+    # the corpus to the probed fraction
+    probed_codes = codes.join(
+        cells.withColumnRenamed("id", "code_id"),
+        codes["id"] == F.col("code_id"),
+    ).join(
+        F.broadcast(probes.select("cell").distinct()), "cell", "left_semi"
+    ).select("id", "codes")
+    ranked = pq_topk(
+        probed_codes, codebooks, queries, k=k,
+        query_id_col=query_id_col, vec_col=vec_col, dim=dim, m=m,
+        round_digits=round_digits,
+    )
+    # a candidate must sit in one of ITS query's probed cells (the
+    # distinct-cell slice above is corpus-wide; this is the per-query cut)
+    per_q = probed_codes.join(
+        cells.withColumnRenamed("id", "nbr_id"),
+        probed_codes["id"] == F.col("nbr_id"),
+    ).select("nbr_id", "cell").join(probes, "cell").select(
+        "query_id", "nbr_id"
+    )
+    out = ranked.join(per_q.distinct(), ["query_id", "nbr_id"], "left_semi")
+    w = W.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rnk")
+    )

@@ -167,3 +167,51 @@ def test_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         pq_train(df, 6, m=4, k=2)
+
+
+def test_ivfpq_composition(spark, pq_fix):
+    """IVF+PQ: results equal exhaustive ADC restricted to each query's
+    probed coarse cells (the pruning changes WHAT is scored, never the
+    scores), and nprobe=all reproduces exhaustive ADC exactly."""
+    from ffi_export_etl_spark.operators.pq import ivfpq_topk
+    from ffi_export_etl_spark.operators.similarity import lloyd_cells
+
+    vecs, df, books, codes = pq_fix
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cells = lloyd_cells(df, DIM, k=4, iters=2).localCheckpoint()
+    got = {
+        (r["query_id"], r["rnk"]): (r["nbr_id"], r["adc_dist"])
+        for r in ivfpq_topk(
+            df, codes, books, queries, DIM,
+            cells=cells, nprobe=2, k=5, m=M,
+        ).collect()
+    }
+    # oracle: exhaustive ADC, then keep only candidates in the query's
+    # 2 nearest cells, re-rank
+    from ffi_export_etl_spark.operators.pq import pq_topk
+    full = pq_topk(codes, books, queries, k=len(vecs), dim=DIM, m=M)
+    cell_of = {r["id"]: r["cell"] for r in cells.collect()}
+    import numpy as np
+    cents = {}
+    for c in set(cell_of.values()):
+        members = [vecs[i] for i, cc in cell_of.items() if cc == c]
+        cents[c] = np.mean(members, axis=0)
+    want = {}
+    for q in range(5):
+        qv = vecs[q]
+        def cos(c):
+            v = cents[c]
+            return round(
+                float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6
+            )
+        probed = sorted(cents, key=lambda c: (-cos(c), c))[:2]
+        cand = [
+            (r["adc_dist"], r["nbr_id"])
+            for r in full.filter(F.col("query_id") == q).collect()
+            if cell_of[r["nbr_id"]] in probed
+        ]
+        for rnk, (d, n) in enumerate(sorted(cand)[:5], 1):
+            want[(q, rnk)] = (n, d)
+    assert got == {k: (n, pytest.approx(d)) for k, (n, d) in want.items()}
