@@ -41,6 +41,7 @@ def write_training_shards(
     salt: str = "",
     num_partitions: int | None = None,
     data_format: str = "parquet",
+    checksums: bool = False,
 ) -> DataFrame:
     """Write ``df`` as ordered training shards under ``path``; returns
     the manifest DataFrame (file, n_rows, first_key, last_key — in
@@ -56,6 +57,14 @@ def write_training_shards(
     and the within-partition physical order work identically). The
     manifest is ALWAYS parquet: it is a control-plane artifact the
     loader reads driver-side, not training data.
+
+    ``checksums=True`` adds per-shard integrity columns to the
+    manifest: ``row_digest`` (order-insensitive sum of per-row 32-bit
+    md5 prefixes over the JSON rendering of the full row — catches
+    logical corruption, truncation, or a swapped/edited shard) and
+    ``file_bytes``. The digest costs ONE distributed re-read of what
+    was just written (opt-in for that reason); verify later with
+    :func:`verify_training_shards` after any copy/transfer.
     """
     if data_format not in FORMATS:
         raise ValueError(
@@ -95,10 +104,110 @@ def write_training_shards(
             )
             .orderBy("file")
         )
+    if checksums:
+        manifest = manifest.join(
+            _shard_digests(written, files), "file", "left"
+        )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_manifest")
     )
     return spark.read.parquet(os.path.join(path, "_manifest")).orderBy("file")
+
+
+def _shard_digests(written: DataFrame, files: list[str]) -> DataFrame:
+    """(file, row_digest, file_bytes): order-insensitive per-file row
+    digest (sum of 32-bit md5 prefixes of each row's JSON rendering —
+    32-bit terms keep the BIGINT sum ANSI-safe, the components.py
+    checksum trick) via one distributed scan; byte sizes from a
+    driver-side stat (NULL where the store isn't stat-able)."""
+    digest = (
+        written.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "file"
+            ),
+            F.conv(
+                F.substring(
+                    F.md5(F.to_json(F.struct(*written.columns))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("_h"),
+        )
+        .groupBy("file")
+        .agg(F.sum("_h").alias("row_digest"))
+    )
+    sizes = []
+    for f in files:
+        local = f
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+            while local.startswith("//"):
+                local = local[1:]
+        try:
+            sizes.append((os.path.basename(local), os.path.getsize(local)))
+        except OSError:
+            sizes.append((os.path.basename(local), None))
+    spark = written.sparkSession
+    return digest.join(
+        spark.createDataFrame(sizes, "file string, file_bytes long"),
+        "file",
+        "left",
+    )
+
+
+def verify_training_shards(
+    spark, path: str, data_format: str = "parquet"
+) -> DataFrame:
+    """Integrity report against a ``checksums=True`` manifest: one row
+    per manifest entry with ok / row-count / digest / byte-size
+    comparisons — run after a copy or transfer, or before a training
+    job trusts a corpus. One distributed scan of the shards (the same
+    cost the checksum write paid) + a driver-side stat pass."""
+    # the verifier's premise is that files may have CHANGED since the
+    # session last read them — drop any cached file-index/statistics
+    # for the path or a swapped shard trips a length-mismatch error
+    spark.catalog.refreshByPath(path)
+    manifest = spark.read.parquet(os.path.join(path, "_manifest"))
+    if "row_digest" not in manifest.columns:
+        raise ValueError(
+            "manifest has no checksums — write with checksums=True"
+        )
+    written = spark.read.format(data_format).load(path)
+    actual = _shard_digests(written, sorted(written.inputFiles())).select(
+        "file",
+        F.col("row_digest").alias("actual_digest"),
+        F.col("file_bytes").alias("actual_bytes"),
+    )
+    counts = (
+        written.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "file"
+            )
+        )
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        manifest.join(actual, "file", "full_outer")
+        .join(counts, "file", "left")
+        .select(
+            "file",
+            "n_rows",
+            "actual_rows",
+            "row_digest",
+            "actual_digest",
+            (
+                F.col("row_digest").eqNullSafe(F.col("actual_digest"))
+                & F.col("n_rows").eqNullSafe(F.col("actual_rows"))
+                & (
+                    F.col("file_bytes").isNull()
+                    | F.col("actual_bytes").isNull()
+                    | (F.col("file_bytes") == F.col("actual_bytes"))
+                )
+            ).alias("ok"),
+        )
+        .orderBy("file")
+    )
 
 
 def _manifest_from_footers(

