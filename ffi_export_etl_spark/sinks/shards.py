@@ -42,6 +42,7 @@ def write_training_shards(
     num_partitions: int | None = None,
     data_format: str = "parquet",
     checksums: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as ordered training shards under ``path``; returns
     the manifest DataFrame (file, n_rows, first_key, last_key — in
@@ -58,6 +59,13 @@ def write_training_shards(
     manifest is ALWAYS parquet: it is a control-plane artifact the
     loader reads driver-side, not training data.
 
+    ``order_col`` switches the stream order from the deterministic
+    shuffle to CURRICULUM order: ascending ``order_col`` (e.g. a
+    quality or difficulty score), ties broken by the salted key hash
+    then the key — still a sampled range-partitioned total sort, still
+    reproducible. The default (None) remains the hash shuffle: training
+    normally wants decorrelated order, curriculum runs opt in.
+
     ``checksums=True`` adds per-shard integrity columns to the
     manifest: ``row_digest`` (order-insensitive sum of per-row 32-bit
     md5 prefixes over the JSON rendering of the full row — catches
@@ -70,9 +78,17 @@ def write_training_shards(
         raise ValueError(
             f"data_format must be one of {FORMATS}, got {data_format!r}"
         )
-    ordered = deterministic_shuffle(
-        df, key_col, salt=salt, num_partitions=num_partitions
-    )
+    if order_col is not None:
+        h0 = _key_hash(key_col, salt)
+        ordered = df.orderBy(F.col(order_col), h0, F.col(key_col))
+        if num_partitions is not None:
+            ordered = df.repartitionByRange(
+                num_partitions, F.col(order_col), h0, F.col(key_col)
+            ).sortWithinPartitions(F.col(order_col), h0, F.col(key_col))
+    else:
+        ordered = deterministic_shuffle(
+            df, key_col, salt=salt, num_partitions=num_partitions
+        )
     (
         ordered.write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_shard)
@@ -85,22 +101,28 @@ def write_training_shards(
     manifest = _manifest_from_footers(spark, files, key_col, data_format)
     if manifest is None:
         # non-pyarrow-reachable store: fall back to one distributed scan.
-        # first/last IN STREAM ORDER = min/max along the hash axis the
-        # sort used, not the raw key ordering
+        # first/last IN STREAM ORDER = min/max along whatever axis the
+        # sort used (hash shuffle, or curriculum (order, hash, key)),
+        # not the raw key ordering
         h = _key_hash(key_col, salt)
+        ord_expr = (
+            F.struct(F.col(order_col), h, F.col(key_col))
+            if order_col is not None
+            else h
+        )
         manifest = (
             written.select(
                 F.element_at(
                     F.split(F.input_file_name(), "/"), -1
                 ).alias("file"),
                 F.col(key_col).alias("_k"),
-                h.alias("_h"),
+                ord_expr.alias("_o"),
             )
             .groupBy("file")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.min_by("_k", "_h").alias("first_key"),
-                F.max_by("_k", "_h").alias("last_key"),
+                F.min_by("_k", "_o").alias("first_key"),
+                F.max_by("_k", "_o").alias("last_key"),
             )
             .orderBy("file")
         )

@@ -292,3 +292,24 @@ def test_shard_checksums_and_verify(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="checksums"):
         verify_training_shards(spark, out2)
+
+
+def test_shard_curriculum_order(spark, tmp_path):
+    """order_col: shards stream in ascending score order (curriculum),
+    reproducibly; manifest key ranges reflect the curriculum axis."""
+    import glob
+
+    from ffi_export_etl_spark.sinks.shards import write_training_shards
+
+    rows = [(i, float((i * 37) % 100), f"doc {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, score double, text string")
+    out = str(tmp_path / "cur_shards")
+    manifest = write_training_shards(
+        df, out, "id", rows_per_shard=10, order_col="score"
+    )
+    assert manifest.count() >= 2
+    seen = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        seen += [r["score"] for r in spark.read.parquet(f).collect()]
+    assert len(seen) == 60
+    assert seen == sorted(seen)  # global nondecreasing curriculum
