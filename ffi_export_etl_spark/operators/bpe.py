@@ -266,3 +266,35 @@ def apply_bpe(
             )
 
     return narrowed.mapInPandas(run, schema)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge list as a portable JSON artifact (one
+    object: version + ordered pairs) — train once on the big cluster,
+    apply anywhere (apply_bpe, another engine, a tokenizer library
+    that consumes merge lists). Driver-side: the artifact is model-
+    sized by definition."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {"format": "bpe-merges", "version": 1,
+             "merges": [[a, b] for a, b in merges]},
+            f, ensure_ascii=False,
+        )
+    os.replace(tmp, path)  # atomic: readers never see a partial file
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a :func:`save_merges` artifact; validates the header so a
+    wrong file fails loudly instead of tokenizing garbage."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        obj = json.load(f)
+    if obj.get("format") != "bpe-merges":
+        raise ValueError(f"{path} is not a bpe-merges artifact")
+    return [(a, b) for a, b in obj["merges"]]

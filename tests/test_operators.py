@@ -1303,3 +1303,38 @@ def test_quality_model_separates_and_is_deterministic(spark):
     assert probs[0] > probs[1]
     kept = filter_by_quality(held, model, min_prob=(probs[0] + probs[1]) / 2)
     assert [r.doc_id for r in kept.collect()] == [0]
+
+
+def test_bpe_merge_artifact_roundtrip(spark, tmp_path):
+    """save_merges/load_merges: the JSON artifact round-trips and the
+    reloaded merges tokenize identically; a wrong file fails loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from ffi_export_etl_spark.operators.bpe import (
+        apply_bpe,
+        load_merges,
+        save_merges,
+        train_bpe,
+        word_count_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "lower lowest lowly slower slowest " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(word_count_table(docs), num_merges=8)
+    assert merges
+    p = str(tmp_path / "artifacts" / "merges.json")
+    save_merges(merges, p)
+    reloaded = load_merges(p)
+    assert reloaded == merges
+    a = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
+    b = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(docs, reloaded).collect()}
+    assert a == b
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"something": "else"}, f)
+    with _pytest.raises(ValueError, match="bpe-merges"):
+        load_merges(bad)
