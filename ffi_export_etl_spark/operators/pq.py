@@ -187,6 +187,32 @@ def pq_topk(
     estimate. ``codes`` is pq_encode output; queries stay exact. The LUT
     (query x sub x cell) broadcasts; candidate cost is M lookups summed
     map-side."""
+    scored = _adc_scores(
+        codes, codebooks, queries,
+        query_id_col=query_id_col, vec_col=vec_col,
+        dim=dim, m=m, round_digits=round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rnk")
+    )
+
+
+def _adc_scores(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    m: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All (query_id, nbr_id, adc_dist) pairs — the unranked ADC core
+    shared by exhaustive :func:`pq_topk` and :func:`ivfpq_topk` (which
+    must apply its per-query cell cut BEFORE any truncation)."""
     # one-row aggregate over the model-sized codebook table -> driver
     # scalar (never data-sized)
     mm = m if m is not None else codebooks.agg(
@@ -196,7 +222,6 @@ def pq_topk(
     if dd is None:
         # centroid width x M — one row probe of the model-sized table
         dd = mm * len(codebooks.select("centroid").first()["centroid"])
-    d_sub = dd // mm
     qsubs = _subvectors(queries, dd, mm, query_id_col, vec_col).select(
         F.col("id").alias("query_id"), "sub", F.col("sv").alias("qv")
     )
@@ -211,7 +236,7 @@ def pq_topk(
         F.col("id").alias("nbr_id"),
         F.posexplode("codes").alias("sub", "cell"),
     )
-    scored = (
+    return (
         cand.join(F.broadcast(lut), ["sub", "cell"])
         .filter(F.col("nbr_id") != F.col("query_id"))
         .groupBy("query_id", "nbr_id")
@@ -229,21 +254,16 @@ def pq_topk(
             ).alias("adc_dist")
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "nbr_id", "adc_dist", "rnk")
-    )
 
 
 def ivfpq_topk(
-    vectors: DataFrame,
+    vectors: DataFrame | None,
     codes: DataFrame,
     codebooks: DataFrame,
     queries: DataFrame,
     dim: int,
     cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
     coarse_k: int = 16,
     nprobe: int = 3,
     k: int = 10,
@@ -253,21 +273,30 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     round_digits: int = 6,
 ) -> DataFrame:
-    """IVF+PQ — the billion-vector ANN shape: a coarse quantizer
-    (lloyd_cells, or a caller-supplied (id, cell) table) prunes the
-    corpus to the ``nprobe`` cells nearest each query, and ADC ranks
+    """IVF+PQ — the billion-vector ANN shape: a coarse quantizer prunes
+    the corpus to the ``nprobe`` cells nearest each query, and ADC ranks
     only the codes inside those cells. Corpus-side cost per query batch:
     the cell equi-join's slice (~nprobe/coarse_k of the codes), never
     the whole code table — this is what bounds the ADC shuffle that
     exhaustive :func:`pq_topk` pays.
 
-    ``vectors`` is only used to fit the coarse cells when ``cells`` is
-    None; production keeps both artifacts (cells + codes) stored and
-    passes them in.
-    """
-    from .similarity import cosine, dimension_centroids
-    from pyspark.sql import Window as W
+    Production passes STORED ``cells`` (id, cell) AND ``centroids``
+    (cell, centroid) — then ``vectors`` may be None and no raw-vector
+    scan happens at all. When either artifact is missing it is fitted /
+    derived from ``vectors`` (one corpus scan — the fit path).
 
+    The per-query cell cut is applied to the SCORES, before any
+    truncation: ranking first and filtering after would let an
+    out-of-probe candidate occupy a top-k slot and silently evict the
+    query's true k-th in-probe neighbor.
+    """
+    from .similarity import dimension_centroids, probe_cells
+
+    if cells is None or centroids is None:
+        if vectors is None:
+            raise ValueError(
+                "pass vectors to fit, or stored cells AND centroids"
+            )
     if cells is None:
         from .similarity import lloyd_cells
 
@@ -275,51 +304,42 @@ def ivfpq_topk(
             vectors, dim, k=coarse_k, id_col=id_col, vec_col=vec_col,
             round_digits=round_digits,
         )
-    cents = dimension_centroids(
-        vectors.join(
-            cells.withColumnRenamed("id", id_col), id_col
-        ),
-        dim, "cell", vec_col, round_digits,
-    )
+    if centroids is None:
+        centroids = dimension_centroids(
+            vectors.join(cells.withColumnRenamed("id", id_col), id_col),
+            dim, "cell", vec_col, round_digits,
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     )
-    qc = q.join(F.broadcast(cents)).withColumn(
-        "ccos", F.round(cosine(F.col("qv"), F.col("centroid")), round_digits)
+    probes = probe_cells(q, centroids, nprobe, round_digits).select(
+        "query_id", "cell"
     )
-    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    probes = (
-        qc.withColumn("crnk", F.row_number().over(wq))
-        .filter(F.col("crnk") <= nprobe)
-        .select("query_id", "cell")
-    )
-    # restrict the code table to the probed cells BEFORE ADC: the probe
-    # set is (queries x nprobe) — broadcast — and the semi-join slices
-    # the corpus to the probed fraction
-    probed_codes = codes.join(
-        cells.withColumnRenamed("id", "code_id"),
-        codes["id"] == F.col("code_id"),
-    ).join(
+    # ONE join attaches each code row's cell; the union-of-probed-cells
+    # semi-join slices the corpus-side scan, and the same frame yields
+    # the per-query allowed pairs (no second corpus-slice join)
+    coded_cells = codes.join(
+        cells.withColumnRenamed("id", "_cid"),
+        codes["id"] == F.col("_cid"),
+    ).select("id", "codes", "cell")
+    sliced = coded_cells.join(
         F.broadcast(probes.select("cell").distinct()), "cell", "left_semi"
-    ).select("id", "codes")
-    ranked = pq_topk(
-        probed_codes, codebooks, queries, k=k,
+    )
+    allowed = (
+        sliced.select(F.col("id").alias("nbr_id"), "cell")
+        .join(F.broadcast(probes), "cell")
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+    scored = _adc_scores(
+        sliced.select("id", "codes"), codebooks, queries,
         query_id_col=query_id_col, vec_col=vec_col, dim=dim, m=m,
         round_digits=round_digits,
-    )
-    # a candidate must sit in one of ITS query's probed cells (the
-    # distinct-cell slice above is corpus-wide; this is the per-query cut)
-    per_q = probed_codes.join(
-        cells.withColumnRenamed("id", "nbr_id"),
-        probed_codes["id"] == F.col("nbr_id"),
-    ).select("nbr_id", "cell").join(probes, "cell").select(
-        "query_id", "nbr_id"
-    )
-    out = ranked.join(per_q.distinct(), ["query_id", "nbr_id"], "left_semi")
-    w = W.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    ).join(allowed, ["query_id", "nbr_id"], "left_semi")
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
     return (
-        out.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "nbr_id", "adc_dist", "rnk")
     )

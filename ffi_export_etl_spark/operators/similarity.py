@@ -352,6 +352,32 @@ def dimension_centroids(
     )
 
 
+def probe_cells(
+    q: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, qv, cell): each query's ``nprobe`` nearest coarse
+    cells by ROUNDED centroid cosine with a cell tiebreak — the shared
+    probe-selection discipline of :func:`ivf_topk` and
+    operators/pq.ivfpq_topk (ONE copy so the rounding/tiebreak contract
+    cannot drift between the two). ``q`` is (query_id, qv double-array);
+    the centroid table broadcasts."""
+    qc = q.join(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(cosine(F.col("qv"), F.col("centroid")), round_digits),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell")
+    )
+    return (
+        qc.withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+
 def lloyd_cells(
     vectors: DataFrame,
     dim: int,
@@ -432,18 +458,7 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     # rank cells per query by ROUNDED centroid cosine; keep nprobe nearest
-    qc = (
-        q.join(F.broadcast(cents))
-        .withColumn(
-            "ccos", F.round(cosine(F.col("qv"), F.col("centroid")), round_digits)
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    probes = (
-        qc.withColumn("crnk", F.row_number().over(wq))
-        .filter(F.col("crnk") <= nprobe)
-        .select("query_id", "qv", "cell")
-    )
+    probes = probe_cells(q, cents, nprobe, round_digits)
     scored = (
         v.join(F.broadcast(probes), ["cell"])
         .filter(F.col("nbr_id") != F.col("query_id"))

@@ -80,11 +80,12 @@ def write_training_shards(
         )
     if order_col is not None:
         h0 = _key_hash(key_col, salt)
-        ordered = df.orderBy(F.col(order_col), h0, F.col(key_col))
         if num_partitions is not None:
             ordered = df.repartitionByRange(
                 num_partitions, F.col(order_col), h0, F.col(key_col)
             ).sortWithinPartitions(F.col(order_col), h0, F.col(key_col))
+        else:
+            ordered = df.orderBy(F.col(order_col), h0, F.col(key_col))
     else:
         ordered = deterministic_shuffle(
             df, key_col, salt=salt, num_partitions=num_partitions
@@ -128,7 +129,9 @@ def write_training_shards(
         )
     if checksums:
         manifest = manifest.join(
-            _shard_digests(written, files), "file", "left"
+            _shard_digests(written, files).drop("digest_rows"),
+            "file",
+            "left",
         )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_manifest")
@@ -156,7 +159,11 @@ def _shard_digests(written: DataFrame, files: list[str]) -> DataFrame:
             ).cast("bigint").alias("_h"),
         )
         .groupBy("file")
-        .agg(F.sum("_h").alias("row_digest"))
+        .agg(
+            F.sum("_h").alias("row_digest"),
+            # carried so the verifier's count check shares THIS scan
+            F.count(F.lit(1)).alias("digest_rows"),
+        )
     )
     sizes = []
     for f in files:
@@ -195,32 +202,31 @@ def verify_training_shards(
             "manifest has no checksums — write with checksums=True"
         )
     written = spark.read.format(data_format).load(path)
+    # ONE distributed scan: digests and row counts come from the same
+    # aggregation (review finding — a second count scan doubled verify
+    # I/O on exactly the corpora this exists for)
     actual = _shard_digests(written, sorted(written.inputFiles())).select(
         "file",
         F.col("row_digest").alias("actual_digest"),
+        F.col("digest_rows").alias("actual_rows"),
         F.col("file_bytes").alias("actual_bytes"),
     )
-    counts = (
-        written.select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
-                "file"
-            )
-        )
-        .groupBy("file")
-        .agg(F.count(F.lit(1)).alias("actual_rows"))
-    )
+    # a legitimately EMPTY shard contributes no digest/count rows:
+    # coalesce counts to 0 so n_rows=0 entries verify ok, while a
+    # MISSING/emptied shard with n_rows>0 still mismatches
     return (
         manifest.join(actual, "file", "full_outer")
-        .join(counts, "file", "left")
         .select(
             "file",
             "n_rows",
-            "actual_rows",
+            F.coalesce("actual_rows", F.lit(0)).alias("actual_rows"),
             "row_digest",
             "actual_digest",
             (
                 F.col("row_digest").eqNullSafe(F.col("actual_digest"))
-                & F.col("n_rows").eqNullSafe(F.col("actual_rows"))
+                & F.col("n_rows").eqNullSafe(
+                    F.coalesce("actual_rows", F.lit(0))
+                )
                 & (
                     F.col("file_bytes").isNull()
                     | F.col("actual_bytes").isNull()

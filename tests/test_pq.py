@@ -215,3 +215,55 @@ def test_ivfpq_composition(spark, pq_fix):
         for rnk, (d, n) in enumerate(sorted(cand)[:5], 1):
             want[(q, rnk)] = (n, d)
     assert got == {k: (n, pytest.approx(d)) for k, (n, d) in want.items()}
+
+
+def test_ivfpq_filter_before_rank_regression(spark, pq_fix):
+    """Adversarial layout (review finding): out-of-probe candidates with
+    SMALLER ADC distances must never evict a query's in-probe top-k —
+    the per-query cell cut applies before truncation. Cells/centroids
+    are caller-supplied stored artifacts here (vectors=None path)."""
+    from ffi_export_etl_spark.operators.pq import ivfpq_topk
+
+    vecs, df, books, codes = pq_fix
+    # stored artifacts: half the corpus in cell 0, half in cell 1;
+    # centroid 0 points along query 0's own vector, centroid 1 opposite
+    cells = spark.createDataFrame(
+        [(i, 0 if i % 2 == 0 else 1) for i in vecs],
+        "id long, cell int",
+    )
+    q0 = [float(x) for x in vecs[0]]
+    cents = spark.createDataFrame(
+        [(0, q0), (1, [-x for x in q0])],
+        "cell int, centroid array<double>",
+    )
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk(
+        None, codes, books, queries, DIM,
+        cells=cells, centroids=cents, nprobe=1, k=5, m=M,
+    ).collect()
+    # query 0 probes only cell 0 -> every neighbor is even-id, and the
+    # full k slots fill from in-probe candidates (29 even ids available)
+    assert len(got) == 5
+    assert all(r["nbr_id"] % 2 == 0 for r in got), got
+    # and they are exactly the 5 closest EVEN candidates by ADC
+    from ffi_export_etl_spark.operators.pq import pq_topk
+    full = pq_topk(codes, books, queries, k=len(vecs), dim=DIM, m=M)
+    want = [
+        r["nbr_id"]
+        for r in sorted(
+            full.collect(), key=lambda r: (r["adc_dist"], r["nbr_id"])
+        )
+        if r["nbr_id"] % 2 == 0
+    ][:5]
+    assert sorted(r["nbr_id"] for r in got) == sorted(want)
+
+
+def test_ivfpq_requires_artifacts_or_vectors(spark, pq_fix):
+    from ffi_export_etl_spark.operators.pq import ivfpq_topk
+
+    _, df, books, codes = pq_fix
+    queries = df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="stored cells AND centroids"):
+        ivfpq_topk(None, codes, books, queries, DIM, m=M)
