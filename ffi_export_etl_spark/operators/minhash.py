@@ -192,10 +192,15 @@ def incremental_candidate_pairs(
     + two keep joins + newxstored join + newxnew self-join) shuffled the
     entire store ~5 times and re-executed LIVE store plans once per
     reference."""
-    # no .distinct() on the bucket list: the broadcast hash build dedups
-    # keys anyway, and a distinct would add a shuffle (and, for LIVE new
-    # plans, a second sketch execution) for nothing
-    new_buckets = new_banded.select("band", "bucket")
+    # distinct the bucket list BEFORE the broadcast: the hash build
+    # would dedup keys anyway, but the broadcast exchange itself ships
+    # the un-deduped projection — a large daily batch (rows x bands)
+    # could blow the driver/broadcast limit while its DISTINCT bucket
+    # set stays bounded by the band-bucket domain. The partial-agg
+    # before the distinct's exchange dedups map-side, so the added
+    # shuffle moves only the already-unique (band, bucket) pairs; the
+    # broadcast branch still executes the new batch's sketch once.
+    new_buckets = new_banded.select("band", "bucket").distinct()
     stored_touched = stored_banded.join(
         F.broadcast(new_buckets), ["band", "bucket"], "left_semi"
     )

@@ -182,8 +182,13 @@ def gopher_quality(
     counts = arrays.select(
         "id",
         F.size("_w").alias("g_n_words"),
+        # bigint seed: a multi-GB document's total word-char count can
+        # exceed 2^31; the DuckDB twin already sums in a wider type, so
+        # an int fold would ANSI-error / diverge exactly there
         F.aggregate(
-            F.col("_w"), F.lit(0), lambda a, w: a + F.length(w)
+            F.col("_w"),
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + F.length(w).cast("bigint"),
         ).alias("_tl"),
         "_nsym",
         F.size("_ln").alias("_nl"),

@@ -2,32 +2,55 @@
 
 simhash(doc) = for each of 60 bit positions, sign of the sum over tokens of
 (+1 if md5-hash(token) has the bit set else -1). Near-duplicates = pairs
-with small Hamming distance, found without an all-pairs scan by banding the
-60-bit fingerprint into 15-bit chunks (pigeonhole: hamming <= 3 implies at
-least one of 4 chunks equal) and joining only within chunk buckets.
+with small Hamming distance, found without an all-pairs scan by the
+Manku/Jain/Das Sarma (WWW 2007) table construction: split the 60 bits into
+6 blocks of 10 and probe every C(6,3)=20 combination of 3 blocks as a
+30-bit band key. Hamming <= 3 flips bits in at most 3 blocks, so at least
+3 blocks stay clean and one band is built from exactly clean blocks —
+recall is guaranteed by pigeonhole, like the old 4x15-bit chunk banding,
+BUT the band-key domain is 2^30 instead of 2^15. That is the difference
+between surviving a billion documents and not: with 15-bit bands a 10^9
+corpus averages ~30k docs per bucket (~10^13 candidate pairs before any
+verify); with 30-bit bands the average bucket holds ~1. The residual
+quadratic surface — identical-fingerprint hubs, which collide on EVERY
+band — is cut by the same bucket cap minhash uses (documented recall
+trade; an exact-dedup pass upstream removes those hubs anyway).
 
 Token hashing is the portable md5 family (functions/porthash.py): 60 bits
 = 15 hex chars, non-negative in a signed 64-bit in Spark, DuckDB, and
 Python alike, so the DuckDB oracle replays the fingerprints exactly and
 the driver gets a full value-hash check.
 
-All native Column exprs (bit ops, joins) — deterministic, no UDFs, linear
-shuffle volume + bucket-pair blowup. The scale profile matches
-MinHash-LSH; SimHash trades shingle sets for weighted token bits.
+All native Column exprs (bit ops, one groupBy shuffle) — deterministic, no
+UDFs. Candidate pairs are emitted from per-bucket sorted arrays (bounded
+by the cap), the same one-shuffle shape as minhash.lsh_candidate_pairs.
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.porthash import md5_long
+from .minhash import DEFAULT_MAX_BUCKET
 from .spread import spread_per_doc
+from .xplode import explode_nonempty
 
 BITS = 60  # 15 hex chars of md5 -> non-negative BIGINT in every engine
-CHUNKS = 4  # 15-bit chunks; pigeonhole covers max_hamming <= 3
-CHUNK_BITS = BITS // CHUNKS
-CHUNK_MASK = (1 << CHUNK_BITS) - 1
+BLOCKS = 6  # 10-bit blocks feeding the band combinations
+BLOCK_BITS = BITS // BLOCKS
+BLOCK_MASK = (1 << BLOCK_BITS) - 1
+PREFIX_BLOCKS = 3  # blocks per band -> 30-bit band keys
+# every 3-subset of the 6 blocks, in deterministic lexicographic order;
+# band index = position in this tuple (both engines enumerate it the
+# same way, so the store's band column is portable)
+BAND_BLOCKS: tuple[tuple[int, ...], ...] = tuple(
+    itertools.combinations(range(BLOCKS), PREFIX_BLOCKS)
+)
+# pigeonhole guarantee: recall is exact for hamming <= BLOCKS - PREFIX_BLOCKS
+GUARANTEED_HAMMING = BLOCKS - PREFIX_BLOCKS
 
 
 # 20-bit counter lanes, 3 packed per 64-bit sum (top lane shifted by 40).
@@ -93,9 +116,25 @@ def simhash_fingerprints(
     return sums.select("id", fingerprint.alias("simhash"))
 
 
-def _chunk_banded(fp: DataFrame) -> DataFrame:
-    """(id, simhash, chunk, val) — the fingerprint table exploded into its
-    CHUNKS pigeonhole bands (chunk index + 15-bit chunk value)."""
+def _band_val(blocks: tuple[int, ...]):
+    """30-bit band key Column: the 10-bit block values of ``blocks``
+    concatenated low-to-high. Pure bit arithmetic on the bigint
+    fingerprint — replayed verbatim by the SQL twin."""
+    val = None
+    for pos, blk in enumerate(blocks):
+        piece = F.shiftleft(
+            F.shiftright(F.col("simhash"), blk * BLOCK_BITS).bitwiseAND(
+                F.lit(BLOCK_MASK)
+            ),
+            pos * BLOCK_BITS,
+        )
+        val = piece if val is None else val + piece
+    return val
+
+
+def _banded(fp: DataFrame) -> DataFrame:
+    """(id, simhash, band, val) — the fingerprint table exploded into its
+    20 Manku-table probes (band index + 30-bit band key)."""
     return fp.select(
         "id",
         "simhash",
@@ -103,68 +142,113 @@ def _chunk_banded(fp: DataFrame) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * CHUNK_BITS)
-                        .bitwiseAND(F.lit(CHUNK_MASK))
-                        .alias("val"),
+                        F.lit(t).alias("band"),
+                        _band_val(blocks).alias("val"),
                     )
-                    for c in range(CHUNKS)
+                    for t, blocks in enumerate(BAND_BLOCKS)
                 ]
             )
-        ).alias("cv"),
-    ).select("id", "simhash", "cv.chunk", "cv.val")
+        ).alias("bv"),
+    ).select("id", "simhash", "bv.band", "bv.val")
 
 
 def simhash_signature_store(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, simhash, chunk, val) — the persistable simhash index of a
+    """(id, simhash, band, val) — the persistable simhash index of a
     corpus, mirroring minhash_signature_store: write it bucketed by
-    (chunk, val) and incremental batches join against it WITHOUT
+    (band, val) and incremental batches join against it WITHOUT
     re-fingerprinting the corpus. Unlike the minhash store, this one
     carries everything verification needs (the 60-bit fingerprint), so
     the incremental path emits FINAL pairs, not just candidates."""
-    return _chunk_banded(simhash_fingerprints(docs, id_col, text_col))
+    return _banded(simhash_fingerprints(docs, id_col, text_col))
+
+
+def _pairs_from_buckets(
+    tagged: DataFrame,
+    max_hamming: int,
+    max_bucket_size: int | None,
+    require_new: bool,
+) -> DataFrame:
+    """(id_a, id_b, hamming) from a (band, val, id, simhash[, is_new])
+    table: ONE shuffle — group each (band, val) to a sorted struct array,
+    drop buckets above the cap, and emit intra-array pairs with array
+    expressions. Hamming verification runs INSIDE the explode projection
+    (map-side, before the distinct), so shuffle volume after the groupBy
+    tracks true near-dups, not collisions."""
+    fields = ["id", "simhash"] + (["is_new"] if require_new else [])
+    buckets = tagged.groupBy("band", "val").agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("rows")
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("rows") <= max_bucket_size)
+    buckets = buckets.filter(F.size("rows") >= 2)
+
+    def pair(x, y):
+        cols = [
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                "hamming"
+            ),
+        ]
+        if require_new:
+            cols.append((x["is_new"] | y["is_new"]).alias("any_new"))
+        return F.struct(*cols)
+
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("rows"),
+            lambda x, i: F.transform(
+                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
+                lambda y: pair(x, y),
+            ),
+        )
+    )
+    out = explode_nonempty(buckets, [], pair_structs, "p").filter(
+        (F.col("p.hamming") <= max_hamming)
+        & (F.col("p.id_a") != F.col("p.id_b"))
+    )
+    if require_new:
+        out = out.filter(F.col("p.any_new"))
+    return out.select("p.id_a", "p.id_b", "p.hamming").distinct()
 
 
 def incremental_simhash_pairs(
     new_store: DataFrame,
     stored_store: DataFrame,
     max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-dup pairs INVOLVING a new batch: the
-    daily-increment shape. new x stored pairs come from a chunk-bucket
+    daily-increment shape. new x stored pairs come from a band-bucket
     equi-join against the persisted index, plus new x new — never
     stored x stored (already deduped). Verification is pure fingerprint
     arithmetic over columns both stores carry, so stored documents are
     never re-read. Equals the full-recompute pair set restricted to
-    pairs with at least one new id (pinned by test)."""
+    pairs with at least one new id (pinned by test).
 
-    def pairs(a: DataFrame, b: DataFrame, strict: bool) -> DataFrame:
-        cond = (F.col("a.chunk") == F.col("b.chunk")) & (
-            F.col("a.val") == F.col("b.val")
-        )
-        cond = cond & (
-            (F.col("a.id") < F.col("b.id"))
-            if strict
-            else (F.col("a.id") != F.col("b.id"))
-        )
-        return (
-            a.alias("a")
-            .join(b.alias("b"), cond)
-            .select(
-                F.least("a.id", "b.id").alias("id_a"),
-                F.greatest("a.id", "b.id").alias("id_b"),
-                F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-                ).alias("hamming"),
-            )
-        )
-
-    out = pairs(new_store, stored_store, strict=False).unionByName(
-        pairs(new_store, new_store, strict=True)
+    Same ONE-shuffle shape as minhash.incremental_candidate_pairs: the
+    stored side is semi-joined (broadcast of the new batch's DISTINCT
+    bucket list) down to the buckets the new batch touches, rows are
+    tagged new/stored, and pairs come from per-bucket sorted arrays.
+    The cap applies to the COMBINED bucket population, like the
+    one-shot path; every stored row of a touched bucket survives the
+    semi-join, so the cap sees the full population."""
+    new_buckets = new_store.select("band", "val").distinct()
+    stored_touched = stored_store.join(
+        F.broadcast(new_buckets), ["band", "val"], "left_semi"
     )
-    return out.filter(F.col("hamming") <= max_hamming).distinct()
+    tagged = stored_touched.select(
+        "id", "simhash", "band", "val", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_store.select(
+            "id", "simhash", "band", "val", F.lit(True).alias("is_new")
+        )
+    )
+    return _pairs_from_buckets(
+        tagged, max_hamming, max_bucket_size, require_new=True
+    )
 
 
 def simhash_near_duplicates(
@@ -173,46 +257,28 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     cache_fingerprints: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
-    Banding into 4 15-bit chunks guarantees recall for max_hamming <= 3
-    (pigeonhole); larger thresholds need more chunks.
+    The 20-table Manku banding guarantees recall for max_hamming <=
+    GUARANTEED_HAMMING (= 3); larger thresholds keep the probes but the
+    guarantee lapses (a pair flipping bits in 4+ blocks can be missed).
+    ``max_bucket_size`` (default DEFAULT_MAX_BUCKET, None disables)
+    drops degenerate buckets — at 30 bits per band key those are
+    identical-fingerprint hubs, i.e. exact-duplicate clusters that
+    collide on every band and would contribute B^2/2 pairs each; members
+    of a dropped bucket can still meet through another band only if they
+    differ somewhere, so the cap trades hub recall for a hard bound on
+    candidate volume, exactly like minhash's documented cap.
 
-    ``cache_fingerprints``: both sides of the candidate self-join read
-    the fingerprint pipeline; True persists it so the scan+explode+md5
-    aggregation runs once instead of once per side — the right call when
-    the corpus scan is the dominant cost (real 100 TB runs). Default
-    False: a clean fresh-JVM A/B at sf0.1 measures the two within noise
-    (cached plans pin partitioning away from AQE but skip recompute), so
-    the default keeps cache memory free across many-query sessions and
-    scan-bound corpora opt in.
-    """
+    ``cache_fingerprints``: pair generation reads the fingerprint
+    pipeline ONCE (groupBy + in-array expansion — the old banded
+    self-join read it twice), so the persist now only helps callers who
+    reuse the plan across queries; kept for API compatibility."""
     fp = simhash_fingerprints(docs, id_col, text_col)
     if cache_fingerprints:
         fp = fp.persist()
-    chunks = _chunk_banded(fp)
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    # Hamming verification runs BEFORE the pair-dedup distinct: it is a
-    # pure function of the pair, and at real scale most chunk collisions
-    # are false positives — filtering first keeps them out of the
-    # distinct's shuffle entirely (map-side, inside the join's codegen
-    # stage), so shuffle volume tracks true near-dups, not collisions.
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _pairs_from_buckets(
+        _banded(fp), max_hamming, max_bucket_size, require_new=False
     )

@@ -222,14 +222,18 @@ def curate_documents(
         # scrub collapses line structure. Narrow one-scan projection.
         from ..operators.qualityrules import c4_clean_lines
 
-        cleaned = c4_clean_lines(cur, id_col=id_col, text_col=text_col)
-        cur = (
-            cleaned.filter(~F.col("c4_page_drop"))
-            .select("id", F.col("c4_text").alias(text_col))
-            .join(cur.select(F.col(id_col).alias("id"), source_col), "id")
-            .select(
-                F.col("id").alias(id_col), text_col, source_col,
-            )
+        # source rides through extra_cols (as in curate_increment) — a
+        # join-back onto `cur` would re-execute the whole upstream
+        # pipeline (URL dedup, decontamination, span dedup) on the
+        # second join branch, the documented join-back anti-pattern
+        cleaned = c4_clean_lines(
+            cur, id_col=id_col, text_col=text_col,
+            extra_cols=(source_col,),
+        )
+        cur = cleaned.filter(~F.col("c4_page_drop")).select(
+            F.col("id").alias(id_col),
+            F.col("c4_text").alias(text_col),
+            source_col,
         )
     # The per-doc script flag (9 regexp_count scans) is materialized
     # INSIDE the scrubbed projection in auto mode, so it is evaluated

@@ -32,7 +32,7 @@ from ..operators.minhash import DEFAULT_MAX_BUCKET, minhash_near_duplicates
 from ..operators.decontaminate import contamination_containment
 from ..operators.shingles import jaccard_pairs
 from ..operators.simhash import BITS as SIMHASH_BITS
-from ..operators.simhash import CHUNK_BITS, CHUNK_MASK, CHUNKS
+from ..operators.simhash import BAND_BLOCKS, BLOCK_BITS, BLOCK_MASK
 from ..operators.simhash import simhash_near_duplicates
 from ..operators.similarity import cosine_pairs_bucketed
 from ..operators.xplode import explode_nonempty
@@ -51,6 +51,9 @@ EMB_DIM = 64
 DECON_N = 8  # the standard 8-gram contamination rule
 DECON_BENCH_MOD = 100  # doc_id % 100 == 0 plays the "benchmark" set
 DECON_CONTAIN_PCT = 50  # containment rule: >=50% of a bench item's 8-grams
+
+PR_ITERS = 5  # pagerank arm: fixed rounds -> fixed shuffle budget + an
+PR_DAMPING = 0.85  # unrollable oracle (the BPE-loop precedent)
 
 
 def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,8 +153,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-60 near-dup pairs with Hamming <= 3 (operators/simhash.py).
-    Full oracle: DuckDB recomputes the identical fingerprints."""
+    """SimHash-60 near-dup pairs with Hamming <= 3 (operators/simhash.py):
+    20 Manku band probes (30-bit keys), buckets capped at
+    DEFAULT_MAX_BUCKET. Full oracle: DuckDB recomputes the identical
+    fingerprints, probes, and cap."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
 
@@ -208,21 +213,70 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: transitive closure over the MINHASH near-dup
-    edges (the scale-safe edge set) via alternating large-star/small-star
-    contraction (operators/components.py — O(log n) rounds on any graph
-    shape, so an adversarial chain in the edges cannot blow the round
-    count; pinned result-identical to min-label propagation). Every doc
-    gets (cluster_id = min doc_id in component, is_keeper). Oracle:
-    recursive CTE reachability over the replayed minhash pairs."""
+    """Graph pack: the two iterative graph operators, union-tagged.
+
+    'component' rows — near-dup clustering: transitive closure over the
+    MINHASH near-dup edges (the scale-safe edge set) via alternating
+    large-star/small-star contraction (operators/components.py —
+    O(log n) rounds on any graph shape, so an adversarial chain in the
+    edges cannot blow the round count; pinned result-identical to
+    min-label propagation). Every doc gets cluster_id = min doc_id in
+    component; the keeper flag is derivable (node = cluster_id) and is
+    NOT carried — a NULL boolean is the one type the engines' pandas
+    bridges disagree on (None vs NaN in an object column), while NULL
+    BIGINT/DOUBLE have green precedent (dedup_exact_pack's b column).
+    Oracle: recursive CTE reachability over the replayed minhash pairs.
+
+    'pagerank' rows — operators/pagerank.py over a deterministic
+    synthetic link graph on the doc ids (two out-links per non-dangling
+    doc, every third doc dangling — the tests/test_pagerank.py parity
+    graph), PR_ITERS rounds. rank_scaled = round(rank * n_docs, 6):
+    scaling to ~1.0 before rounding pins ~6 significant figures while
+    leaving ~7 orders of margin over the cross-engine FP summation
+    noise (~1e-13 abs — the r6 float-determinism recipe; exact-decimal
+    folds are impossible for 1/n seeds, so this arm rounds like the
+    cosine arms do). Oracle: unrolled MATERIALIZED CTE chain rendered
+    from the same constants (the BPE-loop precedent)."""
     from ..operators.components import dedup_clusters
+    from ..operators.pagerank import pagerank
 
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(
         d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
         threshold_pct=JACCARD_PCT,
     )
-    return dedup_clusters(d, pairs.select("id_a", "id_b"), "doc_id")
+    comp_rows = dedup_clusters(
+        d, pairs.select("id_a", "id_b"), "doc_id"
+    ).select(
+        F.lit("component").alias("arm"),
+        F.col("doc_id").alias("node"),
+        "cluster_id",
+        F.lit(None).cast("double").alias("rank_scaled"),
+    )
+    # one-row aggregate -> driver SCALAR (n_docs feeds the edge moduli
+    # and the rank scaling) — bounded, never data-sized, the same
+    # contract as pagerank's own per-round dangling-mass collect; a
+    # crossJoin scalar attach would put a BroadcastNestedLoopJoin in a
+    # plan the no-theta-join hygiene test pins clean
+    n_docs = d.count()
+    edges = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % n_docs).alias("dst"),
+    ).unionAll(
+        d.filter(F.col("doc_id") % 3 == 1).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % n_docs).alias("dst"),
+        )
+    )
+    pr_rows = pagerank(
+        edges, iterations=PR_ITERS, damping=PR_DAMPING
+    ).select(
+        F.lit("pagerank").alias("arm"),
+        "node",
+        F.lit(None).cast("bigint").alias("cluster_id"),
+        F.round(F.col("rank") * n_docs, 6).alias("rank_scaled"),
+    )
+    return comp_rows.unionByName(pr_rows)
 
 
 # dedup_jaccard_pairs re-entered the registry in round 4: the round-3
@@ -326,7 +380,13 @@ def _minhash_pairs_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
 
 
 def _simhash_sql() -> str:
-    """DuckDB CTE chain replaying simhash_near_duplicates exactly."""
+    """DuckDB CTE chain replaying simhash_near_duplicates exactly:
+    fingerprints, the 20 Manku band probes (every 3-subset of the 6
+    10-bit blocks, concatenated low-to-high — rendered from the SAME
+    BAND_BLOCKS constant the Spark operator enumerates), and the
+    bucket cap. fp/bands are MATERIALIZED: DuckDB inlines CTEs, and fp
+    is referenced once per band arm (20x the fingerprint aggregation
+    without it)."""
     h = _DUCK_MD5_15.format(s="tok")
     bit_sums = ",\n               ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -336,10 +396,15 @@ def _simhash_sql() -> str:
         f"(CASE WHEN b{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
-    chunk_arms = "\n            UNION ALL\n            ".join(
-        f"SELECT id, simhash, {c} AS chunk, "
-        f"(simhash >> {c * CHUNK_BITS}) & {CHUNK_MASK} AS val FROM fp"
-        for c in range(CHUNKS)
+    band_arms = "\n            UNION ALL\n            ".join(
+        f"SELECT id, simhash, {t} AS band, "
+        + " | ".join(
+            f"(((simhash >> {blk * BLOCK_BITS}) & {BLOCK_MASK})"
+            f" << {pos * BLOCK_BITS})"
+            for pos, blk in enumerate(blocks)
+        )
+        + " AS val FROM fp"
+        for t, blocks in enumerate(BAND_BLOCKS)
     )
     return f"""
         toks AS (SELECT doc_id AS id,
@@ -349,12 +414,61 @@ def _simhash_sql() -> str:
         bs AS (SELECT id,
                {bit_sums}
             FROM th GROUP BY id),
-        fp AS (SELECT id,
+        fp AS MATERIALIZED (SELECT id,
                  {fp}
                AS simhash FROM bs),
-        chunks AS (
-            {chunk_arms}
-        )"""
+        sbands AS MATERIALIZED (
+            {band_arms}
+        ),
+        skept AS (SELECT band, val FROM sbands
+                  GROUP BY band, val
+                  HAVING count(*) <= {DEFAULT_MAX_BUCKET}),
+        sbk AS (SELECT sbands.id, sbands.simhash, sbands.band, sbands.val
+                FROM sbands JOIN skept USING (band, val))"""
+
+
+def pagerank_unrolled_ctes(
+    n_iter: int, damping: float, edges_rel: str
+) -> str:
+    """CTE bodies (no WITH) unrolling ``n_iter`` damped power-iteration
+    rounds over ``edges_rel`` (src, dst); pr_r{n_iter} is (node, deg,
+    rank). MATERIALIZED throughout: DuckDB inlines CTEs and every round
+    references its predecessor twice (contributions + dangling mass), so
+    an inlined chain re-expands the whole prefix per reference. Shared
+    with tests/test_pagerank.py so the pytest twin and the driver-gate
+    oracle render ONE chain."""
+    ctes = [
+        f"""pr_e AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v
+                FROM {edges_rel}
+                WHERE src IS NOT NULL AND dst IS NOT NULL),
+        pr_nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT u AS node FROM pr_e UNION SELECT v FROM pr_e)),
+        pr_nn AS MATERIALIZED (SELECT count(*) AS n FROM pr_nodes),
+        pr_base AS MATERIALIZED (
+            SELECT node, deg FROM pr_nodes LEFT JOIN (
+                SELECT u AS node, count(*) AS deg FROM pr_e GROUP BY 1)
+            USING (node)),
+        pr_r0 AS MATERIALIZED (
+            SELECT node, deg,
+                   CAST(1.0 AS DOUBLE) / (SELECT n FROM pr_nn) AS rank
+            FROM pr_base)"""
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        ctes.append(f"""pr_r{k} AS MATERIALIZED (
+            SELECT b.node, b.deg,
+                   (1 - {damping}) / (SELECT n FROM pr_nn)
+                   + {damping} * (coalesce(c._c, 0)
+                       + coalesce((SELECT sum(rank) FROM pr_r{p}
+                                   WHERE deg IS NULL), 0)
+                         / (SELECT n FROM pr_nn)) AS rank
+            FROM pr_base b LEFT JOIN (
+                SELECT pr_e.v AS node, sum(r.rank / r.deg) AS _c
+                FROM pr_r{p} r JOIN pr_e ON r.node = pr_e.u
+                GROUP BY pr_e.v) c
+            USING (node))""")
+    return ",\n        ".join(ctes)
 
 
 def _cosine_bucketed_sql() -> str:
@@ -460,8 +574,8 @@ ORACLE = {
         WITH {_simhash_sql()}
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        FROM chunks a JOIN chunks b
-          ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+        FROM sbk a JOIN sbk b
+          ON a.band = b.band AND a.val = b.val AND a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "dedup_embedding_cosine": f"""
@@ -486,10 +600,24 @@ ORACLE = {
             UNION
             SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
         ),
-        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-        SELECT d.doc_id,
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        prn AS MATERIALIZED (SELECT count(*) AS n_docs FROM documents),
+        predges AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   (doc_id * 7 + 1) % (SELECT n_docs FROM prn) AS dst
+            FROM documents WHERE doc_id % 3 != 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % (SELECT n_docs FROM prn)
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        {pagerank_unrolled_ctes(PR_ITERS, PR_DAMPING, "predges")}
+        SELECT 'component' AS arm, d.doc_id AS node,
                coalesce(c.component, d.doc_id) AS cluster_id,
-               d.doc_id = coalesce(c.component, d.doc_id) AS is_keeper
+               CAST(NULL AS DOUBLE) AS rank_scaled
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        UNION ALL
+        SELECT 'pagerank', node, CAST(NULL AS BIGINT),
+               round(rank * (SELECT n_docs FROM prn), 6)
+        FROM pr_r{PR_ITERS}
     """,
 }

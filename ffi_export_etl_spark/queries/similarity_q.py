@@ -157,11 +157,26 @@ PQ_CODEBOOKS = {
 }
 
 
-def _pq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import pq_encode, pq_topk
+# --- 'ivfpq' arm (r7): coarse-prune -> ADC, the composed billion-
+# vector serving shape (operators/pq.ivfpq_topk). FIXED literal coarse
+# centroids (exact-binary quarter rationals, like the PQ codebooks) pin
+# the STORED-ARTIFACT path: the cell map derives from the literal
+# centroids via the shared probe contract (rounded cosine, cell
+# tiebreak), queries probe IVFPQ_NPROBE cells, and ADC ranks only codes
+# inside probed cells. Oracle = the exhaustive-ADC CTEs RESTRICTED to
+# probed cells before ranking — pinning exactly the equality
+# tests/test_pq.py asserts (restriction-then-rank, never rank-then-
+# filter) as a driver row.
+IVFPQ_CELLS = 6
+IVFPQ_NPROBE = 2
+IVFPQ_CENTROIDS = [
+    [(((c + 3) * (i + 2) + 1) % 13 - 6) / 4.0 for i in range(DIM)]
+    for c in range(IVFPQ_CELLS)
+]
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cb = spark.createDataFrame(
+
+def _pq_codebooks_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
         [
             (s, c, PQ_CODEBOOKS[(s, c)])
             for s in range(PQ_M)
@@ -169,6 +184,47 @@ def _pq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "sub int, cell int, centroid array<double>",
     )
+
+
+def _ivfpq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_topk, pq_encode
+    from ..operators.similarity import as_double, probe_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_df(spark)
+    codes = pq_encode(e, cb, DIM, m=PQ_M)
+    cents = spark.createDataFrame(
+        [(c, IVFPQ_CENTROIDS[c]) for c in range(IVFPQ_CELLS)],
+        "cell int, centroid array<double>",
+    )
+    # fixed-artifact cell map: each corpus vector to its nearest literal
+    # centroid — probe_cells with nprobe=1 is exactly the assignment
+    # pass, so the map and the query probes share one contract
+    v = e.select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    cells = probe_cells(v, cents, 1).select(
+        F.col("query_id").alias("id"), "cell"
+    )
+    top = ivfpq_topk(
+        None, codes, cb, _queries_df(e), dim=DIM, cells=cells,
+        centroids=cents, nprobe=IVFPQ_NPROBE, k=TOPK, m=PQ_M,
+    )
+    return top.select(
+        F.lit("ivfpq").alias("kind"),
+        "query_id",
+        "nbr_id",
+        F.col("adc_dist").alias("cos"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+def _pq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_df(spark)
     codes = pq_encode(e, cb, DIM, m=PQ_M)
     top = pq_topk(codes, cb, _queries_df(e), k=TOPK, dim=DIM, m=PQ_M)
     return top.select(
@@ -218,10 +274,12 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlabeled data, 'pcasem' (r6) projects embeddings onto a fixed
     literal PCA basis and reports within-grid-cell semantic near-dup
     pairs, 'pq' (r6) encodes the corpus against fixed literal codebooks
-    and ranks by ADC lookup-sum distance (operators/pq.py). Same
-    (query_id, nbr_id, cos, rnk) grain — 'pcasem' carries the cell id
-    in rnk, 'pq' carries the ascending ADC distance in cos; each arm's
-    oracle is unchanged, just tagged."""
+    and ranks by ADC lookup-sum distance (operators/pq.py), 'ivfpq'
+    (r7) composes the coarse-prune -> ADC serving path over the same
+    codebooks + fixed literal coarse centroids. Same (query_id, nbr_id,
+    cos, rnk) grain — 'pcasem' carries the cell id in rnk, 'pq'/'ivfpq'
+    carry the ascending ADC distance in cos; each arm's oracle is
+    unchanged, just tagged."""
     # (the 'pq' arm rides the same grain: cos carries the ADC distance,
     # ascending — kind disambiguates)
     ivf = ann_topk_ivf(spark, sf_dir).select(
@@ -234,6 +292,7 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf.unionByName(km)
         .unionByName(_pcasem_arm(spark, sf_dir))
         .unionByName(_pq_arm(spark, sf_dir))
+        .unionByName(_ivfpq_arm(spark, sf_dir))
     )
 
 
@@ -425,10 +484,12 @@ def _pcasem_sql() -> str:
     """
 
 
-def _pq_sql() -> str:
-    """The 'pq' arm's oracle: literal codebooks -> per-sub argmin encode
-    -> query LUT -> ADC sum in sub order (list_reduce over list_sort =
-    the operator's F.aggregate over array_sort, same add sequence)."""
+def _pq_core_ctes() -> str:
+    """Shared exhaustive-ADC CTE chain (through ``adc``): literal
+    codebooks -> per-sub argmin encode -> query LUT -> ADC sum in sub
+    order (list_reduce over list_sort = the operator's F.aggregate over
+    array_sort, same add sequence). Used by the 'pq' arm directly and
+    by the 'ivfpq' arm with a probed-cell restriction."""
     cb_rows = ", ".join(
         f"({s}, {c}, [{', '.join(repr(x) for x in PQ_CODEBOOKS[(s, c)])}])"
         for s in range(PQ_M)
@@ -441,7 +502,6 @@ def _pq_sql() -> str:
         " (x - cb.cen[i]) * (x - cb.cen[i])), (a, b) -> a + b)"
     )
     return f"""
-        WITH {_VN},
         subs(sub) AS (VALUES {", ".join(f"({s})" for s in range(PQ_M))}),
         cb(sub, cell, cen) AS (VALUES {cb_rows}),
         sv AS MATERIALIZED (
@@ -461,7 +521,7 @@ def _pq_sql() -> str:
                    round({sqd.format(sv="sv.svv")}, 6) AS d
             FROM sv JOIN cb ON sv.sub = cb.sub
             WHERE sv.vec_id < {N_QUERIES}),
-        adc AS (
+        adc AS MATERIALIZED (
             SELECT l.query_id, e.vec_id AS nbr_id,
                    round(list_reduce(
                        list_transform(
@@ -472,12 +532,68 @@ def _pq_sql() -> str:
             FROM enc e
             JOIN lut l ON e.sub = l.sub AND e.cell = l.cell
             WHERE e.vec_id != l.query_id
-            GROUP BY l.query_id, e.vec_id)
+            GROUP BY l.query_id, e.vec_id)"""
+
+
+def _pq_sql() -> str:
+    """The 'pq' arm's oracle: exhaustive ADC, ranked."""
+    return f"""
+        WITH {_VN},
+        {_pq_core_ctes()}
         SELECT query_id, nbr_id, cos, CAST(rnk AS INTEGER) AS rnk
         FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                           ORDER BY cos, nbr_id) AS rnk
             FROM adc
+        ) WHERE rnk <= {TOPK}
+    """
+
+
+def _ivfpq_sql() -> str:
+    """The 'ivfpq' arm's oracle: the SAME exhaustive-ADC chain,
+    restricted to (query, nbr) pairs whose nbr sits in one of the
+    query's IVFPQ_NPROBE probed cells, THEN ranked — the
+    restriction-before-rank semantics ivfpq_topk implements (an
+    out-of-probe candidate must never occupy a top-k slot). Cell map
+    and probes both derive from the literal coarse centroids via the
+    one probe contract (rounded cosine DESC, cell tiebreak)."""
+    cent_rows = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in IVFPQ_CENTROIDS[c])}])"
+        for c in range(IVFPQ_CELLS)
+    )
+    probe_rank = """row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.vv, c.cent)
+                                          / (q.nrm * c.cnrm), 6) DESC,
+                                    c.cell)"""
+    return f"""
+        WITH {_VN},
+        {_pq_core_ctes()},
+        ivfc(cell, cent) AS (VALUES {cent_rows}),
+        ivfc_n AS (SELECT cell, cent,
+                          sqrt(list_sum(list_transform(cent, x -> x * x)))
+                              AS cnrm
+                   FROM ivfc),
+        icell AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+                SELECT q.vec_id, c.cell, {probe_rank} AS rk
+                FROM n q CROSS JOIN ivfc_n c
+            ) WHERE rk = 1),
+        iprobes AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell, {probe_rank} AS crnk
+                FROM n q CROSS JOIN ivfc_n c
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE crnk <= {IVFPQ_NPROBE})
+        SELECT query_id, nbr_id, cos, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT adc.query_id, adc.nbr_id, adc.cos,
+                   row_number() OVER (PARTITION BY adc.query_id
+                                      ORDER BY adc.cos, adc.nbr_id) AS rnk
+            FROM adc
+            JOIN icell ic ON ic.vec_id = adc.nbr_id
+            JOIN iprobes p ON p.query_id = adc.query_id
+                          AND p.cell = ic.cell
         ) WHERE rnk <= {TOPK}
     """
 
@@ -502,6 +618,8 @@ ORACLE = {
         SELECT 'pcasem' AS kind, * FROM ({_pcasem_sql()})
         UNION ALL
         SELECT 'pq' AS kind, * FROM ({_pq_sql()})
+        UNION ALL
+        SELECT 'ivfpq' AS kind, * FROM ({_ivfpq_sql()})
     """,
     "ann_label_centroids": """
         WITH flat AS (

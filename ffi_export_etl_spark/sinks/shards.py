@@ -139,6 +139,44 @@ def write_training_shards(
     return spark.read.parquet(os.path.join(path, "_manifest")).orderBy("file")
 
 
+def _stat_file_bytes(files: list[str]) -> list[tuple[str, int | None]]:
+    """Per-file byte sizes via the pyarrow filesystem resolved from each
+    path's scheme, so object-store shards (s3://, hdfs://) get REAL byte
+    checks — an os.stat-only version returned NULL for every non-local
+    file and verify_training_shards silently waived the size comparison,
+    leaving truncation detection to the digest alone. Falls back to a
+    local stat, then NULL (the verifier treats NULL as unchecked)."""
+    norm: list[str] = []
+    for f in files:
+        local = f
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+            while local.startswith("//"):
+                local = local[1:]
+        norm.append(local)
+    try:
+        from pyarrow import fs as pafs
+
+        out: list[tuple[str, int | None]] = []
+        for f in norm:
+            filesystem, path = pafs.FileSystem.from_uri(f)
+            info = filesystem.get_file_info(path)
+            out.append((
+                os.path.basename(path),
+                info.size if info.type == pafs.FileType.File else None,
+            ))
+        return out
+    except Exception:
+        pass
+    sizes: list[tuple[str, int | None]] = []
+    for local in norm:
+        try:
+            sizes.append((os.path.basename(local), os.path.getsize(local)))
+        except OSError:
+            sizes.append((os.path.basename(local), None))
+    return sizes
+
+
 def _shard_digests(written: DataFrame, files: list[str]) -> DataFrame:
     """(file, row_digest, file_bytes): order-insensitive per-file row
     digest (sum of 32-bit md5 prefixes of each row's JSON rendering —
@@ -165,17 +203,7 @@ def _shard_digests(written: DataFrame, files: list[str]) -> DataFrame:
             F.count(F.lit(1)).alias("digest_rows"),
         )
     )
-    sizes = []
-    for f in files:
-        local = f
-        if local.startswith("file:"):
-            local = local[len("file:"):]
-            while local.startswith("//"):
-                local = local[1:]
-        try:
-            sizes.append((os.path.basename(local), os.path.getsize(local)))
-        except OSError:
-            sizes.append((os.path.basename(local), None))
+    sizes = _stat_file_bytes(files)
     spark = written.sparkSession
     return digest.join(
         spark.createDataFrame(sizes, "file string, file_bytes long"),

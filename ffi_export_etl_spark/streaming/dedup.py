@@ -229,7 +229,7 @@ def compact_store(
     per-batch_id files -> ONE bucketed catalog table on the store's join
     key, so the daily increment join co-locates without shuffling the
     stored side. The bucket columns follow the family's JOIN KEY exactly
-    — (band, bucket) for minhash/sign-LSH, (chunk, val) for simhash, the
+    — (band, bucket) for minhash/sign-LSH, (band, val) for simhash, the
     digest for the exact store; bucketing on any extra column (e.g. the
     simhash fingerprint carried for verification) would misalign the
     bucket hash with the equi-join and silently reinstate the stored-
@@ -241,7 +241,7 @@ def compact_store(
 
     store = spark.read.parquet(store_path)
     cols = [c for c in store.columns if c != "batch_id"]
-    for join_key in (("band", "bucket"), ("chunk", "val"), ("key",)):
+    for join_key in (("band", "bucket"), ("band", "val"), ("key",)):
         if set(join_key) <= set(cols):
             bucket_cols = list(join_key)
             break

@@ -94,7 +94,7 @@ def test_signature_store_disk_roundtrip_incremental(spark, sf_small):
 
 
 def test_simhash_store_disk_roundtrip_incremental(spark, sf_small):
-    """simhash signature store written bucketed on (chunk, val), read
+    """simhash signature store written bucketed on (band, val), read
     back, incremental pairs against the ON-DISK store == in-memory."""
     from ffi_export_etl_spark.operators.simhash import (
         incremental_simhash_pairs,
@@ -111,7 +111,7 @@ def test_simhash_store_disk_roundtrip_incremental(spark, sf_small):
         for r in incremental_simhash_pairs(newb, stored).collect()
     }
 
-    write_bucketed(stored, "simhash_store_b", ["chunk", "val"], 8)
+    write_bucketed(stored, "simhash_store_b", ["band", "val"], 8)
     try:
         from_disk = {
             (r["id_a"], r["id_b"], r["hamming"])

@@ -56,39 +56,16 @@ def test_duplicate_edges_collapse_and_empty(spark):
 
 
 def _unrolled_sql(n_iter: int, d: float, base_rel: str) -> str:
-    """The DuckDB twin: r0..rK as a MATERIALIZED CTE chain (inlined CTEs
-    would re-expand the whole prefix per reference)."""
-    ctes = [
-        f"""e AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v
-                FROM {base_rel}
-                WHERE src IS NOT NULL AND dst IS NOT NULL),
-        nodes AS MATERIALIZED (
-            SELECT DISTINCT node FROM (
-                SELECT u AS node FROM e UNION SELECT v FROM e)),
-        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
-        base AS MATERIALIZED (
-            SELECT node, deg FROM nodes LEFT JOIN (
-                SELECT u AS node, count(*) AS deg FROM e GROUP BY 1)
-            USING (node)),
-        r0 AS MATERIALIZED (
-            SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank
-            FROM base)"""
-    ]
-    for k in range(1, n_iter + 1):
-        p = k - 1
-        ctes.append(f"""r{k} AS MATERIALIZED (
-            SELECT b.node, b.deg,
-                   (1 - {d}) / (SELECT n FROM nn)
-                   + {d} * (coalesce(c._c, 0)
-                       + coalesce((SELECT sum(rank) FROM r{p}
-                                   WHERE deg IS NULL), 0)
-                         / (SELECT n FROM nn)) AS rank
-            FROM base b LEFT JOIN (
-                SELECT e.v AS node, sum(r.rank / r.deg) AS _c
-                FROM r{p} r JOIN e ON r.node = e.u GROUP BY e.v) c
-            USING (node))""")
-    return "WITH " + ",\n".join(ctes) + (
-        f"\nSELECT node, rank FROM r{n_iter}"
+    """The DuckDB twin: ONE renderer shared with the driver-gate oracle
+    (queries/dedup_q.py pagerank_unrolled_ctes — the 'pagerank' arm of
+    dedup_connected_components), so the pytest twin and the gate can
+    never drift apart."""
+    from ffi_export_etl_spark.queries.dedup_q import pagerank_unrolled_ctes
+
+    return (
+        "WITH "
+        + pagerank_unrolled_ctes(n_iter, d, base_rel)
+        + f"\nSELECT node, rank FROM pr_r{n_iter}"
     )
 
 

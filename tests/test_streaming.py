@@ -624,7 +624,7 @@ def test_compact_store_bucketed_roundtrip(spark, tmp_path):
 
 def test_compact_store_simhash_buckets_on_join_key(spark, tmp_path):
     """The simhash store carries the fingerprint for verification; the
-    compacted table must bucket on (chunk, val) — the increment join key
+    compacted table must bucket on (band, val) — the increment join key
     — not on every non-id column."""
     import os
 
@@ -645,7 +645,7 @@ def test_compact_store_simhash_buckets_on_join_key(spark, tmp_path):
         compact_store(spark, store_path, "simstore_compacted")
         desc = spark.sql("DESCRIBE TABLE EXTENDED simstore_compacted").collect()
         info = {r["col_name"]: r["data_type"] for r in desc}
-        assert info.get("Bucket Columns") == "[`chunk`, `val`]", info.get(
+        assert info.get("Bucket Columns") == "[`band`, `val`]", info.get(
             "Bucket Columns"
         )
     finally:
