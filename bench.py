@@ -83,22 +83,33 @@ def main() -> None:
     # Warmup: session, codegen, parquet footer caches.
     queries["q5_local_supplier_volume"](spark, sf_dir).collect()
 
-    # cold pass (first plan + scan) and warm pass (codegen/footers cached)
-    # per query: the warm/cold split separates steady-state engine cost
-    # from one-time JIT/planning, making cross-round ratios meaningful.
+    # cold pass (first plan + scan) and THREE warm passes per query
+    # (codegen/footers cached): the warm/cold split separates steady-
+    # state engine cost from one-time JIT/planning, and the per-query
+    # MEDIAN of 3 warm runs is the round-over-round comparison number —
+    # single-shot warm snapshots on this host spread up to 30% on
+    # identical code (r6 judge measurement), so a lone sample is noise.
+    # Cold stays single-shot: it exists for startup-regression
+    # visibility, not steady-state ratios.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_med3: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        warm[name] = round(time.perf_counter() - t1, 3)
+        samples = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t1)
+        warm[name] = round(samples[0], 3)
+        warm_med3[name] = round(sorted(samples)[1], 3)
         print(
-            f"# {name}: {timings[name]:.3f}s cold / {warm[name]:.3f}s warm "
-            f"({n} rows)",
+            f"# {name}: {timings[name]:.3f}s cold / "
+            f"{warm_med3[name]:.3f}s warm-med3 "
+            f"(samples {', '.join(f'{s:.3f}' for s in samples)}; {n} rows)",
             file=sys.stderr,
         )
 
@@ -171,7 +182,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
+        "queries_warm_med3": warm_med3,
         "value_warm": round(sum(warm.values()), 3),
+        "value_warm_med3": round(sum(warm_med3.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if ffi is not None:

@@ -16,11 +16,15 @@ from ..sources.parquet import table_path
 from ..functions.eventtime import event_timestamp
 from ..streaming.events import (
     events_stream_schema,
+    interval_join_streams,
     read_events_stream,
     run_to_completion,
     stage_with_late_filler,
     windowed_counts,
 )
+
+JOIN_BOUND = "2 hours"  # click -> purchase attribution horizon
+JOIN_BOUND_US = 2 * 3600 * 10**6
 
 
 def stream_5min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,6 +98,49 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_joined_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'joined' arm: watermarked stream-stream interval join — each
+    click joined to the purchases the same user makes within JOIN_BOUND
+    (streaming/events.interval_join_streams), run as a REAL streaming
+    query (two independent file-source streams, availableNow -> memory
+    sink). Inner matches emit as soon as both sides arrive, so on
+    bounded input the drained pair set equals the batch interval join —
+    that equality IS Structured Streaming's incremental-execution
+    promise, and the DuckDB oracle replays it directly. The drained
+    pairs are then reshaped BATCH-side onto the pack grain (5-minute
+    click windows; purchase value sums), so the streaming query under
+    test is the join itself, not a chained stateful aggregation."""
+    events = table_path(sf_dir, "events")
+    clicks = read_events_stream(spark, events).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, events).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams(
+        clicks, purchases, key="user_id",
+        bound=JOIN_BOUND, watermark="30 minutes",
+    )
+    pairs = joined.select(
+        F.col("l.ts_micro").alias("click_ts"),
+        F.col("r.value").alias("purchase_value"),
+    )
+    result = run_to_completion(pairs, output_mode="append")
+    return result.groupBy(
+        F.window("click_ts", "5 minutes").alias("window")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.col("purchase_value").cast("decimal(12,2)")
+        ).alias("value_sum"),
+    ).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        F.lit("click_purchase").alias("event_type"),
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
 def stream_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two windowed-count streaming shapes union-tagged into one slot
     (identical grain: window_start_us, event_type, n_events, value_sum):
@@ -105,8 +152,12 @@ def stream_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows under a 30-minute watermark, the late-data-bounded emission
     contract: only watermark-closed windows appear, exactly once).
 
-    Both arms still run as REAL streaming queries to completion; the fold
-    only unions their batch results, so both emission semantics stay
+    'joined' rows (r7) — stream_joined_counts (watermarked stream-stream
+    interval join, click -> purchase within JOIN_BOUND, reshaped onto
+    the pack grain).
+
+    All arms still run as REAL streaming queries to completion; the fold
+    only unions their batch results, so every emission semantics stays
     driver-pinned while freeing a registry slot (precedent: q_count_pack,
     ann_cell_pack)."""
     tumbling = stream_5min_counts(spark, sf_dir).select(
@@ -115,7 +166,10 @@ def stream_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding = stream_sliding_counts(spark, sf_dir).select(
         F.lit("sliding").alias("arm"), "*"
     )
-    return tumbling.unionByName(sliding)
+    joined = stream_joined_counts(spark, sf_dir).select(
+        F.lit("joined").alias("arm"), "*"
+    )
+    return tumbling.unionByName(sliding).unionByName(joined)
 
 
 QUERIES = {
@@ -128,7 +182,7 @@ QUERIES = {
 # window end <= watermark = micro-truncated max event time - 30 min
 # (integer microsecond arithmetic; <= is the pinned Spark behavior).
 ORACLE = {
-    "stream_window_pack": """
+    "stream_window_pack": f"""
         WITH m AS (SELECT epoch_ns(max(ts)) // 1000 AS max_us FROM events),
         w AS (
             SELECT event_type, value,
@@ -154,6 +208,21 @@ ORACLE = {
         FROM w, m
         GROUP BY 2, 3, m.max_us
         HAVING epoch_us(win_start) + 600000000 <= max_us - 1800000000
+        UNION ALL
+        SELECT 'joined',
+               epoch_us(time_bucket(INTERVAL '5 minutes', l.ts)),
+               'click_purchase',
+               count(*),
+               CAST(sum(CAST(r.value AS DECIMAL(12,2))) AS DOUBLE)
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'click' AND r.event_type = 'purchase'
+         -- compare in MICROS like the stream (ts_micro is the
+         -- micro-truncated event time whatever the physical encoding)
+         AND epoch_ns(r.ts) // 1000 >= epoch_ns(l.ts) // 1000
+         AND epoch_ns(r.ts) // 1000 <= epoch_ns(l.ts) // 1000
+                                       + {JOIN_BOUND_US}
+        GROUP BY 2
     """,
     "stream_dedup_keys": """
         SELECT DISTINCT user_id, event_type FROM events

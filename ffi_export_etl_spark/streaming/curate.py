@@ -140,7 +140,12 @@ def streaming_curate(
     naming the failed checks) and contributes NOTHING to the kept
     corpus or the stores; a later fixed re-drop arrives as a new batch.
     Without ``quarantine_path`` a failing batch raises instead,
-    stopping the stream (fail-fast mode).
+    stopping the stream (fail-fast mode). With ``kept_compact_every``
+    set, the quarantine gets the SAME committed-generation compaction
+    as the kept corpus (triggered on the count of committed quarantine
+    dirs — failing batches are sparse in batch-id space, so the kept
+    sink's id-modulus cadence could never fire for them); read it back
+    with ``read_window_sink`` once compaction is on.
 
     ``profile_store_path``: append one mergeable profile row per batch
     (operators/profile.profile_batch over the batch's KEPT rows, read
@@ -194,14 +199,35 @@ def streaming_curate(
             if msg:
                 if quarantine_path is None:
                     raise ValueError(f"batch {batch_id}: {msg}")
+                cur_slot = bases[kept_path] + batch_id
                 batch.withColumn(
                     "_dq_error", F.lit(msg)
                 ).write.mode("overwrite").parquet(
-                    os.path.join(
-                        quarantine_path,
-                        f"batch_id={bases[kept_path] + batch_id}",
-                    )
+                    os.path.join(quarantine_path, f"batch_id={cur_slot}")
                 )
+                # DLQ compaction parity (r7): a long-failing source
+                # otherwise accumulates one dir per failing batch
+                # forever. Quarantined batches are SPARSE in batch-id
+                # space, so the kept corpus's id-modulus cadence would
+                # never fire for a source failing off-cadence — trigger
+                # on the COUNT of committed quarantine dirs instead
+                # (one driver-side listing per failing batch).
+                if kept_compact_every:
+                    from .events import _sink_ids
+
+                    committed = _sink_ids(
+                        quarantine_path, "batch_id", committed_only=True
+                    )
+                    if (
+                        sum(1 for i in committed if i < cur_slot)
+                        >= kept_compact_every
+                    ):
+                        compact_window_sink(
+                            bs,
+                            quarantine_path,
+                            num_files=kept_files_per_generation,
+                            before_batch=cur_slot,
+                        )
                 return
         # lazy schema templates for the first batch's empty stores
         exact_like = exact_signature_store(batch, id_col, text_col)

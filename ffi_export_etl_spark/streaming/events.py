@@ -314,6 +314,48 @@ def read_window_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    bound: str = "30 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — enrichment-at-ingest
+    (e.g. clicks joined to the purchases that follow them within
+    ``bound``). Both inputs are streams carrying ``ts_micro``
+    (read_events_stream output shape); the join keeps (l, r) pairs with
+    equal ``key`` and ``l.ts_micro <= r.ts_micro <= l.ts_micro +
+    bound``. Columns come back qualified (``l.*`` / ``r.*``).
+
+    State contract (what makes this work on an unbounded 100 TB/day
+    stream): BOTH sides carry an event-time watermark and the join
+    condition bounds each side's usable time range relative to the
+    other, so Spark derives per-side state-eviction thresholds — a
+    buffered left row is dropped once the right watermark passes
+    ``l.ts_micro + bound``, and vice versa; state is O(rows inside the
+    watermark+bound horizon), never the stream prefix. Without the time
+    bound the state would be unbounded (Spark would accept the query
+    and grow until OOM — the silent failure mode this helper exists to
+    prevent). Inner matches emit as soon as both rows have arrived;
+    outer-side NULL extensions (how='leftOuter'/'rightOuter') emit only
+    once the watermark CLOSES the row's join window, one micro-batch
+    late — the same advance-at-batch-boundary rule the sliding-window
+    arm pins (see stage_with_late_filler)."""
+    l = left.withWatermark("ts_micro", watermark).alias("l")
+    r = right.withWatermark("ts_micro", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts_micro") >= F.col("l.ts_micro"))
+        & (
+            F.col("r.ts_micro")
+            <= F.col("l.ts_micro") + F.expr(f"INTERVAL {bound}")
+        )
+    )
+    return l.join(r, cond, how)
+
+
 def run_to_completion(
     aggregated: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

@@ -844,3 +844,175 @@ def test_compaction_ignores_uncommitted_generation(spark, tmp_path):
         ).collect()
     }
     assert got2 == want
+
+
+def _ssj_write_one(spark, tmp_path, src, name, rows, age_s):
+    """Stage one (ts micros, k) parquet file with a pinned mtime so the
+    file source's batch order is deterministic (shared by the
+    stream-stream join tests)."""
+    import os
+    import time as _t
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("ts", LongType()), StructField("k", LongType())]
+    )
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    out = tmp_path / f"_stage_{src.name}_{name}"
+    df.write.mode("overwrite").parquet(str(out))
+    part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+    dst = src / f"{name}.parquet"
+    os.rename(out / part, dst)
+    os.utime(dst, (_t.time() - age_s,) * 2)
+    return dst
+
+
+def _ssj_stream(spark, src):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("ts", LongType()), StructField("k", LongType())]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+        .withColumn("ts_micro", F.timestamp_micros(F.col("ts")))
+    )
+
+
+def test_interval_join_streams_state_eviction_across_batches(
+    spark, tmp_path
+):
+    """The 100 TB contract of the watermarked stream-stream join: state
+    is bounded by the watermark+bound horizon, so a right row arriving
+    AFTER the watermark passed its partner's join window finds nothing
+    (the partner's state was evicted and the row itself is late) — while
+    a pair inside the horizon still matches across batches."""
+    from ffi_export_etl_spark.streaming.events import interval_join_streams
+
+    left_src = tmp_path / "ssj_left"
+    right_src = tmp_path / "ssj_right"
+    left_src.mkdir()
+    right_src.mkdir()
+    base = 1_700_000_000_000_000  # epoch micros
+    m = 60 * 10**6  # one minute of micros
+
+    # batch 0 — left: click k=1 at t=0, control click k=2 at t=55min,
+    # clock k=98 at t=60min; right: clock k=99 at t=60min. The clocks
+    # advance BOTH sides' watermarks (global watermark = min of sides)
+    # to 60min - 10min = 50min without ever joining anything.
+    _ssj_write_one(
+        spark, tmp_path, left_src, "a",
+        [(base, 1), (base + 55 * m, 2), (base + 60 * m, 98)], 3600,
+    )
+    _ssj_write_one(spark, tmp_path, right_src, "a", [(base + 60 * m, 99)], 3600)
+    # batch 1 — fillers (59min): the batch-0 watermark takes effect one
+    # batch later (Spark's documented lag)
+    _ssj_write_one(spark, tmp_path, left_src, "b", [(base + 59 * m, 98)], 1800)
+    _ssj_write_one(spark, tmp_path, right_src, "b", [(base + 59 * m, 99)], 1800)
+    # batch 2 — right: purchase k=1 at t=1min (behind the 50min
+    # watermark: its partner's window closed at 5min, state evicted ->
+    # NO match) + control purchase k=2 at t=57min (inside the horizon:
+    # the 55min click is evictable only once the watermark passes
+    # 55+5=60min, still buffered -> match emits)
+    _ssj_write_one(
+        spark, tmp_path, right_src, "c",
+        [(base + 1 * m, 1), (base + 57 * m, 2)], 0,
+    )
+
+    joined = interval_join_streams(
+        _ssj_stream(spark, left_src),
+        _ssj_stream(spark, right_src),
+        key="k",
+        bound="5 minutes",
+        watermark="10 minutes",
+    ).select(
+        F.col("l.k").alias("k"),
+        F.col("l.ts").alias("l_ts"),
+        F.col("r.ts").alias("r_ts"),
+    )
+    from ffi_export_etl_spark.streaming.events import run_to_completion
+
+    got = {
+        (r["k"], (r["l_ts"] - base) // m, (r["r_ts"] - base) // m)
+        for r in run_to_completion(joined, output_mode="append").collect()
+    }
+    assert got == {(2, 55, 57)}, got
+
+
+def test_interval_join_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once both directions for the stream-stream join: a resume
+    from the SAME checkpoint processes only new files, restores the join
+    STATE (a new purchase matches a click ingested in the previous run),
+    and never re-emits an already-emitted pair."""
+    import os
+
+    from ffi_export_etl_spark.streaming.events import interval_join_streams
+
+    left_src = tmp_path / "cr_left"
+    right_src = tmp_path / "cr_right"
+    left_src.mkdir()
+    right_src.mkdir()
+    base = 1_700_000_000_000_000
+    m = 60 * 10**6
+    ckpt = str(tmp_path / "cr_ckpt")
+    sink_dir = str(tmp_path / "cr_sink")
+
+    def run_once():
+        joined = interval_join_streams(
+            _ssj_stream(spark, left_src),
+            _ssj_stream(spark, right_src),
+            key="k",
+            bound="5 minutes",
+            watermark="30 minutes",
+        ).select(
+            F.col("l.k").alias("k"),
+            F.col("l.ts").alias("l_ts"),
+            F.col("r.ts").alias("r_ts"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _ssj_write_one(
+        spark, tmp_path, left_src, "a",
+        [(base + 10 * m, 1), (base + 20 * m, 2)], 3600,
+    )
+    _ssj_write_one(
+        spark, tmp_path, right_src, "a", [(base + 12 * m, 1)], 3600
+    )
+    run_once()
+    first = {
+        (r["k"], (r["l_ts"] - base) // m, (r["r_ts"] - base) // m)
+        for r in spark.read.parquet(sink_dir).collect()
+    }
+    assert first == {(1, 10, 12)}, first
+
+    # second wave: k=2's purchase matches a click STORED BY RUN 1 (state
+    # restored from the checkpoint); k=3 is entirely new
+    _ssj_write_one(
+        spark, tmp_path, left_src, "b", [(base + 30 * m, 3)], 0
+    )
+    _ssj_write_one(
+        spark, tmp_path, right_src, "b",
+        [(base + 23 * m, 2), (base + 33 * m, 3)], 0,
+    )
+    run_once()
+    rows = spark.read.parquet(sink_dir).collect()
+    got = sorted(
+        (r["k"], (r["l_ts"] - base) // m, (r["r_ts"] - base) // m)
+        for r in rows
+    )
+    # each pair exactly once: run 2 added the two new matches and did
+    # NOT re-emit run 1's pair
+    assert got == [(1, 10, 12), (2, 20, 23), (3, 30, 33)], got
+    assert len(rows) == len(set(got))

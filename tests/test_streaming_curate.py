@@ -490,3 +490,53 @@ def test_streaming_quality_stages(spark, tmp_path):
     # against the wave-1 store, 4 kept, 5 gopher-dropped
     assert set(by_id) == {1, 4}
     assert "<" not in by_id[1] and "var" not in by_id[1]
+
+
+def test_quarantine_compaction_bounds_file_count(spark, tmp_path):
+    """DLQ compaction parity (r7): a long-failing source with
+    kept_compact_every set keeps the quarantine at
+    O(generation + cadence) DIRECTORIES instead of one per failing
+    batch, and the generation-aware reader still sees every quarantined
+    row. Compaction triggers on the COUNT of committed quarantine dirs
+    (failing batches are sparse in batch-id space, so the kept sink's
+    id-modulus cadence could never fire for them)."""
+    import glob
+
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.events import read_window_sink
+
+    src = str(tmp_path / "src_qc")
+    os.makedirs(src, exist_ok=True)
+    n_waves = 6
+    for i in range(n_waves):
+        # every wave carries a duplicate id -> every batch fails the gate
+        spark.createDataFrame(
+            [(10 * i, BASE, "web"), (10 * i, OTHER, "web")],
+            "doc_id: long, text: string, source: string",
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    quarantine = str(tmp_path / "quarantine_qc")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=str(tmp_path / "kept_qc"),
+        exact_store_path=str(tmp_path / "exact_qc"),
+        minhash_store_path=str(tmp_path / "mh_qc"),
+        checkpoint=str(tmp_path / "ckpt_qc"),
+        min_words=5,
+        input_suite=CheckSuite().unique("doc_id"),
+        quarantine_path=quarantine,
+        kept_compact_every=2,
+        kept_files_per_generation=1,
+    )
+    batch_dirs = glob.glob(os.path.join(quarantine, "batch_id=*"))
+    gen_dirs = glob.glob(os.path.join(quarantine, "compacted=*"))
+    # bounded: at most cadence-many loose batch dirs + ONE generation,
+    # never one dir per failing batch
+    assert len(batch_dirs) <= 2, sorted(batch_dirs)
+    assert len(gen_dirs) == 1, sorted(gen_dirs)
+    # compaction folded, never dropped: all 12 quarantined rows readable
+    quar = read_window_sink(spark, quarantine).collect()
+    assert sorted(r["doc_id"] for r in quar) == sorted(
+        [10 * i for i in range(n_waves)] * 2
+    )
+    assert all("unique:doc_id" in r["_dq_error"] for r in quar)
