@@ -1462,3 +1462,68 @@ def test_incremental_simhash_respects_combined_cap(spark):
         ).count()
         == n * (n - 1) // 2 - half * (half - 1) // 2  # minus stored x stored
     )
+
+
+def test_bpe_batched_equals_sequential_in_fewer_rounds(spark, sf_oracle):
+    """The r7 batched merge selection is EXACTLY the sequential trainer
+    — identical ordered merge list AND per-merge counts — while running
+    strictly fewer Spark rounds (the 50k-merge-vocabulary fix: one
+    driver round-trip per merge does not survive a real vocabulary)."""
+    from ffi_export_etl_spark.operators.bpe import (
+        train_bpe_full,
+        word_count_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(200)
+    wc = word_count_table(docs).localCheckpoint()
+    seq_stats: dict = {}
+    seq = train_bpe_full(
+        wc, 24, batch_candidates=1, _stats=seq_stats
+    )
+    bat_stats: dict = {}
+    bat = train_bpe_full(
+        wc, 24, batch_candidates=64, _stats=bat_stats
+    )
+    assert bat == seq  # exact equality: order, pairs, AND counts
+    assert bat_stats["rounds"] < seq_stats["rounds"], (
+        bat_stats, seq_stats,
+    )
+
+
+def test_bpe_approximate_batching_cuts_rounds_same_quality(
+    spark, sf_oracle
+):
+    """exact=False (classic skip-conflicts batching, the 50k-vocab
+    production mode): rounds drop by multiples, and although the merge
+    ORDER may diverge from sequential on tie-heavy corpora (documented
+    in _select_batch — this synthetic corpus is maximally tied), the
+    learned vocabulary compresses the corpus just as well."""
+    from ffi_export_etl_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe_full,
+        word_count_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(200)
+    wc = word_count_table(docs).localCheckpoint()
+    seq_stats: dict = {}
+    seq = train_bpe_full(wc, 32, batch_candidates=1, _stats=seq_stats)
+    ap_stats: dict = {}
+    ap = train_bpe_full(
+        wc, 32, batch_candidates=256, exact=False, _stats=ap_stats
+    )
+    assert ap_stats["rounds"] * 3 <= seq_stats["rounds"], (
+        ap_stats, seq_stats,
+    )
+    assert len(ap) == len(seq)
+
+    def total_tokens(merges):
+        return (
+            apply_bpe(docs, [(a, b) for a, b, _ in merges])
+            .agg(F.sum("n_bpe"))
+            .collect()[0][0]
+        )
+
+    t_seq, t_ap = total_tokens(seq), total_tokens(ap)
+    # equivalent compression: within 2% of the sequential vocabulary
+    assert t_ap <= t_seq * 1.02, (t_ap, t_seq)
