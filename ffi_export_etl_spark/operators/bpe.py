@@ -163,7 +163,19 @@ def _select_batch(
     selected: list[tuple[str, str, int]] = []
     used: set[str] = set()
     for r in cands:
-        if len(selected) >= budget or r["cnt"] < min_pair_count:
+        if len(selected) >= budget:
+            # the budget-cut candidate is as unseen as the (N+1)th: a
+            # created pair could tie it, so it must raise the floor too
+            # (review r7 — without this, the LAST training round of a
+            # tie-heavy corpus could keep a tied pair sequential would
+            # have replaced with a just-created one)
+            floor = max(floor, int(r["cnt"]))
+            break
+        if r["cnt"] < min_pair_count:
+            # safe without a floor bump: every pair a kept merge can
+            # create is bounded by an overlapping candidate, which
+            # either triggered the conflict stop above this line or
+            # ranks below this sub-threshold candidate
             break
         if {r["a"], r["b"]} & used:
             if exact:

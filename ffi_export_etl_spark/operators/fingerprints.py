@@ -149,28 +149,20 @@ def winnow_overlap_pairs(
     # row on top of the real computation (measured 195s vs 3s at
     # sf0.1; operators/xplode.py module docstring).
     fp = explode_nonempty(fingerprints, ["id"], "fingerprints", "h")
-    # sort IN the aggregation (like lsh_candidate_pairs): an unaliased
-    # array_sort referenced from the expansion lambdas would be inlined
-    # and re-evaluated per element (the word_shingles pitfall)
-    buckets = fp.groupBy("h").agg(
-        F.sort_array(F.collect_list("id")).alias("_ids")
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     # per-doc fingerprints are distinct, so a bucket never repeats an
-    # id: sorted in-bucket (i, j>i) expansion gives id_a < id_b strict
-    ids = F.col("_ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids) - i - 1),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
+    # id: the shared sorted in-bucket (i, j>i) expansion gives
+    # id_a < id_b strict (operators/bucketpairs.py — sorting happens IN
+    # the aggregation, the word_shingles inlining pitfall)
+    from .bucketpairs import bucket_pairs
+
     return (
-        explode_nonempty(buckets, [], pairs, "p")
+        bucket_pairs(
+            fp,
+            ["h"],
+            F.col("id"),
+            lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            max_bucket_size,
+        )
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -28,7 +28,7 @@ from ..functions.porthash import (
     perm_coefficients,
     spark_perm,
 )
-from .xplode import explode_nonempty
+from .bucketpairs import bucket_pairs
 from .shingles import build_shingles
 
 # A bucket of B members contributes B^2/2 candidate pairs; a degenerate
@@ -124,22 +124,14 @@ def lsh_candidate_pairs(
     arrays here are bounded by the cap, so per-row memory is bounded too.
     """
     banded = _banded(wide_sigs, bands, rows_per_band)
-    buckets = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        explode_nonempty(buckets.filter(F.size("ids") >= 2), [], pair_structs, "p")
+        bucket_pairs(
+            banded,
+            ["band", "bucket"],
+            F.col("id"),
+            lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            max_bucket_size,
+        )
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -209,30 +201,21 @@ def incremental_candidate_pairs(
     ).unionByName(
         new_banded.select("id", "band", "bucket", F.lit(True).alias("is_new"))
     )
-    buckets = tagged.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.struct("id", "is_new"))).alias("rows")
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("rows") <= max_bucket_size)
-    # every bucket contains >= 1 new row by the semi-join above; only
-    # singleton buckets (a new row with no co-bucketed partner) remain
-    # to drop before expansion
-    buckets = buckets.filter(F.size("rows") >= 2)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("rows"),
-            lambda x, i: F.transform(
-                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    (x["is_new"] | y["is_new"]).alias("any_new"),
-                ),
-            ),
-        )
-    )
+    # every bucket contains >= 1 new row by the semi-join above; the
+    # shared expansion drops the singleton buckets (a new row with no
+    # co-bucketed partner) before expanding
     return (
-        explode_nonempty(buckets, [], pair_structs, "p")
+        bucket_pairs(
+            tagged,
+            ["band", "bucket"],
+            F.struct("id", "is_new"),
+            lambda x, y: F.struct(
+                x["id"].alias("id_a"),
+                y["id"].alias("id_b"),
+                (x["is_new"] | y["is_new"]).alias("any_new"),
+            ),
+            max_bucket_size,
+        )
         .filter(F.col("p.any_new") & (F.col("p.id_a") != F.col("p.id_b")))
         .select("p.id_a", "p.id_b")
         .distinct()

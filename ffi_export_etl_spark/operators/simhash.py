@@ -34,9 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.porthash import md5_long
+from .bucketpairs import bucket_pairs
 from .minhash import DEFAULT_MAX_BUCKET
 from .spread import spread_per_doc
-from .xplode import explode_nonempty
 
 BITS = 60  # 15 hex chars of md5 -> non-negative BIGINT in every engine
 BLOCKS = 6  # 10-bit blocks feeding the band combinations
@@ -171,18 +171,11 @@ def _pairs_from_buckets(
     require_new: bool,
 ) -> DataFrame:
     """(id_a, id_b, hamming) from a (band, val, id, simhash[, is_new])
-    table: ONE shuffle — group each (band, val) to a sorted struct array,
-    drop buckets above the cap, and emit intra-array pairs with array
-    expressions. Hamming verification runs INSIDE the explode projection
-    (map-side, before the distinct), so shuffle volume after the groupBy
-    tracks true near-dups, not collisions."""
+    table: ONE shuffle — the shared capped bucket-pair expansion
+    (operators/bucketpairs.py). Hamming verification runs INSIDE the
+    explode projection (map-side, before the distinct), so shuffle
+    volume after the groupBy tracks true near-dups, not collisions."""
     fields = ["id", "simhash"] + (["is_new"] if require_new else [])
-    buckets = tagged.groupBy("band", "val").agg(
-        F.sort_array(F.collect_list(F.struct(*fields))).alias("rows")
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("rows") <= max_bucket_size)
-    buckets = buckets.filter(F.size("rows") >= 2)
 
     def pair(x, y):
         cols = [
@@ -196,16 +189,9 @@ def _pairs_from_buckets(
             cols.append((x["is_new"] | y["is_new"]).alias("any_new"))
         return F.struct(*cols)
 
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("rows"),
-            lambda x, i: F.transform(
-                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
-                lambda y: pair(x, y),
-            ),
-        )
-    )
-    out = explode_nonempty(buckets, [], pair_structs, "p").filter(
+    out = bucket_pairs(
+        tagged, ["band", "val"], F.struct(*fields), pair, max_bucket_size
+    ).filter(
         (F.col("p.hamming") <= max_hamming)
         & (F.col("p.id_a") != F.col("p.id_b"))
     )
@@ -256,7 +242,6 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    cache_fingerprints: bool = False,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
@@ -272,13 +257,11 @@ def simhash_near_duplicates(
     differ somewhere, so the cap trades hub recall for a hard bound on
     candidate volume, exactly like minhash's documented cap.
 
-    ``cache_fingerprints``: pair generation reads the fingerprint
-    pipeline ONCE (groupBy + in-array expansion — the old banded
-    self-join read it twice), so the persist now only helps callers who
-    reuse the plan across queries; kept for API compatibility."""
+    (r7: the old ``cache_fingerprints`` flag is gone — pair generation
+    reads the fingerprint pipeline ONCE now (groupBy + in-array
+    expansion; the old banded self-join read it twice), so the persist
+    bought nothing and stranded a cached plan per call.)"""
     fp = simhash_fingerprints(docs, id_col, text_col)
-    if cache_fingerprints:
-        fp = fp.persist()
     return _pairs_from_buckets(
         _banded(fp), max_hamming, max_bucket_size, require_new=False
     )

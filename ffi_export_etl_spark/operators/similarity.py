@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from ..functions.porthash import hyperplane_coefficients, md5_long
 from .minhash import DEFAULT_MAX_BUCKET
 from .quantize import quantize_embedding
-from .xplode import explode_nonempty
 
 
 def as_double(vec: Column) -> Column:
@@ -269,22 +268,16 @@ def lsh_banded_pairs(
     banded = signlsh_signature_store(
         vectors, dim, id_col, vec_col, tables, planes_per_table, round_digits
     ).withColumnRenamed("band", "tbl")
-    buckets = banded.groupBy("tbl", "bucket").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    from .bucketpairs import bucket_pairs
+
     return (
-        explode_nonempty(buckets.filter(F.size("ids") >= 2), [], pair_structs, "p")
+        bucket_pairs(
+            banded,
+            ["tbl", "bucket"],
+            F.col("id"),
+            lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            max_bucket_size,
+        )
         .select("p.id_a", "p.id_b")
         .distinct()
     )

@@ -228,9 +228,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: recursive CTE reachability over the replayed minhash pairs.
 
     'pagerank' rows — operators/pagerank.py over a deterministic
-    synthetic link graph on the doc ids (two out-links per non-dangling
-    doc, every third doc dangling — the tests/test_pagerank.py parity
-    graph), PR_ITERS rounds. rank_scaled = round(rank * n_docs, 6):
+    synthetic link graph on the doc ids (one or two out-links per
+    non-dangling doc depending on doc_id % 3, every third doc dangling
+    — the tests/test_pagerank.py parity graph), PR_ITERS rounds. rank_scaled = round(rank * n_docs, 6):
     scaling to ~1.0 before rounding pins ~6 significant figures while
     leaving ~7 orders of margin over the cross-engine FP summation
     noise (~1e-13 abs — the r6 float-determinism recipe; exact-decimal

@@ -195,12 +195,11 @@ def _pq_codebooks_df(spark: SparkSession) -> DataFrame:
 PQ_RERANK = 25
 
 
-def _rerank_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import pq_encode, pq_topk_rerank
+def _rerank_arm(
+    spark: SparkSession, e: DataFrame, cb: DataFrame, codes: DataFrame
+) -> DataFrame:
+    from ..operators.pq import pq_topk_rerank
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_codebooks_df(spark)
-    codes = pq_encode(e, cb, DIM, m=PQ_M)
     top = pq_topk_rerank(
         codes, cb, _queries_df(e), e,
         k=TOPK, rerank=PQ_RERANK, dim=DIM, m=PQ_M,
@@ -214,13 +213,12 @@ def _rerank_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import ivfpq_topk, pq_encode
+def _ivfpq_arm(
+    spark: SparkSession, e: DataFrame, cb: DataFrame, codes: DataFrame
+) -> DataFrame:
+    from ..operators.pq import ivfpq_topk
     from ..operators.similarity import as_double, probe_cells
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_codebooks_df(spark)
-    codes = pq_encode(e, cb, DIM, m=PQ_M)
     cents = spark.createDataFrame(
         [(c, IVFPQ_CENTROIDS[c]) for c in range(IVFPQ_CELLS)],
         "cell int, centroid array<double>",
@@ -248,12 +246,11 @@ def _ivfpq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import pq_encode, pq_topk
+def _pq_arm(
+    spark: SparkSession, e: DataFrame, cb: DataFrame, codes: DataFrame
+) -> DataFrame:
+    from ..operators.pq import pq_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_codebooks_df(spark)
-    codes = pq_encode(e, cb, DIM, m=PQ_M)
     top = pq_topk(codes, cb, _queries_df(e), k=TOPK, dim=DIM, m=PQ_M)
     return top.select(
         F.lit("pq").alias("kind"),
@@ -307,21 +304,45 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks + fixed literal coarse centroids. Same (query_id, nbr_id,
     cos, rnk) grain — 'pcasem' carries the cell id in rnk, 'pq'/'ivfpq'
     carry the ascending ADC distance in cos; each arm's oracle is
-    unchanged, just tagged."""
+    unchanged, just tagged.
+
+    The three PQ-family arms share ONE encode (review r7): the corpus
+    codes are built once and persisted, each arm's tiny result (<=
+    queries x k rows) is materialized via eager localCheckpoint, and
+    the codes cache is released before returning — three independent
+    arm constructions paid the scan + two encode shuffles three times,
+    and exchange reuse across union branches is not guaranteed under
+    AQE (measured: zero ReusedExchange nodes in the static plan). The
+    cur_pack _incr_arms pattern."""
     # (the 'pq' arm rides the same grain: cos carries the ADC distance,
     # ascending — kind disambiguates)
+    from ..operators.pq import pq_encode
+
     ivf = ann_topk_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("kind"), "*"
     )
     km = ann_topk_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("kind"), "*"
     )
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_df(spark)
+    codes = pq_encode(e, cb, DIM, m=PQ_M).persist()
+    try:
+        pq_rows = _pq_arm(spark, e, cb, codes).localCheckpoint(eager=True)
+        ivfpq_rows = _ivfpq_arm(spark, e, cb, codes).localCheckpoint(
+            eager=True
+        )
+        rerank_rows = _rerank_arm(spark, e, cb, codes).localCheckpoint(
+            eager=True
+        )
+    finally:
+        codes.unpersist()
     return (
         ivf.unionByName(km)
         .unionByName(_pcasem_arm(spark, sf_dir))
-        .unionByName(_pq_arm(spark, sf_dir))
-        .unionByName(_ivfpq_arm(spark, sf_dir))
-        .unionByName(_rerank_arm(spark, sf_dir))
+        .unionByName(pq_rows)
+        .unionByName(ivfpq_rows)
+        .unionByName(rerank_rows)
     )
 
 

@@ -154,26 +154,27 @@ def _stat_file_bytes(files: list[str]) -> list[tuple[str, int | None]]:
             while local.startswith("//"):
                 local = local[1:]
         norm.append(local)
-    try:
-        from pyarrow import fs as pafs
-
-        out: list[tuple[str, int | None]] = []
-        for f in norm:
-            filesystem, path = pafs.FileSystem.from_uri(f)
-            info = filesystem.get_file_info(path)
-            out.append((
-                os.path.basename(path),
-                info.size if info.type == pafs.FileType.File else None,
-            ))
-        return out
-    except Exception:
-        pass
+    # per-file isolation (review r7): one unresolvable URI (missing
+    # hdfs client, odd scheme) must NULL only ITS row, not abandon byte
+    # checks for every other shard. from_uri per file is a driver-side
+    # client construction per shard — accepted: the loop is bounded by
+    # the manifest's shard count and runs once per verify/write.
     sizes: list[tuple[str, int | None]] = []
     for local in norm:
+        size: int | None = None
         try:
-            sizes.append((os.path.basename(local), os.path.getsize(local)))
-        except OSError:
-            sizes.append((os.path.basename(local), None))
+            from pyarrow import fs as pafs
+
+            filesystem, path = pafs.FileSystem.from_uri(local)
+            info = filesystem.get_file_info(path)
+            if info.type == pafs.FileType.File:
+                size = info.size
+        except Exception:
+            try:
+                size = os.path.getsize(local)
+            except OSError:
+                size = None
+        sizes.append((os.path.basename(local), size))
     return sizes
 
 
