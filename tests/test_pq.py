@@ -399,3 +399,45 @@ def test_fit_opq_matches_numpy_twin_and_reduces_error(spark, pq_fix):
     base_err = quant_err(vecs, base_cents, _np_encode(vecs, base_cents))
     opq_err = quant_err(rot, want_cents, _np_encode(rot, want_cents))
     assert opq_err <= base_err * 1.001, (opq_err, base_err)
+
+
+def test_opq_rotation_composes_with_encode_and_rerank(spark, pq_fix):
+    """The OPQ serving path end-to-end: rotate with the learned R
+    (reduce_embeddings plan-literal fold), encode against the rotated
+    codebooks, ADC + exact re-rank in the ROTATED space — rotation is
+    orthogonal so L2 ranks are preserved and rerank=corpus recovers the
+    exact neighbors of the original space."""
+    import numpy as np
+
+    from ffi_export_etl_spark.operators.pq import (
+        fit_opq,
+        pq_encode,
+        pq_topk_rerank,
+    )
+    from ffi_export_etl_spark.operators.reduce import reduce_embeddings
+
+    vecs, df, _, _ = pq_fix
+    R, books = fit_opq(df, DIM, m=M, k=K, opq_iters=1, pq_iters=2)
+    rotated = reduce_embeddings(
+        df, "embedding", k=DIM, components=R, out_col="_rot"
+    ).select("vec_id", F.col("_rot").alias("embedding"))
+    codes = pq_encode(rotated, books, DIM, m=M)
+    queries = rotated.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in pq_topk_rerank(
+        codes, books, queries, rotated, k=5, rerank=len(vecs), dim=DIM, m=M
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["nbr_id"]))
+    Rm = np.array(R)
+    for q in range(3):
+        qv = vecs[q]
+        # exact neighbors in ORIGINAL space == rotated space (orthogonal)
+        exact = sorted(
+            (round(float(((Rm @ vecs[i] - Rm @ qv) ** 2).sum()), 6), i)
+            for i in vecs if i != q
+        )[:5]
+        assert sorted(got[q]) == [
+            (rk + 1, i) for rk, (_, i) in enumerate(exact)
+        ], q
