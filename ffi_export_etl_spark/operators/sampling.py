@@ -137,6 +137,44 @@ def split_train_val_test(
     )
 
 
+def split_by_cluster(
+    df: DataFrame,
+    key_col: str,
+    clusters: DataFrame,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment hashes the
+    row's near-dup CLUSTER id, not its own key, so every member of a
+    near-duplicate cluster lands in the SAME split — the train/test
+    contamination guard a per-document split cannot give (a test doc
+    whose near-duplicate sits in train is leakage; splitting after
+    dedup still leaks through pairs the dedup threshold kept).
+
+    ``clusters`` is (id, cluster_id) — operators/components.
+    dedup_clusters output is a drop-in; rows of ``df`` absent from it
+    split on their own key, which EQUALS split_train_val_test for
+    singleton clusters (dedup_clusters assigns cluster_id = own id), so
+    the two splits agree everywhere except where the guard matters.
+    Adds ``split`` and ``cluster_key``. One equi-join shuffle + the
+    usual no-shuffle hash-threshold projection; SQL-replayable."""
+    cl = clusters.select(
+        F.col("id").alias("_cl_id"),
+        F.col("cluster_id").alias("_cl_cluster"),
+    )
+    joined = (
+        df.join(cl, df[key_col] == cl["_cl_id"], "left")
+        .withColumn(
+            "_cl_key", F.coalesce(F.col("_cl_cluster"), F.col(key_col))
+        )
+        .drop("_cl_id", "_cl_cluster")
+    )
+    return split_train_val_test(
+        joined, "_cl_key", val_fraction, test_fraction, salt
+    ).withColumnRenamed("_cl_key", "cluster_key")
+
+
 def token_budget_sample(
     df: DataFrame,
     key_col: str,

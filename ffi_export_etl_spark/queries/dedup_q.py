@@ -427,6 +427,25 @@ def _simhash_sql() -> str:
                 FROM sbands JOIN skept USING (band, val))"""
 
 
+def components_ctes() -> str:
+    """edges/reach/comp CTE bodies over ``mh_pairs`` (compose after
+    :func:`_minhash_pairs_sql` inside one WITH RECURSIVE): ``comp`` is
+    (id, component = min reachable id). ONE rendering shared by the
+    dedup_connected_components oracle and samp_pack's leakage-safe
+    cluster-split arm (queries/sampling_q.py)."""
+    return """edges AS (
+            SELECT id_a AS u, id_b AS v FROM mh_pairs
+            UNION
+            SELECT id_b, id_a FROM mh_pairs
+        ),
+        reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+
 def pagerank_unrolled_ctes(
     n_iter: int, damping: float, edges_rel: str
 ) -> str:
@@ -590,17 +609,7 @@ ORACLE = {
     """,
     "dedup_connected_components": f"""
         WITH RECURSIVE {_minhash_pairs_sql()},
-        edges AS (
-            SELECT id_a AS u, id_b AS v FROM mh_pairs
-            UNION
-            SELECT id_b, id_a FROM mh_pairs
-        ),
-        reach(id, r) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
-        ),
-        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        {components_ctes()},
         prn AS MATERIALIZED (SELECT count(*) AS n_docs FROM documents),
         predges AS MATERIALIZED (
             SELECT doc_id AS src,

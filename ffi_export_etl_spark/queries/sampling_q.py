@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.porthash import MERSENNE31, duck_md5_long
+from .dedup_q import _minhash_pairs_sql, components_ctes
 from ..operators.sampling import (
     HASH_SPACE,
     NULL_KEY_SENTINEL,
@@ -55,8 +56,19 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     count via the blocked two-pass cumsum; 'budget' rows), and the
     temperature (alpha=0.5) mixture (temperature_sample — in-plan
     sqrt-share rates with the ordered normalizer fold, so the oracle's
-    doubles are bit-identical; 'temp' rows)."""
-    from ..operators.sampling import temperature_sample, token_budget_sample
+    doubles are bit-identical; 'temp' rows), and the r7 LEAKAGE-SAFE
+    cluster split (split_by_cluster — assignment hashes the minhash
+    near-dup CLUSTER id, so near-duplicates always land in the same
+    split; 'csplit_*' rows; oracle derives clusters with the recursive
+    reachability CTEs shared with dedup_connected_components)."""
+    from ..operators.components import dedup_clusters
+    from ..operators.minhash import minhash_near_duplicates
+    from ..operators.sampling import (
+        split_by_cluster,
+        temperature_sample,
+        token_budget_sample,
+    )
+    from .dedup_q import BANDS, JACCARD_PCT, NUM_PERM
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
@@ -100,12 +112,27 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("k"),
         F.lit(None).cast("int").alias("label"),
     )
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
+        threshold_pct=JACCARD_PCT,
+    )
+    clusters = dedup_clusters(
+        d, pairs.select("id_a", "id_b"), "doc_id"
+    ).select(F.col("doc_id").alias("id"), "cluster_id")
+    csp = split_by_cluster(
+        d, "doc_id", clusters, SPLIT_VAL, SPLIT_TEST
+    ).select(
+        F.concat(F.lit("csplit_"), F.col("split")).alias("kind"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("int").alias("label"),
+    )
     return (
         bern.unionByName(strat)
         .unionByName(mix)
         .unionByName(spl)
         .unionByName(bud)
         .unionByName(temp)
+        .unionByName(csp)
     )
 
 
@@ -135,6 +162,8 @@ _BUDGET_WHEN = " ".join(
 
 ORACLE = {
     "samp_pack": f"""
+        WITH RECURSIVE {_minhash_pairs_sql()},
+        {components_ctes()}
         SELECT 'bernoulli' AS kind, doc_id AS k, CAST(NULL AS INTEGER) AS label
         FROM documents
         WHERE {_KEY_HASH.format(key="doc_id")} < {SAMPLE_THRESHOLD}
@@ -205,5 +234,17 @@ ORACLE = {
                         GROUP BY source)) tn
         ) r USING (source)
         WHERE {_KEY_HASH.format(key="doc_id")} < r.thr
+        UNION ALL
+        SELECT 'csplit_' || (CASE WHEN ch < {SPLIT_VAL_T} THEN 'val'
+                                  WHEN ch < {SPLIT_TEST_T} THEN 'test'
+                                  ELSE 'train' END),
+               doc_id, CAST(NULL AS INTEGER)
+        FROM (
+            SELECT d.doc_id,
+                   {_KEY_HASH.format(
+                       key="coalesce(c.component, d.doc_id)"
+                   )} AS ch
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
     """,
 }

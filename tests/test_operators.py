@@ -1527,3 +1527,45 @@ def test_bpe_approximate_batching_cuts_rounds_same_quality(
     t_seq, t_ap = total_tokens(seq), total_tokens(ap)
     # equivalent compression: within 2% of the sequential vocabulary
     assert t_ap <= t_seq * 1.02, (t_ap, t_seq)
+
+
+def test_split_by_cluster_is_leakage_safe(spark, sf_oracle):
+    """split_by_cluster: every near-duplicate pair lands in the SAME
+    split (the train/test contamination guard), and singleton docs
+    split exactly like the plain per-key split (cluster_id = own id),
+    so the guard costs nothing where it isn't needed."""
+    from ffi_export_etl_spark.operators.components import dedup_clusters
+    from ffi_export_etl_spark.operators.minhash import (
+        minhash_near_duplicates,
+    )
+    from ffi_export_etl_spark.operators.sampling import (
+        split_by_cluster,
+        split_train_val_test,
+    )
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    pairs = minhash_near_duplicates(d, "doc_id", "text", n=3)
+    pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert pair_rows  # the fixture corpus has near-dups
+    clusters = dedup_clusters(
+        d, pairs.select("id_a", "id_b"), "doc_id"
+    ).select(F.col("doc_id").alias("id"), "cluster_id")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_by_cluster(
+            d, "doc_id", clusters, 0.2, 0.2
+        ).collect()
+    }
+    for a, b in pair_rows:
+        assert got[a] == got[b], (a, b, got[a], got[b])
+    # the guard actually moved someone: at 20/20/60 fractions a multi-
+    # member cluster whose members' OWN keys straddle splits exists
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_train_val_test(d, "doc_id", 0.2, 0.2).collect()
+    }
+    clustered_ids = {i for ab in pair_rows for i in ab}
+    assert any(got[i] != plain[i] for i in clustered_ids)
+    # singletons (no near-dup edges) split exactly like the plain split
+    for i in set(got) - clustered_ids:
+        assert got[i] == plain[i], i
