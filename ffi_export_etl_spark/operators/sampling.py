@@ -137,6 +137,58 @@ def split_train_val_test(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Repetition-aware mixture sampling for weights ABOVE 1: real
+    pretraining mixes say "N epochs of source X" (high-quality sources
+    repeat; fraction-based samplers stop at 1.0). Every row fans out to
+    floor(N) full copies plus — for the fractional remainder — one
+    extra copy kept iff the row's md5 hash clears frac(N) of the hash
+    space, on the SAME (salt, key) axis as hash_sample. So the
+    fractional epoch is a deterministic, nested, SQL-replayable subset:
+    the 2.5-epoch corpus contains the 2.25-epoch corpus exactly.
+
+    Adds ``epoch`` (0-based copy index — downstream shuffles/packing
+    treat copies as distinct rows). In-plan per-group literal CASE
+    counts: no RNG, no join, no shuffle; fan-out bounded by
+    max(epochs). N = 0 drops the group (like weighted_sample's 0
+    rate). F.sequence DESCENDS on an empty range, so the copy array is
+    guarded explicitly (the r5 gotcha)."""
+    from .xplode import explode_nonempty
+
+    if any(e < 0 for e in epochs.values()) or default_epochs < 0:
+        raise ValueError("epochs must be >= 0")
+    import math
+
+    h = _key_hash(key_col, salt)
+
+    def cases(value_of):
+        expr = None
+        for g, e in sorted(epochs.items()):
+            cond = F.col(group_col) == g
+            expr = (
+                F.when(cond, F.lit(value_of(e)))
+                if expr is None
+                else expr.when(cond, F.lit(value_of(e)))
+            )
+        base = F.lit(value_of(default_epochs))
+        return base if expr is None else expr.otherwise(base)
+
+    full = cases(lambda e: int(math.floor(e)))
+    thr = cases(lambda e: int((e - math.floor(e)) * HASH_SPACE))
+    n_copies = full + F.when(h < thr, F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return explode_nonempty(df, list(df.columns), copies, "epoch")
+
+
 def split_by_cluster(
     df: DataFrame,
     key_col: str,

@@ -9,6 +9,8 @@ full value-hash check over both samplers.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,6 +42,11 @@ SPLIT_TEST_T = int((SPLIT_VAL + SPLIT_TEST) * HASH_SPACE)
 BUDGET_TOKENS = {"src0": 700, "src1": 300}
 # temperature-mixture arm: expected kept docs under alpha=0.5 mixing
 TEMP_BUDGET = 300
+# epoch-upsampling arm: weights ABOVE 1 — src0 repeats 2.5x (two full
+# copies + a deterministic fractional half), src1 stays at 1, src2
+# drops; everything else defaults to 1 epoch
+EPOCHS = {"src0": 2.5, "src1": 1.0, "src2": 0.0}
+EPOCH_DEFAULT = 1.0
 
 
 def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,10 +67,14 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster split (split_by_cluster — assignment hashes the minhash
     near-dup CLUSTER id, so near-duplicates always land in the same
     split; 'csplit_*' rows; oracle derives clusters with the recursive
-    reachability CTEs shared with dedup_connected_components)."""
+    reachability CTEs shared with dedup_connected_components), and the
+    r7 EPOCH upsampling (epoch_upsample — "N epochs of source X",
+    weights above 1: floor(N) full copies + a deterministic hash-kept
+    fractional copy; 'epoch' rows carry the copy index in label)."""
     from ..operators.components import dedup_clusters
     from ..operators.minhash import minhash_near_duplicates
     from ..operators.sampling import (
+        epoch_upsample,
         split_by_cluster,
         temperature_sample,
         token_budget_sample,
@@ -126,6 +137,14 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("k"),
         F.lit(None).cast("int").alias("label"),
     )
+    ep = epoch_upsample(
+        d.select("doc_id", "source"), "doc_id", "source",
+        EPOCHS, EPOCH_DEFAULT,
+    ).select(
+        F.lit("epoch").alias("kind"),
+        F.col("doc_id").alias("k"),
+        F.col("epoch").cast("int").alias("label"),
+    )
     return (
         bern.unionByName(strat)
         .unionByName(mix)
@@ -133,6 +152,7 @@ def samp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bud)
         .unionByName(temp)
         .unionByName(csp)
+        .unionByName(ep)
     )
 
 
@@ -159,6 +179,20 @@ _MIX_WHEN = "\n                  ".join(
 _BUDGET_WHEN = " ".join(
     f"WHEN '{g}' THEN {b}" for g, b in sorted(BUDGET_TOKENS.items())
 )
+
+# epoch arm: full-copy counts and fractional-copy thresholds rendered
+# from the SAME constants the Spark CASE embeds (operators/sampling.
+# epoch_upsample uses int(floor(e)) / int(frac(e) * HASH_SPACE))
+_EPOCH_FULL_WHEN = " ".join(
+    f"WHEN '{g}' THEN {int(_math.floor(e))}"
+    for g, e in sorted(EPOCHS.items())
+)
+_EPOCH_FRAC_WHEN = " ".join(
+    f"WHEN '{g}' THEN {int((e - _math.floor(e)) * HASH_SPACE)}"
+    for g, e in sorted(EPOCHS.items())
+)
+_EPOCH_FULL_ELSE = int(_math.floor(EPOCH_DEFAULT))
+_EPOCH_FRAC_ELSE = int((EPOCH_DEFAULT - _math.floor(EPOCH_DEFAULT)) * HASH_SPACE)
 
 ORACLE = {
     "samp_pack": f"""
@@ -245,6 +279,20 @@ ORACLE = {
                        key="coalesce(c.component, d.doc_id)"
                    )} AS ch
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        UNION ALL
+        SELECT 'epoch', doc_id, CAST(u AS INTEGER)
+        FROM (
+            SELECT doc_id,
+                   unnest(range(
+                       CASE source {_EPOCH_FULL_WHEN}
+                            ELSE {_EPOCH_FULL_ELSE} END
+                       + CASE WHEN {_KEY_HASH.format(key="doc_id")} <
+                             CASE source {_EPOCH_FRAC_WHEN}
+                                  ELSE {_EPOCH_FRAC_ELSE} END
+                         THEN 1 ELSE 0 END
+                   )) AS u
+            FROM documents
         )
     """,
 }

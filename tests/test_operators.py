@@ -1569,3 +1569,38 @@ def test_split_by_cluster_is_leakage_safe(spark, sf_oracle):
     # singletons (no near-dup edges) split exactly like the plain split
     for i in set(got) - clustered_ids:
         assert got[i] == plain[i], i
+
+
+def test_epoch_upsample_counts_and_nesting(spark):
+    """epoch_upsample: floor(N) full copies per row + a deterministic
+    fractional copy (nested: the 2.5-epoch corpus contains the
+    2.25-epoch one exactly); N=0 drops the group; default applies to
+    unlisted and NULL groups; copy indexes are 0..n-1."""
+    from ffi_export_etl_spark.operators.sampling import epoch_upsample
+
+    d = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b" if i < 60 else None)
+         for i in range(80)],
+        "doc_id: long, source: string",
+    )
+    out = epoch_upsample(d, "doc_id", "source", {"a": 2.5, "b": 0.0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # b dropped entirely; NULL-source rows get the default single epoch
+    assert not any(40 <= i < 60 for i in by_doc)
+    assert all(by_doc[i] == [0] for i in range(60, 80))
+    # a rows: 2 or 3 copies, indexes contiguous from 0
+    n_a = {i: sorted(by_doc[i]) for i in range(40)}
+    assert all(v in ([0, 1], [0, 1, 2]) for v in n_a.values())
+    three = {i for i, v in n_a.items() if len(v) == 3}
+    # the fractional half kept SOME but not all (deterministic hash)
+    assert 0 < len(three) < 40
+    # nesting: 2.25 epochs keeps a SUBSET of 2.5's third copies
+    out225 = epoch_upsample(
+        d, "doc_id", "source", {"a": 2.25, "b": 0.0}
+    ).collect()
+    three225 = {
+        r["doc_id"] for r in out225 if r["epoch"] == 2
+    }
+    assert three225 <= three
