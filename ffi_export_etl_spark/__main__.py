@@ -340,6 +340,38 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--temperature-budget", type=int, default=None,
                     help="expected kept docs for --temperature-alpha "
                          "(default: corpus size)")
+
+    def _epochs(s: str) -> tuple[str, float]:
+        src, sep, n = s.partition("=")
+        if not sep or not src:
+            raise argparse.ArgumentTypeError(
+                f"expected SOURCE=N, got {s!r}"
+            )
+        try:
+            v = float(n)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"epochs for {src!r} must be a number, got {n!r}"
+            ) from None
+        if v < 0:
+            raise argparse.ArgumentTypeError("epochs must be >= 0")
+        return src, v
+
+    ap.add_argument("--epochs", action="append", default=None,
+                    metavar="SOURCE=N", type=_epochs,
+                    help="repeat a source N epochs in the token stream "
+                         "(repeatable; N may be fractional — the "
+                         "fractional copy is a deterministic hash "
+                         "subset; unlisted sources get 1 epoch); adds "
+                         "an epoch copy-index column")
+    ap.add_argument("--split-val", type=float, default=None,
+                    help="tag a leakage-safe validation split of this "
+                         "fraction (hashed on the near-dup cluster id, "
+                         "so near-duplicates share a side); adds a "
+                         "split column")
+    ap.add_argument("--split-test", type=float, default=None,
+                    help="tag a leakage-safe test split of this "
+                         "fraction (see --split-val)")
     args = ap.parse_args(argv)
     if args.decon_containment_pct is not None and args.benchmark is None:
         ap.error("--decon-containment-pct requires --benchmark")
@@ -424,9 +456,25 @@ def curate_main(argv: list[str]) -> int:
         ),
         temperature_alpha=args.temperature_alpha,
         temperature_budget=args.temperature_budget,
+        epochs=(dict(args.epochs) if args.epochs else None),
+        split_val=args.split_val,
+        split_test=args.split_test,
     )
+    shard_key = "id"
+    if args.epochs:
+        # copies of an upsampled doc must spread through the training
+        # stream, not sit adjacent: shard-shuffle on (id, epoch) so each
+        # copy hashes to its own stream position
+        from pyspark.sql import functions as F
+
+        curated = curated.withColumn(
+            "_shard_key",
+            F.concat_ws("#", F.col("id").cast("string"), F.col("epoch")),
+        )
+        shard_key = "_shard_key"
     manifest = write_training_shards(
-        curated, args.output, "id", rows_per_shard=args.rows_per_shard,
+        curated, args.output, shard_key,
+        rows_per_shard=args.rows_per_shard,
         data_format=args.shard_format,
     )
     shards = manifest.collect()

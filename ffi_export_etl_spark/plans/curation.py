@@ -83,12 +83,21 @@ def curate_documents(
     gopher_rules: bool = False,
     temperature_alpha: float | None = None,
     temperature_budget: int | None = None,
+    epochs: dict[str, float] | None = None,
+    epochs_default: float = 1.0,
+    split_val: float | None = None,
+    split_test: float | None = None,
+    split_salt: str = "",
     persist_intermediates: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
     tok_offset, first_seq, last_seq) — scrubbed text, one keeper per
     near-dup cluster, quality-filtered, mixture-sampled, and positioned
-    in the packed token stream.
+    in the packed token stream. ``epochs`` ("N epochs of source X",
+    r7) adds an ``epoch`` copy-index column and repeats each kept doc
+    into its own token-stream slices; ``split_val``/``split_test``
+    (r7) add a leakage-safe ``split`` column hashed on the near-dup
+    cluster id the pipeline already computes.
 
     Optional stages, in the order the curation literature prescribes:
     ``input_html`` extracts plain text from raw-HTML corpora before
@@ -414,20 +423,68 @@ def curate_documents(
             mixed, "id", "source",
             alpha=temperature_alpha, total_budget=temperature_budget,
         )
+    # epoch upsampling ("N epochs of source X", weights ABOVE 1) fans
+    # rows out AFTER every keep/drop decision and BEFORE packing, so
+    # each copy occupies its own slice of the token stream; the packed
+    # positions key on a composite (id, epoch) row id because duplicate
+    # ids would cross-join in the position attach. Cheap projection —
+    # applied after the persist boundary like temperature.
+    extra_cols: list[str] = []
+    join_key = "id"
+    if epochs is not None:
+        from ..operators.sampling import epoch_upsample
 
-    packed = pack_sequences(mixed, id_col="id", text_col="text", capacity=capacity)
+        # numeric composite row id (packing's global_cumsum blocks on a
+        # NUMERIC order key): id * max_copies + epoch keeps the stream
+        # in id order with a doc's copies adjacent, and stays exact for
+        # ids up to 2^62 / max_copies
+        import math as _math
+
+        n_max = int(
+            _math.ceil(max([*epochs.values(), epochs_default, 1.0]))
+        ) + 1
+        mixed = epoch_upsample(
+            mixed, "id", "source", epochs, epochs_default
+        ).withColumn(
+            "_rid",
+            (F.col("id").cast("long") * n_max + F.col("epoch")).cast(
+                "long"
+            ),
+        )
+        join_key = "_rid"
+        extra_cols.append("epoch")
+
+    packed = pack_sequences(
+        mixed, id_col=join_key, text_col="text", capacity=capacity
+    )
     out = mixed.join(
-        packed.select("id", "tok_offset", "first_seq", "last_seq"), "id"
+        packed.select(
+            F.col("id").alias(join_key),
+            "tok_offset", "first_seq", "last_seq",
+        ),
+        join_key,
     ).select(
         "id",
         "source",
         "text",
         "n_words",
         "cluster_id",
+        *extra_cols,
         "tok_offset",
         "first_seq",
         "last_seq",
     )
+    # leakage-safe split tagging: the assignment hashes the near-dup
+    # CLUSTER id the pipeline already attached, so a kept doc and any
+    # below-threshold near-duplicate of its cluster land on the same
+    # side (operators/sampling.split_by_cluster semantics, for free)
+    if split_val is not None or split_test is not None:
+        from ..operators.sampling import split_train_val_test
+
+        out = split_train_val_test(
+            out, "cluster_id", split_val or 0.0, split_test or 0.0,
+            split_salt,
+        )
     # cached plans live in the CacheManager until explicitly unpersisted;
     # hand the caller the handles (see release_curation_caches)
     out._curation_persisted = (

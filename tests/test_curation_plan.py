@@ -263,3 +263,73 @@ def test_repetition_and_lm_quality_stages(spark):
     }
     assert 60 not in lm_ids
     assert {i for i, _, _ in clean} <= lm_ids
+
+
+def test_epochs_and_split_stages(spark, corpus):
+    """epochs: kept docs repeat into DISTINCT token-stream slices (the
+    composite-key packing — duplicate ids must not cross-join in the
+    position attach); split: every kept doc gets a leakage-safe split
+    hashed on its cluster id, identical for docs of one cluster."""
+    from ffi_export_etl_spark.plans.curation import release_curation_caches
+
+    out = curate_documents(
+        corpus, min_words=10,
+        epochs={"wiki": 2.0, "web": 1.0},
+        split_val=0.3, split_test=0.3,
+    )
+    res = out.collect()
+    release_curation_caches(out)
+    by_id = {}
+    for r in res:
+        by_id.setdefault(r["id"], []).append(r)
+    # wiki keepers appear twice (epoch 0 and 1), web once
+    for i, rows in by_id.items():
+        src = rows[0]["source"]
+        want = 2 if src == "wiki" else 1
+        assert len(rows) == want, (i, src, len(rows))
+        assert sorted(r["epoch"] for r in rows) == list(range(want))
+        # copies occupy DISTINCT token-stream positions
+        offs = {r["tok_offset"] for r in rows}
+        assert len(offs) == len(rows), i
+        # split is per-document (cluster-hashed): identical across copies
+        assert len({r["split"] for r in rows}) == 1
+    assert {r["split"] for r in res} <= {"train", "val", "test"}
+    # the packed stream is contiguous: sorted offsets + n_words tile it
+    ordered = sorted(res, key=lambda r: r["tok_offset"])
+    pos = 0
+    for r in ordered:
+        assert r["tok_offset"] == pos, (r["id"], r["epoch"])
+        pos += r["n_words"]
+
+
+def test_curate_cli_epochs_and_split(spark, tmp_path, capsys):
+    """--epochs / --split-val / --split-test through the real CLI: the
+    shard output carries epoch + split columns and wiki rows doubled."""
+    import json as _json
+
+    rows = [
+        (i, "doc %d " % i + " ".join(f"t{i}_{j} words here" for j in range(12)),
+         "wiki" if i % 2 == 0 else "web")
+        for i in range(20)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string"
+    ).write.parquet(src)
+    out = str(tmp_path / "shards")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--min-words", "5",
+        "--epochs", "wiki=2", "--split-val", "0.25",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_out"] == 30  # 10 wiki x 2 + 10 web
+    got = spark.read.parquet(out)
+    assert "epoch" in got.columns and "split" in got.columns
+    rows_out = got.collect()
+    assert sum(1 for r in rows_out if r["source"] == "wiki") == 20
+    assert {r["split"] for r in rows_out} <= {"train", "val"}
