@@ -112,11 +112,18 @@ def pq_train(
         scored = sv.join(F.broadcast(cents), "sub").withColumn(
             "d", F.round(_sq_l2(F.col("sv"), F.col("centroid")), round_digits)
         )
-        w = Window.partitionBy("id", "sub").orderBy("d", "cell")
+        # argmin(d, cell) as min(struct(d, cell)): partial-aggregable —
+        # the old per-(id, sub) row_number window shuffled AND sorted
+        # the full (id, sub) x k scored table; the agg map-side combines
+        # to one row per group (identical assignment — struct ordering
+        # is lexicographic). sv is constant within a group.
         assign = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("id", "sub", "cell", "sv")
+            scored.groupBy("id", "sub")
+            .agg(
+                F.min(F.struct("d", "cell")).alias("_best"),
+                F.first("sv").alias("sv"),
+            )
+            .select("id", "sub", F.col("_best.cell").alias("cell"), "sv")
         )
         aggs = [
             F.round(F.avg(F.element_at("sv", i + 1)), round_digits).alias(
@@ -158,11 +165,13 @@ def pq_encode(
     scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
         "d", F.round(_sq_l2(F.col("sv"), F.col("centroid")), round_digits)
     )
-    w = Window.partitionBy("id", "sub").orderBy("d", "cell")
+    # argmin(d, cell) via min(struct(d, cell)) — see pq_train: one
+    # map-side-combined row per (id, sub) instead of a sorted window
+    # over the full scored table
     best = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("id", "sub", "cell")
+        scored.groupBy("id", "sub")
+        .agg(F.min(F.struct("d", "cell")).alias("_best"))
+        .select("id", "sub", F.col("_best.cell").alias("cell"))
     )
     return best.groupBy("id").agg(
         F.transform(

@@ -408,11 +408,25 @@ def lloyd_cells(
         scored = v.join(F.broadcast(cents)).withColumn(
             "ccos", F.round(cosine(F.col("v"), F.col("centroid")), round_digits)
         )
-        wv = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell"))
+        # argmax(rounded ccos, tiebreak cell ASC) as max(struct(ccos,
+        # -cell)) + first(v): a partial-aggregable groupBy instead of a
+        # per-id row_number window — the window shuffles AND sorts the
+        # full id x k scored table, the agg map-side combines to ONE row
+        # per id before the exchange (k-fold shuffle-volume cut at
+        # corpus scale; identical assignment — struct ordering is
+        # lexicographic, so max(ccos, -cell) == orderBy(ccos DESC, cell)
+        # row 1). v is constant within an id's group, so first(v) is
+        # deterministic in value.
         assign = (
-            scored.withColumn("_rk", F.row_number().over(wv))
-            .filter(F.col("_rk") == 1)
-            .select("id", "cell", "v")
+            scored.groupBy("id")
+            .agg(
+                F.max(F.struct(F.col("ccos"), (-F.col("cell")).alias("_nc")))
+                .alias("_best"),
+                F.first("v").alias("v"),
+            )
+            .select(
+                "id", (-F.col("_best._nc")).cast("int").alias("cell"), "v"
+            )
         )
         cents = dimension_centroids(assign, dim, "cell", "v", round_digits)
     v.unpersist()
