@@ -11,7 +11,7 @@ the store is written bucketed by key so the increment join co-locates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -67,9 +67,22 @@ def drop_known_duplicates(
     schema-preserving."""
     key = F.md5(F.encode(F.col(text_col), "UTF-8"))
     keyed = new_docs.withColumn("_key", key)
-    w = Window.partitionBy("_key").orderBy(F.col(id_col))
-    batch_first = keyed.withColumn("_rk", F.row_number().over(w)).filter(
-        F.col("_rk") == 1
+    # min-id representative via min_by, not a per-digest row_number
+    # window: the window shuffles EVERY copy of a duplicated digest and
+    # sorts it; min_by map-side combines — on duplicate-heavy ingest
+    # (this operator's whole purpose) the copies collapse before the
+    # exchange. Same id-tie behavior as the old orderBy(id) window
+    # (arbitrary among rows sharing BOTH digest and id — pathological
+    # input either way).
+    cols = new_docs.columns
+    batch_first = (
+        keyed.groupBy("_key")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+            ).alias("_row")
+        )
+        .select("_key", "_row.*")
     )
     return (
         batch_first.join(
@@ -77,5 +90,5 @@ def drop_known_duplicates(
             "_key",
             "left_anti",
         )
-        .drop("_key", "_rk")
+        .drop("_key")
     )
