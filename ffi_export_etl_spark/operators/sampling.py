@@ -89,15 +89,86 @@ def weighted_sample(
 def stratified_take(
     df: DataFrame, label_col: str, key_col: str, n_per_label: int,
     salt: str = "",
+    prefilter_margin: int = 8,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per label, chosen by deterministic
-    md5 order with a key tiebreak — reproducible class balancing. One
-    shuffle on the label (window), no RNG state. NULL keys rank via
-    NULL_KEY_SENTINEL instead of silently dropping."""
+    md5 order with a key tiebreak — reproducible class balancing. NULL
+    keys rank via NULL_KEY_SENTINEL instead of silently dropping; NULL
+    labels form their own stratum.
+
+    Scale shape (r7): a bare per-label window makes ONE reducer sort an
+    entire stratum — hours for a billion-row label. Instead: (1) one
+    narrow agg scan counts each stratum; (2) a broadcast per-label hash
+    threshold keeps ~``prefilter_margin`` x n expected survivors (the
+    md5 order values are uniform); (3) any stratum the prefilter left
+    short of its quota — possible only under astronomical hash skew, or
+    when the stratum is smaller than n (then the threshold is
+    disabled) — is RESCUED whole, so the final per-label window ranks a
+    bounded candidate set yet is unconditionally EXACT: if >= n rows
+    cleared the threshold, the true top-n are among them (the n
+    smallest order values all sit below any value with n values below
+    it); otherwise the rescue supplies the full stratum. Results are
+    bit-identical to the plain window (pinned by test, incl. the
+    forced-rescue path)."""
     h = _key_hash(key_col, salt)
-    w = Window.partitionBy(label_col).orderBy(h % MERSENNE31, key_col)
+    ord_ = h % MERSENNE31
+    lbl = F.col(label_col)
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
+    # per-label threshold: strata at/below quota keep everything
+    # (threshold above the order domain); larger strata keep an
+    # expected margin x n prefix of the hash order
+    thr_tbl = counts.select(
+        lbl.alias("_lbl"),
+        "_n",
+        F.when(
+            F.col("_n") <= n_per_label, F.lit(MERSENNE31 + 1)
+        ).otherwise(
+            F.least(
+                F.lit(MERSENNE31 + 1),
+                F.ceil(
+                    F.lit(float(MERSENNE31))
+                    * n_per_label
+                    * prefilter_margin
+                    / F.col("_n")
+                ).cast("long"),
+            )
+        ).alias("_thr"),
+    )
+    # null-safe label joins throughout: a NULL label is a real stratum
+    # here, but a plain equi-join would drop it
+    keep_cols = df.columns
+    surv = (
+        df.join(F.broadcast(thr_tbl), lbl.eqNullSafe(thr_tbl["_lbl"]))
+        .filter(ord_ < F.col("_thr"))
+        .select(*keep_cols)
+    )
+    surv_counts = surv.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    short = (
+        thr_tbl.join(
+            surv_counts,
+            thr_tbl["_lbl"].eqNullSafe(surv_counts[label_col]),
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("_m"), F.lit(0))
+            < F.least(F.lit(n_per_label), thr_tbl["_n"])
+        )
+        .select(thr_tbl["_lbl"].alias("_short_lbl"))
+    )
+    rescued = df.join(
+        F.broadcast(short), lbl.eqNullSafe(short["_short_lbl"]), "left_semi"
+    )
+    kept_surv = surv.join(
+        F.broadcast(short),
+        surv[label_col].eqNullSafe(short["_short_lbl"]),
+        "left_anti",
+    )
+    cand = kept_surv.unionByName(rescued)
+    w = Window.partitionBy(label_col).orderBy(ord_, key_col)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        cand.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_label)
         .drop("_rk")
     )

@@ -1604,3 +1604,48 @@ def test_epoch_upsample_counts_and_nesting(spark):
         r["doc_id"] for r in out225 if r["epoch"] == 2
     }
     assert three225 <= three
+
+
+def test_stratified_take_prefilter_matches_plain_window(spark):
+    """The r7 threshold+rescue stratified_take is bit-identical to the
+    plain per-label window it replaced, including NULL labels/keys,
+    strata smaller than n, and the forced-rescue path (margin so tight
+    nothing survives the prefilter -> every stratum rescued whole)."""
+    from pyspark.sql import Window
+    from ffi_export_etl_spark.functions.porthash import md5_long
+    from ffi_export_etl_spark.operators.sampling import (
+        MERSENNE31,
+        NULL_KEY_SENTINEL,
+        stratified_take,
+    )
+
+    rows = [(i, i % 7 if i % 11 else None) for i in range(400)]
+    rows.append((None, 3))  # NULL key participates via the sentinel
+    df = spark.createDataFrame(rows, "k: long, label: int")
+
+    def plain(n):
+        h = md5_long(
+            F.coalesce(F.col("k").cast("string"),
+                       F.lit(NULL_KEY_SENTINEL)), 15,
+        ) % MERSENNE31
+        w = Window.partitionBy("label").orderBy(h, "k")
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n).drop("_rk")
+        )
+
+    for n in (3, 50, 500):  # below, near, and above stratum sizes
+        want = {(r["k"], r["label"]) for r in plain(n).collect()}
+        got = {
+            (r["k"], r["label"])
+            for r in stratified_take(df, "label", "k", n).collect()
+        }
+        assert got == want, n
+        # forced rescue: margin 0 -> empty prefilter -> full strata
+        forced = {
+            (r["k"], r["label"])
+            for r in stratified_take(
+                df, "label", "k", n, prefilter_margin=0
+            ).collect()
+        }
+        assert forced == want, n
