@@ -267,6 +267,56 @@ def connected_components_alternating(
     return labels
 
 
+def incremental_components(
+    stored: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(id, component) after folding a NEW batch of edges into a STORED
+    component labeling — the daily-increment shape for cluster
+    maintenance (the sketch stores deliver incremental near-dup PAIRS;
+    this turns them into updated cluster labels without re-running the
+    contraction over history's raw edge set).
+
+    ``stored`` is (id, component) — yesterday's output, or
+    dedup_clusters' (id, cluster_id) renamed. The old labeling re-enters
+    as (id -> component) STAR edges: stars preserve exactly the old
+    connectivity, and they are the already-contracted form, so the
+    alternating contraction restarts from depth-1 trees plus the new
+    edges instead of the full historical graph — the round count is
+    driven by how much the NEW edges entangle old clusters, not by
+    history's size or diameter. Equals the full recompute over (all old
+    pairs + new pairs) (pinned by test: connectivity-preservation of
+    the star form is the same argument the contraction itself relies
+    on). Singleton clusters enter as self-loop stars, which the
+    contraction's u != v filter drops — so the full id universe
+    (stored ids + new endpoints) is re-attached at the end, untouched
+    ids labeling themselves, exactly dedup_clusters' convention."""
+    star = stored.select(
+        F.col("id").alias(src), F.col("component").alias(dst)
+    )
+    both = star.unionByName(
+        new_edges.select(
+            F.col(src).cast(star.schema[src].dataType),
+            F.col(dst).cast(star.schema[dst].dataType),
+        )
+    )
+    comp = connected_components_alternating(
+        both, src=src, dst=dst, max_rounds=max_rounds
+    )
+    ids = (
+        stored.select("id")
+        .unionByName(new_edges.select(F.col(src).alias("id")))
+        .unionByName(new_edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    return ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

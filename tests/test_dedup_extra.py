@@ -113,3 +113,57 @@ def test_jaccard_realistic_threshold_matches_bruteforce(spark, sf_oracle):
         WHERE n_inter * 100 >= 80 * (sa.n_sh + sb.n_sh - n_inter)
     """
     compare_to_oracle(df, oracle, sf_oracle)
+
+
+def test_incremental_components_equals_full_recompute(spark, sf_oracle):
+    """incremental_components(stored labels, new pairs) == full
+    contraction over (old pairs + new pairs): the stored labeling
+    re-enters as star edges, which preserve exactly the old
+    connectivity. Covers cross-batch merges (a new pair joining two old
+    clusters), brand-new ids, and untouched singletons."""
+    from ffi_export_etl_spark.operators.components import (
+        connected_components_alternating,
+        dedup_clusters,
+        incremental_components,
+    )
+    from ffi_export_etl_spark.operators.minhash import (
+        minhash_near_duplicates,
+    )
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    old_docs = d.filter(F.col("doc_id") % 4 != 0)
+    pairs_old = minhash_near_duplicates(old_docs, "doc_id", "text", n=3)
+    stored = dedup_clusters(
+        old_docs, pairs_old.select("id_a", "id_b"), "doc_id"
+    ).select(F.col("doc_id").alias("id"), F.col("cluster_id").alias("component"))
+
+    # "new" pairs = everything the full corpus finds that the old corpus
+    # didn't (incl. pairs touching the held-out quarter)
+    pairs_all = minhash_near_duplicates(d, "doc_id", "text", n=3)
+    old_set = {(r["id_a"], r["id_b"]) for r in pairs_old.collect()}
+    new_rows = [
+        (r["id_a"], r["id_b"])
+        for r in pairs_all.collect()
+        if (r["id_a"], r["id_b"]) not in old_set
+    ]
+    new_pairs = spark.createDataFrame(
+        new_rows or [(-1, -1)], "id_a: long, id_b: long"
+    )
+
+    got = {
+        r["id"]: r["component"]
+        for r in incremental_components(stored, new_pairs).collect()
+    }
+    want_comp = {
+        r["id"]: r["component"]
+        for r in connected_components_alternating(
+            pairs_all.select("id_a", "id_b")
+        ).collect()
+    }
+    # full recompute labels only edge-touched ids; incremental also
+    # carries stored singletons (labeling themselves)
+    for i, c in want_comp.items():
+        if i in got:  # held-out-quarter ids enter only via new pairs
+            assert got[i] == c, i
+    for i, c in got.items():
+        assert c == want_comp.get(i, i), i
