@@ -288,6 +288,11 @@ def curate_main(argv: list[str]) -> int:
                          "rule: drop docs holding >= PCT%% of any "
                          "benchmark item's n-grams (requires "
                          "--benchmark)")
+    ap.add_argument("--decon-span-tokens", type=int, default=None,
+                    help="switch decontamination to the SPAN rule: cut "
+                         "benchmark-overlapping runs of >= N tokens out "
+                         "of the document and keep the rest (requires "
+                         "--benchmark)")
     ap.add_argument("--c4-line-clean", action="store_true",
                     help="C4 line rule: keep only lines ending in "
                          "terminal punctuation with >= 3 words; drop "
@@ -375,6 +380,8 @@ def curate_main(argv: list[str]) -> int:
     args = ap.parse_args(argv)
     if args.decon_containment_pct is not None and args.benchmark is None:
         ap.error("--decon-containment-pct requires --benchmark")
+    if args.decon_span_tokens is not None and args.benchmark is None:
+        ap.error("--decon-span-tokens requires --benchmark")
     if args.temperature_budget is not None and args.temperature_alpha is None:
         ap.error("--temperature-budget requires --temperature-alpha")
 
@@ -447,6 +454,7 @@ def curate_main(argv: list[str]) -> int:
         benchmark=benchmark,
         decon_n=args.decon_n,
         decon_min_containment_pct=args.decon_containment_pct,
+        decon_span_tokens=args.decon_span_tokens,
         lm_reference=lm_reference,
         max_avg_neg_logprob=args.max_avg_neg_logprob,
         shingle_mode=args.shingle_mode,

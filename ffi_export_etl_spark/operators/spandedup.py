@@ -60,6 +60,7 @@ __all__ = [
     "release_span_caches",
     "span_digest_store",
     "incremental_remove_duplicate_spans",
+    "remove_contaminated_spans",
 ]
 
 DEFAULT_SPAN_TOKENS = 20
@@ -363,3 +364,39 @@ def incremental_remove_duplicate_spans(
             cleaned, "id", "text", span_tokens
         ).join(store, "key", "left_anti"),
     }
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+) -> DataFrame:
+    """Span-grain eval DECONTAMINATION: cut every ``span_tokens``-token
+    window of a training document that appears verbatim in the
+    benchmark, instead of dropping the whole document (the doc-level
+    rules in operators/decontaminate.py). The standard middle ground
+    for long documents quoting one eval item: the quoted span leaves
+    the training stream, the rest of the document survives (the
+    "canaries/exact-substring" decontamination shape, same token-window
+    machinery as ExactSubstr dedup).
+
+    Schema: (id, text, n_removed_tokens, n_dup_windows) — documents
+    with no benchmark overlap pass through byte-for-byte. Cost: one
+    window fan-out over the TRAINING side + a digest semi-join against
+    the benchmark's (tiny, broadcastable) span store; the benchmark is
+    windowed once. There is no keeper rule here — EVERY matching
+    occurrence is cut, the benchmark itself is the canonical copy."""
+    store = span_digest_store(
+        benchmark, bench_id_col, bench_text_col, span_tokens
+    )
+    w = _windows(docs, id_col, text_col, span_tokens)
+    starts = w.join(
+        F.broadcast(store.select(F.col("key").alias("whash"))),
+        "whash",
+        "left_semi",
+    ).select("id", "pos")
+    return _rebuild_cleaned(docs, starts, id_col, text_col, span_tokens)

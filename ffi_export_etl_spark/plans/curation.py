@@ -73,6 +73,7 @@ def curate_documents(
     benchmark_id_col: str = "bench_id",
     decon_n: int = 8,
     decon_min_containment_pct: int | None = None,
+    decon_span_tokens: int | None = None,
     max_dup_line_frac: float | None = None,
     compression_ratio_bounds: tuple[float, float] | None = None,
     max_top_bigram_frac: float | None = None,
@@ -110,7 +111,9 @@ def curate_documents(
     against an eval set (shared ``decon_n``-grams, on the RAW text so
     eval overlap is judged before any rewriting; set
     ``decon_min_containment_pct`` to switch from the absolute
-    shared-count rule to the normalized >=pct-of-the-item rule);
+    shared-count rule to the normalized >=pct-of-the-item rule, or
+    ``decon_span_tokens`` to CUT the overlapping token windows and keep
+    the rest of the document — span-grain decontamination);
     ``paragraph_min_repeat`` dedups repeated paragraphs down to one
     canonical copy (after line-level boilerplate, before scrubbing —
     paragraph structure must still exist); ``span_dedup_tokens`` cuts
@@ -172,7 +175,26 @@ def curate_documents(
             cur, url_col=url_col, blocklist=domain_blocklist
         )
     if benchmark is not None:
-        if decon_min_containment_pct is not None:
+        if decon_span_tokens is not None:
+            # span-grain rule (r7): CUT the benchmark-overlapping token
+            # windows out of the document instead of dropping it whole
+            # — the middle ground for long docs quoting one eval item
+            # (operators/spandedup.remove_contaminated_spans); carries
+            # source through like the other per-doc rewrite stages
+            from ..operators.spandedup import remove_contaminated_spans
+
+            cleaned = remove_contaminated_spans(
+                cur, benchmark, id_col=id_col, text_col=text_col,
+                bench_id_col=benchmark_id_col,
+                span_tokens=decon_span_tokens,
+            )
+            cur = cleaned.join(
+                cur.select(F.col(id_col).alias("id"), source_col), "id"
+            ).select(
+                F.col("id").alias(id_col), F.col("text").alias(text_col),
+                source_col,
+            )
+        elif decon_min_containment_pct is not None:
             # normalized rule: >= pct of the bench item's n-grams leaked
             cur = decontaminate_by_containment(
                 cur, benchmark, id_col=id_col, text_col=text_col,

@@ -167,3 +167,87 @@ def test_incremental_components_equals_full_recompute(spark, sf_oracle):
             assert got[i] == c, i
     for i, c in got.items():
         assert c == want_comp.get(i, i), i
+
+
+def test_remove_contaminated_spans_python_twin(spark):
+    """Span-grain decontamination: windows matching the benchmark are
+    cut (EVERY occurrence — no keeper rule; the benchmark is the
+    canonical copy), clean docs pass byte-for-byte, overlapping matches
+    merge into one cut region. Pinned against a direct pure-Python
+    replica of the window/merge/rebuild semantics."""
+    from ffi_export_etl_spark.operators.spandedup import (
+        remove_contaminated_spans,
+    )
+
+    K = 4
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        # quotes a 5-token benchmark run mid-document
+        (1, "intro words here alpha beta gamma delta epsilon tail ends"),
+        # no overlap: byte-for-byte passthrough
+        (2, "totally unrelated content with many distinct words inside"),
+        # quotes the same run twice (both occurrences cut)
+        (3, "x alpha beta gamma delta y alpha beta gamma delta z"),
+        # shorter than K tokens of overlap: untouched
+        (4, "alpha beta gamma only three shared tokens appear here"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id: long, text: string")
+    b = spark.createDataFrame(
+        [(100, bench_text)], "bench_id: long, text: string"
+    )
+    got = {
+        r["id"]: (r["text"], r["n_removed_tokens"])
+        for r in remove_contaminated_spans(
+            d, b, span_tokens=K
+        ).collect()
+    }
+
+    bench_windows = set()
+    bt = bench_text.split()
+    for s in range(len(bt) - K + 1):
+        bench_windows.add(" ".join(bt[s:s + K]))
+
+    for i, text in docs:
+        toks = text.split()
+        covered = set()
+        for s in range(max(0, len(toks) - K + 1)):
+            if " ".join(toks[s:s + K]) in bench_windows:
+                covered.update(range(s, s + K))
+        want_text = " ".join(
+            t for j, t in enumerate(toks) if j not in covered
+        ) if covered else text
+        assert got[i] == (want_text, len(covered)), i
+
+
+def test_curate_documents_span_decontamination(spark):
+    """decon_span_tokens through the composed pipeline: the quoting doc
+    SURVIVES with the quoted span cut, where the doc-drop rule would
+    have removed it entirely."""
+    from ffi_export_etl_spark.plans.curation import (
+        curate_documents,
+        release_curation_caches,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the secret eval answer sequence is forty two exactly")],
+        "bench_id: long, text: string",
+    )
+    fill1 = " ".join(f"a{j} alpha tokens" for j in range(10))
+    fill2 = " ".join(f"b{j} beta tokens" for j in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "long document "
+                "the secret eval answer sequence is forty two exactly "
+                + fill1, "web"),
+            (2, "clean document without any overlap " + fill2, "web"),
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    out = curate_documents(
+        docs, min_words=5, benchmark=bench, decon_span_tokens=6,
+    )
+    res = {r["id"]: r["text"] for r in out.collect()}
+    release_curation_caches(out)
+    assert set(res) == {1, 2}  # doc 1 survives (doc-drop would kill it)
+    assert "secret eval answer" not in res[1]
+    assert res[1].startswith("long document")
