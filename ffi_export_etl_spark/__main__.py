@@ -352,14 +352,18 @@ def curate_main(argv: list[str]) -> int:
             raise argparse.ArgumentTypeError(
                 f"expected SOURCE=N, got {s!r}"
             )
+        import math
+
         try:
             v = float(n)
         except ValueError:
             raise argparse.ArgumentTypeError(
                 f"epochs for {src!r} must be a number, got {n!r}"
             ) from None
-        if v < 0:
-            raise argparse.ArgumentTypeError("epochs must be >= 0")
+        if not math.isfinite(v) or v < 0:
+            raise argparse.ArgumentTypeError(
+                "epochs must be a finite number >= 0"
+            )
         return src, v
 
     ap.add_argument("--epochs", action="append", default=None,
@@ -377,6 +381,11 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--split-test", type=float, default=None,
                     help="tag a leakage-safe test split of this "
                          "fraction (see --split-val)")
+    ap.add_argument("--split-salt", default="split",
+                    help="salt for the split hash (default 'split'; "
+                         "must differ from the samplers' axis — an "
+                         "empty salt would correlate the split with "
+                         "mixture membership)")
     args = ap.parse_args(argv)
     if args.decon_containment_pct is not None and args.benchmark is None:
         ap.error("--decon-containment-pct requires --benchmark")
@@ -467,6 +476,7 @@ def curate_main(argv: list[str]) -> int:
         epochs=(dict(args.epochs) if args.epochs else None),
         split_val=args.split_val,
         split_test=args.split_test,
+        split_salt=args.split_salt,
     )
     shard_key = "id"
     if args.epochs:

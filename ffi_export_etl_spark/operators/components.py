@@ -297,12 +297,11 @@ def incremental_components(
     star = stored.select(
         F.col("id").alias(src), F.col("component").alias(dst)
     )
-    both = star.unionByName(
-        new_edges.select(
-            F.col(src).cast(star.schema[src].dataType),
-            F.col(dst).cast(star.schema[dst].dataType),
-        )
-    )
+    # no explicit cast to the stored dtype (review r7): a NARROWING
+    # cast (stored int32 labels, new bigint ids) NULLs out-of-range
+    # endpoints and the contraction's u != v filter would silently
+    # drop those edges; unionByName's type coercion widens instead
+    both = star.unionByName(new_edges.select(src, dst))
     comp = connected_components_alternating(
         both, src=src, dst=dst, max_rounds=max_rounds
     )

@@ -75,11 +75,21 @@ def drop_known_duplicates(
     # (arbitrary among rows sharing BOTH digest and id — pathological
     # input either way).
     cols = new_docs.columns
+    # the min_by ordering wraps the id in a non-null struct: min_by
+    # IGNORES rows whose ordering value is NULL, so a digest whose
+    # every copy has a NULL id would otherwise collapse to a fabricated
+    # all-NULL row. isNotNull() as the leading field keeps NULL ids
+    # ordered FIRST (false < true — the old window's ascending NULLS
+    # FIRST) while the ordering value itself is never NULL.
     batch_first = (
         keyed.groupBy("_key")
         .agg(
             F.min_by(
-                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+                F.struct(*[F.col(c) for c in cols]),
+                F.struct(
+                    F.col(id_col).isNotNull().alias("_n"),
+                    F.col(id_col).alias("_o"),
+                ),
             ).alias("_row")
         )
         .select("_key", "_row.*")

@@ -109,7 +109,13 @@ def stratified_take(
     smallest order values all sit below any value with n values below
     it); otherwise the rescue supplies the full stratum. Results are
     bit-identical to the plain window (pinned by test, incl. the
-    forced-rescue path)."""
+    forced-rescue path).
+
+    Multi-traversal contract: the input lineage is read up to four
+    times (counts, survivors x2 branches, rescue probe) — for a bare
+    table scan that is four narrow scans, cheap; callers passing an
+    EXPENSIVE derived frame should persist/checkpoint it first (the
+    cache_windows convention in operators/spandedup.py)."""
     h = _key_hash(key_col, salt)
     ord_ = h % MERSENNE31
     lbl = F.col(label_col)

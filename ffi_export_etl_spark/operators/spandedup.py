@@ -230,10 +230,15 @@ def _rebuild_cleaned(
     id_col: str,
     text_col: str,
     span_tokens: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, text, n_removed_tokens, n_dup_windows) from a table of
-    non-keeper span starts (id, pos) — the shared rebuild of the
-    one-shot and incremental paths."""
+    """(id, text, n_removed_tokens, n_dup_windows[, *extra_cols]) from a
+    table of non-keeper span starts (id, pos) — the shared rebuild of
+    the one-shot and incremental paths. ``extra_cols`` names input
+    columns carried through unchanged — the zero-cost alternative to a
+    caller joining the result back onto its source (which would
+    re-execute the source's whole upstream lineage on the second join
+    branch; the documented join-back anti-pattern)."""
     cut_tbl = (
         starts.groupBy("id")
         .agg(F.collect_list("pos").alias("_starts"))
@@ -250,6 +255,7 @@ def _rebuild_cleaned(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("_text"),
         toks.alias("_toks"),
+        *extra_cols,
     ).join(cut_tbl, "id", "left")
     return base.select(
         "id",
@@ -265,6 +271,7 @@ def _rebuild_cleaned(
             "n_removed_tokens"
         ),
         F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        *extra_cols,
     )
 
 
@@ -374,6 +381,7 @@ def remove_contaminated_spans(
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
     span_tokens: int = DEFAULT_SPAN_TOKENS,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Span-grain eval DECONTAMINATION: cut every ``span_tokens``-token
     window of a training document that appears verbatim in the
@@ -399,4 +407,6 @@ def remove_contaminated_spans(
         "whash",
         "left_semi",
     ).select("id", "pos")
-    return _rebuild_cleaned(docs, starts, id_col, text_col, span_tokens)
+    return _rebuild_cleaned(
+        docs, starts, id_col, text_col, span_tokens, extra_cols
+    )

@@ -86,9 +86,10 @@ def curate_documents(
     temperature_budget: int | None = None,
     epochs: dict[str, float] | None = None,
     epochs_default: float = 1.0,
+    epochs_salt: str = "epoch",
     split_val: float | None = None,
     split_test: float | None = None,
-    split_salt: str = "",
+    split_salt: str = "split",
     persist_intermediates: bool = True,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
@@ -183,13 +184,15 @@ def curate_documents(
             # source through like the other per-doc rewrite stages
             from ..operators.spandedup import remove_contaminated_spans
 
-            cleaned = remove_contaminated_spans(
+            # source rides through extra_cols — a join-back onto `cur`
+            # would re-execute the upstream lineage (html extraction,
+            # blocklist) on the second branch, the documented
+            # anti-pattern
+            cur = remove_contaminated_spans(
                 cur, benchmark, id_col=id_col, text_col=text_col,
                 bench_id_col=benchmark_id_col,
                 span_tokens=decon_span_tokens,
-            )
-            cur = cleaned.join(
-                cur.select(F.col(id_col).alias("id"), source_col), "id"
+                extra_cols=(source_col,),
             ).select(
                 F.col("id").alias(id_col), F.col("text").alias(text_col),
                 source_col,
@@ -465,8 +468,15 @@ def curate_documents(
         n_max = int(
             _math.ceil(max([*epochs.values(), epochs_default, 1.0]))
         ) + 1
+        # DISTINCT salt (review r7): the mixture/budget/temperature
+        # samplers upstream condition on the salt-'' md5(id) axis; an
+        # unsalted fractional-copy test would reuse the identical hash
+        # and be fully correlated with kept-ness (e.g. mixture rate 0.5
+        # + epochs 2.5 would give EVERY kept doc the third copy —
+        # effective 3.0 epochs, not 2.5)
         mixed = epoch_upsample(
-            mixed, "id", "source", epochs, epochs_default
+            mixed, "id", "source", epochs, epochs_default,
+            salt=epochs_salt,
         ).withColumn(
             "_rid",
             (F.col("id").cast("long") * n_max + F.col("epoch")).cast(
@@ -499,7 +509,12 @@ def curate_documents(
     # leakage-safe split tagging: the assignment hashes the near-dup
     # CLUSTER id the pipeline already attached, so a kept doc and any
     # below-threshold near-duplicate of its cluster land on the same
-    # side (operators/sampling.split_by_cluster semantics, for free)
+    # side (operators/sampling.split_by_cluster semantics, for free).
+    # split_salt defaults NON-empty (review r7): keepers have
+    # cluster_id == id, so a salt-'' split would hash the exact axis
+    # the upstream samplers consumed — with mixture rate r <= val
+    # fraction, EVERY kept doc would land in val and train would be
+    # silently empty.
     if split_val is not None or split_test is not None:
         from ..operators.sampling import split_train_val_test
 

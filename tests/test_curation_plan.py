@@ -333,3 +333,38 @@ def test_curate_cli_epochs_and_split(spark, tmp_path, capsys):
     rows_out = got.collect()
     assert sum(1 for r in rows_out if r["source"] == "wiki") == 20
     assert {r["split"] for r in rows_out} <= {"train", "val"}
+
+
+def test_split_and_epochs_decorrelated_from_sampling_axis(spark):
+    """Review-r7 regression: the split and fractional-epoch hashes must
+    NOT reuse the salt-'' md5(id) axis the mixture samplers consume —
+    with mixture rate r <= val fraction every kept doc would land in
+    val (empty train), and a fractional epoch <= r would give every
+    kept doc the extra copy (epochs silently inflated)."""
+    from ffi_export_etl_spark.plans.curation import release_curation_caches
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} " + " ".join(
+                f"x{i}_{j} distinct words" for j in range(12)
+            ), "web")
+            for i in range(200)
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    out = curate_documents(
+        docs, min_words=5,
+        mixture={"web": 0.5},
+        split_val=0.5,
+        epochs={"web": 1.5},
+    )
+    rows = out.collect()
+    release_curation_caches(out)
+    splits = {}
+    copies = {}
+    for r in rows:
+        splits[r["id"]] = r["split"]
+        copies[r["id"]] = max(copies.get(r["id"], 0), r["epoch"] + 1)
+    # correlated axes would force EVERY kept doc into val / 2 copies
+    assert set(splits.values()) == {"train", "val"}, set(splits.values())
+    assert set(copies.values()) == {1, 2}, set(copies.values())
