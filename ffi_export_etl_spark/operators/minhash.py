@@ -357,3 +357,91 @@ def incremental_verified_pairs(
         .filter(F.col("est_jaccard_pct") >= threshold_pct)
         .select("id_a", "id_b", "est_jaccard_pct")
     )
+
+
+def cross_corpus_near_duplicates(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int | None = None,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold_pct: int = 20,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """(id_a, id_b, n_inter, n_union, jaccard) near-dup pairs BETWEEN
+    two corpora only — id_a always from A, id_b always from B, never a
+    within-side pair. The cross-corpus audit shape: fuzzy
+    decontamination of a training corpus against another corpus,
+    recrawl-vs-archive diffing, vendor-dataset overlap checks. The two
+    id spaces are independent (sides are tagged; the same id may occur
+    in both and pair with itself).
+
+    Shape: each side shingles + sketches once; banded rows union with a
+    side tag into the shared capped bucket expansion
+    (operators/bucketpairs.py), keeping only cross-side pairs; exact
+    Jaccard verification joins candidates to both sides' shingle tables
+    (candidate-pinned, never all-pairs). Differs from
+    incremental_candidate_pairs in exactly one clause: within-NEW pairs
+    are excluded too, because here BOTH corpora are 'stored' — there is
+    no ingest side to self-dedup."""
+    rows_per_band = num_perm // bands
+    sh_a = build_shingles(docs_a, id_col, text_col, n, shingle_mode)
+    sh_b = build_shingles(docs_b, id_col, text_col, n, shingle_mode)
+    banded = _banded(
+        signatures_from_shingles(sh_a, num_perm), bands, rows_per_band
+    ).withColumn("is_a", F.lit(True)).unionByName(
+        _banded(
+            signatures_from_shingles(sh_b, num_perm), bands, rows_per_band
+        ).withColumn("is_a", F.lit(False))
+    )
+    cands = (
+        bucket_pairs(
+            banded,
+            ["band", "bucket"],
+            F.struct("id", "is_a"),
+            lambda x, y: F.struct(
+                F.when(x["is_a"], x["id"]).otherwise(y["id"]).alias("id_a"),
+                F.when(x["is_a"], y["id"]).otherwise(x["id"]).alias("id_b"),
+                (x["is_a"] != y["is_a"]).alias("_cross"),
+            ),
+            max_bucket_size,
+        )
+        .filter(F.col("p._cross"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    inter = (
+        cands.join(
+            sh_a.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_b.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b")),
+            (F.col("id_b") == F.col("_idb"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sh_a.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).select(
+        F.col("id").alias("id_a"), "n_a"
+    )
+    nb = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_b")).select(
+        F.col("id").alias("id_b"), "n_b"
+    )
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .filter(F.col("n_inter") * 100 >= threshold_pct * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
+        )
+    )

@@ -251,3 +251,55 @@ def test_curate_documents_span_decontamination(spark):
     assert set(res) == {1, 2}  # doc 1 survives (doc-drop would kill it)
     assert "secret eval answer" not in res[1]
     assert res[1].startswith("long document")
+
+
+def test_cross_corpus_near_duplicates(spark):
+    """Pairs come ONLY from A x B (within-side near-dups excluded by
+    construction), verified Jaccard matches the brute-force cross
+    computation, and an id present in both corpora may pair with
+    itself (independent id spaces)."""
+    from ffi_export_etl_spark.operators.minhash import (
+        cross_corpus_near_duplicates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again today it runs")
+    a_rows = [
+        (1, base),                                 # matches B's 1 and 20
+        (2, base.replace("today", "tonight")),     # near-dup of A's 1 too
+        (3, "completely different alpha words " * 4),
+    ]
+    b_rows = [
+        (1, base + " ok"),                         # same id as A's 1
+        (20, base.replace("runs", "sleeps")),
+        (21, "unrelated beta content zz " * 4),
+    ]
+    a = spark.createDataFrame(a_rows, ["doc_id", "text"])
+    b = spark.createDataFrame(b_rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in cross_corpus_near_duplicates(
+            a, b, n=3, threshold_pct=50
+        ).collect()
+    }
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for ia, ta in a_rows:
+        for ib, tb in b_rows:
+            sa, sb = shingles(ta), shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if len(sa & sb) * 100 >= 50 * len(sa | sb):
+                want[(ia, ib)] = j
+    # no false positives (verification is exact), and the near-identical
+    # pairs are recalled; borderline pairs may miss a band (the
+    # documented LSH recall trade), so subset not equality
+    assert set(got) <= set(want), (set(got), set(want))
+    assert {(1, 1), (1, 20)} <= set(got)
+    for k, j in got.items():
+        assert abs(j - want[k]) < 1e-12, k
+    # the within-A near-dup (1, 2) never appears on either side
+    assert all(ka != 2 for ka, _ in got) or (1, 2) not in got
