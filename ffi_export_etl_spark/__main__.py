@@ -691,6 +691,58 @@ def rank_main(argv: list[str]) -> int:
     return 0
 
 
+def cross_audit_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark cross-audit``: fuzzy overlap
+    audit between TWO corpora — near-duplicate pairs from A x B only
+    (operators/minhash.cross_corpus_near_duplicates), written as
+    parquet plus a one-line JSON summary. The vendor-dataset /
+    recrawl-vs-archive / cross-corpus-decontamination report."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark cross-audit",
+        description="Near-duplicate pairs BETWEEN two corpora "
+                    "(never within either side).",
+    )
+    ap.add_argument("--corpus-a", required=True,
+                    help="parquet path/glob of corpus A")
+    ap.add_argument("--corpus-b", required=True,
+                    help="parquet path/glob of corpus B")
+    ap.add_argument("--output", required=True,
+                    help="output dir for the (id_a, id_b, jaccard) pairs")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--jaccard-threshold-pct", type=int, default=20)
+    ap.add_argument("--shingle-mode", choices=("word", "char"),
+                    default="word")
+    ap.add_argument("--shingle-n", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .operators.minhash import cross_corpus_near_duplicates
+    from .session import get_spark, tune
+
+    spark = tune(get_spark(app_name="ffi-etl-cross-audit"))
+    spark.sparkContext.setLogLevel("ERROR")
+    a = spark.read.parquet(args.corpus_a)
+    b = spark.read.parquet(args.corpus_b)
+    pairs = cross_corpus_near_duplicates(
+        a, b, id_col=args.id_col, text_col=args.text_col,
+        n=args.shingle_n, threshold_pct=args.jaccard_threshold_pct,
+        shingle_mode=args.shingle_mode,
+    )
+    pairs.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n_pairs = written.count()
+    # distinct doc counts per side — the headline contamination measure
+    n_a_hit = written.select("id_a").distinct().count()
+    n_b_hit = written.select("id_b").distinct().count()
+    print(json.dumps({
+        "n_pairs": n_pairs,
+        "n_a_docs_with_match": n_a_hit,
+        "n_b_docs_with_match": n_b_hit,
+        "output": args.output,
+    }, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -704,6 +756,8 @@ def main(argv: list[str] | None = None) -> int:
         return profile_main(argv[1:])
     if argv and argv[0] == "diff":
         return diff_main(argv[1:])
+    if argv and argv[0] == "cross-audit":
+        return cross_audit_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="python -m ffi_export_etl_spark",
         description="FFI export ETL: XML exports -> transformed tables -> "

@@ -494,3 +494,39 @@ def test_cli_curate_temperature_mix(spark, tmp_path, capsys):
     # natural share of 'small' is 15%; sqrt mixing roughly doubles it
     frac_small = by_src.get("small", 0) / report["docs_out"]
     assert frac_small > 0.2, by_src
+
+
+def test_cross_audit_cli(spark, tmp_path, capsys):
+    """cross-audit end to end: pairs only from A x B, JSON summary
+    counts distinct matched docs per side."""
+    import json as _json
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again today it runs")
+    a = str(tmp_path / "corpus_a")
+    b = str(tmp_path / "corpus_b")
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated alpha words " * 5)],
+        "doc_id: long, text: string",
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(10, base + " ok"), (11, base.replace("today", "tonight")),
+         (12, "different beta stuff " * 5)],
+        "doc_id: long, text: string",
+    ).write.parquet(b)
+    out = str(tmp_path / "pairs")
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "cross-audit", "--corpus-a", a, "--corpus-b", b,
+        "--output", out, "--jaccard-threshold-pct", "50",
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 10), (1, 11)}, got
+    assert rep["n_pairs"] == 2
+    assert rep["n_a_docs_with_match"] == 1
+    assert rep["n_b_docs_with_match"] == 2
