@@ -349,3 +349,87 @@ def test_check_suite_counts_property(spark, rows):
     nonnull = [v for v in langs if v is not None]
     assert rep["unique:lang"] == len(nonnull) - len(set(nonnull))
     assert rep["min_rows:3"] == max(0, 3 - len(rows))
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3),
+                  st.integers(-50, 50)),
+        min_size=1, max_size=60,
+    ),
+    st.sampled_from([None, 1, 3, 100]),
+)
+def test_bucket_pairs_property(spark, rows, cap):
+    """bucket_pairs == the naive per-bucket nested loop with the same
+    cap/singleton rules, for random bucket keys, duplicate ids, and
+    every cap regime — the shared core all five sketch families ride."""
+    from ffi_export_etl_spark.operators.bucketpairs import bucket_pairs
+
+    df = spark.createDataFrame(rows, "k1: int, k2: int, id: long")
+    got = sorted(
+        (r["p"]["id_a"], r["p"]["id_b"], r["p"]["k"])
+        for r in bucket_pairs(
+            df, ["k1", "k2"], F.col("id"),
+            lambda x, y: F.struct(
+                x.alias("id_a"), y.alias("id_b"),
+                (x + y).alias("k"),
+            ),
+            cap,
+        ).select("p").collect()
+    )
+    buckets: dict = {}
+    for k1, k2, i in rows:
+        buckets.setdefault((k1, k2), []).append(i)
+    want = []
+    for ids in buckets.values():
+        if cap is not None and len(ids) > cap:
+            continue
+        s = sorted(ids)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                want.append((s[i], s[j], s[i] + s[j]))
+    assert got == sorted(want)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", None])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([0.0, 0.25, 1.0, 2.5]),
+)
+def test_epoch_upsample_property(spark, rows, ea):
+    """epoch_upsample row-count formula for random corpora and epoch
+    values: each row fans to floor(N) + (hash-kept fractional) copies,
+    indexes contiguous from 0; replayed by a pure-Python twin on the
+    same md5 axis."""
+    import math
+
+    from ffi_export_etl_spark.functions.porthash import py_md5_long
+    from ffi_export_etl_spark.operators.sampling import (
+        HASH_SPACE,
+        NULL_KEY_SENTINEL,
+        epoch_upsample,
+    )
+
+    df = spark.createDataFrame(rows, "id: long, src: string")
+    out = epoch_upsample(df, "id", "src", {"a": ea}, 1.0)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(r["epoch"])
+    thr = int((ea - math.floor(ea)) * HASH_SPACE)
+    for i, src in rows:
+        if src == "a":
+            n = int(math.floor(ea))
+            h = py_md5_long(
+                str(i) if i is not None else NULL_KEY_SENTINEL
+            )
+            if h < thr:
+                n += 1
+        else:
+            n = 1
+        assert sorted(got.get(i, [])) == list(range(n)), (i, src, ea)
