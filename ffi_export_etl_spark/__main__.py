@@ -496,12 +496,29 @@ def curate_main(argv: list[str]) -> int:
         data_format=args.shard_format,
     )
     shards = manifest.collect()
-    print(json.dumps({
+    # mixture report from the WRITTEN shards (one narrow scan of the
+    # output — re-aggregating `curated` would re-run the pipeline):
+    # per-source doc and token counts, the numbers a mixture spec is
+    # checked against
+    from pyspark.sql import functions as F
+
+    written = spark.read.format(args.shard_format).load(args.output)
+    per_source = {
+        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in written.groupBy("source").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_words").alias("tokens"),
+        ).collect()
+    } if {"source", "n_words"} <= set(written.columns) else None
+    report = {
         "docs_in": n_in,
         "docs_out": sum(m["n_rows"] for m in shards),
         "n_shards": len(shards),
         "output": args.output,
-    }, sort_keys=True))
+    }
+    if per_source is not None:
+        report["per_source"] = per_source
+    print(json.dumps(report, sort_keys=True))
     return 0
 
 
@@ -691,6 +708,45 @@ def rank_main(argv: list[str]) -> int:
     return 0
 
 
+def verify_shards_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark verify-shards``: integrity
+    check of a checksummed training-shard directory
+    (sinks/shards.verify_training_shards) — run after a copy/transfer
+    or before a training job trusts a corpus. Prints one JSON line;
+    exit 1 if any shard fails, 2 if the manifest has no checksums."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark verify-shards",
+        description="Verify training shards against their manifest "
+                    "(row counts, order-insensitive row digests, byte "
+                    "sizes).",
+    )
+    ap.add_argument("--path", required=True, help="shard directory")
+    ap.add_argument("--format", choices=("parquet", "orc"),
+                    default="parquet", dest="data_format")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark, tune
+    from .sinks.shards import verify_training_shards
+
+    spark = tune(get_spark(app_name="ffi-etl-verify-shards"))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        report = verify_training_shards(
+            spark, args.path, data_format=args.data_format
+        ).collect()
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}, sort_keys=True))
+        return 2
+    bad = [r["file"] for r in report if not r["ok"]]
+    print(json.dumps({
+        "n_shards": len(report),
+        "n_failed": len(bad),
+        "failed": sorted(bad),
+        "path": args.path,
+    }, sort_keys=True))
+    return 1 if bad else 0
+
+
 def cross_audit_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark cross-audit``: fuzzy overlap
     audit between TWO corpora — near-duplicate pairs from A x B only
@@ -758,6 +814,8 @@ def main(argv: list[str] | None = None) -> int:
         return diff_main(argv[1:])
     if argv and argv[0] == "cross-audit":
         return cross_audit_main(argv[1:])
+    if argv and argv[0] == "verify-shards":
+        return verify_shards_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="python -m ffi_export_etl_spark",
         description="FFI export ETL: XML exports -> transformed tables -> "

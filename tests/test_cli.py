@@ -530,3 +530,50 @@ def test_cross_audit_cli(spark, tmp_path, capsys):
     assert rep["n_pairs"] == 2
     assert rep["n_a_docs_with_match"] == 1
     assert rep["n_b_docs_with_match"] == 2
+
+
+def test_verify_shards_cli(spark, tmp_path, capsys):
+    """verify-shards end to end: clean corpus exits 0; a corrupted
+    (donor-swapped) shard flips the exit to 1 and is named; a manifest
+    without checksums exits 2."""
+    import json as _json
+    import os
+    import shutil
+
+    from ffi_export_etl_spark.__main__ import main
+    from ffi_export_etl_spark.sinks.shards import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} " * 5) for i in range(500)],
+        "doc_id: long, text: string",
+    )
+    path = str(tmp_path / "shards_ok")
+    write_training_shards(
+        docs, path, "doc_id", rows_per_shard=100, checksums=True
+    )
+    rc = main(["verify-shards", "--path", path])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["n_failed"] == 0 and rep["n_shards"] > 1
+
+    # donor-swap one shard file (and its crc sidecar, like the sinks
+    # corruption test: object stores have none)
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    a, b = os.path.join(path, files[0]), os.path.join(path, files[1])
+    shutil.copyfile(b, a)
+    for f in (files[0],):
+        crc = os.path.join(path, "." + f + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    rc = main(["verify-shards", "--path", path])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and rep["failed"] == [files[0]], rep
+
+    # no checksums -> exit 2
+    path2 = str(tmp_path / "shards_nock")
+    write_training_shards(docs, path2, "doc_id", rows_per_shard=100)
+    rc = main(["verify-shards", "--path", path2])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "error" in rep
