@@ -257,22 +257,38 @@ def minhash_near_duplicates(
         sh = sh.persist()
     sigs = signatures_from_shingles(sh, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
+    # Verification joins each CANDIDATE doc's distinct-shingle SET (one
+    # array row per doc) and intersects map-side — the r6 jaccard
+    # lesson (operators/shingles.py): the former form joined the
+    # candidate list against the full EXPLODED shingle table twice and
+    # re-counted the intersection through a shuffle.
+    arrs = sh.groupBy("id").agg(F.collect_set("shingle").alias("_shs"))
+    return _verify_jaccard_pairs(cands, arrs, arrs, threshold_pct)
 
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cands.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+
+def _verify_jaccard_pairs(
+    cands: DataFrame,
+    arrs_a: DataFrame,
+    arrs_b: DataFrame,
+    threshold_pct: int,
+) -> DataFrame:
+    """(id_a, id_b, n_inter, n_union, jaccard >= pct/100) from candidate
+    pairs + per-doc distinct-shingle arrays for each side (the same
+    frame twice for a self-dedup). Candidate-bounded: two id joins ship
+    one array row per candidate endpoint, the intersection is map-side
+    array arithmetic, the threshold integer arithmetic."""
+    va = arrs_a.select(F.col("id").alias("id_a"), F.col("_shs").alias("_sa"))
+    vb = arrs_b.select(F.col("id").alias("id_b"), F.col("_shs").alias("_sb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sa", "_sb")).cast("long")
+        )
+        .withColumn(
+            "n_union",
+            (F.size("_sa") + F.size("_sb")).cast("long") - F.col("n_inter"),
+        )
         .filter(F.col("n_inter") * 100 >= threshold_pct * F.col("n_union"))
         .select(
             "id_a",
@@ -413,35 +429,9 @@ def cross_corpus_near_duplicates(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    inter = (
-        cands.join(
-            sh_a.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh_b.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b")),
-            (F.col("id_b") == F.col("_idb"))
-            & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sh_a.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).select(
-        F.col("id").alias("id_a"), "n_a"
-    )
-    nb = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_b")).select(
-        F.col("id").alias("id_b"), "n_b"
-    )
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        .filter(F.col("n_inter") * 100 >= threshold_pct * F.col("n_union"))
-        .select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            "n_union",
-            (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
-        )
+    return _verify_jaccard_pairs(
+        cands,
+        sh_a.groupBy("id").agg(F.collect_set("shingle").alias("_shs")),
+        sh_b.groupBy("id").agg(F.collect_set("shingle").alias("_shs")),
+        threshold_pct,
     )
