@@ -243,6 +243,27 @@ def pq_topk_rerank(
         query_id_col=query_id_col, vec_col=vec_col,
         dim=dim, m=m, round_digits=round_digits,
     ).select("query_id", "nbr_id")
+    return _exact_rerank(
+        short, vectors, queries, k,
+        query_id_col=query_id_col, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact squared-L2 re-scoring of a (query_id, nbr_id) shortlist:
+    the shared tail of pq_topk_rerank and ivfpq_topk_rerank. The
+    shortlist broadcasts (queries x rerank ids — model-sized) so the
+    raw-vector scan is shortlist-bounded and filter-pushed."""
     v = vectors.select(
         F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -266,6 +287,50 @@ def pq_topk_rerank(
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "nbr_id", "dist", "rnk")
+    )
+
+
+def ivfpq_topk_rerank(
+    vectors: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    coarse_k: int = 16,
+    nprobe: int = 3,
+    k: int = 10,
+    rerank: int = 100,
+    m: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The full billion-vector serving stack (IVFADC+R, Jegou et al.
+    2011): coarse cells prune the corpus to nprobe cells per query, ADC
+    ranks the pruned codes to a ``rerank``-deep shortlist, and the
+    exact vectors re-score ONLY the shortlist — each stage touches a
+    strictly smaller slice (cells -> codes-in-probed-cells -> rerank
+    raw vectors per query). ``vectors`` here is the raw-vector table
+    the re-rank reads (shortlist-bounded, e.g. the on-disk corpus
+    behind the in-memory codes); cells/centroids are the stored coarse
+    artifacts as in :func:`ivfpq_topk` (fitted from ``vectors`` when
+    omitted). Returns (query_id, nbr_id, dist, rnk), ascending true
+    squared L2."""
+    short = ivfpq_topk(
+        vectors if (cells is None or centroids is None) else None,
+        codes, codebooks, queries, dim,
+        cells=cells, centroids=centroids, coarse_k=coarse_k,
+        nprobe=nprobe, k=rerank, m=m,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        round_digits=round_digits,
+    ).select("query_id", "nbr_id")
+    return _exact_rerank(
+        short, vectors, queries, k,
+        query_id_col=query_id_col, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
     )
 
 

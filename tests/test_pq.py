@@ -441,3 +441,39 @@ def test_opq_rotation_composes_with_encode_and_rerank(spark, pq_fix):
         assert sorted(got[q]) == [
             (rk + 1, i) for rk, (_, i) in enumerate(exact)
         ], q
+
+
+def test_ivfpq_rerank_full_stack(spark, pq_fix):
+    """ivfpq_topk_rerank == exact L2 ranking restricted to the IVF+PQ
+    shortlist — the coarse-prune -> ADC -> exact-rerank serving stack
+    composes without changing any stage's semantics."""
+    from ffi_export_etl_spark.operators.pq import (
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+    )
+
+    vecs, df, books, codes = pq_fix
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=DIM, coarse_k=4, nprobe=2, m=M)
+    short = {
+        (r["query_id"], r["nbr_id"])
+        for r in ivfpq_topk(
+            df, codes, books, queries, k=15, **kw
+        ).collect()
+    }
+    got = {}
+    for r in ivfpq_topk_rerank(
+        df, codes, books, queries, k=5, rerank=15, **kw
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["nbr_id"]))
+    for q in range(4):
+        qv = vecs[q]
+        cand = [i for (qq, i) in short if qq == q]
+        want = sorted(
+            (_rd(((vecs[i] - qv) ** 2).sum(), RD), i) for i in cand
+        )[:5]
+        assert sorted(got[q]) == [
+            (rk + 1, i) for rk, (_, i) in enumerate(want)
+        ], q
