@@ -478,22 +478,24 @@ def curate_main(argv: list[str]) -> int:
         split_test=args.split_test,
         split_salt=args.split_salt,
     )
-    shard_key = "id"
+    shuffle_key = None
     if args.epochs:
         # copies of an upsampled doc must spread through the training
         # stream, not sit adjacent: shard-shuffle on (id, epoch) so each
-        # copy hashes to its own stream position
+        # copy hashes to its own stream position. Passed as a COMPUTED
+        # shuffle key (ADVICE r8) — id + epoch already identify the
+        # copy, so a materialized helper column would be redundant
+        # bytes in every shard and pollute the verify-shards digests.
         from pyspark.sql import functions as F
 
-        curated = curated.withColumn(
-            "_shard_key",
-            F.concat_ws("#", F.col("id").cast("string"), F.col("epoch")),
+        shuffle_key = F.concat_ws(
+            "#", F.col("id").cast("string"), F.col("epoch")
         )
-        shard_key = "_shard_key"
     manifest = write_training_shards(
-        curated, args.output, shard_key,
+        curated, args.output, "id",
         rows_per_shard=args.rows_per_shard,
         data_format=args.shard_format,
+        shuffle_key=shuffle_key,
     )
     shards = manifest.collect()
     # mixture report from the WRITTEN shards (one narrow scan of the

@@ -130,6 +130,7 @@ def _select_batch(
     budget: int,
     min_pair_count: int,
     exact: bool = True,
+    vocab: frozenset | set | None = None,
 ) -> list[tuple[str, str, int]]:
     """Maximal EXACTLY-sequential-equivalent merge batch from one
     count-ordered candidate list (cnt desc, then lexicographic — the
@@ -138,7 +139,23 @@ def _select_batch(
 
     - symbol-DISJOINT pairs don't change each other's counts (merging
       (a,b) only touches pairs containing a or b), so the walk stops at
-      the first candidate sharing a symbol with anything selected;
+      the first candidate sharing a symbol with anything selected.
+      "Sharing a symbol" includes ALIASING (ADVICE r8): string
+      disjointness of {a, b} is not count-independence — the selected
+      merge CREATES the token a+b, so ``used`` also carries every
+      selected concatenation, and a candidate's own concatenation is
+      checked too (two selections producing the same token string would
+      double-create one pair). Both modes apply this, which is what
+      keeps approximate mode's recorded counts exact;
+    - a selected pair whose concatenation already EXISTS in the corpus
+      vocabulary (``vocab``) terminates an exact batch after itself:
+      its created pairs ADD to live candidates' stale counts (e.g.
+      merging ('ab','c') when an earlier round built 'abc' via
+      ('a','bc') grows every ('z','abc') candidate), so the floor bound
+      no longer caps what the applied prefix can promote. Selecting it
+      LAST is still exact — its own count is invariant under the
+      disjoint prefix, and the inflation only affects rounds after the
+      batch, which re-count fresh;
     - every changed-or-created pair is bounded by ``floor`` — the count
       of the first conflict or of the first UNSEEN candidate, whichever
       is larger: a decreased pair only falls, and a pair created by
@@ -162,6 +179,7 @@ def _select_batch(
     practice (the distributed-BPE literature's standard trade)."""
     selected: list[tuple[str, str, int]] = []
     used: set[str] = set()
+    vocab = vocab or frozenset()
     for r in cands:
         if len(selected) >= budget:
             # the budget-cut candidate is as unseen as the (N+1)th: a
@@ -177,13 +195,20 @@ def _select_batch(
             # either triggered the conflict stop above this line or
             # ranks below this sub-threshold candidate
             break
-        if {r["a"], r["b"]} & used:
+        cat = r["a"] + r["b"]
+        if {r["a"], r["b"], cat} & used:
             if exact:
                 floor = max(floor, int(r["cnt"]))
                 break
             continue  # approximate mode: skip the conflict, keep going
         selected.append((r["a"], r["b"], int(r["cnt"])))
-        used.update((r["a"], r["b"]))
+        used.update((r["a"], r["b"], cat))
+        if exact and cat in vocab:
+            # vocab aliasing (ADVICE r8): this merge's created pairs
+            # stack on top of existing candidates containing `cat`, so
+            # the floor can't bound later selections — close the batch
+            # with this pair as its final member (see docstring)
+            break
     if not exact:
         return selected
     keep = selected[:1]
@@ -226,6 +251,17 @@ def train_bpe_full(
     syms = word_counts.select(
         F.split(F.col("word"), "").alias("symbols"), F.col("n")
     ).localCheckpoint(eager=True)
+    # the EXACT token vocabulary is known driver-side: initial distinct
+    # characters (one tiny distinct-aggregate, same size class as the
+    # merge list) plus the concatenation of every applied merge. Needed
+    # for the exact-mode aliasing stop in _select_batch (ADVICE r8) —
+    # a superset is safe (it only closes batches earlier).
+    vocab: set[str] = {
+        r["s"]
+        for r in syms.select(
+            F.explode("symbols").alias("s")
+        ).distinct().collect()
+    }
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     try:
@@ -263,8 +299,10 @@ def train_bpe_full(
             batch = _select_batch(
                 cands[:n_cand], floor,
                 num_merges - len(merges), min_pair_count, exact,
+                vocab=vocab,
             )
             merges.extend(batch)
+            vocab.update(a + b for a, b, _cnt in batch)
             # disjoint merges commute; chaining them in one projection
             # applies the whole batch in a single rewrite pass
             expr = F.col("symbols")

@@ -27,11 +27,15 @@ NULL_KEY_SENTINEL = "<null>"
 HASH_SPACE = 1 << 60
 
 
-def _key_hash(key_col: str, salt: str):
+def _key_hash(key_col, salt: str):
+    """Salted md5 hash of a key column (by name, or any computed
+    string-castable Column — e.g. a composite (id, epoch) shuffle key
+    that should order the stream without being written to it)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     return md5_long(
         F.concat(
             F.lit(salt),
-            F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_KEY_SENTINEL)),
+            F.coalesce(key.cast("string"), F.lit(NULL_KEY_SENTINEL)),
         ),
         15,
     )
@@ -386,7 +390,10 @@ def token_budget_sample(
 
 
 def deterministic_shuffle(
-    df: DataFrame, key_col: str, salt: str = "", num_partitions: int | None = None
+    df: DataFrame,
+    key_col,
+    salt: str = "",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle for training-data ordering: sort by
     the key's salted md5 hash (tiebreak on the key itself so exact-dup
@@ -400,10 +407,11 @@ def deterministic_shuffle(
     (repartitionByRange on the same axis keeps the global order).
     """
     h = _key_hash(key_col, salt)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     if num_partitions is not None:
-        df = df.repartitionByRange(num_partitions, h.asc(), F.col(key_col).asc())
-        return df.sortWithinPartitions(h.asc(), F.col(key_col).asc())
-    return df.orderBy(h.asc(), F.col(key_col).asc())
+        df = df.repartitionByRange(num_partitions, h.asc(), key.asc())
+        return df.sortWithinPartitions(h.asc(), key.asc())
+    return df.orderBy(h.asc(), key.asc())
 
 
 

@@ -456,6 +456,28 @@ def curate_documents(
     # applied after the persist boundary like temperature.
     extra_cols: list[str] = []
     join_key = "id"
+    # fail fast on non-integral ids (ADVICE r8): packing's
+    # global_cumsum blocks on a NUMERIC order key, so a string id
+    # either throws CAST_INVALID_INPUT mid-job (ANSI, the Spark 4
+    # default) or silently degrades (non-ANSI: NULL block key -> one
+    # giant block); with epochs it is strictly worse — the non-ANSI
+    # composite _rid = cast(id as long) * n_max + epoch goes NULL and
+    # the equi-join returns an EMPTY curated output with no error.
+    id_type = dict(mixed.dtypes)["id"]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            "curate_documents requires an integral id column "
+            "(sequence packing orders on it"
+            + (
+                "; epochs builds the composite row id "
+                "id * max_copies + epoch from it"
+                if epochs is not None
+                else ""
+            )
+            + f"); got {id_type!r}. Map ids to integers first, e.g. "
+            "xxhash64(id) with a collision-checked count, or "
+            "monotonically_increasing_id over a stable sort."
+        )
     if epochs is not None:
         from ..operators.sampling import epoch_upsample
 

@@ -111,6 +111,25 @@ def stream_joined_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     click windows; purchase value sums), so the streaming query under
     test is the join itself, not a chained stateful aggregation."""
     events = table_path(sf_dir, "events")
+    # The oracle is the unrestricted batch interval join, so the gate
+    # arm's correctness must not depend on the source's physical file
+    # layout (ADVICE r8): under multi-file micro-batch pacing, a
+    # click/purchase pair split across batches with more cross-file
+    # event-time disorder than the watermark is state-evicted
+    # stream-side while the oracle keeps it. Derive a watermark
+    # covering the dataset's full event-time span (one tiny min/max
+    # aggregate — a driver-side scalar, bounded at any SF) so no
+    # in-bound pair can ever drop; 30 minutes stays the production
+    # default (interval_join_streams docstring), where late data is
+    # MEANT to be dropped.
+    ebatch = spark.read.parquet(events)
+    lo, hi = (
+        ebatch.select(
+            F.unix_micros(F.min(event_timestamp(ebatch))),
+            F.unix_micros(F.max(event_timestamp(ebatch))),
+        ).first()
+    )
+    span_minutes = int((hi - lo) // 60_000_000) + 60
     clicks = read_events_stream(spark, events).filter(
         F.col("event_type") == "click"
     )
@@ -119,7 +138,7 @@ def stream_joined_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = interval_join_streams(
         clicks, purchases, key="user_id",
-        bound=JOIN_BOUND, watermark="30 minutes",
+        bound=JOIN_BOUND, watermark=f"{span_minutes} minutes",
     )
     pairs = joined.select(
         F.col("l.ts_micro").alias("click_ts"),

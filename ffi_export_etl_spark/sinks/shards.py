@@ -43,6 +43,7 @@ def write_training_shards(
     data_format: str = "parquet",
     checksums: bool = False,
     order_col: str | None = None,
+    shuffle_key=None,
 ) -> DataFrame:
     """Write ``df`` as ordered training shards under ``path``; returns
     the manifest DataFrame (file, n_rows, first_key, last_key — in
@@ -66,6 +67,15 @@ def write_training_shards(
     reproducible. The default (None) remains the hash shuffle: training
     normally wants decorrelated order, curriculum runs opt in.
 
+    ``shuffle_key`` (optional computed Column) orders the stream in
+    place of ``key_col``'s hash WITHOUT being written to the shards —
+    e.g. epoch-upsampled corpora shuffle on (id, epoch) so a doc's
+    copies spread through the stream, while the output schema keeps
+    only the real columns (ADVICE r8: a materialized helper key was
+    redundant bytes in every shard and polluted the verify digests).
+    ``key_col`` must still be a real column: the manifest's
+    first_key/last_key are read back from the written files.
+
     ``checksums=True`` adds per-shard integrity columns to the
     manifest: ``row_digest`` (order-insensitive sum of per-row 32-bit
     md5 prefixes over the JSON rendering of the full row — catches
@@ -78,8 +88,9 @@ def write_training_shards(
         raise ValueError(
             f"data_format must be one of {FORMATS}, got {data_format!r}"
         )
+    skey = shuffle_key if shuffle_key is not None else key_col
     if order_col is not None:
-        h0 = _key_hash(key_col, salt)
+        h0 = _key_hash(skey, salt)
         if num_partitions is not None:
             ordered = df.repartitionByRange(
                 num_partitions, F.col(order_col), h0, F.col(key_col)
@@ -88,7 +99,7 @@ def write_training_shards(
             ordered = df.orderBy(F.col(order_col), h0, F.col(key_col))
     else:
         ordered = deterministic_shuffle(
-            df, key_col, salt=salt, num_partitions=num_partitions
+            df, skey, salt=salt, num_partitions=num_partitions
         )
     (
         ordered.write.mode("overwrite")
@@ -103,9 +114,12 @@ def write_training_shards(
     if manifest is None:
         # non-pyarrow-reachable store: fall back to one distributed scan.
         # first/last IN STREAM ORDER = min/max along whatever axis the
-        # sort used (hash shuffle, or curriculum (order, hash, key)),
-        # not the raw key ordering
-        h = _key_hash(key_col, salt)
+        # sort used (hash shuffle — of the computed shuffle_key when
+        # given — or curriculum (order, hash, key)), not the raw key
+        # ordering. A shuffle_key Column must therefore be computable
+        # from the WRITTEN columns (it is: it exists to avoid writing a
+        # derived copy of them).
+        h = _key_hash(skey, salt)
         ord_expr = (
             F.struct(F.col(order_col), h, F.col(key_col))
             if order_col is not None

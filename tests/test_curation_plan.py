@@ -330,9 +330,37 @@ def test_curate_cli_epochs_and_split(spark, tmp_path, capsys):
     assert rep["docs_out"] == 30  # 10 wiki x 2 + 10 web
     got = spark.read.parquet(out)
     assert "epoch" in got.columns and "split" in got.columns
+    # ADVICE r8: the (id, epoch) shard-shuffle key is computed, not
+    # materialized — no helper column in the training shards
+    assert "_shard_key" not in got.columns
     rows_out = got.collect()
     assert sum(1 for r in rows_out if r["source"] == "wiki") == 20
     assert {r["split"] for r in rows_out} <= {"train", "val"}
+
+
+def test_epochs_rejects_non_integral_ids(spark):
+    """ADVICE r8: _rid = id.cast('long') * n_max + epoch is a non-ANSI
+    cast — a string id becomes NULL and the _rid equi-join matches
+    nothing, so epochs on a string-id corpus would silently return an
+    EMPTY curated output. The plan must fail fast instead."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (f"doc-{i}", f"doc {i} " + " ".join(
+                f"w{i}_{j} real words" for j in range(12)
+            ), "web")
+            for i in range(30)
+        ],
+        "doc_id: string, text: string, source: string",
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        curate_documents(docs, min_words=5, epochs={"web": 2.0})
+    # no-epochs string ids fail fast too: packing's global_cumsum
+    # blocks on a numeric order key (ANSI would otherwise throw
+    # CAST_INVALID_INPUT mid-job; non-ANSI would degrade to one block)
+    with pytest.raises(TypeError, match="integral id"):
+        curate_documents(docs, min_words=5)
 
 
 def test_split_and_epochs_decorrelated_from_sampling_axis(spark):

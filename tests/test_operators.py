@@ -1529,6 +1529,66 @@ def test_bpe_approximate_batching_cuts_rounds_same_quality(
     assert t_ap <= t_seq * 1.02, (t_ap, t_seq)
 
 
+def test_bpe_select_batch_aliasing_stops_exact_mode():
+    """Symbol aliasing (ADVICE r8): string-disjointness of {a, b} is
+    not count-independence. _select_batch must treat a candidate as
+    conflicting when it CONTAINS the concatenation of a selected pair,
+    when its own concatenation collides with a selected concatenation,
+    or when a selected concatenation already exists in the corpus
+    vocabulary (created pairs would ADD to live candidates' counts,
+    breaking the floor bound).
+
+    These candidate lists are constructed — a brute-force search over
+    400k random char-split corpora found NO round reachable by the
+    argmax trainer where a candidate's concat was already in vocab
+    (exhaustive greedy merging destroys the competing tiling's
+    adjacency), so the guards are defense-in-depth for the exactness
+    proof rather than a behavior change on real corpora; the unit level
+    is the only place they can be exercised."""
+    from ffi_export_etl_spark.operators.bpe import _select_batch
+
+    def row(a, b, cnt):
+        return {"a": a, "b": b, "cnt": cnt}
+
+    # 1. ADVICE's literal case: batch selects ('a','b'); later candidate
+    #    ('ab','d') contains the concat -> exact-mode conflict stop
+    #    (merging (a,b) would INCREASE ('ab','d')'s count).
+    cands = [row("a", "b", 100), row("ab", "d", 60), row("e", "f", 50)]
+    got = _select_batch(cands, 0, 10, 2, exact=True)
+    assert got == [("a", "b", 100)], got
+
+    # 2. concat collision: ('a','bc') and ('ab','c') both produce token
+    #    'abc' — double-creation would sum one pair's count across two
+    #    merges, so the second must conflict-stop the batch.
+    cands = [row("a", "bc", 100), row("ab", "c", 70), row("x", "y", 60)]
+    got = _select_batch(cands, 0, 10, 2, exact=True)
+    assert got == [("a", "bc", 100)], got
+
+    # 3. vocab aliasing: the selected head's concat already exists as a
+    #    corpus token -> its created pairs stack on stale candidate
+    #    counts; the batch closes with the head as its final member
+    #    (head-alone is the literal argmax, trivially exact).
+    cands = [row("ab", "c", 100), row("x", "y", 90)]
+    got = _select_batch(cands, 0, 10, 2, exact=True, vocab={"abc"})
+    assert got == [("ab", "c", 100)], got
+    # same list without the vocab hit: both disjoint pairs selected
+    got = _select_batch(cands, 0, 10, 2, exact=True, vocab=set())
+    assert got == [("ab", "c", 100), ("x", "y", 90)], got
+
+    # 4. mid-batch vocab aliasing: the aliasing pair is kept as the
+    #    LAST member (its own count is invariant under the disjoint
+    #    prefix; the inflation only affects post-batch rounds).
+    cands = [row("x", "y", 100), row("ab", "c", 80), row("p", "q", 70)]
+    got = _select_batch(cands, 0, 10, 2, exact=True, vocab={"abc"})
+    assert got == [("x", "y", 100), ("ab", "c", 80)], got
+
+    # 5. approximate mode SKIPS aliased candidates instead of stopping
+    #    (that skip is what keeps approx-mode recorded counts exact).
+    cands = [row("a", "b", 100), row("ab", "d", 60), row("x", "y", 50)]
+    got = _select_batch(cands, 0, 10, 2, exact=False)
+    assert got == [("a", "b", 100), ("x", "y", 50)], got
+
+
 def test_split_by_cluster_is_leakage_safe(spark, sf_oracle):
     """split_by_cluster: every near-duplicate pair lands in the SAME
     split (the train/test contamination guard), and singleton docs

@@ -186,6 +186,59 @@ def test_write_training_shards_order_and_manifest(spark, tmp_path):
     assert content(manifest2) == content(manifest)
 
 
+def test_write_training_shards_computed_shuffle_key(spark, tmp_path):
+    """shuffle_key (ADVICE r8): a computed Column orders the stream —
+    matching deterministic_shuffle of the same expression — WITHOUT
+    appearing in the written shard schema, and the manifest still keys
+    on the real key_col. The epochs use case: shuffle on (id, epoch) so
+    a doc's copies spread, write only the real columns."""
+    from ffi_export_etl_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from ffi_export_etl_spark.sinks.shards import write_training_shards
+
+    df = spark.range(200).select(
+        (F.col("id") % 100).alias("doc_id"),
+        (F.col("id") / F.lit(100)).cast("int").alias("epoch"),
+    )
+    skey = F.concat_ws(
+        "#", F.col("doc_id").cast("string"), F.col("epoch")
+    )
+    out = str(tmp_path / "shards_skey")
+    manifest = write_training_shards(
+        df, out, "doc_id", rows_per_shard=32, num_partitions=4,
+        shuffle_key=skey,
+    ).collect()
+
+    import glob as _glob
+
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    streamed = []
+    for f in files:
+        part = spark.read.parquet(f)
+        # the helper key is NOT materialized in the output
+        assert part.columns == ["doc_id", "epoch"]
+        streamed.extend(
+            (r["doc_id"], r["epoch"]) for r in part.collect()
+        )
+    want = [
+        (r["doc_id"], r["epoch"])
+        for r in deterministic_shuffle(df, skey).collect()
+    ]
+    assert streamed == want
+    # the two copies of a doc hash to independent stream positions:
+    # across 100 docs at least one pair must be non-adjacent (adjacency
+    # everywhere is what the plain id-key shuffle would produce)
+    pos = {}
+    for i, (d, e) in enumerate(streamed):
+        pos.setdefault(d, []).append(i)
+    gaps = [abs(p[1] - p[0]) for p in pos.values()]
+    assert max(gaps) > 1, gaps[:10]
+    # manifest keys on the real column
+    assert sum(m["n_rows"] for m in manifest) == 200
+    assert all(m["first_key"] is not None for m in manifest)
+
+
 def test_write_training_shards_orc_format(spark, tmp_path):
     """data_format='orc': same deterministic stream order and manifest
     contract as parquet — the manifest's first/last keys come from ORC

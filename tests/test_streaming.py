@@ -1079,3 +1079,81 @@ def test_interval_join_left_outer_null_extension(spark, tmp_path):
     # k=3's window is still open at end of input -> withheld
     assert got == {(1, 0, 3), (2, 2, None)}, got
     assert len([r for r in rows if r["k"] == 1]) == 1
+
+
+def test_interval_join_span_watermark_is_layout_independent(
+    spark, tmp_path
+):
+    """ADVICE r8: the gate arm's oracle is the unrestricted batch
+    interval join, so stream_joined_counts derives a watermark covering
+    the dataset's full event-time span instead of the 30-minute
+    production default. Pin the rationale here: under one-file-per-
+    micro-batch pacing with MORE cross-file event-time disorder than
+    the watermark, the narrow watermark silently DROPS a real pair
+    (the result depends on the source's physical file layout), while a
+    span-covering watermark reproduces the batch interval join exactly
+    on the same disordered layout."""
+    from ffi_export_etl_spark.streaming.events import (
+        interval_join_streams,
+        run_to_completion,
+    )
+
+    base = 1_700_000_000_000_000
+    m = 60 * 10**6
+
+    def build(tag):
+        left_src = tmp_path / f"sw_left_{tag}"
+        right_src = tmp_path / f"sw_right_{tag}"
+        left_src.mkdir()
+        right_src.mkdir()
+        # batch 0 — the click at t=0 lands in the same file as a clock
+        # at t=200min: the watermark advances to 200min - delay with the
+        # click buffered in join state
+        _ssj_write_one(
+            spark, tmp_path, left_src, "a",
+            [(base, 1), (base + 200 * m, 98)], 3600,
+        )
+        _ssj_write_one(
+            spark, tmp_path, right_src, "a", [(base + 200 * m, 99)], 3600
+        )
+        # batch 1 — fillers: the batch-0 watermark takes effect one
+        # micro-batch later (Spark's documented lag)
+        _ssj_write_one(
+            spark, tmp_path, left_src, "b", [(base + 199 * m, 98)], 1800
+        )
+        _ssj_write_one(
+            spark, tmp_path, right_src, "b", [(base + 199 * m, 99)], 1800
+        )
+        # batch 2 — the purchase arrives in a LATER FILE, 199 minutes
+        # event-time disordered. Under a 30-minute watermark the click's
+        # state was evicted (0 + 2h bound < 170min watermark) -> the
+        # pair is silently lost; under a span-covering watermark the
+        # click is still buffered -> the pair matches the batch join.
+        _ssj_write_one(
+            spark, tmp_path, right_src, "c", [(base + 1 * m, 1)], 0
+        )
+        return left_src, right_src
+
+    def drain(left_src, right_src, watermark):
+        joined = interval_join_streams(
+            _ssj_stream(spark, left_src),
+            _ssj_stream(spark, right_src),
+            key="k",
+            bound="2 hours",
+            watermark=watermark,
+        ).select(
+            F.col("l.k").alias("k"),
+            F.col("l.ts").alias("l_ts"),
+            F.col("r.ts").alias("r_ts"),
+        )
+        return {
+            (r["k"], (r["l_ts"] - base) // m, (r["r_ts"] - base) // m)
+            for r in run_to_completion(joined, output_mode="append").collect()
+        }
+
+    # the hazard: the production watermark loses the disordered pair
+    l1, r1 = build("narrow")
+    assert drain(l1, r1, "30 minutes") == set()
+    # the gate fix: a span-covering watermark equals the batch join
+    l2, r2 = build("span")
+    assert drain(l2, r2, "260 minutes") == {(1, 0, 1)}
