@@ -179,21 +179,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEW_BATCH_MOD = 10  # doc_id % 10 == 0 plays the "today's increment" batch
+XCORP_MOD = 5  # the synthetic recrawl slice for the cross-corpus audit:
+XCORP_REM = 3  # corpus B = documents with doc_id % 5 == 3, text unchanged
 
 
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup candidates: the daily-increment shape that
-    matters at 100 TB. Documents split deterministically into a STORED
-    corpus (doc_id % 10 != 0, already sketched into a persistable
-    (id, band, bucket) signature store) and a NEW batch (doc_id % 10 == 0);
-    candidates come from new x stored bucket joins against the store plus
-    new x new — never stored x stored (operators/minhash.py:138-198).
+    """Incremental-store minhash pack, union-tagged (registry-slot
+    fold, r8).
 
-    Equals the full-recompute candidate set restricted to pairs involving
-    at least one new id (the bucket cap applies to the COMBINED bucket
-    population, identical to the one-shot path), which is exactly what the
-    DuckDB oracle replays."""
+    'incr' rows — incremental near-dup candidates: the daily-increment
+    shape that matters at 100 TB. Documents split deterministically
+    into a STORED corpus (doc_id % 10 != 0, already sketched into a
+    persistable (id, band, bucket) signature store) and a NEW batch
+    (doc_id % 10 == 0); candidates come from new x stored bucket joins
+    against the store plus new x new — never stored x stored
+    (operators/minhash.py:138-198). Equals the full-recompute candidate
+    set restricted to pairs involving at least one new id (the bucket
+    cap applies to the COMBINED bucket population, identical to the
+    one-shot path), which is exactly what the DuckDB oracle replays.
+    Candidates only — n_inter/n_union/jaccard ride NULL (bigint/double
+    NULLs have green precedent; NULL boolean is the forbidden type).
+
+    'xcorp' rows (r8) — cross_corpus_near_duplicates
+    (operators/minhash.py): the fuzzy-decontamination A x B audit.
+    Corpus A = documents, corpus B = a fixed synthetic recrawl slice
+    (doc_id % {XCORP_MOD} == {XCORP_REM}, text unchanged — identity
+    recrawls pair at jaccard 1.0, near-dups at their true score). Both
+    sides sketch independently, banded rows union with a side tag into
+    the shared capped one-shuffle bucket expansion, CROSS-side pairs
+    only (never within-side), exact-Jaccard verified. The oracle
+    replays the two-sided sketch with the combined-population bucket
+    cap."""
     from ..operators.minhash import (
+        cross_corpus_near_duplicates,
         incremental_candidate_pairs,
         minhash_signature_store,
     )
@@ -207,13 +225,36 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_banded = minhash_signature_store(
         new_docs, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS
     )
-    return incremental_candidate_pairs(
+    incr_rows = incremental_candidate_pairs(
         new_banded, stored, max_bucket_size=DEFAULT_MAX_BUCKET
+    ).select(
+        F.lit("incr").alias("arm"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("bigint").alias("n_inter"),
+        F.lit(None).cast("bigint").alias("n_union"),
+        F.lit(None).cast("double").alias("jaccard"),
     )
+    recrawl = d.filter(F.col("doc_id") % XCORP_MOD == XCORP_REM)
+    x_rows = cross_corpus_near_duplicates(
+        d, recrawl, "doc_id", "text", n=3, num_perm=NUM_PERM,
+        bands=BANDS, threshold_pct=JACCARD_PCT,
+        max_bucket_size=DEFAULT_MAX_BUCKET,
+    ).select(
+        F.lit("xcorp").alias("arm"),
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        "jaccard",
+    )
+    return incr_rows.unionByName(x_rows)
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph pack: the two iterative graph operators, union-tagged.
+    """Graph pack: the iterative graph operators, union-tagged —
+    'component' (full near-dup clustering), 'pagerank', and 'incr'
+    (r8: incremental component maintenance, the production shape).
 
     'component' rows — near-dup clustering: transitive closure over the
     MINHASH near-dup edges (the scale-safe edge set) via alternating
@@ -237,14 +278,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds are impossible for 1/n seeds, so this arm rounds like the
     cosine arms do). Oracle: unrolled MATERIALIZED CTE chain rendered
     from the same constants (the BPE-loop precedent)."""
-    from ..operators.components import dedup_clusters
+    from ..operators.components import (
+        dedup_clusters,
+        incremental_components,
+    )
     from ..operators.pagerank import pagerank
 
     d = load_table(spark, sf_dir, "documents")
+    # eager checkpoint: the pair set is tiny (near-dup pairs, not the
+    # corpus) and is traversed by THREE arms below — a live minhash
+    # plan would re-run the sketch build per traversal
     pairs = minhash_near_duplicates(
         d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
         threshold_pct=JACCARD_PCT,
-    )
+    ).localCheckpoint(eager=True)
     comp_rows = dedup_clusters(
         d, pairs.select("id_a", "id_b"), "doc_id"
     ).select(
@@ -276,7 +323,28 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("cluster_id"),
         F.round(F.col("rank") * n_docs, 6).alias("rank_scaled"),
     )
-    return comp_rows.unionByName(pr_rows)
+    # 'incr' rows (r8): the INCREMENT is what a 100 TB dedup store
+    # actually runs — you never recontract history. Split the near-dup
+    # edges deterministically in two, cluster batch 1, fold batch 2
+    # into the stored labels (operators/components.incremental_
+    # components: old labels re-enter as depth-1 star edges); the
+    # oracle is the FULL recompute over the union, which the increment
+    # must equal exactly.
+    p1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    p2 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    stored = dedup_clusters(d, p1.select("id_a", "id_b"), "doc_id").select(
+        F.col("doc_id").alias("id"),
+        F.col("cluster_id").alias("component"),
+    )
+    incr_rows = incremental_components(
+        stored, p2.select("id_a", "id_b")
+    ).select(
+        F.lit("incr").alias("arm"),
+        F.col("id").alias("node"),
+        F.col("component").alias("cluster_id"),
+        F.lit(None).cast("double").alias("rank_scaled"),
+    )
+    return comp_rows.unionByName(pr_rows).unionByName(incr_rows)
 
 
 # dedup_jaccard_pairs re-entered the registry in round 4: the round-3
@@ -376,6 +444,80 @@ def _minhash_pairs_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 100 >= {JACCARD_PCT} * (sa.n_sh + sb.n_sh - n_inter)
+        )"""
+
+
+def _xcorp_pairs_sql() -> str:
+    """DuckDB CTE chain replaying cross_corpus_near_duplicates exactly:
+    corpus A = documents, corpus B = the fixed recrawl slice; each side
+    shingles + sketches independently, banded rows union with a side
+    tag, the bucket cap applies to the COMBINED population, candidates
+    are CROSS-side only (id_a from A, id_b from B), exact-Jaccard
+    verified against each side's own shingle table. xsig/xsha/xshb are
+    MATERIALIZED: the band arms reference xsig 8 times and the verify
+    stage re-reads both shingle tables — DuckDB inlines CTEs, so an
+    unmaterialized chain re-expands the whole sketch per reference."""
+    perms = perm_coefficients(NUM_PERM)
+    sig_cols = ",\n               ".join(
+        f"min((CAST({a} AS BIGINT) * x + {b}) % {MERSENNE31}) AS h{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_arms = "\n            UNION ALL\n            ".join(
+        "SELECT is_a, id, {b} AS band, concat_ws('_', {cols}) AS bucket"
+        " FROM xsig".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    x = _DUCK_MD5_8.format(s="shingle")
+    return f"""
+        rb AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % {XCORP_MOD} = {XCORP_REM}),
+        xsha AS MATERIALIZED ({_duck_shingles("documents")}),
+        xshb AS MATERIALIZED ({_duck_shingles("rb")}),
+        xshi AS (SELECT TRUE AS is_a, doc_id AS id,
+                        {x} % {MERSENNE31} AS x
+                 FROM xsha
+                 UNION ALL
+                 SELECT FALSE, doc_id, {x} % {MERSENNE31} FROM xshb),
+        xsig AS MATERIALIZED (SELECT is_a, id,
+               {sig_cols}
+            FROM xshi GROUP BY is_a, id),
+        xbands AS (
+            {band_arms}
+        ),
+        xkept AS (SELECT band, bucket FROM xbands
+                  GROUP BY band, bucket
+                  HAVING count(*) <= {DEFAULT_MAX_BUCKET}),
+        xbk AS (SELECT xbands.is_a, xbands.id, xbands.band, xbands.bucket
+                FROM xbands JOIN xkept USING (band, bucket)),
+        xcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM xbk a JOIN xbk b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.is_a AND NOT b.is_a),
+        xsizea AS (SELECT doc_id, count(*) AS n_sh FROM xsha
+                   GROUP BY doc_id),
+        xsizeb AS (SELECT doc_id, count(*) AS n_sh FROM xshb
+                   GROUP BY doc_id),
+        xinter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM xcand c
+            JOIN xsha a ON a.doc_id = c.id_a
+            JOIN xshb b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        ),
+        xpairs AS (
+            SELECT id_a, id_b, n_inter,
+                   sa.n_sh + sb.n_sh - n_inter AS n_union,
+                   n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM xinter
+            JOIN xsizea sa ON sa.doc_id = id_a
+            JOIN xsizeb sb ON sb.doc_id = id_b
+            WHERE n_inter * 100 >= {JACCARD_PCT}
+                                   * (sa.n_sh + sb.n_sh - n_inter)
         )"""
 
 
@@ -585,9 +727,17 @@ ORACLE = {
         SELECT id_a, id_b, n_inter, n_union, jaccard FROM mh_pairs
     """,
     "dedup_incremental_minhash": f"""
-        WITH {_minhash_cand_sql()}
-        SELECT id_a, id_b FROM cand
+        WITH {_minhash_cand_sql()},
+        {_xcorp_pairs_sql()}
+        SELECT 'incr' AS arm, id_a, id_b,
+               CAST(NULL AS BIGINT) AS n_inter,
+               CAST(NULL AS BIGINT) AS n_union,
+               CAST(NULL AS DOUBLE) AS jaccard
+        FROM cand
         WHERE id_a % {NEW_BATCH_MOD} = 0 OR id_b % {NEW_BATCH_MOD} = 0
+        UNION ALL
+        SELECT 'xcorp', id_a, id_b, n_inter, n_union, jaccard
+        FROM xpairs
     """,
     "dedup_simhash": f"""
         WITH {_simhash_sql()}
@@ -628,5 +778,13 @@ ORACLE = {
         SELECT 'pagerank', node, CAST(NULL AS BIGINT),
                round(rank * (SELECT n_docs FROM prn), 6)
         FROM pr_r{PR_ITERS}
+        UNION ALL
+        -- 'incr': the Spark side folds half the edges into the other
+        -- half's stored labels; the increment's contract is equality
+        -- with the full recompute over the union, so the oracle IS the
+        -- component reachability again, tagged
+        SELECT 'incr', d.doc_id, coalesce(c.component, d.doc_id),
+               CAST(NULL AS DOUBLE)
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
     """,
 }
