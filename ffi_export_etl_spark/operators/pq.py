@@ -481,8 +481,12 @@ def fit_opq(
     embeddings the rotation cuts quantization error ~7% but does NOT
     raise recall — those vectors are near-isotropic, OPQ's no-gain
     case; on correlated real embeddings the rotation is the standard
-    fix. For recall on low-structure corpora use
-    :func:`pq_topk_rerank` (measured 18% -> 61% at rerank=100)."""
+    fix. The WIN case is pinned too (r8, tests/test_pq.py): on a
+    fixed anisotropic fixture (skewed diagonal + cross-subspace mix)
+    the rotation must cut quantization error to <= 0.6x plain PQ AND
+    raise ADC recall — so a shape-preserving math regression here is
+    caught, not silently absorbed. For recall on low-structure corpora
+    use :func:`pq_topk_rerank` (measured 18% -> 61% at rerank=100)."""
     import numpy as np
 
     from .reduce import reduce_embeddings
