@@ -225,6 +225,74 @@ def curate_stream_main(argv: list[str]) -> int:
     return 0
 
 
+def curate_replay_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark curate-replay-quarantine``:
+    after fixing the quality rule (or the data), re-run the input
+    CheckSuite over the committed DLQ units, route the passes through
+    the normal curate flow against the live stores, and rewrite the
+    still-failing residue as a fresh quarantine generation. Prints one
+    JSON line of counts; idempotent — a second replay of an unchanged
+    DLQ is a no-op for the kept corpus."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark curate-replay-quarantine",
+        description="Reprocess quarantined (DLQ) batches through the "
+                    "input quality gate and the incremental curate "
+                    "pipeline; keep only the still-failing residue "
+                    "quarantined.",
+    )
+    ap.add_argument("--quarantine", required=True,
+                    help="the DLQ root written by curate-stream")
+    ap.add_argument("--kept", required=True)
+    ap.add_argument("--exact-store", required=True)
+    ap.add_argument("--minhash-store", required=True)
+    ap.add_argument("--span-store", default=None)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--jaccard-threshold-pct", type=int, default=20)
+    ap.add_argument("--shingle-mode", choices=("word", "char"),
+                    default="word")
+    ap.add_argument("--span-dedup-tokens", type=int, default=None)
+    ap.add_argument("--kept-compact-every", type=int, default=None)
+    ap.add_argument("--profile-store", default=None)
+    ap.add_argument("--input-html", action="store_true")
+    ap.add_argument("--c4-line-clean", action="store_true")
+    ap.add_argument("--gopher-rules", action="store_true")
+    args = ap.parse_args(argv)
+    if (args.span_store is None) != (args.span_dedup_tokens is None):
+        ap.error("--span-store and --span-dedup-tokens go together")
+
+    from .session import get_spark, tune
+    from .streaming.curate import replay_quarantine
+
+    spark = tune(get_spark(app_name="ffi-etl-curate-replay"))
+    spark.sparkContext.setLogLevel("ERROR")
+    out = replay_quarantine(
+        spark,
+        quarantine_path=args.quarantine,
+        input_suite=_stream_input_suite(args),
+        kept_path=args.kept,
+        exact_store_path=args.exact_store,
+        minhash_store_path=args.minhash_store,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        source_col=args.source_col,
+        span_store_path=args.span_store,
+        kept_compact_every=args.kept_compact_every,
+        profile_store_path=args.profile_store,
+        min_words=args.min_words,
+        jaccard_threshold_pct=args.jaccard_threshold_pct,
+        shingle_mode=args.shingle_mode,
+        span_dedup_tokens=args.span_dedup_tokens,
+        input_html=args.input_html,
+        c4_line_clean=args.c4_line_clean,
+        gopher_rules=args.gopher_rules,
+    )
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def curate_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark curate``: parquet corpus ->
     curate_documents (scrub -> near-dup keeper -> quality -> packing,
@@ -810,6 +878,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_main(argv[1:])
     if argv and argv[0] == "curate-stream":
         return curate_stream_main(argv[1:])
+    if argv and argv[0] == "curate-replay-quarantine":
+        return curate_replay_main(argv[1:])
     if argv and argv[0] == "profile":
         return profile_main(argv[1:])
     if argv and argv[0] == "diff":

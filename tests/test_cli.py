@@ -577,3 +577,68 @@ def test_verify_shards_cli(spark, tmp_path, capsys):
     rc = main(["verify-shards", "--path", path2])
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2 and "error" in rep
+
+
+def test_cli_curate_replay_quarantine(spark, tmp_path, capsys):
+    """curate-replay-quarantine subcommand: a wave diverted by a broken
+    ad-hoc rule re-enters the kept corpus under the CLI's (correct)
+    default suite; the JSON report carries the unit/row accounting and
+    the DLQ drains."""
+    import os
+
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import streaming_curate
+
+    src = str(tmp_path / "srcrr")
+    os.makedirs(src)
+    good = " ".join(f"g{i}" for i in range(25))
+    spark.createDataFrame(
+        [(1, good, "web")], "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(os.path.join(src, "w1"))
+    spark.createDataFrame(
+        [(50, "other words " * 10, "web")],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+
+    kept = str(tmp_path / "keptrr")
+    exact = str(tmp_path / "exrr")
+    mh = str(tmp_path / "mhrr")
+    quarantine = str(tmp_path / "quarrr")
+    # broken rule: ids above 5 wrongly rejected -> wave 2 diverted
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "w*"),
+        kept_path=kept,
+        exact_store_path=exact,
+        minhash_store_path=mh,
+        checkpoint=str(tmp_path / "ckrr"),
+        min_words=5,
+        input_suite=(
+            CheckSuite().not_null("doc_id").unique("doc_id")
+            .in_range("doc_id", 0, 5)
+        ),
+        quarantine_path=quarantine,
+    )
+    assert spark.read.parquet(quarantine).count() == 1
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate-replay-quarantine",
+        "--quarantine", quarantine,
+        "--kept", kept,
+        "--exact-store", exact,
+        "--minhash-store", mh,
+        "--min-words", "5",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["units_passed"] == 1 and report["units_failed"] == 0
+    assert report["replayed_rows"] == 1 and report["residual_rows"] == 0
+    from ffi_export_etl_spark.streaming.curate import read_kept
+
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {1, 50}
+    import glob as _glob
+
+    assert not _glob.glob(os.path.join(quarantine, "batch_id=*"))
+    assert not _glob.glob(os.path.join(quarantine, "compacted=*"))

@@ -540,3 +540,116 @@ def test_quarantine_compaction_bounds_file_count(spark, tmp_path):
         [10 * i for i in range(n_waves)] * 2
     )
     assert all("unique:doc_id" in r["_dq_error"] for r in quar)
+
+
+def test_replay_quarantine_end_to_end(spark, tmp_path):
+    """replay_quarantine (r8): batches diverted by a BROKEN rule re-enter
+    the kept corpus through the normal curate flow once the rule is
+    fixed — including store-dedup of a replayed exact duplicate — while
+    a genuinely bad batch stays quarantined as a fresh committed
+    generation (shrunken DLQ), and a second replay of the unchanged
+    residue is a no-op for the kept corpus."""
+    import glob
+
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import (
+        read_kept,
+        replay_quarantine,
+    )
+    from ffi_export_etl_spark.streaming.events import read_window_sink
+
+    src = str(tmp_path / "src_rq")
+    os.makedirs(src, exist_ok=True)
+    waves = [
+        [(1, BASE, "web"), (2, OTHER, "web")],          # passes v1
+        [(7, THIRD, "web"),                              # bogus-rule fail
+         (8, "fresh words here " * 6, "web")],
+        [(9, "dup id text " * 8, "web"),                 # genuinely bad
+         (9, "dup id text two " * 8, "web")],
+        [(14, OTHER, "web"),                             # exact dup of 2
+         (15, "entirely new payload " * 6, "web")],      # bogus-rule fail
+    ]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_rq")
+    exact = str(tmp_path / "exact_rq")
+    mh = str(tmp_path / "mh_rq")
+    quarantine = str(tmp_path / "quar_rq")
+    # v1: the BROKEN rule — ids above 5 are (wrongly) rejected, so
+    # waves 1 and 3 divert; wave 2 fails the legitimate unique check
+    broken = (
+        CheckSuite().not_null("doc_id").unique("doc_id")
+        .in_range("doc_id", 0, 5)
+    )
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=exact,
+        minhash_store_path=mh,
+        checkpoint=str(tmp_path / "ckpt_rq"),
+        min_words=5,
+        jaccard_threshold_pct=50,
+        input_suite=broken,
+        quarantine_path=quarantine,
+    )
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {1, 2}
+    assert len(read_window_sink(spark, quarantine).collect()) == 6
+
+    # the FIXED rule
+    fixed = CheckSuite().not_null("doc_id").unique("doc_id")
+    out = replay_quarantine(
+        spark, quarantine, fixed,
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        min_words=5, jaccard_threshold_pct=50,
+    )
+    assert out["units_passed"] == 2 and out["units_failed"] == 1, out
+    assert out["replayed_rows"] == 4 and out["residual_rows"] == 2, out
+    # replayed docs entered through the NORMAL curate flow: 14 is an
+    # exact dup of stored doc 2 and was deduped away; 7, 8, 15 kept
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {
+        1, 2, 7, 8, 15,
+    }
+    # shrunken DLQ: only the genuinely bad rows remain, as one fresh
+    # committed generation shadowing every consumed dir
+    residue = read_window_sink(spark, quarantine).collect()
+    assert sorted(r["doc_id"] for r in residue) == [9, 9]
+    assert all("unique:doc_id" in r["_dq_error"] for r in residue)
+    assert not glob.glob(os.path.join(quarantine, "batch_id=*"))
+    gen_dirs = glob.glob(os.path.join(quarantine, "compacted=*"))
+    assert len(gen_dirs) == 1 and gen_dirs[0].endswith(
+        f"compacted={out['residual_generation']}"
+    )
+    # the replayed batches left store deltas (they are stored now)
+    exact_rows = spark.read.parquet(exact).collect()
+    assert {r["id"] for r in exact_rows} >= {7, 8, 15}
+
+    # idempotent second replay: unchanged residue still fails, kept
+    # corpus and residue rows unchanged, generation re-committed
+    out2 = replay_quarantine(
+        spark, quarantine, fixed,
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        min_words=5, jaccard_threshold_pct=50,
+    )
+    assert out2["units_passed"] == 0 and out2["units_failed"] == 1, out2
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {
+        1, 2, 7, 8, 15,
+    }
+    residue2 = read_window_sink(spark, quarantine).collect()
+    assert sorted(r["doc_id"] for r in residue2) == [9, 9]
+
+    # an EMPTY-after-fix replay: fix the residue by replaying with a
+    # suite the bad rows now pass (uniqueness dropped) — the DLQ drains
+    # completely and the dup-id rows flow through curation
+    out3 = replay_quarantine(
+        spark, quarantine, CheckSuite().not_null("doc_id"),
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        min_words=5, jaccard_threshold_pct=50,
+    )
+    assert out3["units_failed"] == 0 and out3["units_passed"] == 1, out3
+    kept_ids = {r["id"] for r in read_kept(spark, kept).collect()}
+    assert 9 in kept_ids
+    assert not glob.glob(os.path.join(quarantine, "compacted=*"))
+    assert not glob.glob(os.path.join(quarantine, "batch_id=*"))
