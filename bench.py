@@ -48,6 +48,18 @@ BENCH_QUERIES = [
 
 LOADAVG_GATE = 4.0  # r5 judge item 3: don't snapshot BENCH under load
 LOADAVG_WAIT_SEC = 90
+# r7 judge item 7: host load dominated cross-round deltas twice (same-
+# day same-code med3 13.2 vs 16.1 under loadavg 0.14 vs 5.2). The
+# start-of-run gate can't see load arriving MID-run, so every query now
+# records the 1-min loadavg after it finishes and the JSON carries a
+# mechanical `noisy` flag when any mid-run reading exceeds this
+# threshold — round-over-round comparisons can discard contaminated
+# snapshots without forensics. Calibration: the bench's OWN work lifts
+# the 1-min average to ~4-6 by the tail of a quiet-host run (local[32],
+# ~90s of short bursts; measured r8), so the threshold sits above the
+# self-load ceiling — it catches a co-running build/test sweep (which
+# adds 5-10), not the bench itself.
+MIDRUN_LOADAVG_NOISY = 9.0
 
 
 def _load_gate() -> list[float]:
@@ -94,6 +106,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_med3: dict[str, float] = {}
+    la_mid: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
@@ -106,6 +119,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t1)
         warm[name] = round(samples[0], 3)
         warm_med3[name] = round(sorted(samples)[1], 3)
+        la_mid[name] = round(os.getloadavg()[0], 2)
         print(
             f"# {name}: {timings[name]:.3f}s cold / "
             f"{warm_med3[name]:.3f}s warm-med3 "
@@ -134,12 +148,14 @@ def main() -> None:
     t0 = time.perf_counter()
     n_cur = queries["cur_e2e"](spark, sf_dir).count()
     cur_e2e_sec = round(time.perf_counter() - t0, 3)
+    la_mid["cur_e2e"] = round(os.getloadavg()[0], 2)
     print(f"# cur_e2e: {cur_e2e_sec:.3f}s ({n_cur} rows)", file=sys.stderr)
 
     # BM25 retrieval (r4 session 3) — same non-headline treatment
     t0 = time.perf_counter()
     n_bm = queries["text_bm25_topk"](spark, sf_dir).count()
     bm25_sec = round(time.perf_counter() - t0, 3)
+    la_mid["text_bm25_topk"] = round(os.getloadavg()[0], 2)
     print(f"# text_bm25_topk: {bm25_sec:.3f}s ({n_bm} rows)",
           file=sys.stderr)
 
@@ -149,6 +165,7 @@ def main() -> None:
     t0 = time.perf_counter()
     n_jac = queries["dedup_jaccard_pairs"](spark, sf_dir).count()
     jac_sec = round(time.perf_counter() - t0, 3)
+    la_mid["dedup_jaccard_pairs"] = round(os.getloadavg()[0], 2)
     print(f"# dedup_jaccard_pairs: {jac_sec:.3f}s ({n_jac} rows)",
           file=sys.stderr)
 
@@ -159,6 +176,7 @@ def main() -> None:
     t0 = time.perf_counter()
     n_cp = queries["cur_pack"](spark, sf_dir).count()
     cur_pack_sec = round(time.perf_counter() - t0, 3)
+    la_mid["cur_pack"] = round(os.getloadavg()[0], 2)
     print(f"# cur_pack: {cur_pack_sec:.3f}s ({n_cp} rows)",
           file=sys.stderr)
     # r6: the incremental + BPE training arms split into their own row
@@ -167,11 +185,13 @@ def main() -> None:
     t0 = time.perf_counter()
     n_ct = queries["cur_train_pack"](spark, sf_dir).count()
     cur_train_sec = round(time.perf_counter() - t0, 3)
+    la_mid["cur_train_pack"] = round(os.getloadavg()[0], 2)
     print(f"# cur_train_pack: {cur_train_sec:.3f}s ({n_ct} rows)",
           file=sys.stderr)
     t0 = time.perf_counter()
     n_lf = queries["text_langfp_pack"](spark, sf_dir).count()
     langfp_sec = round(time.perf_counter() - t0, 3)
+    la_mid["text_langfp_pack"] = round(os.getloadavg()[0], 2)
     print(f"# text_langfp_pack: {langfp_sec:.3f}s ({n_lf} rows)",
           file=sys.stderr)
 
@@ -196,6 +216,15 @@ def main() -> None:
     out["cur_train_pack"] = cur_train_sec
     out["text_langfp_pack"] = langfp_sec
     out["loadavg_1m"] = loadavg
+    out["loadavg_per_query"] = la_mid
+    # mechanical contamination flag (see MIDRUN_LOADAVG_NOISY): true
+    # when the host was loaded at the (post-wait) start gate or any
+    # mid-run reading crossed the threshold — consumers can discard
+    # noisy snapshots from round-over-round comparisons outright
+    out["noisy"] = bool(
+        loadavg[-1] >= LOADAVG_GATE
+        or any(v >= MIDRUN_LOADAVG_NOISY for v in la_mid.values())
+    )
     print(json.dumps(out))
     spark.stop()
 
