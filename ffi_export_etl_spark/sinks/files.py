@@ -56,9 +56,18 @@ def parquet_upsert(
     # dropDuplicates: source may carry internal dupes on the key; MERGE
     # targets reject those, we keep-first deterministically.
     new_rows = new_rows.dropDuplicates(list(key_cols))
-    count = new_rows.count()
-    if count:
-        new_rows.write.mode("append").parquet(target_dir)
+    # persist across the count + write pair (r8): the upstream plan can
+    # be a whole pipeline chain (the FFI 6-way EAV join), and running
+    # it TWICE — once for the count, once for the write — was the
+    # larger half of the batch loader's fixed floor. The cached set is
+    # the delta being appended (batch-sized, not warehouse-sized).
+    new_rows.persist()
+    try:
+        count = new_rows.count()
+        if count:
+            new_rows.write.mode("append").parquet(target_dir)
+    finally:
+        new_rows.unpersist()
     return count
 
 
