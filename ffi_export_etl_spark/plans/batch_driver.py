@@ -264,12 +264,16 @@ def process_exports_glob(
     # independent jobs over disjoint target dirs, each small enough
     # that the scheduler never saturates — run serially they WERE the
     # batch floor (each pays its own job-submission + plan execution
-    # latency while the cluster idles). A bounded driver-side pool
-    # submits them together; Spark's scheduler interleaves the jobs
-    # (py4j is thread-safe, the shared upstream persists are
-    # read-only). Failure isolation stays per-table, exactly as in the
-    # serial loop.
-    from concurrent.futures import ThreadPoolExecutor
+    # latency while the cluster idles). Bounded driver-side
+    # InheritableThreads submit them together (NOT a ThreadPoolExecutor:
+    # under PYSPARK_PIN_THREAD — the default since 3.2 — every plain
+    # Python thread that touches py4j pins a JVM thread that is only
+    # released when InheritableThread's cleanup runs, so a daemon
+    # calling this per arriving glob would leak 8 JVM threads per
+    # batch; review r8). Spark's scheduler interleaves the jobs; the
+    # shared upstream persists are read-only. Failure isolation stays
+    # per-table, exactly as in the serial loop.
+    from pyspark import InheritableThread
 
     work: list[tuple[str, object, tuple[str, ...]]] = []
     for name in list(pipe.tables):
@@ -284,22 +288,33 @@ def process_exports_glob(
             continue
         work.append((target_name, df, keys))
 
-    def _one(item):
-        target_name, df, keys = item
-        try:
-            return target_name, parquet_upsert(
-                spark, df, os.path.join(warehouse_dir, target_name),
-                list(keys),
-            ), None
-        except Exception as e:
-            return target_name, None, e
+    results: list = [None] * len(work)
 
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(work)))) as ex:
-        for target_name, n, err in ex.map(_one, work):
-            if err is not None:
-                failed.append(target_name)
-            else:
-                loaded[target_name] = n
+    def _slice(start: int, step: int) -> None:
+        for i in range(start, len(work), step):
+            target_name, df, keys = work[i]
+            try:
+                results[i] = (target_name, parquet_upsert(
+                    spark, df, os.path.join(warehouse_dir, target_name),
+                    list(keys),
+                ), None)
+            except Exception as e:
+                results[i] = (target_name, None, e)
+
+    n_threads = min(8, max(1, len(work)))
+    threads = [
+        InheritableThread(target=_slice, args=(s, n_threads))
+        for s in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for target_name, n, err in results:
+        if err is not None:
+            failed.append(target_name)
+        else:
+            loaded[target_name] = n
     audit_log_append(
         spark,
         [

@@ -203,8 +203,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     'xcorp' rows (r8) — cross_corpus_near_duplicates
     (operators/minhash.py): the fuzzy-decontamination A x B audit.
     Corpus A = documents, corpus B = a fixed synthetic recrawl slice
-    (doc_id % {XCORP_MOD} == {XCORP_REM}, text unchanged — identity
-    recrawls pair at jaccard 1.0, near-dups at their true score). Both
+    (doc_id % 5 == 3 — the XCORP_MOD/XCORP_REM constants — with text
+    unchanged: identity recrawls pair at jaccard 1.0, near-dups at
+    their true score). Both
     sides sketch independently, banded rows union with a side tag into
     the shared capped one-shuffle bucket expansion, CROSS-side pairs
     only (never within-side), exact-Jaccard verified. The oracle

@@ -236,11 +236,11 @@ def _ivfpq_coarse(spark: SparkSession, e: DataFrame):
 
 
 def _ivfpq_arm(
-    spark: SparkSession, e: DataFrame, cb: DataFrame, codes: DataFrame
+    spark: SparkSession, e: DataFrame, cb: DataFrame, codes: DataFrame,
+    cents: DataFrame, cells: DataFrame,
 ) -> DataFrame:
     from ..operators.pq import ivfpq_topk
 
-    cents, cells = _ivfpq_coarse(spark, e)
     top = ivfpq_topk(
         None, codes, cb, _queries_df(e), dim=DIM, cells=cells,
         centroids=cents, nprobe=IVFPQ_NPROBE, k=TOPK, m=PQ_M,
@@ -255,7 +255,8 @@ def _ivfpq_arm(
 
 
 def _ivfpq_rr_arm(
-    spark: SparkSession, e: DataFrame, cb: DataFrame, codes: DataFrame
+    spark: SparkSession, e: DataFrame, cb: DataFrame, codes: DataFrame,
+    cents: DataFrame, cells: DataFrame,
 ) -> DataFrame:
     """The fully composed billion-vector serving stack (IVFADC+R):
     coarse cells prune -> ADC ranks the probed codes to a PQ_RERANK
@@ -265,7 +266,6 @@ def _ivfpq_rr_arm(
     literal codebooks + coarse centroids."""
     from ..operators.pq import ivfpq_topk_rerank
 
-    cents, cells = _ivfpq_coarse(spark, e)
     top = ivfpq_topk_rerank(
         e, codes, cb, _queries_df(e), dim=DIM, cells=cells,
         centroids=cents, nprobe=IVFPQ_NPROBE, k=TOPK,
@@ -365,19 +365,26 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cb = _pq_codebooks_df(spark)
     codes = pq_encode(e, cb, DIM, m=PQ_M).persist()
+    # the coarse cell map (corpus x literal-centroids assignment scan)
+    # is shared by the two IVF+PQ arms the same way codes are shared by
+    # all four PQ arms — review r8: two independent _ivfpq_coarse calls
+    # re-ran the assignment per arm per gate pass
+    cents, cells = _ivfpq_coarse(spark, e)
+    cells = cells.persist()
     try:
         pq_rows = _pq_arm(spark, e, cb, codes).localCheckpoint(eager=True)
-        ivfpq_rows = _ivfpq_arm(spark, e, cb, codes).localCheckpoint(
-            eager=True
-        )
+        ivfpq_rows = _ivfpq_arm(
+            spark, e, cb, codes, cents, cells
+        ).localCheckpoint(eager=True)
         rerank_rows = _rerank_arm(spark, e, cb, codes).localCheckpoint(
             eager=True
         )
         ivfpq_rr_rows = _ivfpq_rr_arm(
-            spark, e, cb, codes
+            spark, e, cb, codes, cents, cells
         ).localCheckpoint(eager=True)
     finally:
         codes.unpersist()
+        cells.unpersist()
     return (
         ivf.unionByName(km)
         .unionByName(_pcasem_arm(spark, sf_dir))

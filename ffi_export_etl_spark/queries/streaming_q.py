@@ -129,7 +129,11 @@ def stream_joined_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max(event_timestamp(ebatch))),
         ).first()
     )
-    span_minutes = int((hi - lo) // 60_000_000) + 60
+    # empty table -> min/max are NULL; any watermark gives the same
+    # (empty) result, keep the production default (review r8)
+    span_minutes = (
+        int((hi - lo) // 60_000_000) + 60 if hi is not None else 30
+    )
     clicks = read_events_stream(spark, events).filter(
         F.col("event_type") == "click"
     )

@@ -337,10 +337,12 @@ def replay_quarantine(
     ``input_suite`` (presumably corrected since the batches were
     diverted) over every committed quarantine unit, route the passing
     units through the NORMAL curate flow against the live stores, and
-    rewrite the still-failing residue as a fresh committed generation
-    (consumed dirs removed). Returns
+    leave the still-failing residue quarantined (passed units' dirs
+    removed). Returns
     {units_passed, units_failed, replayed_rows, residual_rows,
-    residual_generation}.
+    residual_generation} — residual_generation is the id of the
+    surviving current generation (None when it passed or never
+    existed).
 
     Granularity: one unit per committed ``batch_id=N`` dir — the
     original per-micro-batch gate grain — plus the current
@@ -359,16 +361,25 @@ def replay_quarantine(
     replay stream: every staged row just passed the suite, and the
     replay must not re-divert mid-flight.
 
-    Crash-safety order (the compact_window_sink discipline): curate the
-    passes FIRST (quarantine untouched — a crash here means a re-replay
-    re-stages, stores absorb), then commit the residue generation (its
-    id shadows every consumed dir by the reader rule), then delete the
-    consumed dirs (redundant the moment the generation commits). The
-    residue generation id is the max consumed batch id (exactly what
-    compaction would have produced), or current-generation + 1 when
-    only the generation itself was replayed. Between-sessions
-    maintenance like compact_kept: the owning stream must not be
-    running (single-writer, as everywhere in this sink family)."""
+    Crash-safety order: curate the passes FIRST (quarantine untouched —
+    a crash here means a re-replay re-stages the same rows and the
+    stores absorb them), THEN delete the passed units. Failing units
+    are left exactly where they are — a unit passes or fails WHOLE, so
+    the surviving dirs already ARE the residue; no new generation is
+    synthesized (review r8: a synthetic generation id above the current
+    maximum can collide with a FUTURE quarantine batch slot — slot ids
+    are the kept corpus's absolute batch counter — and the reader rule
+    would then shadow, and the next compaction delete, freshly
+    quarantined rows). The surviving dirs keep their original
+    ``_dq_error`` diagnosis; the normal count-triggered DLQ compaction
+    folds them later like any other committed dirs. When the current
+    generation itself passes and is deleted, any committed
+    ``batch_id <= generation`` dirs (compaction's documented crash
+    window: already folded, shadowed by the reader rule) are deleted
+    with it — otherwise removing the generation would resurrect their
+    stale rows (review r8). Between-sessions maintenance like
+    compact_kept: the owning stream must not be running (single-writer,
+    as everywhere in this sink family)."""
     import shutil
     import uuid as _uuid
 
@@ -405,9 +416,7 @@ def replay_quarantine(
             passed.append((kind, uid, clean))
             replayed_rows += n
         else:
-            failed.append((kind, uid, clean.withColumn(
-                "_dq_error", F.lit(msg)
-            )))
+            failed.append((kind, uid))
             residual_rows += n
 
     if passed:
@@ -450,28 +459,30 @@ def replay_quarantine(
             except OSError:
                 pass
 
-    new_gen = None
-    if failed:
-        batch_ids = [uid for kind, uid in units if kind == "batch_id"]
-        new_gen = max(batch_ids) if batch_ids else cur + 1
-        res = failed[0][2]
-        for _, _, df in failed[1:]:
-            res = res.unionByName(df)
-        res.coalesce(kept_files_per_generation).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(quarantine_path, f"compacted={new_gen}"))
-    # consumed dirs are redundant now (shadowed by the committed
-    # residue generation, or fully curated into the kept corpus)
-    for kind, uid in units:
-        if (kind, uid) != ("compacted", new_gen):
-            shutil.rmtree(
-                os.path.join(quarantine_path, f"{kind}={uid}"),
-                ignore_errors=True,
-            )
+    # passed units are fully curated into the kept corpus — remove
+    # their dirs; failing units stay in place untouched (they already
+    # ARE the residue, a unit passes or fails whole — see docstring)
+    for kind, uid, _df in passed:
+        shutil.rmtree(
+            os.path.join(quarantine_path, f"{kind}={uid}"),
+            ignore_errors=True,
+        )
+        if kind == "compacted":
+            # the generation shadowed any batch_id <= cur dirs left by
+            # compaction's commit-then-clean crash window; removing the
+            # generation alone would resurrect their stale rows
+            for i in _sink_ids(quarantine_path, "batch_id"):
+                if i <= uid:
+                    shutil.rmtree(
+                        os.path.join(quarantine_path, f"batch_id={i}"),
+                        ignore_errors=True,
+                    )
     return {
         "units_passed": len(passed),
         "units_failed": len(failed),
         "replayed_rows": replayed_rows,
         "residual_rows": residual_rows,
-        "residual_generation": new_gen,
+        "residual_generation": (
+            cur if ("compacted", cur) in failed else None
+        ),
     }

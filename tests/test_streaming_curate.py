@@ -612,22 +612,21 @@ def test_replay_quarantine_end_to_end(spark, tmp_path):
     assert {r["id"] for r in read_kept(spark, kept).collect()} == {
         1, 2, 7, 8, 15,
     }
-    # shrunken DLQ: only the genuinely bad rows remain, as one fresh
-    # committed generation shadowing every consumed dir
+    # shrunken DLQ: only the genuinely bad unit remains, IN PLACE (no
+    # synthetic generation id — review r8: one above the current max
+    # could collide with a future quarantine batch slot and shadow it)
     residue = read_window_sink(spark, quarantine).collect()
     assert sorted(r["doc_id"] for r in residue) == [9, 9]
     assert all("unique:doc_id" in r["_dq_error"] for r in residue)
-    assert not glob.glob(os.path.join(quarantine, "batch_id=*"))
-    gen_dirs = glob.glob(os.path.join(quarantine, "compacted=*"))
-    assert len(gen_dirs) == 1 and gen_dirs[0].endswith(
-        f"compacted={out['residual_generation']}"
-    )
+    assert out["residual_generation"] is None
+    assert len(glob.glob(os.path.join(quarantine, "batch_id=*"))) == 1
+    assert not glob.glob(os.path.join(quarantine, "compacted=*"))
     # the replayed batches left store deltas (they are stored now)
     exact_rows = spark.read.parquet(exact).collect()
     assert {r["id"] for r in exact_rows} >= {7, 8, 15}
 
     # idempotent second replay: unchanged residue still fails, kept
-    # corpus and residue rows unchanged, generation re-committed
+    # corpus and residue rows unchanged, the failing dir untouched
     out2 = replay_quarantine(
         spark, quarantine, fixed,
         kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
@@ -653,3 +652,81 @@ def test_replay_quarantine_end_to_end(spark, tmp_path):
     assert 9 in kept_ids
     assert not glob.glob(os.path.join(quarantine, "compacted=*"))
     assert not glob.glob(os.path.join(quarantine, "batch_id=*"))
+
+
+def test_replay_quarantine_no_resurrection_from_crash_window(
+    spark, tmp_path
+):
+    """Review r8: compact_window_sink's commit-then-clean crash window
+    can leave committed batch_id <= generation dirs beside the
+    generation (already folded in, shadowed by the reader rule). When
+    replay_quarantine deletes a PASSING generation, it must delete the
+    shadowed stale dirs with it — otherwise their already-curated rows
+    resurrect as live DLQ entries."""
+    import glob
+
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import (
+        read_kept,
+        replay_quarantine,
+        streaming_curate,
+    )
+    from ffi_export_etl_spark.streaming.events import compact_window_sink
+
+    src = str(tmp_path / "src_cw")
+    os.makedirs(src)
+    text = "resurrect test words " * 6
+    waves = [
+        [(1, BASE, "web")],                 # passes -> kept
+        [(21, text, "web")],                # diverted (bogus rule)
+        [(22, "wholly different content " * 6, "web")],  # diverted too
+    ]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_cw")
+    exact = str(tmp_path / "exact_cw")
+    mh = str(tmp_path / "mh_cw")
+    quarantine = str(tmp_path / "quar_cw")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=exact,
+        minhash_store_path=mh,
+        checkpoint=str(tmp_path / "ckpt_cw"),
+        min_words=5,
+        input_suite=(
+            CheckSuite().not_null("doc_id").in_range("doc_id", 0, 5)
+        ),
+        quarantine_path=quarantine,
+    )
+    # fold the two quarantined dirs into a generation, then simulate
+    # the crash window: re-create one consumed dir with its (already
+    # folded) content, committed
+    gen = compact_window_sink(spark, quarantine, num_files=1)
+    stale = spark.createDataFrame(
+        [(21, text, "web", "data-quality checks failed: stale")],
+        "doc_id: long, text: string, source: string, _dq_error: string",
+    )
+    stale.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(quarantine, f"batch_id={gen - 1}")
+        if gen > 0
+        else os.path.join(quarantine, "batch_id=0")
+    )
+    assert len(glob.glob(os.path.join(quarantine, "batch_id=*"))) == 1
+
+    out = replay_quarantine(
+        spark, quarantine, CheckSuite().not_null("doc_id"),
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        min_words=5,
+    )
+    # the generation passed and was curated; the stale shadowed dir
+    # went with it — nothing resurrects
+    assert out["units_passed"] == 1 and out["units_failed"] == 0, out
+    assert not glob.glob(os.path.join(quarantine, "compacted=*"))
+    assert not glob.glob(os.path.join(quarantine, "batch_id=*"))
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {
+        1, 21, 22,
+    }
