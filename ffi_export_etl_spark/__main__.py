@@ -230,7 +230,8 @@ def curate_replay_main(argv: list[str]) -> int:
     after fixing the quality rule (or the data), re-run the input
     CheckSuite over the committed DLQ units, route the passes through
     the normal curate flow against the live stores, and rewrite the
-    still-failing residue as a fresh quarantine generation. Prints one
+    still-failing units quarantined in place (passed units' dirs are
+    removed; no generation rewrite — see replay_quarantine). Prints one
     JSON line of counts; idempotent — a second replay of an unchanged
     DLQ is a no-op for the kept corpus."""
     ap = argparse.ArgumentParser(

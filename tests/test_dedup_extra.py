@@ -303,3 +303,41 @@ def test_cross_corpus_near_duplicates(spark):
         assert abs(j - want[k]) < 1e-12, k
     # the within-A near-dup (1, 2) never appears on either side
     assert all(ka != 2 for ka, _ in got) or (1, 2) not in got
+
+
+def test_incremental_components_chain_closed_under_iteration(spark):
+    """The daily-production shape is a CHAIN: today's increment output
+    is tomorrow's stored labeling. Fold batch2 into batch1's labels,
+    then batch3 into THAT result — must equal the full recompute over
+    all three batches (r8). The edge set forces late cross-batch merges
+    (batch3 bridges two clusters that grew independently in batches
+    1-2) plus chain-lengthening and brand-new ids."""
+    from ffi_export_etl_spark.operators.components import (
+        connected_components_alternating,
+        incremental_components,
+    )
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "id_a: long, id_b: long")
+
+    b1 = [(1, 2), (10, 11), (20, 21)]
+    b2 = [(2, 3), (11, 12), (30, 31)]          # grow each + a new pair
+    b3 = [(3, 10), (31, 40), (50, 51)]         # BRIDGE {1..3} with
+    #                                            {10..12}; extend; new
+    stored = connected_components_alternating(edges(b1)).select(
+        F.col("id"), F.col("component")
+    )
+    step2 = incremental_components(stored, edges(b2))
+    step3 = incremental_components(
+        step2.select("id", "component"), edges(b3)
+    )
+    got = {r["id"]: r["component"] for r in step3.collect()}
+    full = connected_components_alternating(edges(b1 + b2 + b3))
+    want = {r["id"]: r["component"] for r in full.collect()}
+    for i, c in want.items():
+        assert got[i] == c, (i, got.get(i), c)
+    # untouched ids from earlier batches persist, labeling their
+    # component (20/21 never re-appear after batch 1)
+    assert got[20] == got[21] == 20
+    # the bridge collapsed both grown clusters to one min-id label
+    assert got[1] == got[12] == 1

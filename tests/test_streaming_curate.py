@@ -730,3 +730,24 @@ def test_replay_quarantine_no_resurrection_from_crash_window(
     assert {r["id"] for r in read_kept(spark, kept).collect()} == {
         1, 21, 22,
     }
+
+
+def test_replay_quarantine_empty_dlq_is_noop(spark, tmp_path):
+    """replay_quarantine on a missing or empty quarantine root: clean
+    zero-work report, nothing created."""
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import replay_quarantine
+
+    out = replay_quarantine(
+        spark, str(tmp_path / "no_such_dlq"),
+        CheckSuite().not_null("doc_id"),
+        kept_path=str(tmp_path / "k"),
+        exact_store_path=str(tmp_path / "e"),
+        minhash_store_path=str(tmp_path / "m"),
+    )
+    assert out == {
+        "units_passed": 0, "units_failed": 0,
+        "replayed_rows": 0, "residual_rows": 0,
+        "residual_generation": None,
+    }
+    assert not (tmp_path / "k").exists()
