@@ -310,7 +310,14 @@ def process_exports_glob(
         t.start()
     for t in threads:
         t.join()
-    for target_name, n, err in results:
+    for i, res in enumerate(results):
+        if res is None:
+            # a worker died before reaching this item (non-Exception
+            # exit) — the table was never attempted: count it failed so
+            # the ledger records it for the next batch's retry
+            failed.append(work[i][0])
+            continue
+        target_name, n, err = res
         if err is not None:
             failed.append(target_name)
         else:
