@@ -289,7 +289,13 @@ class FFIPipeline:
         attr_long.persist()
         # ONE collect discovers methods AND their unit systems (A6
         # distinct-collect; previously the unit fan-out re-collected per
-        # method — a Spark job each)
+        # method — a Spark job each). Do NOT merge this with the
+        # fields_by_method collect below: this collect populates the
+        # rootdf/attr_long persists, and the dictionary collect then
+        # rides the cache — a combined one-job join puts two uncached
+        # XML-parse subtrees in one DAG and runs the parse twice
+        # (measured r8: warm x16 11.7 -> 13.4s, cold 22.8 -> 52s;
+        # PERFORMANCE.md "Negative result").
         methods, units_by_method = _methods_and_units(attr_long)
         # Known pivot domain per method (scale path: no distinct-collect
         # inside the pivot; schema is stable and declared). ONE aggregated

@@ -90,7 +90,15 @@ def test_registered_dedup_paths_have_no_unbucketed_theta_join(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash_lsh", "dedup_embedding_cosine", "dedup_simhash"],
+    [
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "dedup_simhash",
+        # r8: the pack's 'xcorp' arm routes the two-sided banded rows
+        # through the same capped expansion; the 'incr' arm's
+        # incremental join is cap-bounded store-side
+        "dedup_incremental_minhash",
+    ],
 )
 def test_registered_dedup_bucket_cap_in_plan(spark, name):
     # Every sketch dedup path must carry the bucket-size cap in the
