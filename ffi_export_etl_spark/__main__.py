@@ -260,6 +260,10 @@ def curate_replay_main(argv: list[str]) -> int:
     ap.add_argument("--input-html", action="store_true")
     ap.add_argument("--c4-line-clean", action="store_true")
     ap.add_argument("--gopher-rules", action="store_true")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="preview only: re-run the suite per DLQ unit "
+                         "and report which would pass, without staging, "
+                         "curating, or deleting anything")
     args = ap.parse_args(argv)
     if (args.span_store is None) != (args.span_dedup_tokens is None):
         ap.error("--span-store and --span-dedup-tokens go together")
@@ -289,6 +293,7 @@ def curate_replay_main(argv: list[str]) -> int:
         input_html=args.input_html,
         c4_line_clean=args.c4_line_clean,
         gopher_rules=args.gopher_rules,
+        dry_run=args.dry_run,
     )
     print(json.dumps(out, sort_keys=True))
     return 0

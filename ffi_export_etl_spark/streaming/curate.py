@@ -331,6 +331,7 @@ def replay_quarantine(
     kept_compact_every: int | None = None,
     kept_files_per_generation: int = 4,
     profile_store_path: str | None = None,
+    dry_run: bool = False,
     **curate_kw,
 ) -> dict:
     """Reprocess the DLQ after a rule fix (judge r7 item 5): re-run
@@ -343,6 +344,12 @@ def replay_quarantine(
     residual_generation} — residual_generation is the id of the
     surviving current generation (None when it passed or never
     existed).
+
+    ``dry_run=True`` previews the outcome of a candidate rule fix:
+    the suite runs over every unit and the same report comes back —
+    plus a ``units`` list of (kind, id, passes, n_rows, failure) —
+    but NOTHING is staged, curated, or deleted. The operator loop is:
+    re-run the suite, read the preview, then replay for real.
 
     Granularity: one unit per committed ``batch_id=N`` dir — the
     original per-micro-batch gate grain — plus the current
@@ -379,7 +386,8 @@ def replay_quarantine(
     with it — otherwise removing the generation would resurrect their
     stale rows (review r8). Between-sessions maintenance like
     compact_kept: the owning stream must not be running (single-writer,
-    as everywhere in this sink family)."""
+    as everywhere in this sink family).
+    """
     import shutil
     import uuid as _uuid
 
@@ -405,6 +413,7 @@ def replay_quarantine(
 
     passed, failed = [], []
     replayed_rows = residual_rows = 0
+    preview = []
     for kind, uid in units:
         clean = spark.read.parquet(
             os.path.join(quarantine_path, f"{kind}={uid}")
@@ -412,12 +421,29 @@ def replay_quarantine(
         report = input_suite.run(clean).collect()
         msg = format_failures(report)
         n = int(report[0]["n_rows"]) if report else 0
+        preview.append(
+            {"kind": kind, "id": uid, "passes": msg is None,
+             "n_rows": n, "failure": msg}
+        )
         if msg is None:
             passed.append((kind, uid, clean))
             replayed_rows += n
         else:
             failed.append((kind, uid))
             residual_rows += n
+
+    if dry_run:
+        return {
+            "units_passed": len(passed),
+            "units_failed": len(failed),
+            "replayed_rows": replayed_rows,
+            "residual_rows": residual_rows,
+            "residual_generation": (
+                cur if ("compacted", cur) in failed else None
+            ),
+            "dry_run": True,
+            "units": preview,
+        }
 
     if passed:
         stage = os.path.join(quarantine_path, "_replay_stage")

@@ -598,8 +598,18 @@ def test_replay_quarantine_end_to_end(spark, tmp_path):
     assert {r["id"] for r in read_kept(spark, kept).collect()} == {1, 2}
     assert len(read_window_sink(spark, quarantine).collect()) == 6
 
-    # the FIXED rule
+    # the FIXED rule — dry run first: same accounting, nothing touched
     fixed = CheckSuite().not_null("doc_id").unique("doc_id")
+    dry = replay_quarantine(
+        spark, quarantine, fixed,
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        min_words=5, jaccard_threshold_pct=50, dry_run=True,
+    )
+    assert dry["dry_run"] and dry["units_passed"] == 2
+    assert {u["id"] for u in dry["units"] if not u["passes"]} == {2}
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {1, 2}
+    assert len(read_window_sink(spark, quarantine).collect()) == 6
+
     out = replay_quarantine(
         spark, quarantine, fixed,
         kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
