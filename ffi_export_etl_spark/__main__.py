@@ -225,6 +225,51 @@ def curate_stream_main(argv: list[str]) -> int:
     return 0
 
 
+def curate_maintain_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark curate-maintain``: between-
+    sessions maintenance for a curate-stream deployment — fold the kept
+    corpus's committed batch dirs (and the quarantine's, if present)
+    into single generations so file counts stay bounded across daemon
+    runs. The in-run ``--kept-compact-every`` cadence does the same
+    thing mid-drain; this command is the cron-able nightly form the
+    sink docstrings point at. Prints one JSON line."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark curate-maintain",
+        description="Fold committed kept-corpus (and quarantine) batch "
+                    "dirs into single compacted generations.",
+    )
+    ap.add_argument("--kept", required=True)
+    ap.add_argument("--quarantine", default=None)
+    ap.add_argument("--num-files", type=int, default=4,
+                    help="parquet files per compacted generation")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark, tune
+    from .streaming.curate import compact_kept, read_kept
+    from .streaming.events import compact_window_sink, read_window_sink
+
+    spark = tune(get_spark(app_name="ffi-etl-curate-maintain"))
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {
+        "kept_generation": compact_kept(
+            spark, args.kept, num_files=args.num_files
+        ),
+        "kept_rows": read_kept(spark, args.kept).count(),
+    }
+    if args.quarantine is not None and os.path.isdir(args.quarantine):
+        out["quarantine_generation"] = compact_window_sink(
+            spark, args.quarantine, num_files=args.num_files
+        )
+        try:
+            out["quarantined_rows"] = read_window_sink(
+                spark, args.quarantine
+            ).count()
+        except ValueError:
+            out["quarantined_rows"] = 0  # empty DLQ
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def curate_replay_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark curate-replay-quarantine``:
     after fixing the quality rule (or the data), re-run the input
@@ -886,6 +931,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_stream_main(argv[1:])
     if argv and argv[0] == "curate-replay-quarantine":
         return curate_replay_main(argv[1:])
+    if argv and argv[0] == "curate-maintain":
+        return curate_maintain_main(argv[1:])
     if argv and argv[0] == "profile":
         return profile_main(argv[1:])
     if argv and argv[0] == "diff":

@@ -642,3 +642,65 @@ def test_cli_curate_replay_quarantine(spark, tmp_path, capsys):
 
     assert not _glob.glob(os.path.join(quarantine, "batch_id=*"))
     assert not _glob.glob(os.path.join(quarantine, "compacted=*"))
+
+
+def test_cli_curate_maintain(spark, tmp_path, capsys):
+    """curate-maintain: folds the kept corpus's (and quarantine's)
+    committed batch dirs into single generations; row counts preserved;
+    idempotent rerun."""
+    import glob as _glob
+    import os
+
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import (
+        read_kept,
+        streaming_curate,
+    )
+
+    src = str(tmp_path / "srcm")
+    os.makedirs(src)
+    good = " ".join(f"m{i}" for i in range(25))
+    for i, wave in enumerate(
+        [[(1, good, "web")],
+         [(2, " ".join(f"z{i}" for i in range(25)), "web")],
+         [(9, good, "web"), (9, good, "web")]]  # dup ids -> quarantined
+    ):
+        spark.createDataFrame(
+            wave, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"w{i}"))
+    kept = str(tmp_path / "keptm")
+    quarantine = str(tmp_path / "quarm")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "w*"),
+        kept_path=kept,
+        exact_store_path=str(tmp_path / "exm"),
+        minhash_store_path=str(tmp_path / "mhm"),
+        checkpoint=str(tmp_path / "ckm"),
+        min_words=5,
+        jaccard_threshold_pct=90,
+        input_suite=CheckSuite().not_null("doc_id").unique("doc_id"),
+        quarantine_path=quarantine,
+    )
+    assert len(_glob.glob(os.path.join(kept, "batch_id=*"))) >= 2
+
+    from ffi_export_etl_spark.__main__ import main
+
+    rc = main([
+        "curate-maintain", "--kept", kept, "--quarantine", quarantine,
+        "--num-files", "1",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["kept_rows"] == 2 and rep["quarantined_rows"] == 2
+    assert rep["kept_generation"] >= 0
+    assert not _glob.glob(os.path.join(kept, "batch_id=*"))
+    assert not _glob.glob(os.path.join(quarantine, "batch_id=*"))
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {1, 2}
+
+    # idempotent rerun: nothing to fold, counts unchanged
+    rc = main(["curate-maintain", "--kept", kept,
+               "--quarantine", quarantine])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["kept_rows"] == 2 and rep2["quarantined_rows"] == 2
