@@ -761,3 +761,68 @@ def test_replay_quarantine_empty_dlq_is_noop(spark, tmp_path):
         "residual_generation": None,
     }
     assert not (tmp_path / "k").exists()
+
+
+def test_replay_quarantine_failing_generation_left_in_place(
+    spark, tmp_path
+):
+    """A compacted DLQ generation that STILL fails the suite stays
+    exactly where it is (residual_generation = its id), and the kept
+    corpus is untouched — the compacted-unit counterpart of the
+    batch-dir residue case."""
+    import glob
+
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import (
+        read_kept,
+        replay_quarantine,
+        streaming_curate,
+    )
+    from ffi_export_etl_spark.streaming.events import (
+        compact_window_sink,
+        read_window_sink,
+    )
+
+    src = str(tmp_path / "src_fg")
+    os.makedirs(src)
+    good = " ".join(f"q{i}" for i in range(25))
+    waves = [
+        [(1, good, "web")],
+        [(7, "bad batch one " * 8, "web"), (7, "bad batch two " * 8, "web")],
+        [(8, "bad batch three " * 8, "web"), (8, "bad four " * 8, "web")],
+    ]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_fg")
+    exact = str(tmp_path / "exact_fg")
+    mh = str(tmp_path / "mh_fg")
+    quarantine = str(tmp_path / "quar_fg")
+    suite = CheckSuite().not_null("doc_id").unique("doc_id")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=exact,
+        minhash_store_path=mh,
+        checkpoint=str(tmp_path / "ckpt_fg"),
+        min_words=5,
+        input_suite=suite,
+        quarantine_path=quarantine,
+    )
+    gen = compact_window_sink(spark, quarantine, num_files=1)
+    assert gen >= 0
+
+    # replay with the SAME (correct) suite: the dup-id rows still fail
+    out = replay_quarantine(
+        spark, quarantine, suite,
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        min_words=5,
+    )
+    assert out["units_failed"] == 1 and out["units_passed"] == 0, out
+    assert out["residual_generation"] == gen
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {1}
+    gen_dirs = glob.glob(os.path.join(quarantine, "compacted=*"))
+    assert len(gen_dirs) == 1 and gen_dirs[0].endswith(f"compacted={gen}")
+    assert len(read_window_sink(spark, quarantine).collect()) == 4
