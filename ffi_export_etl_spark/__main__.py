@@ -248,24 +248,30 @@ def curate_maintain_main(argv: list[str]) -> int:
     from .streaming.curate import compact_kept, read_kept
     from .streaming.events import compact_window_sink, read_window_sink
 
+    from pyspark.sql.utils import AnalysisException
+
     spark = tune(get_spark(app_name="ffi-etl-curate-maintain"))
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _rows(reader, path):
+        # an empty/never-drained sink is a clean zero, not a traceback
+        # (the curate-stream CLI's _kept_rows pattern; review r8)
+        try:
+            return reader(spark, path).count()
+        except (AnalysisException, ValueError):
+            return 0
+
     out: dict = {
         "kept_generation": compact_kept(
             spark, args.kept, num_files=args.num_files
         ),
-        "kept_rows": read_kept(spark, args.kept).count(),
+        "kept_rows": _rows(read_kept, args.kept),
     }
     if args.quarantine is not None and os.path.isdir(args.quarantine):
         out["quarantine_generation"] = compact_window_sink(
             spark, args.quarantine, num_files=args.num_files
         )
-        try:
-            out["quarantined_rows"] = read_window_sink(
-                spark, args.quarantine
-            ).count()
-        except ValueError:
-            out["quarantined_rows"] = 0  # empty DLQ
+        out["quarantined_rows"] = _rows(read_window_sink, args.quarantine)
     print(json.dumps(out, sort_keys=True))
     return 0
 

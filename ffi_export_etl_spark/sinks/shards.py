@@ -369,6 +369,17 @@ def plan_shard_assignment(
         raise ValueError(f"world_size must be >= 1, got {world_size}")
     w = weight_col or "n_rows"
     rows = manifest.select("file", w).collect()
+    missing = [r["file"] for r in rows if r[w] is None]
+    if missing:
+        # file_bytes is NULL for shards the stat pass could not reach
+        # (unresolvable URI — the verifier treats NULL as unchecked); a
+        # silent 0 would pile every unknown-size shard on one rank, so
+        # refuse with the fix spelled out (review r8)
+        raise ValueError(
+            f"weight_col {w!r} is NULL for {len(missing)} shard(s) "
+            f"(e.g. {missing[0]!r}); balance by n_rows instead, or "
+            "regenerate the manifest where the files are reachable"
+        )
     shards = sorted(
         ((int(r[w]), r["file"]) for r in rows),
         key=lambda t: (-t[0], t[1]),

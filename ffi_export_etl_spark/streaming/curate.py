@@ -405,11 +405,17 @@ def replay_quarantine(
         if i > cur
     ]
     if not units:
-        return {
+        empty = {
             "units_passed": 0, "units_failed": 0,
             "replayed_rows": 0, "residual_rows": 0,
             "residual_generation": None,
         }
+        if dry_run:
+            # the preview marker must survive the empty case — a
+            # wrapper reading out["units"] (or checking the mode that
+            # actually ran) gets a consistent shape (review r8)
+            empty.update({"dry_run": True, "units": []})
+        return empty
 
     passed, failed = [], []
     replayed_rows = residual_rows = 0

@@ -704,3 +704,10 @@ def test_cli_curate_maintain(spark, tmp_path, capsys):
     assert rc == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["kept_rows"] == 2 and rep2["quarantined_rows"] == 2
+
+    # an empty / never-drained kept root is a clean zero-work report,
+    # not a traceback (review r8 — the cron-before-first-drain case)
+    rc = main(["curate-maintain", "--kept", str(tmp_path / "no_kept")])
+    assert rc == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3 == {"kept_generation": -1, "kept_rows": 0}

@@ -411,3 +411,11 @@ def test_plan_shard_assignment_balanced_and_deterministic(spark, tmp_path):
     assert plan_w == plan
     with _pytest.raises(ValueError):
         plan_shard_assignment(manifest, 0)
+    # NULL weights refuse with guidance instead of crashing or silently
+    # piling unknown-size shards on one rank (review r8)
+    withnull = manifest.withColumn(
+        "file_bytes",
+        F.when(F.col("n_rows") >= 30, None).otherwise(F.col("n_rows")),
+    )
+    with _pytest.raises(ValueError, match="file_bytes"):
+        plan_shard_assignment(withnull, 3, weight_col="file_bytes")

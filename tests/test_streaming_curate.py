@@ -761,6 +761,16 @@ def test_replay_quarantine_empty_dlq_is_noop(spark, tmp_path):
         "residual_generation": None,
     }
     assert not (tmp_path / "k").exists()
+    # dry-run on an empty DLQ keeps the preview shape (review r8)
+    dry = replay_quarantine(
+        spark, str(tmp_path / "no_such_dlq"),
+        CheckSuite().not_null("doc_id"),
+        kept_path=str(tmp_path / "k"),
+        exact_store_path=str(tmp_path / "e"),
+        minhash_store_path=str(tmp_path / "m"),
+        dry_run=True,
+    )
+    assert dry["dry_run"] is True and dry["units"] == []
 
 
 def test_replay_quarantine_failing_generation_left_in_place(
