@@ -433,3 +433,31 @@ def test_epoch_upsample_property(spark, rows, ea):
         else:
             n = 1
         assert sorted(got.get(i, [])) == list(range(n)), (i, src, ea)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(1, 10_000), min_size=1, max_size=60),
+    world=st.integers(1, 12),
+)
+def test_plan_shard_assignment_invariants(spark, weights, world):
+    """plan_shard_assignment properties under arbitrary shard weights:
+    (1) disjoint cover of every shard; (2) greedy-on-lightest spread
+    bound — max rank load - min rank load <= max single weight, an
+    invariant of placing each item on the currently-lightest rank in
+    ANY order (inductive: spread starts 0 and placing w on the min
+    keeps every load within max-weight of it); (3) determinism."""
+    from ffi_export_etl_spark.sinks.shards import plan_shard_assignment
+
+    manifest = spark.createDataFrame(
+        [(f"f{i:04d}.parquet", w) for i, w in enumerate(weights)],
+        "file string, n_rows long",
+    )
+    plan = plan_shard_assignment(manifest, world)
+    files = [f for fs in plan.values() for f in fs]
+    assert len(files) == len(weights) == len(set(files))
+    wmap = {f"f{i:04d}.parquet": w for i, w in enumerate(weights)}
+    loads = [sum(wmap[f] for f in plan[r]) for r in range(world)]
+    assert max(loads) - min(loads) <= max(weights), (loads, weights)
+    assert plan_shard_assignment(manifest, world) == plan
