@@ -836,3 +836,72 @@ def test_replay_quarantine_failing_generation_left_in_place(
     gen_dirs = glob.glob(os.path.join(quarantine, "compacted=*"))
     assert len(gen_dirs) == 1 and gen_dirs[0].endswith(f"compacted={gen}")
     assert len(read_window_sink(spark, quarantine).collect()) == 4
+
+
+def test_replay_quarantine_with_span_store(spark, tmp_path):
+    """Replay forwards the span-dedup stage: a quarantined doc embedding
+    a boilerplate run already in the SPAN STORE re-enters with the run
+    CUT (not verbatim), and its cleaned windows append to the store —
+    the replayed batch flows through the identical increment pipeline,
+    span stage included."""
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import (
+        read_kept,
+        replay_quarantine,
+        streaming_curate,
+    )
+
+    L = 5
+    boiler = " ".join(f"rb{i}" for i in range(L))
+    w1_text = f"{' '.join(f'a1t{i}' for i in range(20))} {boiler}"
+    fresh = " ".join(f"a2t{i}" for i in range(20))
+    waves = [
+        [(1, w1_text, "web")],                     # passes; seeds store
+        [(42, f"{fresh} {boiler}", "web")],        # diverted (bogus rule)
+    ]
+    src = str(tmp_path / "src_rsp")
+    os.makedirs(src)
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_rsp")
+    exact = str(tmp_path / "exact_rsp")
+    mh = str(tmp_path / "mh_rsp")
+    span = str(tmp_path / "span_rsp")
+    quarantine = str(tmp_path / "quar_rsp")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=exact,
+        minhash_store_path=mh,
+        checkpoint=str(tmp_path / "ckpt_rsp"),
+        span_store_path=span,
+        min_words=5,
+        jaccard_threshold_pct=50,
+        span_dedup_tokens=L,
+        input_suite=(
+            CheckSuite().not_null("doc_id").in_range("doc_id", 0, 5)
+        ),
+        quarantine_path=quarantine,
+    )
+    assert {r["id"] for r in read_kept(spark, kept).collect()} == {1}
+    n_store_before = spark.read.parquet(span).count()
+
+    out = replay_quarantine(
+        spark, quarantine, CheckSuite().not_null("doc_id"),
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        span_store_path=span, min_words=5, jaccard_threshold_pct=50,
+        span_dedup_tokens=L,
+    )
+    assert out["units_passed"] == 1 and out["units_failed"] == 0, out
+    texts = {
+        r["id"]: r["text"] for r in read_kept(spark, kept).collect()
+    }
+    assert set(texts) == {1, 42}
+    assert "rb0" in texts[1]       # the original keeper holds the run
+    assert "rb0" not in texts[42]  # replayed copy CUT by the span stage
+    assert texts[42].startswith("a2t0 ")
+    # the replayed survivor's cleaned windows appended to the store
+    assert spark.read.parquet(span).count() > n_store_before
