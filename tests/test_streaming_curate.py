@@ -905,3 +905,55 @@ def test_replay_quarantine_with_span_store(spark, tmp_path):
     assert texts[42].startswith("a2t0 ")
     # the replayed survivor's cleaned windows appended to the store
     assert spark.read.parquet(span).count() > n_store_before
+
+
+def test_replay_quarantine_appends_profile_rows(spark, tmp_path):
+    """Replay forwards profile_store_path: the replayed batch's kept
+    rows append a mergeable profile row like any streamed batch, so
+    corpus profiling stays complete across DLQ reprocessing."""
+    from ffi_export_etl_spark.operators.validate import CheckSuite
+    from ffi_export_etl_spark.streaming.curate import (
+        replay_quarantine,
+        streaming_curate,
+    )
+
+    src = str(tmp_path / "src_rpf")
+    os.makedirs(src)
+    good = " ".join(f"pf{i}" for i in range(25))
+    waves = [
+        [(1, good, "web")],
+        [(42, " ".join(f"qf{i}" for i in range(25)), "web")],  # diverted
+    ]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id: long, text: string, source: string"
+        ).coalesce(1).write.parquet(os.path.join(src, f"wave{i}"))
+    kept = str(tmp_path / "kept_rpf")
+    exact = str(tmp_path / "exact_rpf")
+    mh = str(tmp_path / "mh_rpf")
+    prof = str(tmp_path / "prof_rpf")
+    quarantine = str(tmp_path / "quar_rpf")
+    streaming_curate(
+        spark,
+        source_dir=os.path.join(src, "wave*"),
+        kept_path=kept,
+        exact_store_path=exact,
+        minhash_store_path=mh,
+        checkpoint=str(tmp_path / "ckpt_rpf"),
+        min_words=5,
+        profile_store_path=prof,
+        input_suite=(
+            CheckSuite().not_null("doc_id").in_range("doc_id", 0, 5)
+        ),
+        quarantine_path=quarantine,
+    )
+    n_prof = spark.read.parquet(prof).count()
+    assert n_prof >= 1
+
+    out = replay_quarantine(
+        spark, quarantine, CheckSuite().not_null("doc_id"),
+        kept_path=kept, exact_store_path=exact, minhash_store_path=mh,
+        profile_store_path=prof, min_words=5,
+    )
+    assert out["units_passed"] == 1, out
+    assert spark.read.parquet(prof).count() > n_prof
