@@ -175,6 +175,47 @@ IVFPQ_CENTROIDS = [
 ]
 
 
+# --- 'opq' arm (r8): the OPQ SERVING composition — rotate -> encode ->
+# ADC — driver-pinned with a FIXED OPQ-P rotation (Ge et al. 2013's
+# parametric variant: dimension RE-ALLOCATION, i.e. a signed
+# permutation that crosses the m=4 subspace boundaries). A signed
+# permutation is an exact-binary orthonormal rotation whose
+# plan-literal fold does NO float summation (each output coordinate is
+# plus-or-minus exactly one input coordinate), so the rotated doubles
+# are bit-identical cross-engine by construction — the fit/transform
+# split again: the LEARNED rotation (fit_opq's iterative SVD) stays
+# pytest-pinned against its numpy twin, the serving-path composition
+# rides the gate.
+OPQ_PERM = [(j * 29 + 7) % DIM for j in range(DIM)]  # 29 coprime to 64
+OPQ_SIGN = [1.0 if (j * 3 + 1) % 5 < 3 else -1.0 for j in range(DIM)]
+OPQ_ROT = [
+    [OPQ_SIGN[j] if i == OPQ_PERM[j] else 0.0 for i in range(DIM)]
+    for j in range(DIM)
+]
+
+
+def _opq_arm(
+    spark: SparkSession, e: DataFrame, cb: DataFrame
+) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_topk
+    from ..operators.reduce import reduce_embeddings
+
+    rotated = reduce_embeddings(
+        e, "embedding", k=DIM, components=OPQ_ROT, out_col="_rot"
+    ).select("vec_id", F.col("_rot").alias("embedding"))
+    codes_r = pq_encode(rotated, cb, DIM, m=PQ_M)
+    top = pq_topk(
+        codes_r, cb, _queries_df(rotated), k=TOPK, dim=DIM, m=PQ_M
+    )
+    return top.select(
+        F.lit("opq").alias("kind"),
+        "query_id",
+        "nbr_id",
+        F.col("adc_dist").alias("cos"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
 def _pq_codebooks_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [
@@ -338,7 +379,10 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks + fixed literal coarse centroids, 'ivfpq_rr' (r8) pins
     the FULL composed IVFADC+R serving stack — coarse prune -> ADC
     shortlist -> exact re-rank (operators/pq.ivfpq_topk_rerank), the
-    shape a billion-vector deployment actually runs. Same (query_id,
+    shape a billion-vector deployment actually runs, and 'opq' (r8)
+    pins the OPQ serving composition — plan-literal rotate
+    (reduce_embeddings fold, fixed OPQ-P signed permutation) -> encode
+    -> ADC in the rotated space. Same (query_id,
     nbr_id, cos, rnk) grain — 'pcasem' carries the cell id in rnk,
     'pq'/'ivfpq' carry the ascending ADC distance in cos,
     'rerank'/'ivfpq_rr' the exact squared L2; each arm's oracle is
@@ -382,6 +426,8 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_rr_rows = _ivfpq_rr_arm(
             spark, e, cb, codes, cents, cells
         ).localCheckpoint(eager=True)
+        # own encode over the ROTATED vectors — cannot share `codes`
+        opq_rows = _opq_arm(spark, e, cb).localCheckpoint(eager=True)
     finally:
         codes.unpersist()
         cells.unpersist()
@@ -392,6 +438,7 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivfpq_rows)
         .unionByName(rerank_rows)
         .unionByName(ivfpq_rr_rows)
+        .unionByName(opq_rows)
     )
 
 
@@ -778,6 +825,32 @@ def _ivfpq_rr_sql() -> str:
     """
 
 
+def _opq_sql() -> str:
+    """The 'opq' arm's oracle: the exhaustive-ADC chain over the
+    OPQ-P-rotated vectors. The signed permutation is replayed as direct
+    element picks (vv0[p] with a sign) — exactly the value the Spark
+    fold produces, since a one-nonzero row fold adds only zeros around
+    the picked term."""
+    picks = ", ".join(
+        ("" if OPQ_SIGN[j] == 1.0 else "-") + f"vv0[{OPQ_PERM[j] + 1}]"
+        for j in range(DIM)
+    )
+    return f"""
+        WITH v0 AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS vv0
+              FROM embeddings),
+        v AS (SELECT vec_id, [{picks}] AS vv FROM v0),
+        {_pq_core_ctes()}
+        SELECT query_id, nbr_id, cos, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos, nbr_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= {TOPK}
+    """
+
+
 ORACLE = {
     "ann_topk_bruteforce": f"""
         WITH {_VN},
@@ -804,6 +877,8 @@ ORACLE = {
         SELECT 'rerank' AS kind, * FROM ({_rerank_sql()})
         UNION ALL
         SELECT 'ivfpq_rr' AS kind, * FROM ({_ivfpq_rr_sql()})
+        UNION ALL
+        SELECT 'opq' AS kind, * FROM ({_opq_sql()})
     """,
     "ann_label_centroids": """
         WITH flat AS (
