@@ -242,6 +242,17 @@ def curate_maintain_main(argv: list[str]) -> int:
     ap.add_argument("--quarantine", default=None)
     ap.add_argument("--num-files", type=int, default=4,
                     help="parquet files per compacted generation")
+    ap.add_argument("--exact-store", default=None,
+                    help="also fold this signature store into a bucketed "
+                         "generation table (compact_signature_store)")
+    ap.add_argument("--minhash-store", default=None)
+    ap.add_argument("--span-store", default=None)
+    ap.add_argument("--store-table-prefix", default="sigstore",
+                    help="catalog-table prefix for folded store "
+                         "generations (<prefix>_<family>_g<N>)")
+    ap.add_argument("--store-buckets", type=int, default=64,
+                    help="bucket count of the folded store tables "
+                         "(bucketed on each family's join key)")
     args = ap.parse_args(argv)
 
     from .session import get_spark, tune
@@ -272,6 +283,25 @@ def curate_maintain_main(argv: list[str]) -> int:
             spark, args.quarantine, num_files=args.num_files
         )
         out["quarantined_rows"] = _rows(read_window_sink, args.quarantine)
+    from .streaming.dedup import compact_signature_store
+
+    for family, root in (
+        ("exact", args.exact_store),
+        ("minhash", args.minhash_store),
+        ("span", args.span_store),
+    ):
+        if root is None:
+            continue
+        if not os.path.isdir(root):
+            # never-drained store: a clean no-op, like the kept root
+            out[f"{family}_store_generation"] = -1
+            continue
+        fold = compact_signature_store(
+            spark, root, f"{args.store_table_prefix}_{family}",
+            num_buckets=args.store_buckets,
+        )
+        out[f"{family}_store_generation"] = fold["generation"]
+        out[f"{family}_store_table"] = fold["table"]
     print(json.dumps(out, sort_keys=True))
     return 0
 

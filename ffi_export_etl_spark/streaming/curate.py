@@ -15,7 +15,10 @@ Exactly-once: same per-batch_id overwrite discipline as
 streaming/dedup.py — a replayed micro-batch overwrites its own
 ``batch_id=N`` subdirectory in all three sinks, and within a run batches
 execute serially so each joins exactly the stores its predecessors
-wrote. Compact the stores between sessions with dedup.compact_store.
+wrote. Compact the stores between sessions with
+dedup.compact_signature_store (generation-aware: the daemon reads the
+folded bucketed table + post-fold batch dirs back transparently);
+dedup.compact_store remains the one-shot snapshot form.
 
 Small-file story (r6): the kept corpus accumulates one parquet dir per
 micro-batch per drain — a cron-driven daemon would grow thousands of

@@ -40,6 +40,33 @@ from ..operators.minhash import (
     minhash_signature_store,
 )
 
+def _gen_table(table: str, gen: int) -> str:
+    """Catalog name of a folded-store generation (compact_signature_store
+    writes versioned tables so a fold never overwrites the generation a
+    concurrent reader rule still points at)."""
+    return f"{table}_g{gen}"
+
+
+def _folded_meta(spark: SparkSession, store_path: str) -> dict | None:
+    """Newest COMMITTED folded generation of a signature store, or None.
+
+    compact_signature_store records each fold in a JSON sidecar under
+    ``<store>/_folded/gen=<max_id>/`` (underscore-prefixed, so Spark's
+    plain parquet read of the store root never sees it). Commit marker
+    is the _SUCCESS file Spark leaves on the sidecar write — the same
+    rule as the window-sink generations (events._sink_ids)."""
+    from .events import _sink_ids
+
+    folded_dir = os.path.join(store_path, "_folded")
+    gens = sorted(_sink_ids(folded_dir, "gen", committed_only=True))
+    if not gens:
+        return None
+    row = spark.read.json(
+        os.path.join(folded_dir, f"gen={gens[-1]}")
+    ).first()
+    return {"table": row["table"], "max_batch_id": int(row["max_batch_id"])}
+
+
 def _read_store(
     spark: SparkSession,
     store_path: str,
@@ -47,9 +74,14 @@ def _read_store(
     before_batch: int | None = None,
 ) -> DataFrame:
     """The signature index accumulated by prior micro-batches (empty on
-    the first batch, schema borrowed from the current batch's index). At
-    scale the store is bucketed by (band, bucket); here it is plain
-    parquet partitioned by batch_id.
+    the first batch, schema borrowed from the current batch's index).
+    Layout-aware: a store that compact_signature_store has folded reads
+    back as the newest committed generation TABLE (bucketed on the
+    family's join key) unioned with the batch_id dirs written after the
+    fold — the same newest-generation-plus-tail rule as the window
+    sinks, so a fold can crash between its commit and its cleanup
+    without double-counting (consumed dirs <= the folded max are
+    excluded by the batch_id filter until the next fold removes them).
 
     ``before_batch``: micro-batches execute serially, so batch N's
     legitimate store is EXACTLY batches < N — and after a failure,
@@ -66,6 +98,32 @@ def _read_store(
     output, no error). Only the first batch's read can legitimately fail
     (no store yet); later failures re-raise."""
     cols = [c for c in like.columns if c != "batch_id"]
+    meta = _folded_meta(spark, store_path)
+    if meta is not None:
+        if before_batch is not None and before_batch <= meta["max_batch_id"]:
+            # a fresh-checkpoint re-delivery ("replay" mode) needs the
+            # per-batch_id slots the fold consumed — batch N's
+            # legitimate store (batches < N) is no longer separable
+            # from the folded generation. Failing fast beats the silent
+            # alternative (batch 0 would see the WHOLE prior corpus as
+            # stored and drop every one of its own docs as duplicates).
+            raise ValueError(
+                f"store at {store_path!r} was folded through batch "
+                f"{meta['max_batch_id']} (table {meta['table']}); a "
+                f"re-delivery below that is impossible — reuse the "
+                f"original checkpoint or use on_existing_store="
+                f"'continue'"
+            )
+        folded = spark.table(meta["table"]).select(*cols)
+        try:
+            tail = spark.read.parquet(store_path)
+        except AnalysisException:  # every dir consumed by the fold
+            return folded
+        if "batch_id" in tail.columns:
+            tail = tail.filter(F.col("batch_id") > meta["max_batch_id"])
+            if before_batch is not None:
+                tail = tail.filter(F.col("batch_id") < before_batch)
+        return folded.unionByName(tail.select(*cols))
     try:
         store = spark.read.parquet(store_path)
         if before_batch is not None and "batch_id" in store.columns:
@@ -102,16 +160,21 @@ def _session_base(
         top = max_id_fn()
         computed = int(top) + 1 if top is not None else 0
     else:
+        # a folded store's consumed dirs are gone, so the plain scan
+        # alone would restart the base at 0 — new batches would then
+        # land AT OR BELOW the folded max, where the reader rule skips
+        # them forever; the sidecar's max keeps the base monotone
+        meta = _folded_meta(spark, store_path)
+        tops = [] if meta is None else [meta["max_batch_id"]]
         try:
             store = spark.read.parquet(store_path)
-            top = (
-                store.select(F.max("batch_id")).first()[0]
-                if "batch_id" in store.columns
-                else None
-            )
-            computed = int(top) + 1 if top is not None else 0
+            if "batch_id" in store.columns:
+                top = store.select(F.max("batch_id")).first()[0]
+                if top is not None:
+                    tops.append(int(top))
         except AnalysisException:
-            computed = 0
+            pass
+        computed = max(tops) + 1 if tops else 0
     spark.createDataFrame([(computed,)], "base: long").coalesce(1).write.mode(
         "ignore"
     ).json(sidecar)
@@ -219,32 +282,149 @@ def streaming_incremental_dedup(
     return q
 
 
+def _store_bucket_cols(cols: list[str]) -> list[str]:
+    """The store family's JOIN KEY — (band, bucket) for minhash/sign-LSH,
+    (band, val) for simhash, the digest for the exact/span stores.
+    Bucketing on any extra column (e.g. the simhash fingerprint carried
+    for verification) would misalign the bucket hash with the equi-join
+    and silently reinstate the stored-side shuffle."""
+    for join_key in (("band", "bucket"), ("band", "val"), ("key",)):
+        if set(join_key) <= set(cols):
+            return list(join_key)
+    return [c for c in cols if c != "id"]
+
+
 def compact_store(
     spark: SparkSession,
     store_path: str,
     table: str,
     num_buckets: int = 64,
 ) -> None:
-    """Nightly maintenance for a streaming-grown store: many small
-    per-batch_id files -> ONE bucketed catalog table on the store's join
-    key, so the daily increment join co-locates without shuffling the
-    stored side. The bucket columns follow the family's JOIN KEY exactly
-    — (band, bucket) for minhash/sign-LSH, (band, val) for simhash, the
-    digest for the exact store; bucketing on any extra column (e.g. the
-    simhash fingerprint carried for verification) would misalign the
-    bucket hash with the equi-join and silently reinstate the stored-
-    side shuffle. batch_id is dropped — the store's identity is its
-    signature rows. Run it between streaming sessions; the next run can
-    seed a fresh store directory from the table (or keep joining the
-    compacted table directly via bucketed_join)."""
+    """One-shot form: the whole store dir -> ONE bucketed catalog table
+    on the store's join key, so the daily increment join co-locates
+    without shuffling the stored side. batch_id is dropped — the store's
+    identity is its signature rows. The table is a SNAPSHOT the caller
+    owns (seed a fresh store dir from it, or join it via bucketed_join);
+    the store dir itself is untouched. For the maintained form the
+    curate daemon reads back transparently across sessions, use
+    :func:`compact_signature_store`."""
     from ..sinks.bucketed import write_bucketed
 
     store = spark.read.parquet(store_path)
     cols = [c for c in store.columns if c != "batch_id"]
-    for join_key in (("band", "bucket"), ("band", "val"), ("key",)):
-        if set(join_key) <= set(cols):
-            bucket_cols = list(join_key)
-            break
-    else:
-        bucket_cols = [c for c in cols if c != "id"]
-    write_bucketed(store.select(*cols), table, bucket_cols, num_buckets)
+    write_bucketed(
+        store.select(*cols), table, _store_bucket_cols(cols), num_buckets
+    )
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    store_path: str,
+    table: str,
+    num_buckets: int = 64,
+) -> dict:
+    """Between-sessions maintenance for a streaming-grown signature
+    store (nightly, like curate.compact_kept for the kept corpus): fold
+    the committed ``batch_id=N`` dirs — plus the previous folded
+    generation — into ONE bucketed catalog table on the family's join
+    key, then remove the consumed dirs. File count stays
+    O(num_buckets + batches-since-last-fold) instead of O(total
+    batches), and the fold is transparent to the daemon: ``_read_store``
+    reads the newest committed generation table unioned with the dirs
+    written after it, and a ``continue``-mode session base stays
+    monotone via the sidecar max.
+
+    Generation discipline (the window-sink rules, with catalog tables as
+    generations): each fold writes a VERSIONED table ``<table>_g<max>``
+    and commits it via a JSON sidecar ``<store>/_folded/gen=<max>/``
+    (_SUCCESS marker = committed, same as events._sink_ids). A fold that
+    crashes after the table write but before the sidecar commit leaves
+    the old view intact (orphan tables are GC'd on the next run); a
+    crash after the commit but before cleanup leaves consumed dirs <=
+    the folded max, which the reader rule already excludes and the next
+    fold removes. No transaction log needed.
+
+    Only COMMITTED batch dirs fold (a crashed batch write has no
+    _SUCCESS and will be overwritten by the stream's replay — freezing
+    its partial rows into a generation would make them canonical).
+    Duplicate signature rows across the generation boundary are
+    harmless (stores are sets; every pair consumer applies distinct) so
+    the fold is a straight union, no dedup shuffle.
+
+    Returns {"generation", "table", "folded_dirs"} — generation -1 /
+    table None when there was nothing to fold and no prior fold exists.
+    Single-writer, like every sink in this family: the owning stream
+    must not be running."""
+    import shutil
+
+    from .events import _sink_ids
+    from ..sinks.bucketed import write_bucketed
+
+    folded_dir = os.path.join(store_path, "_folded")
+    gens = sorted(_sink_ids(folded_dir, "gen", committed_only=True))
+    cur = gens[-1] if gens else -1
+    # GC: uncommitted/stale sidecars and their tables, plus orphan
+    # tables from a fold that crashed BEFORE its sidecar write started
+    # (table exists, no sidecar dir at all)
+    for g in _sink_ids(folded_dir, "gen"):
+        if g != cur:
+            spark.sql(f"DROP TABLE IF EXISTS {_gen_table(table, g)}")
+            shutil.rmtree(
+                os.path.join(folded_dir, f"gen={g}"), ignore_errors=True
+            )
+    prefix = table.split(".")[-1] + "_g"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name[len(prefix):].isdigit():
+            if int(t.name[len(prefix):]) != cur:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    eligible = sorted(
+        i
+        for i in _sink_ids(store_path, "batch_id", committed_only=True)
+        if i > cur
+    )
+    # dirs <= cur are replay artifacts already folded in (or a prior
+    # fold's commit-then-clean crash window) — redundant by the reader
+    # rule, just remove them
+    for i in _sink_ids(store_path, "batch_id"):
+        if i <= cur:
+            shutil.rmtree(
+                os.path.join(store_path, f"batch_id={i}"), ignore_errors=True
+            )
+    if not eligible:
+        return {
+            "generation": cur,
+            "table": _gen_table(table, cur) if cur >= 0 else None,
+            "folded_dirs": 0,
+        }
+    new_gen = eligible[-1]
+    paths = [os.path.join(store_path, f"batch_id={i}") for i in eligible]
+    rows = spark.read.parquet(*paths)
+    cols = [c for c in rows.columns if c != "batch_id"]
+    rows = rows.select(*cols)
+    if cur >= 0:
+        rows = spark.table(_gen_table(table, cur)).select(*cols).unionByName(
+            rows
+        )
+    write_bucketed(
+        rows, _gen_table(table, new_gen), _store_bucket_cols(cols),
+        num_buckets,
+    )
+    spark.createDataFrame(
+        [(_gen_table(table, new_gen), new_gen)],
+        "table: string, max_batch_id: long",
+    ).coalesce(1).write.mode("overwrite").json(
+        os.path.join(folded_dir, f"gen={new_gen}")
+    )
+    # consumed inputs are redundant the moment the sidecar committed
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    if cur >= 0:
+        spark.sql(f"DROP TABLE IF EXISTS {_gen_table(table, cur)}")
+        shutil.rmtree(
+            os.path.join(folded_dir, f"gen={cur}"), ignore_errors=True
+        )
+    return {
+        "generation": new_gen,
+        "table": _gen_table(table, new_gen),
+        "folded_dirs": len(paths),
+    }

@@ -1,0 +1,61 @@
+"""bench.compare_snapshots: the mechanical round-over-round comparator
+(r7 judge item 7 follow-through) — noise-profile gating, per-query
+median ratios, driver-wrapper unwrap. Pure dict-in/dict-out, no Spark.
+"""
+
+from __future__ import annotations
+
+from bench import compare_snapshots
+
+
+def _snap(med3, noisy=None, wrap=False):
+    s = {"queries_warm_med3": med3}
+    if noisy is not None:
+        s["noisy"] = noisy
+    return {"parsed": s, "rc": 0} if wrap else s
+
+
+def test_clean_vs_clean_is_comparable_and_scores():
+    old = _snap({"a": 1.0, "b": 2.0, "c": 4.0}, noisy=False)
+    new = _snap({"a": 1.5, "b": 1.0, "c": 4.1}, noisy=False)
+    out = compare_snapshots(old, new)
+    assert out["comparable"] is True
+    assert out["regressions"] == ["a"]          # 1.5x > 1.25
+    assert out["improvements"] == ["b"]         # 0.5x < 0.8
+    assert out["median_ratio"] == 1.025         # c's ratio is the median
+    assert out["per_query"]["a"]["ratio"] == 1.5
+
+
+def test_noisy_snapshot_blocks_the_verdict_but_not_the_numbers():
+    out = compare_snapshots(
+        _snap({"a": 1.0}, noisy=False), _snap({"a": 3.0}, noisy=True)
+    )
+    assert out["comparable"] is False
+    assert "NOT comparable" in out["verdict"]
+    # ratios still reported — the caller sees WHY the flag matters
+    assert out["per_query"]["a"]["ratio"] == 3.0
+
+
+def test_pre_flag_snapshot_is_unknown_not_clean():
+    out = compare_snapshots(_snap({"a": 1.0}), _snap({"a": 1.0}, noisy=False))
+    assert out["comparable"] is False
+    assert out["noise"] == {"old": "unknown", "new": "clean"}
+    assert "weakly comparable" in out["verdict"]
+
+
+def test_driver_wrapper_and_query_set_drift():
+    old = _snap({"a": 1.0, "gone": 2.0}, noisy=False, wrap=True)
+    new = _snap({"a": 1.0, "fresh": 0.5}, noisy=False, wrap=True)
+    out = compare_snapshots(old, new)
+    assert out["comparable"] is True
+    assert out["added"] == ["fresh"] and out["removed"] == ["gone"]
+    assert list(out["per_query"]) == ["a"]      # drift listed, not scored
+
+
+def test_zero_old_timing_yields_null_ratio():
+    out = compare_snapshots(
+        _snap({"a": 0.0}, noisy=False), _snap({"a": 1.0}, noisy=False)
+    )
+    assert out["per_query"]["a"]["ratio"] is None
+    assert out["median_ratio"] is None
+    assert out["regressions"] == []

@@ -131,6 +131,11 @@ def test_no_row_udfs_anywhere_in_registry(spark):
         if name not in ("mm_pack", "cur_pack", "cur_train_pack"):
             assert "MapInPandas" not in plan, name
             assert "ArrowEvalPython" not in plan, name
+        # registry-wide cartesian sweep: a non-broadcast CartesianProduct
+        # is never acceptable at scale (the legitimate one-row scalar
+        # attaches compile to BroadcastNestedLoopJoin, which the dedup
+        # subset above forbids where it would be quadratic)
+        assert "CartesianProduct" not in plan, name
 
 
 def test_whole_stage_codegen_present(spark):
