@@ -125,6 +125,12 @@ def curate_stream_main(argv: list[str]) -> int:
                          "(HLL sketches + exact counts over the kept "
                          "rows); report over it with the 'profile' "
                          "subcommand's --from-store")
+    ap.add_argument("--funnel-store", default=None,
+                    help="append per-stage survival rows (seq, stage, "
+                         "docs, chars) per batch — the drop-rate "
+                         "monitor: a drifting crawl mix moves the "
+                         "exact/near-dup drop fractions batch over "
+                         "batch before the kept profile drifts")
     ap.add_argument("--input-html", action="store_true",
                     help="arrivals are raw HTML: extract plain text "
                          "before any stage (keep this flag constant "
@@ -184,6 +190,7 @@ def curate_stream_main(argv: list[str]) -> int:
         ),
         quarantine_path=args.quarantine,
         profile_store_path=args.profile_store,
+        funnel_store_path=args.funnel_store,
     )
     # a drain that processed ZERO batches (source files already consumed
     # by the checkpoint) against fresh roots leaves no output dirs — a
@@ -541,6 +548,12 @@ def curate_main(argv: list[str]) -> int:
                          "must differ from the samplers' axis — an "
                          "empty salt would correlate the split with "
                          "mixture membership)")
+    ap.add_argument("--funnel", action="store_true",
+                    help="audit mode: add a per-stage survival report "
+                         "(docs + chars at every enabled stage "
+                         "boundary) to the summary JSON — answers "
+                         "'which stage shrank my corpus'; costs extra "
+                         "counting passes over the pre-scrub stages")
     args = ap.parse_args(argv)
     if args.decon_containment_pct is not None and args.benchmark is None:
         ap.error("--decon-containment-pct requires --benchmark")
@@ -594,8 +607,10 @@ def curate_main(argv: list[str]) -> int:
         if args.benchmark is not None
         else None
     )
+    funnel_stages: list | None = [] if args.funnel else None
     curated = curate_documents(
         docs,
+        funnel=funnel_stages,
         id_col=args.id_col,
         text_col=args.text_col,
         source_col=args.source_col,
@@ -675,6 +690,14 @@ def curate_main(argv: list[str]) -> int:
     }
     if per_source is not None:
         report["per_source"] = per_source
+    if funnel_stages is not None:
+        # counted AFTER the shard write so the boundaries at/after the
+        # persisted scrub ride the pipeline's own (now hot) caches;
+        # upstream boundaries recompute their scan-shaped lineage —
+        # the priced part of asking for an audit
+        from .plans.curation import count_funnel_stages
+
+        report["funnel"] = count_funnel_stages(funnel_stages, curated)
     print(json.dumps(report, sort_keys=True))
     return 0
 

@@ -91,6 +91,7 @@ def curate_documents(
     split_test: float | None = None,
     split_salt: str = "split",
     persist_intermediates: bool = True,
+    funnel: list | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: (id, source, text, n_words, cluster_id,
     tok_offset, first_seq, last_seq) — scrubbed text, one keeper per
@@ -143,7 +144,18 @@ def curate_documents(
     release_curation_caches(result) when done with it in a long-lived
     session. At 100 TB prefer writing the mixture output to a staging
     table instead — pass False and checkpoint externally."""
+    # ``funnel``: optional AUDIT collector (see curation_funnel). When a
+    # list is passed, every enabled stage appends (stage_name, frame,
+    # text_col_name) at its output boundary — frames only, no actions;
+    # counting them is the caller's (priced) choice. None = zero-cost
+    # no-op, the production default.
+    _mark = (
+        (lambda name, df, tcol: funnel.append((name, df, tcol)))
+        if funnel is not None
+        else (lambda name, df, tcol: None)
+    )
     cur = docs
+    _mark("input", cur, text_col)
     if input_html:
         # crawl corpora arrive as raw HTML: extract plain text FIRST so
         # every downstream judge (decontamination n-grams, boilerplate
@@ -153,6 +165,7 @@ def curate_documents(
         from ..operators.htmlx import html_to_text
 
         cur = cur.withColumn(text_col, html_to_text(text_col))
+        _mark("html_extract", cur, text_col)
     # the raw-TEXT baseline for the quality signals computed on
     # unscrubbed text (repetition, compression, gopher): post-HTML
     # extraction (signals must judge prose, not markup), pre-everything
@@ -169,12 +182,14 @@ def curate_documents(
         cur = dedup_by_url(cur, url_col=url_col, id_col=id_col).drop(
             "canonical_url"
         )
+        _mark("url_dedup", cur, text_col)
     if domain_blocklist is not None:
         if url_col is None:
             raise ValueError("domain_blocklist requires url_col")
         cur = filter_blocked_domains(
             cur, url_col=url_col, blocklist=domain_blocklist
         )
+        _mark("domain_blocklist", cur, text_col)
     if benchmark is not None:
         if decon_span_tokens is not None:
             # span-grain rule (r7): CUT the benchmark-overlapping token
@@ -209,6 +224,8 @@ def curate_documents(
                 cur, benchmark, id_col=id_col, text_col=text_col,
                 bench_id_col=benchmark_id_col, n=decon_n,
             )
+    if benchmark is not None:
+        _mark("decontaminate", cur, text_col)
     if boilerplate_min_docs is not None:
         stripped = strip_boilerplate_lines(
             cur, id_col=id_col, text_col=text_col,
@@ -220,6 +237,7 @@ def curate_documents(
             F.col("id").alias(id_col), F.col("text").alias(text_col),
             source_col,
         )
+        _mark("boilerplate_lines", cur, text_col)
     if paragraph_min_repeat is not None:
         deduped = dedup_paragraphs(
             cur, id_col=id_col, text_col=text_col,
@@ -231,6 +249,7 @@ def curate_documents(
             F.col("id").alias(id_col), F.col("text").alias(text_col),
             source_col,
         )
+        _mark("paragraph_dedup", cur, text_col)
     if span_dedup_tokens is not None:
         # sub-paragraph grain last among the structural dedups (its
         # token windows see whatever the coarser stages left), still on
@@ -249,6 +268,7 @@ def curate_documents(
             F.col("id").alias(id_col), F.col("text").alias(text_col),
             source_col,
         )
+        _mark("span_dedup", cur, text_col)
     if c4_line_clean:
         # C4 line rule (terminal punctuation + min words) and page-drop
         # markers, LAST among the line/structure stages (it consumes
@@ -269,6 +289,7 @@ def curate_documents(
             F.col("c4_text").alias(text_col),
             source_col,
         )
+        _mark("c4_line_clean", cur, text_col)
     # The per-doc script flag (9 regexp_count scans) is materialized
     # INSIDE the scrubbed projection in auto mode, so it is evaluated
     # once at cache fill — both routing filters and the quality stage
@@ -286,6 +307,7 @@ def curate_documents(
     scrubbed = cur.select(*scrub_cols)
     if persist_intermediates:
         scrubbed = scrubbed.persist()
+    _mark("scrub", scrubbed, "text")
 
     # shingle_mode="char" is the route for boundary-less scripts (CJK,
     # Thai — operators/scripts.py needs_char_shingles); word mode is the
@@ -317,6 +339,7 @@ def curate_documents(
     keepers = scrubbed.join(
         clusters.filter("is_keeper").select("id", "cluster_id"), "id"
     )
+    _mark("neardup_keepers", keepers, "text")
 
     # Quality length rule, script-aware: whitespace word counts are
     # meaningless for boundary-less scripts (an unsegmented CJK doc is
@@ -338,6 +361,7 @@ def curate_documents(
     quality = keepers.withColumn("n_words", n_words).filter(
         F.col("n_words") >= min_words
     )
+    _mark("min_words", quality, "text")
     if shingle_mode == "auto":
         quality = quality.drop("_charish")
     # Gopher-style repetition thresholds (optional), applied at the
@@ -362,6 +386,7 @@ def curate_documents(
                 F.col("top_bigram_frac") <= max_top_bigram_frac
             )
         quality = quality.drop("dup_line_frac", "top_bigram_frac")
+        _mark("repetition_filters", quality, "text")
     if gopher_rules:
         # Gopher document-level heuristics (operators/qualityrules.py)
         # on the raw text, same rationale as the repetition signals:
@@ -373,6 +398,7 @@ def curate_documents(
         quality = quality.join(
             gq.filter("gopher_keep").select("id"), "id", "left_semi"
         )
+        _mark("gopher_rules", quality, "text")
     # zlib-compressibility bounds (optional, r5): both tails of the
     # ratio distribution mark junk — templated/repeated text compresses
     # far below natural prose, gibberish barely compresses. RAW text,
@@ -391,6 +417,7 @@ def curate_documents(
             "id",
             "left_semi",
         )
+        _mark("compression_bounds", quality, "text")
     # CCNet-style LM filter (optional): score against a reference
     # corpus' bigram model and drop the least reference-like tail
     if max_avg_neg_logprob is not None:
@@ -413,6 +440,7 @@ def curate_documents(
             ).select("id"),
             "id",
         )
+        _mark("lm_filter", quality, "text")
 
     mixed = (
         weighted_sample(
@@ -421,6 +449,8 @@ def curate_documents(
         if mixture is not None
         else quality
     )
+    if mixture is not None:
+        _mark("mixture_sample", mixed, "text")
     # Budget-based mixture (how real pretraining mixes are specified:
     # "N tokens from source X") composes after the fractional one; the
     # effective n_words column is the token measure. Mutually usable —
@@ -431,6 +461,7 @@ def curate_documents(
         mixed = token_budget_sample(
             mixed, "id", "source", "n_words", token_budgets
         )
+        _mark("token_budget", mixed, "text")
     if persist_intermediates:
         mixed = mixed.persist()
     persisted_mix = mixed  # the handle to release, even if rebound below
@@ -448,6 +479,7 @@ def curate_documents(
             mixed, "id", "source",
             alpha=temperature_alpha, total_budget=temperature_budget,
         )
+        _mark("temperature_sample", mixed, "text")
     # epoch upsampling ("N epochs of source X", weights ABOVE 1) fans
     # rows out AFTER every keep/drop decision and BEFORE packing, so
     # each copy occupies its own slice of the token stream; the packed
@@ -507,6 +539,7 @@ def curate_documents(
         )
         join_key = "_rid"
         extra_cols.append("epoch")
+        _mark("epoch_upsample", mixed, "text")
 
     packed = pack_sequences(
         mixed, id_col=join_key, text_col="text", capacity=capacity
@@ -550,6 +583,54 @@ def curate_documents(
         [scrubbed, persisted_mix] if persist_intermediates else []
     )
     return out
+
+
+def count_funnel_stages(stages: list, out: DataFrame | None = None) -> list[dict]:
+    """Materialize a funnel collector (the ``funnel=`` kwarg of
+    curate_documents) into [{stage, docs, chars}] rows, one aggregate
+    per boundary, optionally ending with a "packed_output" row counted
+    from the pipeline's returned corpus. Counting is the priced part of
+    the audit: boundaries upstream of the persisted scrub recompute
+    their (linear, scan-shaped) lineage per count; everything at or
+    after the scrub rides the pipeline's own caches. Call AFTER the
+    main output has been written/collected so the persisted boundaries
+    are already hot."""
+    report = []
+    frames = list(stages) + ([("packed_output", out, "text")] if out is not None else [])
+    for name, df, tcol in frames:
+        row = df.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.length(F.col(tcol))).alias("chars"),
+        ).first()
+        report.append({
+            "stage": name,
+            "docs": int(row["docs"]),
+            "chars": int(row["chars"]) if row["chars"] is not None else 0,
+        })
+    return report
+
+
+def curation_funnel(docs: DataFrame, **kwargs) -> list[dict]:
+    """Audit mode for curate_documents: run the identical pipeline and
+    report, per enabled stage, how many documents (and how many chars
+    of text) survived it — the operator's answer to "why did my corpus
+    shrink 40%?" before committing a 100 TB run. Returns
+    [{stage, docs, chars}] in pipeline order, ending with the
+    "packed_output" row from the returned corpus itself.
+
+    The rows come from the very frames the pipeline flowed (the
+    ``funnel`` collector kwarg, not a re-implementation), so the report
+    cannot drift from the real pipeline — pinned by the equality test
+    between the funnel's terminal count and a plain curate_documents
+    run. Rewrite stages (html extraction, boilerplate, span cuts) show
+    up as chars shrinking at constant docs; drop stages as docs
+    shrinking; epoch upsampling as the one row where docs GROWS."""
+    stages: list = []
+    out = curate_documents(docs, funnel=stages, **kwargs)
+    try:
+        return count_funnel_stages(stages, out)
+    finally:
+        release_curation_caches(out)
 
 
 def release_curation_caches(result: DataFrame) -> None:

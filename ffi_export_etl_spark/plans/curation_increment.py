@@ -65,6 +65,7 @@ def curate_increment(
     input_html: bool = False,
     c4_line_clean: bool = False,
     gopher_rules: bool = False,
+    funnel: list | None = None,
 ) -> dict[str, DataFrame]:
     """Returns ``{"kept", "exact_delta", "minhash_delta"}`` (plus
     ``"span_delta"`` when the span stage is on).
@@ -98,6 +99,15 @@ def curate_increment(
     Digests/sketches are taken over the post-stage text — run every
     session of one store family with the same flag set.
     """
+    # ``funnel``: optional audit collector, same contract as
+    # curate_documents — (stage, frame, text_col) appended at each
+    # enabled boundary, no actions, None = inert production default
+    _mark = (
+        (lambda name, df, tcol: funnel.append((name, df, tcol)))
+        if funnel is not None
+        else (lambda name, df, tcol: None)
+    )
+    _mark("input", new_docs, text_col)
     if input_html:
         # HTML arrivals extract to prose FIRST, like the batch pipeline
         # (every later judge — span coordinates, digests, quality —
@@ -107,6 +117,7 @@ def curate_increment(
         from ..operators.htmlx import html_to_text
 
         new_docs = new_docs.withColumn(text_col, html_to_text(text_col))
+        _mark("html_extract", new_docs, text_col)
     gq_keep = None
     if gopher_rules:
         # decided on the raw post-HTML text (scrub placeholders must
@@ -148,6 +159,7 @@ def curate_increment(
             F.col("text").alias(text_col),
             F.col(source_col),
         )
+        _mark("span_dedup", new_docs, text_col)
     if c4_line_clean:
         # C4 line rule + page-drop markers, last line-structure stage
         # before the scrub collapses newlines (batch-pipeline order)
@@ -162,6 +174,7 @@ def curate_increment(
             F.col("c4_text").alias(text_col),
             source_col,
         )
+        _mark("c4_line_clean", new_docs, text_col)
     cleaned = new_docs.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
@@ -172,6 +185,8 @@ def curate_increment(
     scrubbed = drop_known_duplicates(
         cleaned, exact_store, "id", "text"
     ).persist()  # feeds sketching, the drop joins, and the output
+    _mark("scrub", cleaned, "text")
+    _mark("exact_filter", scrubbed, "text")
 
     # shingle_mode AND width must match what the STORE was built with —
     # signatures are only comparable within one shingle definition.
@@ -238,13 +253,15 @@ def curate_increment(
     # once per sink. Persisted here; the caller releases via the
     # _curation_persisted handles (same contract as
     # curation.release_curation_caches).
-    kept = (
-        scrubbed.join(survivors, "id", "left_semi")
-        .withColumn("n_words", n_words)
-        .filter(F.col("n_words") >= min_words)
+    survived = scrubbed.join(survivors, "id", "left_semi")
+    _mark("neardup_survivors", survived, "text")
+    kept = survived.withColumn("n_words", n_words).filter(
+        F.col("n_words") >= min_words
     )
+    _mark("min_words", kept, "text")
     if gq_keep is not None:
         kept = kept.join(gq_keep, "id", "left_semi")
+        _mark("gopher_rules", kept, "text")
     kept = kept.persist()
     kept_ids = kept.select("id")
     kept._curation_persisted = [scrubbed, kept]

@@ -91,6 +91,31 @@ def compact_kept(
     return compact_window_sink(spark, kept_path, num_files=num_files)
 
 
+def funnel_drop_rates(spark: SparkSession, funnel_store_path: str) -> DataFrame:
+    """Per-batch, per-stage survival fractions over a funnel store
+    written by ``streaming_curate(funnel_store_path=...)``: one row per
+    (batch_id, stage) with docs, docs_in (the batch's input row count)
+    and ``survival`` = docs / docs_in — the time series an ingest
+    monitor watches. A drifting crawl mix moves the exact_filter /
+    neardup_survivors survival lines batch over batch before the kept
+    corpus's profile drifts. One scan of the (batch-count x stage-count)
+    store — never the corpus."""
+    fun = spark.read.parquet(funnel_store_path)
+    inputs = fun.filter(F.col("seq") == 0).select(
+        "batch_id", F.col("docs").alias("docs_in")
+    )
+    return (
+        fun.join(inputs, "batch_id")
+        .select(
+            "batch_id", "seq", "stage", "docs", "docs_in",
+            F.when(F.col("docs_in") > 0,
+                   F.col("docs") / F.col("docs_in"))
+            .otherwise(F.lit(None)).alias("survival"),
+        )
+        .orderBy("batch_id", "seq")
+    )
+
+
 def streaming_curate(
     spark: SparkSession,
     source_dir: str,
@@ -109,6 +134,7 @@ def streaming_curate(
     input_suite=None,
     quarantine_path: str | None = None,
     profile_store_path: str | None = None,
+    funnel_store_path: str | None = None,
     **curate_kw,
 ):
     """Drain ``source_dir`` (parquet doc files) with availableNow
@@ -158,6 +184,15 @@ def streaming_curate(
     a fold over batch-count-many rows, never a corpus rescan; feed two
     snapshots to profile_drift for ingest monitoring. Same per-batch_id
     overwrite discipline as every sink here, so replays are idempotent.
+
+    ``funnel_store_path``: append one per-stage survival row set per
+    batch (seq, stage, docs, chars — the curate_increment funnel
+    collector priced after the batch's sinks committed, so the counts
+    ride the batch's own persisted boundaries). This is the daemon's
+    drop-rate monitor: a drifting crawl mix shows up as the
+    exact_filter/neardup_survivors fractions moving batch over batch,
+    BEFORE the kept-corpus profile drifts. Opt-in — the counting
+    aggregates are extra per-batch jobs. Same overwrite discipline.
     """
     schema = spark.read.parquet(source_dir).schema  # footer-only probe
     if on_existing_store not in ("replay", "continue"):
@@ -250,6 +285,9 @@ def streaming_curate(
                 bs, span_store_path, span_like,
                 before_batch=bases[span_store_path] + batch_id,
             )
+        funnel_stages: list | None = (
+            [] if funnel_store_path is not None else None
+        )
         out = curate_increment(
             batch,
             _read_store(bs, exact_store_path, exact_like,
@@ -259,6 +297,7 @@ def streaming_curate(
             id_col=id_col,
             text_col=text_col,
             source_col=source_col,
+            funnel=funnel_stages,
             **span_kw,
             **curate_kw,
         )
@@ -273,6 +312,25 @@ def streaming_curate(
             for frame, root in sinks:
                 frame.write.mode("overwrite").parquet(
                     os.path.join(root, f"batch_id={bases[root] + batch_id}")
+                )
+            if funnel_stages is not None:
+                # priced AFTER the sinks so the scrubbed/kept persists
+                # the batch just filled serve the counting aggregates
+                from ..plans.curation import count_funnel_stages
+
+                rows = [
+                    (i, r["stage"], r["docs"], r["chars"])
+                    for i, r in enumerate(
+                        count_funnel_stages(funnel_stages)
+                    )
+                ]
+                bs.createDataFrame(
+                    rows, "seq: int, stage: string, docs: long, chars: long"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(
+                        funnel_store_path,
+                        f"batch_id={bases[kept_path] + batch_id}",
+                    )
                 )
         finally:
             for cached in getattr(out["kept"], "_curation_persisted", []):

@@ -711,3 +711,28 @@ def test_cli_curate_maintain(spark, tmp_path, capsys):
     assert rc == 0
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3 == {"kept_generation": -1, "kept_rows": 0}
+
+    # --exact-store/--minhash-store: the signature stores fold into
+    # bucketed generation tables (compact_signature_store); a pointed-
+    # at-but-never-drained store is a clean -1, and the daemon reads
+    # the folded view back transparently (library-pinned in
+    # test_store_fold; here: CLI wiring + JSON contract)
+    rc = main([
+        "curate-maintain", "--kept", kept,
+        "--exact-store", str(tmp_path / "exm"),
+        "--minhash-store", str(tmp_path / "mhm"),
+        "--span-store", str(tmp_path / "never_drained_span"),
+        "--store-table-prefix", "climaint", "--store-buckets", "2",
+    ])
+    assert rc == 0
+    rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep4["exact_store_generation"] >= 0
+    assert rep4["minhash_store_generation"] >= 0
+    assert rep4["span_store_generation"] == -1
+    assert rep4["exact_store_table"] == (
+        f"climaint_exact_g{rep4['exact_store_generation']}"
+    )
+    assert not _glob.glob(os.path.join(str(tmp_path / "exm"), "batch_id=*"))
+    assert rep4["exact_store_table"] in [
+        t.name for t in spark.catalog.listTables()
+    ]
