@@ -360,6 +360,23 @@ def compact_signature_store(
     from .events import _sink_ids
     from ..sinks.bucketed import write_bucketed
 
+    def _drop_gen_table(name: str) -> None:
+        # DROP the catalog entry AND clear any orphan managed-table
+        # LOCATION left behind it: a crash between a metastore drop and
+        # its location cleanup (or a lost/reset metastore) leaves the
+        # warehouse dir with no table, and the next fold's saveAsTable
+        # then dies with LOCATION_ALREADY_EXISTS. Scoped to the
+        # <table>_g<N> names this module owns.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", ""
+        ).removeprefix("file:")
+        if wh:
+            shutil.rmtree(
+                os.path.join(wh, name.split(".")[-1].lower()),
+                ignore_errors=True,
+            )
+
     folded_dir = os.path.join(store_path, "_folded")
     gens = sorted(_sink_ids(folded_dir, "gen", committed_only=True))
     cur = gens[-1] if gens else -1
@@ -368,7 +385,7 @@ def compact_signature_store(
     # (table exists, no sidecar dir at all)
     for g in _sink_ids(folded_dir, "gen"):
         if g != cur:
-            spark.sql(f"DROP TABLE IF EXISTS {_gen_table(table, g)}")
+            _drop_gen_table(_gen_table(table, g))
             shutil.rmtree(
                 os.path.join(folded_dir, f"gen={g}"), ignore_errors=True
             )
@@ -376,7 +393,7 @@ def compact_signature_store(
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix) and t.name[len(prefix):].isdigit():
             if int(t.name[len(prefix):]) != cur:
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                _drop_gen_table(t.name)
     eligible = sorted(
         i
         for i in _sink_ids(store_path, "batch_id", committed_only=True)
@@ -405,6 +422,10 @@ def compact_signature_store(
         rows = spark.table(_gen_table(table, cur)).select(*cols).unionByName(
             rows
         )
+    if _gen_table(table, new_gen).split(".")[-1] not in [
+        t.name for t in spark.catalog.listTables()
+    ]:
+        _drop_gen_table(_gen_table(table, new_gen))  # orphan location
     write_bucketed(
         rows, _gen_table(table, new_gen), _store_bucket_cols(cols),
         num_buckets,
@@ -419,7 +440,7 @@ def compact_signature_store(
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
     if cur >= 0:
-        spark.sql(f"DROP TABLE IF EXISTS {_gen_table(table, cur)}")
+        _drop_gen_table(_gen_table(table, cur))
         shutil.rmtree(
             os.path.join(folded_dir, f"gen={cur}"), ignore_errors=True
         )

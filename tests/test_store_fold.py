@@ -101,8 +101,21 @@ def test_fold_preserves_store_content_and_continues(spark, tmp_path):
         tuple(r) for r in _read_store(spark, roots["exact"], like).collect()
     )
     assert after == before_exact
-    # the folded table is bucketed on the family's join key
+    # the folded table is bucketed on the family's join key — the
+    # co-location the daily-increment join rides at scale (the exact
+    # store's key is the content digest; minhash's is (band, bucket))
     assert "tsf_exact_g1" in [t.name for t in spark.catalog.listTables()]
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE EXTENDED tsf_exact_g1").collect()
+    }
+    assert desc.get("Num Buckets") == "4"
+    assert desc.get("Bucket Columns") == "[`key`]"
+    desc_mh = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE EXTENDED tsf_mh_g1").collect()
+    }
+    assert desc_mh.get("Bucket Columns") == "[`band`, `bucket`]"
 
     # session 2, checkpoint lost: near-dup of stored doc 5 drops, fresh
     # doc 10 survives — identical to the unfolded continue-mode test
