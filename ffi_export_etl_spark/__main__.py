@@ -313,6 +313,80 @@ def curate_maintain_main(argv: list[str]) -> int:
     return 0
 
 
+def funnel_report_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark funnel-report``: read a funnel
+    store written by curate-stream --funnel-store and print the
+    per-(batch, stage) survival time series — plus, with --baseline N,
+    a drift summary comparing each stage's mean survival over the first
+    N batches vs the rest (the drop-rate drift monitor). One JSON line."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark funnel-report",
+        description="Per-stage survival report over a curate-stream "
+                    "funnel store.",
+    )
+    ap.add_argument("--store", required=True,
+                    help="the funnel store root (--funnel-store of "
+                         "curate-stream)")
+    ap.add_argument("--baseline", type=int, default=None,
+                    help="compare mean survival per stage over the "
+                         "first N batches vs all later batches")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .session import get_spark, tune
+    from .streaming.curate import funnel_drop_rates
+
+    spark = tune(get_spark(app_name="ffi-etl-funnel-report"))
+    spark.sparkContext.setLogLevel("ERROR")
+    rates = funnel_drop_rates(spark, args.store)
+    out: dict = {
+        "batches": [
+            {
+                "batch_id": r["batch_id"], "stage": r["stage"],
+                "docs": r["docs"], "survival": r["survival"],
+            }
+            for r in rates.collect()
+        ]
+    }
+    if args.baseline is not None:
+        base_ids = sorted(
+            {b["batch_id"] for b in out["batches"]}
+        )[: args.baseline]
+        split = rates.withColumn(
+            "_w",
+            F.when(F.col("batch_id").isin(base_ids), "baseline")
+            .otherwise("recent"),
+        )
+        means = {
+            (r["stage"], r["_w"]): r["mean_survival"]
+            for r in split.groupBy("stage", "_w").agg(
+                F.avg("survival").alias("mean_survival")
+            ).collect()
+        }
+        out["drift"] = [
+            {
+                "stage": stage,
+                "baseline": means.get((stage, "baseline")),
+                "recent": means.get((stage, "recent")),
+                "delta": (
+                    round(
+                        means[(stage, "recent")]
+                        - means[(stage, "baseline")], 6
+                    )
+                    if (stage, "recent") in means
+                    and (stage, "baseline") in means
+                    and means[(stage, "recent")] is not None
+                    and means[(stage, "baseline")] is not None
+                    else None
+                ),
+            }
+            for stage in sorted({s for s, _ in means})
+        ]
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def curate_replay_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark curate-replay-quarantine``:
     after fixing the quality rule (or the data), re-run the input
@@ -992,6 +1066,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_replay_main(argv[1:])
     if argv and argv[0] == "curate-maintain":
         return curate_maintain_main(argv[1:])
+    if argv and argv[0] == "funnel-report":
+        return funnel_report_main(argv[1:])
     if argv and argv[0] == "profile":
         return profile_main(argv[1:])
     if argv and argv[0] == "diff":

@@ -392,6 +392,7 @@ def replay_quarantine(
     kept_compact_every: int | None = None,
     kept_files_per_generation: int = 4,
     profile_store_path: str | None = None,
+    funnel_store_path: str | None = None,
     dry_run: bool = False,
     **curate_kw,
 ) -> dict:
@@ -542,6 +543,7 @@ def replay_quarantine(
             kept_compact_every=kept_compact_every,
             kept_files_per_generation=kept_files_per_generation,
             profile_store_path=profile_store_path,
+            funnel_store_path=funnel_store_path,
             **curate_kw,
         )
         # processed file names live in the checkpoint's source log;

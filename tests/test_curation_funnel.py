@@ -181,6 +181,35 @@ def test_streaming_funnel_store_per_batch(spark, docs, tmp_path):
     assert rates[(0, "exact_filter")] == 1.0
 
 
+def test_cli_funnel_report(spark, tmp_path, capsys):
+    """funnel-report over a hand-built store: survival series + the
+    --baseline drift summary (a later exact-dup-heavy batch shows up as
+    a negative exact_filter delta)."""
+    import os
+
+    from ffi_export_etl_spark.__main__ import main
+
+    store = str(tmp_path / "fstore")
+    rows = {
+        0: [(0, "input", 10, 1000), (1, "exact_filter", 10, 1000)],
+        1: [(0, "input", 10, 1000), (1, "exact_filter", 9, 900)],
+        2: [(0, "input", 10, 1000), (1, "exact_filter", 4, 400)],
+    }
+    for b, rs in rows.items():
+        spark.createDataFrame(
+            rs, "seq: int, stage: string, docs: long, chars: long"
+        ).coalesce(1).write.parquet(os.path.join(store, f"batch_id={b}"))
+    rc = main(["funnel-report", "--store", store, "--baseline", "2"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["batches"]) == 6
+    drift = {d["stage"]: d for d in rep["drift"]}
+    assert drift["input"]["delta"] == 0.0
+    assert drift["exact_filter"]["baseline"] == 0.95
+    assert drift["exact_filter"]["recent"] == 0.4
+    assert drift["exact_filter"]["delta"] == -0.55
+
+
 def test_cli_funnel_flag(spark, docs, tmp_path, capsys):
     from ffi_export_etl_spark.__main__ import main
 
