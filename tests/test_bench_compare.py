@@ -52,6 +52,44 @@ def test_driver_wrapper_and_query_set_drift():
     assert list(out["per_query"]) == ["a"]      # drift listed, not scored
 
 
+def test_property_invariants():
+    """Hypothesis sweep over random grids: regressions/improvements are
+    disjoint subsets of the shared queries, added/removed partition the
+    symmetric difference, and median_ratio is one of the ratios."""
+    from hypothesis import given, settings, strategies as st
+
+    names = st.text(
+        alphabet="abcdefgh_", min_size=1, max_size=8
+    )
+    grids = st.dictionaries(
+        names, st.floats(0.001, 100.0, allow_nan=False), max_size=8
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(grids, grids, st.booleans(), st.booleans())
+    def check(go, gn, no, nn):
+        out = compare_snapshots(_snap(go, noisy=no), _snap(gn, noisy=nn))
+        shared = set(go) & set(gn)
+        assert set(out["per_query"]) == shared
+        assert set(out["regressions"]) <= shared
+        assert set(out["improvements"]) <= shared
+        assert not (set(out["regressions"]) & set(out["improvements"]))
+        assert set(out["added"]) == set(gn) - set(go)
+        assert set(out["removed"]) == set(go) - set(gn)
+        ratios = [
+            v["ratio"] for v in out["per_query"].values()
+            if v["ratio"] is not None
+        ]
+        if ratios:
+            assert out["median_ratio"] in ratios
+            assert min(ratios) <= out["median_ratio"] <= max(ratios)
+        else:
+            assert out["median_ratio"] is None
+        assert out["comparable"] == (not no and not nn)
+
+    check()
+
+
 def test_zero_old_timing_yields_null_ratio():
     out = compare_snapshots(
         _snap({"a": 0.0}, noisy=False), _snap({"a": 1.0}, noisy=False)

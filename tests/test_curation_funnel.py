@@ -100,6 +100,130 @@ def test_funnel_epoch_stage_grows_docs(spark, docs):
     assert by["packed_output"]["docs"] == by["epoch_upsample"]["docs"]
 
 
+def test_funnel_marks_structural_stages(spark):
+    """Mark-coverage, structural group: url dedup, blocklist,
+    decontamination, boilerplate, paragraph dedup, span dedup (the
+    pre-scrub rewrite/drop stages — a typo'd or dropped mark in a
+    rarely-enabled branch would vanish silently otherwise). Kept to ONE
+    optional-stage group: funnel counting re-executes the upstream plan
+    per boundary, so a fully-composed everything-on fixture multiplies
+    every heavy branch into every count (measured: minutes on 6 docs)."""
+    long_a = " ".join(f"a{i}" for i in range(60))
+    long_b = " ".join(f"b{i}" for i in range(60))
+    para = "repeated paragraph body here with quite a few words"
+    docs = spark.createDataFrame(
+        [
+            (1, long_a + "\n" + BOILER + "\n\n" + para,
+             "web", "http://ok.com/x?utm_source=1"),
+            (2, long_a + "\n" + BOILER + "\n\n" + para,
+             "web", "http://ok.com/x"),
+            (3, long_b + "\n" + BOILER + "\n\n" + para,
+             "web", "http://ok.com/y"),
+            (4, "short words only here", "web", "http://spam.example/z"),
+            (5, " ".join(f"c{i}" for i in range(60)), "books",
+             "http://ok.com/w"),
+            (6, "the quick brown fox jumps over the lazy dog " * 8,
+             "web", "http://ok.com/v"),
+        ],
+        "doc_id: long, text: string, source: string, url: string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog " * 3)],
+        "bench_id: long, text: string",
+    )
+    report = curation_funnel(
+        docs,
+        url_col="url",
+        dedup_urls=True,
+        domain_blocklist=["spam.example"],
+        benchmark=bench,
+        boilerplate_min_docs=3,
+        paragraph_min_repeat=3,
+        span_dedup_tokens=8,
+        min_words=5,
+        jaccard_threshold_pct=50,
+        capacity=64,
+    )
+    stages = [r["stage"] for r in report]
+    assert stages == [
+        "input", "url_dedup", "domain_blocklist", "decontaminate",
+        "boilerplate_lines", "paragraph_dedup", "span_dedup", "scrub",
+        "neardup_keepers", "min_words", "packed_output",
+    ]
+    by = {r["stage"]: r for r in report}
+    assert by["url_dedup"]["docs"] == 5        # utm variant collapsed
+    assert by["domain_blocklist"]["docs"] == 4
+
+
+def test_funnel_marks_quality_and_mixture_stages(spark):
+    """Mark-coverage, quality/mixture group: repetition, compression,
+    LM (explicit small reference — a self-referential LM would nest the
+    whole pipeline into its own training plan), mixture, budget,
+    temperature, epochs."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(60)), "web"),
+            (2, " ".join(f"b{i}" for i in range(60)), "web"),
+            (3, " ".join(f"c{i}" for i in range(60)), "books"),
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    ref = spark.createDataFrame(
+        [(" ".join(f"a{i}" for i in range(60)),)], "text: string"
+    )
+    report = curation_funnel(
+        docs,
+        max_dup_line_frac=0.9,
+        max_top_bigram_frac=0.9,
+        compression_ratio_bounds=(0.01, 50.0),
+        lm_reference=ref,
+        max_avg_neg_logprob=1e9,
+        mixture={"web": 1.0, "books": 1.0},
+        token_budgets={"web": 10_000, "books": 10_000},
+        temperature_alpha=1.0,
+        epochs={"books": 2.0},
+        min_words=5,
+        jaccard_threshold_pct=50,
+        capacity=64,
+    )
+    stages = [r["stage"] for r in report]
+    assert stages == [
+        "input", "scrub", "neardup_keepers", "min_words",
+        "repetition_filters", "compression_bounds", "lm_filter",
+        "mixture_sample", "token_budget", "temperature_sample",
+        "epoch_upsample", "packed_output",
+    ]
+    by = {r["stage"]: r for r in report}
+    assert by["epoch_upsample"]["docs"] >= by["temperature_sample"]["docs"]
+
+
+def test_funnel_c4_and_gopher_marks(spark):
+    """The two stages the big fixture above can't carry (C4 empties a
+    punctuation-less corpus; gopher needs prose-shaped docs)."""
+    prose = (
+        "This is a perfectly normal sentence with plenty of words in "
+        "it. " * 8
+    )
+    docs = spark.createDataFrame(
+        [(1, prose, "web"), (2, "no terminal punctuation here " * 12,
+                             "web")],
+        "doc_id: long, text: string, source: string",
+    )
+    report = curation_funnel(
+        docs, c4_line_clean=True, gopher_rules=True,
+        min_words=5, jaccard_threshold_pct=50, capacity=64,
+    )
+    stages = [r["stage"] for r in report]
+    assert "c4_line_clean" in stages and "gopher_rules" in stages
+    by = {r["stage"]: r for r in report}
+    # the C4 line rule strips doc 2's unpunctuated line (docs constant —
+    # page-drop fires on boilerplate markers, not emptiness; the
+    # emptied doc falls at min_words instead)
+    assert by["c4_line_clean"]["docs"] == 2
+    assert by["c4_line_clean"]["chars"] < by["input"]["chars"]
+    assert by["min_words"]["docs"] == 1
+
+
 def test_funnel_kwarg_default_is_inert(spark, docs):
     """funnel=None (the production default) changes nothing: same
     output as before the instrumentation existed."""
