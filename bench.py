@@ -142,7 +142,15 @@ def compare_snapshots(old: dict, new: dict) -> dict:
     ratios = sorted(
         v["ratio"] for v in per_query.values() if v["ratio"] is not None
     )
-    median_ratio = ratios[len(ratios) // 2] if ratios else None
+    if not ratios:
+        median_ratio = None
+    elif len(ratios) % 2:
+        median_ratio = ratios[len(ratios) // 2]
+    else:
+        # true median — the upper-middle element alone would bias an
+        # even-count comparison toward whichever side it fell on
+        mid = len(ratios) // 2
+        median_ratio = round((ratios[mid - 1] + ratios[mid]) / 2, 3)
     noise = (_noise(old), _noise(new))
     comparable = noise == ("clean", "clean")
     if comparable:
@@ -177,8 +185,16 @@ def compare_snapshots(old: dict, new: dict) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) == 4 and sys.argv[1] == "--compare":
+    if len(sys.argv) > 1 and sys.argv[1] == "--compare":
         # python bench.py --compare BENCH_r07.json BENCH_r08.json
+        # (any wrong arity must error out, NOT fall through to the
+        # multi-minute benchmark run)
+        if len(sys.argv) != 4:
+            print(
+                "usage: bench.py --compare OLD.json NEW.json",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         with open(sys.argv[2]) as f:
             old = json.load(f)
         with open(sys.argv[3]) as f:

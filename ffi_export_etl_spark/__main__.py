@@ -332,8 +332,6 @@ def funnel_report_main(argv: list[str]) -> int:
                          "first N batches vs all later batches")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import functions as F
-
     from .session import get_spark, tune
     from .streaming.curate import funnel_drop_rates
 
@@ -350,20 +348,20 @@ def funnel_report_main(argv: list[str]) -> int:
         ]
     }
     if args.baseline is not None:
-        base_ids = sorted(
+        # batch-count x stage-count rows are already on the driver —
+        # split in plain Python rather than re-running the read+join
+        # as a second Spark job
+        base_ids = set(sorted(
             {b["batch_id"] for b in out["batches"]}
-        )[: args.baseline]
-        split = rates.withColumn(
-            "_w",
-            F.when(F.col("batch_id").isin(base_ids), "baseline")
-            .otherwise("recent"),
-        )
-        means = {
-            (r["stage"], r["_w"]): r["mean_survival"]
-            for r in split.groupBy("stage", "_w").agg(
-                F.avg("survival").alias("mean_survival")
-            ).collect()
-        }
+        )[: args.baseline])
+        sums: dict = {}
+        for b in out["batches"]:
+            if b["survival"] is None:
+                continue
+            w = "baseline" if b["batch_id"] in base_ids else "recent"
+            s, n = sums.get((b["stage"], w), (0.0, 0))
+            sums[(b["stage"], w)] = (s + b["survival"], n + 1)
+        means = {k: s / n for k, (s, n) in sums.items()}
         out["drift"] = [
             {
                 "stage": stage,
@@ -374,10 +372,8 @@ def funnel_report_main(argv: list[str]) -> int:
                         means[(stage, "recent")]
                         - means[(stage, "baseline")], 6
                     )
-                    if (stage, "recent") in means
-                    and (stage, "baseline") in means
-                    and means[(stage, "recent")] is not None
-                    and means[(stage, "baseline")] is not None
+                    if (stage, "baseline") in means
+                    and (stage, "recent") in means
                     else None
                 ),
             }

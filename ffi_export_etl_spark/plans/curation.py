@@ -224,7 +224,6 @@ def curate_documents(
                 cur, benchmark, id_col=id_col, text_col=text_col,
                 bench_id_col=benchmark_id_col, n=decon_n,
             )
-    if benchmark is not None:
         _mark("decontaminate", cur, text_col)
     if boilerplate_min_docs is not None:
         stripped = strip_boilerplate_lines(

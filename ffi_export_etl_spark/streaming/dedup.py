@@ -346,7 +346,16 @@ def compact_signature_store(
 
     Only COMMITTED batch dirs fold (a crashed batch write has no
     _SUCCESS and will be overwritten by the stream's replay — freezing
-    its partial rows into a generation would make them canonical).
+    its partial rows into a generation would make them canonical) —
+    and the NEWEST committed dir is always left unfolded (one-batch
+    replay headroom): the stream's sink writes commit before Spark's
+    checkpoint records the batch, so a daemon that crashed in that
+    window re-delivers its last batch on restart, and a fold that had
+    consumed it would turn every restart into the fail-fast
+    re-delivery-below-the-fold error — permanently, with no recovery
+    path. Spark can only re-deliver the LAST batch under checkpoint
+    reuse, so max-committed-minus-one is exactly the safe bound; the
+    held-back dir folds next time, once a newer batch lands.
     Duplicate signature rows across the generation boundary are
     harmless (stores are sets; every pair consumer applies distinct) so
     the fold is a straight union, no dedup shuffle.
@@ -366,16 +375,21 @@ def compact_signature_store(
         # its location cleanup (or a lost/reset metastore) leaves the
         # warehouse dir with no table, and the next fold's saveAsTable
         # then dies with LOCATION_ALREADY_EXISTS. Scoped to the
-        # <table>_g<N> names this module owns.
+        # <table>_g<N> names this module owns. A db-qualified name's
+        # managed location lives under <warehouse>/<db>.db/<name>
+        # (default-db tables sit directly under the warehouse root).
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", ""
         ).removeprefix("file:")
         if wh:
-            shutil.rmtree(
-                os.path.join(wh, name.split(".")[-1].lower()),
-                ignore_errors=True,
+            parts = name.lower().split(".")
+            loc = (
+                os.path.join(wh, f"{parts[-2]}.db", parts[-1])
+                if len(parts) > 1
+                else os.path.join(wh, parts[-1])
             )
+            shutil.rmtree(loc, ignore_errors=True)
 
     folded_dir = os.path.join(store_path, "_folded")
     gens = sorted(_sink_ids(folded_dir, "gen", committed_only=True))
@@ -389,16 +403,22 @@ def compact_signature_store(
             shutil.rmtree(
                 os.path.join(folded_dir, f"gen={g}"), ignore_errors=True
             )
+    # orphan-table scan in the table's OWN database (listTables defaults
+    # to the current db, which would miss db-qualified generations)
+    db = table.rsplit(".", 1)[0] if "." in table else None
+    qual = (lambda n: f"{db}.{n}") if db else (lambda n: n)
     prefix = table.split(".")[-1] + "_g"
-    for t in spark.catalog.listTables():
+    for t in spark.catalog.listTables(db) if db else spark.catalog.listTables():
         if t.name.startswith(prefix) and t.name[len(prefix):].isdigit():
             if int(t.name[len(prefix):]) != cur:
-                _drop_gen_table(t.name)
+                _drop_gen_table(qual(t.name))
     eligible = sorted(
         i
         for i in _sink_ids(store_path, "batch_id", committed_only=True)
         if i > cur
-    )
+    )[:-1]  # replay headroom: never fold the newest committed dir
+    # (the stream's checkpoint may not have recorded it yet — see
+    # docstring; it folds next run, once a newer batch exists)
     # dirs <= cur are replay artifacts already folded in (or a prior
     # fold's commit-then-clean crash window) — redundant by the reader
     # rule, just remove them

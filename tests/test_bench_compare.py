@@ -43,6 +43,28 @@ def test_pre_flag_snapshot_is_unknown_not_clean():
     assert "weakly comparable" in out["verdict"]
 
 
+def test_even_count_median_is_the_midpoint():
+    out = compare_snapshots(
+        _snap({"a": 1.0, "b": 1.0}, noisy=False),
+        _snap({"a": 0.8, "b": 1.3}, noisy=False),
+    )
+    assert out["median_ratio"] == 1.05   # not the biased upper-middle 1.3
+
+
+def test_compare_cli_arity_errors_out():
+    """A malformed --compare must exit 2, never fall through to the
+    multi-minute benchmark run."""
+    import subprocess
+    import sys as _sys
+
+    p = subprocess.run(
+        [_sys.executable, "bench.py", "--compare", "only_one.json"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert p.returncode == 2
+    assert "usage" in p.stderr
+
+
 def test_driver_wrapper_and_query_set_drift():
     old = _snap({"a": 1.0, "gone": 2.0}, noisy=False, wrap=True)
     new = _snap({"a": 1.0, "fresh": 0.5}, noisy=False, wrap=True)
@@ -81,7 +103,8 @@ def test_property_invariants():
             if v["ratio"] is not None
         ]
         if ratios:
-            assert out["median_ratio"] in ratios
+            if len(ratios) % 2:
+                assert out["median_ratio"] in ratios
             assert min(ratios) <= out["median_ratio"] <= max(ratios)
         else:
             assert out["median_ratio"] is None

@@ -732,7 +732,14 @@ def test_cli_curate_maintain(spark, tmp_path, capsys):
     assert rep4["exact_store_table"] == (
         f"climaint_exact_g{rep4['exact_store_generation']}"
     )
-    assert not _glob.glob(os.path.join(str(tmp_path / "exm"), "batch_id=*"))
+    # consumed dirs are gone; only dirs above the generation remain
+    # (the newest committed dir is always held back — replay headroom)
+    remaining = [
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(os.path.join(str(tmp_path / "exm"),
+                                         "batch_id=*"))
+    ]
+    assert all(i > rep4["exact_store_generation"] for i in remaining)
     assert rep4["exact_store_table"] in [
         t.name for t in spark.catalog.listTables()
     ]

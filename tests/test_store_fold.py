@@ -88,15 +88,20 @@ def test_fold_preserves_store_content_and_continues(spark, tmp_path):
     fold_mh = compact_signature_store(
         spark, roots["mh"], "tsf_mh", num_buckets=4
     )
-    assert fold["generation"] == 1 and fold["folded_dirs"] == 2
-    assert fold_mh["table"] == "tsf_mh_g1"
-    # consumed dirs are gone; the sidecar is committed
-    assert not any(
-        n.startswith("batch_id=") for n in os.listdir(roots["exact"])
-    )
-    assert _folded_meta(spark, roots["exact"])["max_batch_id"] == 1
+    # replay headroom: of dirs {0, 1} only batch 0 folds — the newest
+    # committed batch may still be unrecorded in the stream's
+    # checkpoint, and folding it would wedge a checkpoint-reuse restart
+    # on the fail-fast guard forever (review r8s2)
+    assert fold["generation"] == 0 and fold["folded_dirs"] == 1
+    assert fold_mh["table"] == "tsf_mh_g0"
+    # consumed dirs are gone; the held-back newest dir remains
+    assert [
+        n for n in sorted(os.listdir(roots["exact"]))
+        if n.startswith("batch_id=")
+    ] == ["batch_id=1"]
+    assert _folded_meta(spark, roots["exact"])["max_batch_id"] == 0
     # the reader view equals the pre-fold store content
-    like = spark.table("tsf_exact_g1")
+    like = spark.table("tsf_exact_g0")
     after = sorted(
         tuple(r) for r in _read_store(spark, roots["exact"], like).collect()
     )
@@ -104,16 +109,16 @@ def test_fold_preserves_store_content_and_continues(spark, tmp_path):
     # the folded table is bucketed on the family's join key — the
     # co-location the daily-increment join rides at scale (the exact
     # store's key is the content digest; minhash's is (band, bucket))
-    assert "tsf_exact_g1" in [t.name for t in spark.catalog.listTables()]
+    assert "tsf_exact_g0" in [t.name for t in spark.catalog.listTables()]
     desc = {
         r["col_name"]: r["data_type"]
-        for r in spark.sql("DESCRIBE EXTENDED tsf_exact_g1").collect()
+        for r in spark.sql("DESCRIBE EXTENDED tsf_exact_g0").collect()
     }
     assert desc.get("Num Buckets") == "4"
     assert desc.get("Bucket Columns") == "[`key`]"
     desc_mh = {
         r["col_name"]: r["data_type"]
-        for r in spark.sql("DESCRIBE EXTENDED tsf_mh_g1").collect()
+        for r in spark.sql("DESCRIBE EXTENDED tsf_mh_g0").collect()
     }
     assert desc_mh.get("Bucket Columns") == "[`band`, `bucket`]"
 
@@ -140,20 +145,25 @@ def test_fold_preserves_store_content_and_continues(spark, tmp_path):
     )
     rows = spark.read.parquet(roots["kept"]).collect()
     assert {r["id"] for r in rows} == EXPECT_KEPT | {10}
-    # session 2's store deltas landed ABOVE the folded generation
+    # session 2's store deltas landed ABOVE the folded generation, and
+    # the session base skipped past both the sidecar max and the
+    # held-back dir: the lost checkpoint re-delivers all three source
+    # files (slots 2-4; re-arrivals dedup away), wave9 among them
     tail_ids = {
         int(n.split("=")[1])
         for n in os.listdir(roots["exact"])
         if n.startswith("batch_id=")
     }
-    assert tail_ids and min(tail_ids) > 1
+    assert tail_ids == {1, 2, 3, 4}
 
-    # a second fold picks up the tail and advances the generation
+    # a second fold picks up the tail minus the new headroom dir and
+    # advances the generation; the superseded table is dropped
     fold2 = compact_signature_store(
         spark, roots["exact"], "tsf_exact", num_buckets=4
     )
-    assert fold2["generation"] > 1 and fold2["folded_dirs"] == len(tail_ids)
-    assert "tsf_exact_g1" not in [t.name for t in spark.catalog.listTables()]
+    assert fold2["generation"] == 3 and fold2["folded_dirs"] == 3
+    assert "tsf_exact_g0" not in [t.name for t in spark.catalog.listTables()]
+    assert "tsf_exact_g3" in [t.name for t in spark.catalog.listTables()]
 
 
 def test_fold_noop_and_crash_windows(spark, tmp_path):
@@ -229,16 +239,26 @@ def test_replay_below_fold_fails_fast(spark, tmp_path):
         )
 
 
-def test_session_base_survives_full_fold(spark, tmp_path):
-    """After a fold consumes EVERY batch dir, a continue-mode base must
-    come from the sidecar max (a plain dir scan would restart at 0 and
-    new batches would land below the generation, invisible forever)."""
+def test_session_base_covers_sidecar_and_tail(spark, tmp_path):
+    """A continue-mode base after a fold must clear BOTH the sidecar max
+    and the held-back tail dir; and if the tail dirs are somehow gone
+    (dir-scan-blind roots), the sidecar max alone keeps the base
+    monotone (a plain dir scan would restart at 0 and new batches would
+    land below the generation, invisible forever)."""
     from ffi_export_etl_spark.streaming.dedup import _session_base
 
     roots = _session1(spark, tmp_path, "f4")
     fold = compact_signature_store(spark, roots["exact"], "tsf4_exact",
                                    num_buckets=4)
+    assert fold["generation"] == 0           # headroom held back dir 1
     base = _session_base(
         spark, str(tmp_path / "ckpt_f4_probe"), "exact", roots["exact"]
     )
-    assert base == fold["generation"] + 1
+    assert base == 2                         # max(sidecar 0, dir 1) + 1
+    # sidecar-only path: with the tail dirs absent the base still
+    # clears the folded generation
+    shutil.rmtree(os.path.join(roots["exact"], "batch_id=1"))
+    base2 = _session_base(
+        spark, str(tmp_path / "ckpt_f4_probe2"), "exact", roots["exact"]
+    )
+    assert base2 == fold["generation"] + 1
