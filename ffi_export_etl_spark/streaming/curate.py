@@ -62,6 +62,8 @@ def _kept_max_id(spark: SparkSession, kept_path: str) -> int | None:
     is local-filesystem)."""
     from .events import _sink_ids
 
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
     ids = list(_sink_ids(kept_path, "compacted", committed_only=True))
     ids += list(_sink_ids(kept_path, "batch_id"))
     try:
@@ -70,8 +72,15 @@ def _kept_max_id(spark: SparkSession, kept_path: str) -> int | None:
             top = store.select(F.max("batch_id")).first()[0]
             if top is not None:
                 ids.append(int(top))
-    except AnalysisException:
-        pass  # absent root, or mixed partition names (listing covers it)
+    except (AnalysisException, SparkRuntimeException):
+        # absent root, or mixed compacted=/batch_id= partition names
+        # (the listing covers it). Spark 4 raises the mixed-names case
+        # as SparkRuntimeException CONFLICTING_PARTITION_COLUMN_NAMES,
+        # not AnalysisException — catching only the latter made a
+        # continue-mode base probe throw on exactly the root shape
+        # nightly compaction plus a fresh drain produces (caught by the
+        # daily-ops lifecycle test).
+        pass
     return max(ids) if ids else None
 
 
