@@ -196,14 +196,15 @@ def curate_stream_main(argv: list[str]) -> int:
     # by the checkpoint) against fresh roots leaves no output dirs — a
     # clean no-op run must print its JSON line, not an AnalysisException
     def _rows(path: str) -> int:
-        # AnalysisException = root does not exist (clean zero-batch
-        # drain); anything else — corrupt footer, permission/auth
-        # failure — must surface, not print rows: 0 with exit 0 (the
-        # _read_store docstring's silent-wrong-output failure class)
-        try:
-            return spark.read.parquet(path).count()
-        except AnalysisException:
-            return 0
+        # folded-aware logical count: after nightly maintenance has
+        # folded a store into its generation table, a plain
+        # read.parquet(root).count() sees only the post-fold tail dirs
+        # and silently under-reports. Absent root = clean zero (the
+        # zero-batch drain); anything else — corrupt footer,
+        # permission/auth failure — must surface, not print rows: 0
+        from .streaming.dedup import store_row_count
+
+        return store_row_count(spark, path)
 
     def _kept_rows() -> int:
         # the generation-aware reader (valid on plain and compacted
@@ -225,7 +226,17 @@ def curate_stream_main(argv: list[str]) -> int:
     if args.span_store is not None:
         out["span_store_rows"] = _rows(args.span_store)
     if args.quarantine is not None:
-        out["quarantined_rows"] = _rows(args.quarantine)
+        # generation-aware: DLQ compaction (kept_compact_every) turns
+        # the quarantine into mixed compacted=/batch_id= dirs, where a
+        # plain read throws CONFLICTING_PARTITION_COLUMN_NAMES
+        from .streaming.events import read_window_sink
+
+        try:
+            out["quarantined_rows"] = read_window_sink(
+                spark, args.quarantine
+            ).count()
+        except (AnalysisException, ValueError):
+            out["quarantined_rows"] = 0
     if out["kept_rows"] == 0:
         out["note"] = "no batches processed or empty kept corpus"
     print(json.dumps(out, sort_keys=True))

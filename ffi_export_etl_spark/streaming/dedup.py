@@ -133,6 +133,24 @@ def _read_store(
         return spark.createDataFrame([], like.select(*cols).schema)
 
 
+def store_row_count(spark: SparkSession, store_path: str) -> int:
+    """Logical row count of a signature store under ANY layout: folded
+    generation table + post-fold batch dirs, plain batch dirs, or an
+    absent/never-drained root (0). A plain ``read.parquet(root).count()``
+    under-counts a folded store (the consumed dirs live in the table)
+    — the CLI summary bug this helper replaces."""
+    meta = _folded_meta(spark, store_path)
+    total = 0 if meta is None else spark.table(meta["table"]).count()
+    try:
+        tail = spark.read.parquet(store_path)
+    except AnalysisException:
+        # no batch dirs: fully-folded store, or absent root (total 0)
+        return total
+    if meta is not None and "batch_id" in tail.columns:
+        tail = tail.filter(F.col("batch_id") > meta["max_batch_id"])
+    return total + tail.count()
+
+
 def _session_base(
     spark: SparkSession,
     checkpoint: str,

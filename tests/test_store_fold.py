@@ -122,6 +122,15 @@ def test_fold_preserves_store_content_and_continues(spark, tmp_path):
     }
     assert desc_mh.get("Bucket Columns") == "[`band`, `bucket`]"
 
+    # the folded-aware logical count sees table + tail (a plain root
+    # count would report only the held-back dir)
+    from ffi_export_etl_spark.streaming.dedup import store_row_count
+
+    assert store_row_count(spark, roots["exact"]) == len(before_exact)
+    assert store_row_count(
+        spark, str(tmp_path / "absent_store")
+    ) == 0
+
     # session 2, checkpoint lost: near-dup of stored doc 5 drops, fresh
     # doc 10 survives — identical to the unfolded continue-mode test
     spark.createDataFrame(
