@@ -324,6 +324,53 @@ def curate_maintain_main(argv: list[str]) -> int:
     return 0
 
 
+def dataset_card_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark dataset-card``: the release
+    datasheet for a document corpus — overall counts, per-source
+    mixture with shares, token-length percentiles, optional top
+    domains. Prints the card as one JSON line; ``--markdown PATH``
+    additionally writes the human-facing render."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark dataset-card",
+        description="Summarize a document corpus as a dataset card "
+                    "(counts, mixture, length percentiles, domains).",
+    )
+    ap.add_argument("--input", required=True,
+                    help="corpus parquet (a dir of training shards "
+                         "works — the manifest is skipped as a hidden "
+                         "_ path)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--url-col", default=None)
+    ap.add_argument("--top-domains", type=int, default=10)
+    ap.add_argument("--markdown", default=None,
+                    help="also write the markdown render here")
+    ap.add_argument("--title", default="Dataset card")
+    args = ap.parse_args(argv)
+
+    from .operators.profile import dataset_card, render_dataset_card
+    from .session import get_spark, tune
+
+    spark = tune(get_spark(app_name="ffi-etl-dataset-card"))
+    spark.sparkContext.setLogLevel("ERROR")
+    card = dataset_card(
+        spark,
+        spark.read.parquet(args.input),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        source_col=args.source_col,
+        url_col=args.url_col,
+        top_domains=args.top_domains,
+    )
+    if args.markdown is not None:
+        with open(args.markdown, "w") as f:
+            f.write(render_dataset_card(card, title=args.title))
+        card["markdown"] = args.markdown
+    print(json.dumps(card, sort_keys=True))
+    return 0
+
+
 def funnel_report_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark funnel-report``: read a funnel
     store written by curate-stream --funnel-store and print the
@@ -1075,6 +1122,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_maintain_main(argv[1:])
     if argv and argv[0] == "funnel-report":
         return funnel_report_main(argv[1:])
+    if argv and argv[0] == "dataset-card":
+        return dataset_card_main(argv[1:])
     if argv and argv[0] == "profile":
         return profile_main(argv[1:])
     if argv and argv[0] == "diff":

@@ -243,3 +243,117 @@ def profile_drift(
             F.size(F.array_remove(reasons, "minmax")) > 0
         ).alias("drifted"),
     )
+
+
+def dataset_card(
+    spark,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    url_col: str | None = None,
+    top_domains: int = 10,
+) -> dict:
+    """One JSON-able "datasheet" for a document corpus — the release
+    artifact a data team publishes alongside training shards: overall
+    counts, the per-source mixture (docs / whitespace tokens / chars +
+    shares), a token-length distribution (approx percentiles — exact
+    quantiles would sort the corpus), and, with ``url_col``, the top
+    domains by document count.
+
+    Cost model: TWO jobs over the corpus regardless of size — one
+    per-source aggregation (map-side combined; the overall totals and
+    length percentiles fold out of the same pass via a grand-total
+    group) and, when requested, one domain top-N (a groupBy count over
+    the extracted domain, limit N). Everything else is driver-side
+    arithmetic over source-count-many rows. No collect of corpus data.
+    """
+    n_words = F.size(F.split(F.col(text_col), r"\s+"))
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        n_words.alias("n_words"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+    # grouping-sets: per-source rows AND the grand total (source NULL)
+    # in one aggregation pass, percentiles included
+    agg = (
+        base.rollup("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_words").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.expr(
+                "approx_percentile(n_words, array(0.1, 0.5, 0.9))"
+            ).alias("p"),
+        )
+        .collect()
+    )
+    total = next(r for r in agg if r["source"] is None)
+    sources = {
+        r["source"]: {
+            "docs": r["docs"],
+            "tokens": int(r["tokens"]),
+            "chars": int(r["chars"]),
+            "doc_share": round(r["docs"] / total["docs"], 6),
+            "token_share": round(int(r["tokens"]) / int(total["tokens"]), 6)
+            if total["tokens"] else None,
+        }
+        for r in agg
+        if r["source"] is not None
+    }
+    card = {
+        "n_docs": total["docs"],
+        "n_tokens": int(total["tokens"]) if total["tokens"] else 0,
+        "n_chars": int(total["chars"]) if total["chars"] else 0,
+        "tokens_per_doc_p10_p50_p90": (
+            [int(x) for x in total["p"]] if total["p"] else None
+        ),
+        "sources": sources,
+    }
+    if url_col is not None:
+        from .textproc import extract_domain
+
+        card["top_domains"] = [
+            {"domain": r["domain"], "docs": r["docs"]}
+            for r in docs.select(
+                extract_domain(F.col(url_col)).alias("domain")
+            )
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("docs"))
+            .orderBy(F.desc("docs"), "domain")
+            .limit(top_domains)
+            .collect()
+        ]
+    return card
+
+
+def render_dataset_card(card: dict, title: str = "Dataset card") -> str:
+    """Markdown render of :func:`dataset_card` — the human-facing half
+    of the datasheet. Pure driver-side string building."""
+    lines = [f"# {title}", ""]
+    lines.append(f"- documents: {card['n_docs']:,}")
+    lines.append(f"- whitespace tokens: {card['n_tokens']:,}")
+    lines.append(f"- characters: {card['n_chars']:,}")
+    p = card.get("tokens_per_doc_p10_p50_p90")
+    if p:
+        lines.append(
+            f"- tokens/doc p10 / p50 / p90: {p[0]:,} / {p[1]:,} / {p[2]:,}"
+        )
+    lines += ["", "## Source mixture", "",
+              "| source | docs | doc share | tokens | token share |",
+              "|---|---|---|---|---|"]
+    for name in sorted(card["sources"]):
+        s = card["sources"][name]
+        tok_share = (
+            f"{s['token_share']:.1%}" if s["token_share"] is not None
+            else "n/a"
+        )
+        lines.append(
+            f"| {name} | {s['docs']:,} | {s['doc_share']:.1%} "
+            f"| {s['tokens']:,} | {tok_share} |"
+        )
+    if card.get("top_domains"):
+        lines += ["", "## Top domains", ""]
+        for d in card["top_domains"]:
+            lines.append(f"- {d['domain']}: {d['docs']:,}")
+    return "\n".join(lines) + "\n"

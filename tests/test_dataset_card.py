@@ -1,0 +1,65 @@
+"""operators/profile.dataset_card: the corpus datasheet — hand-checked
+counts, shares, percentiles, domains, and the CLI + markdown render.
+"""
+
+from __future__ import annotations
+
+import json
+
+from ffi_export_etl_spark.operators.profile import (
+    dataset_card,
+    render_dataset_card,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "one two three four", "web", "http://a.com/x"),
+        (2, "one two three four five six", "web", "http://a.com/y"),
+        (3, "one two", "web", "http://b.com/z"),
+        (4, "alpha beta gamma delta epsilon zeta", "books", None),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string, url: string"
+    )
+
+
+def test_dataset_card_counts_and_shares(spark):
+    card = dataset_card(spark, _docs(spark), url_col="url")
+    assert card["n_docs"] == 4
+    assert card["n_tokens"] == 4 + 6 + 2 + 6
+    assert card["sources"]["web"]["docs"] == 3
+    assert card["sources"]["web"]["doc_share"] == 0.75
+    assert card["sources"]["books"]["tokens"] == 6
+    assert card["sources"]["books"]["token_share"] == round(6 / 18, 6)
+    # shares sum to 1 across sources
+    assert sum(s["doc_share"] for s in card["sources"].values()) == 1.0
+    p10, p50, p90 = card["tokens_per_doc_p10_p50_p90"]
+    assert p10 <= p50 <= p90
+    assert p10 >= 2 and p90 <= 6
+    # domains ordered by count, ties by name; NULL url renders as a row
+    # only if extract_domain yields one (it does not for NULL)
+    doms = {d["domain"]: d["docs"] for d in card["top_domains"]}
+    assert doms["a.com"] == 2 and doms["b.com"] == 1
+
+
+def test_dataset_card_markdown_and_cli(spark, tmp_path, capsys):
+    from ffi_export_etl_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    _docs(spark).write.parquet(inp)
+    md_path = str(tmp_path / "card.md")
+    rc = main([
+        "dataset-card", "--input", inp, "--url-col", "url",
+        "--markdown", md_path, "--title", "My corpus",
+    ])
+    assert rc == 0
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_docs"] == 4 and card["markdown"] == md_path
+    md = open(md_path).read()
+    assert md.startswith("# My corpus")
+    assert "| web | 3 | 75.0% |" in md
+    assert "a.com: 2" in md
+    # the pure render matches the CLI's file output
+    card.pop("markdown")
+    assert render_dataset_card(card, title="My corpus") == md
