@@ -288,7 +288,13 @@ def dataset_card(
         )
         .collect()
     )
-    total = next(r for r in agg if r["source"] is None)
+    # rollup over an EMPTY frame yields zero rows (no grand-total row)
+    # — the empty case is every new partition at scale, and must card
+    # as zeros, not a StopIteration
+    total = next(
+        (r for r in agg if r["source"] is None),
+        {"docs": 0, "tokens": 0, "chars": 0, "p": None},
+    )
     sources = {
         r["source"]: {
             "docs": r["docs"],

@@ -143,7 +143,12 @@ def curate_documents(
     result as ``result._curation_persisted``; call
     release_curation_caches(result) when done with it in a long-lived
     session. At 100 TB prefer writing the mixture output to a staging
-    table instead — pass False and checkpoint externally."""
+    table instead — pass False and checkpoint externally.
+
+    ``funnel`` (default None, inert): pass a list to collect
+    (stage_name, frame, text_col) at every enabled stage boundary —
+    the audit hook behind :func:`curation_funnel` and the CLI's
+    ``--funnel``; see :func:`count_funnel_stages` for pricing."""
     # ``funnel``: optional AUDIT collector (see curation_funnel). When a
     # list is passed, every enabled stage appends (stage_name, frame,
     # text_col_name) at its output boundary — frames only, no actions;

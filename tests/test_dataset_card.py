@@ -43,6 +43,18 @@ def test_dataset_card_counts_and_shares(spark):
     assert doms["a.com"] == 2 and doms["b.com"] == 1
 
 
+def test_dataset_card_empty_corpus(spark):
+    """The empty case is every new partition at scale: zero counts and
+    a renderable card, not a next()/int(None)/ZeroDivision traceback."""
+    empty = _docs(spark).limit(0)
+    card = dataset_card(spark, empty, url_col="url")
+    assert card["n_docs"] == 0 and card["n_tokens"] == 0
+    assert card["sources"] == {}
+    assert card["tokens_per_doc_p10_p50_p90"] is None
+    assert card["top_domains"] == []
+    assert render_dataset_card(card).startswith("# Dataset card")
+
+
 def test_dataset_card_markdown_and_cli(spark, tmp_path, capsys):
     from ffi_export_etl_spark.__main__ import main
 
