@@ -206,37 +206,29 @@ def curate_stream_main(argv: list[str]) -> int:
 
         return store_row_count(spark, path)
 
-    def _kept_rows() -> int:
-        # the generation-aware reader (valid on plain and compacted
-        # layouts); a zero-batch drain may have created no root at all
-        # (AnalysisException from the listing, ValueError = read_kept's
-        # explicit empty-sink signal)
-        from .streaming.curate import read_kept
+    def _sink_rows(path: str) -> int:
+        # ONE generation-aware count idiom for both window-sink roots
+        # (kept corpus and quarantine — compaction turns either into
+        # mixed compacted=/batch_id= dirs where a plain read throws
+        # CONFLICTING_PARTITION_COLUMN_NAMES); a zero-batch drain may
+        # have created no root at all (AnalysisException from the
+        # listing, ValueError = the reader's explicit empty-sink signal)
+        from .streaming.events import read_window_sink
 
         try:
-            return read_kept(spark, args.kept).count()
+            return read_window_sink(spark, path).count()
         except (AnalysisException, ValueError):
             return 0
 
     out = {
-        "kept_rows": _kept_rows(),
+        "kept_rows": _sink_rows(args.kept),
         "exact_store_rows": _rows(args.exact_store),
         "minhash_store_rows": _rows(args.minhash_store),
     }
     if args.span_store is not None:
         out["span_store_rows"] = _rows(args.span_store)
     if args.quarantine is not None:
-        # generation-aware: DLQ compaction (kept_compact_every) turns
-        # the quarantine into mixed compacted=/batch_id= dirs, where a
-        # plain read throws CONFLICTING_PARTITION_COLUMN_NAMES
-        from .streaming.events import read_window_sink
-
-        try:
-            out["quarantined_rows"] = read_window_sink(
-                spark, args.quarantine
-            ).count()
-        except (AnalysisException, ValueError):
-            out["quarantined_rows"] = 0
+        out["quarantined_rows"] = _sink_rows(args.quarantine)
     if out["kept_rows"] == 0:
         out["note"] = "no batches processed or empty kept corpus"
     print(json.dumps(out, sort_keys=True))

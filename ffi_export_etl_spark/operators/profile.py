@@ -270,21 +270,30 @@ def dataset_card(
     """
     n_words = F.size(F.split(F.col(text_col), r"\s+"))
     base = docs.select(
+        F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
-        n_words.alias("n_words"),
-        F.length(F.col(text_col)).alias("n_chars"),
+        # NULL text cards as 0 tokens/chars (a bad extraction batch
+        # must shrink the card, not crash it — review r8s2)
+        F.coalesce(n_words, F.lit(0)).alias("n_words"),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0)).alias("n_chars"),
     )
-    # grouping-sets: per-source rows AND the grand total (source NULL)
-    # in one aggregation pass, percentiles included
+    # grouping-sets: per-source rows AND the grand total in one
+    # aggregation pass, percentiles included. The grand-total row is
+    # identified by F.grouping, NOT by source IS NULL — a corpus with
+    # NULL-source docs has a legitimate NULL-source subtotal row, and
+    # confusing the two silently mis-totals the card (review r8s2,
+    # verified live).
     agg = (
         base.rollup("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_words").alias("tokens"),
             F.sum("n_chars").alias("chars"),
+            F.approx_count_distinct("id").alias("distinct_ids"),
             F.expr(
                 "approx_percentile(n_words, array(0.1, 0.5, 0.9))"
             ).alias("p"),
+            F.grouping("source").cast("int").alias("is_total"),
         )
         .collect()
     )
@@ -292,25 +301,29 @@ def dataset_card(
     # — the empty case is every new partition at scale, and must card
     # as zeros, not a StopIteration
     total = next(
-        (r for r in agg if r["source"] is None),
-        {"docs": 0, "tokens": 0, "chars": 0, "p": None},
+        (r for r in agg if r["is_total"] == 1),
+        {"docs": 0, "tokens": 0, "chars": 0, "distinct_ids": 0,
+         "p": None},
     )
     sources = {
-        r["source"]: {
+        ("null" if r["source"] is None else r["source"]): {
             "docs": r["docs"],
-            "tokens": int(r["tokens"]),
-            "chars": int(r["chars"]),
+            "tokens": int(r["tokens"] or 0),
+            "chars": int(r["chars"] or 0),
             "doc_share": round(r["docs"] / total["docs"], 6),
-            "token_share": round(int(r["tokens"]) / int(total["tokens"]), 6)
+            "token_share": round(
+                int(r["tokens"] or 0) / int(total["tokens"]), 6
+            )
             if total["tokens"] else None,
         }
         for r in agg
-        if r["source"] is not None
+        if r["is_total"] == 0
     }
     card = {
         "n_docs": total["docs"],
         "n_tokens": int(total["tokens"]) if total["tokens"] else 0,
         "n_chars": int(total["chars"]) if total["chars"] else 0,
+        "approx_distinct_ids": int(total["distinct_ids"]),
         "tokens_per_doc_p10_p50_p90": (
             [int(x) for x in total["p"]] if total["p"] else None
         ),
@@ -324,6 +337,10 @@ def dataset_card(
             for r in docs.select(
                 extract_domain(F.col(url_col)).alias("domain")
             )
+            # NULL urls / non-URL strings yield no domain; without the
+            # filter they'd appear as bogus rows and displace real
+            # domains from the top-N (review r8s2, verified live)
+            .filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("docs"))
             .orderBy(F.desc("docs"), "domain")
@@ -338,6 +355,10 @@ def render_dataset_card(card: dict, title: str = "Dataset card") -> str:
     of the datasheet. Pure driver-side string building."""
     lines = [f"# {title}", ""]
     lines.append(f"- documents: {card['n_docs']:,}")
+    if "approx_distinct_ids" in card:
+        lines.append(
+            f"- approx distinct ids: {card['approx_distinct_ids']:,}"
+        )
     lines.append(f"- whitespace tokens: {card['n_tokens']:,}")
     lines.append(f"- characters: {card['n_chars']:,}")
     p = card.get("tokens_per_doc_p10_p50_p90")

@@ -67,20 +67,23 @@ def _kept_max_id(spark: SparkSession, kept_path: str) -> int | None:
     ids = list(_sink_ids(kept_path, "compacted", committed_only=True))
     ids += list(_sink_ids(kept_path, "batch_id"))
     try:
+        # the fallback classes are scoped to the READ — absent root
+        # (AnalysisException) and mixed compacted=/batch_id= partition
+        # names, which Spark 4 raises eagerly at partition discovery as
+        # SparkRuntimeException CONFLICTING_PARTITION_COLUMN_NAMES (the
+        # root shape nightly compaction plus a fresh drain produces;
+        # caught by the daily-ops lifecycle test). The max SCAN below
+        # stays OUTSIDE the guard: on a dir-listing-blind root (hdfs://,
+        # s3a://) the scan is the ONLY id source, and swallowing a
+        # genuine runtime failure there would restart the base at 0 and
+        # overwrite existing batch dirs (review r8s2).
         store = spark.read.parquet(kept_path)
-        if "batch_id" in store.columns:
-            top = store.select(F.max("batch_id")).first()[0]
-            if top is not None:
-                ids.append(int(top))
     except (AnalysisException, SparkRuntimeException):
-        # absent root, or mixed compacted=/batch_id= partition names
-        # (the listing covers it). Spark 4 raises the mixed-names case
-        # as SparkRuntimeException CONFLICTING_PARTITION_COLUMN_NAMES,
-        # not AnalysisException — catching only the latter made a
-        # continue-mode base probe throw on exactly the root shape
-        # nightly compaction plus a fresh drain produces (caught by the
-        # daily-ops lifecycle test).
-        pass
+        store = None
+    if store is not None and "batch_id" in store.columns:
+        top = store.select(F.max("batch_id")).first()[0]
+        if top is not None:
+            ids.append(int(top))
     return max(ids) if ids else None
 
 

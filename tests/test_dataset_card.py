@@ -43,6 +43,31 @@ def test_dataset_card_counts_and_shares(spark):
     assert doms["a.com"] == 2 and doms["b.com"] == 1
 
 
+def test_dataset_card_null_source_text_and_url(spark):
+    """The three live-verified review bugs (r8s2): a NULL-source doc
+    must not be mistaken for the grand-total row (F.grouping, not
+    source IS NULL); all-NULL text cards a source as 0 tokens instead
+    of TypeError; NULL/non-URL strings never appear as domains."""
+    rows = [
+        (1, "a b c", None, None),          # NULL source, NULL url
+        (2, "d e", "web", "http://a.com/x"),
+        (3, None, "broken", "not a url"),  # NULL text source
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string, url: string"
+    )
+    card = dataset_card(spark, docs, url_col="url")
+    assert card["n_docs"] == 3             # not the NULL-source subtotal
+    assert card["n_tokens"] == 3 + 2 + 0
+    assert card["approx_distinct_ids"] == 3
+    assert card["sources"]["null"]["docs"] == 1
+    assert card["sources"]["broken"]["tokens"] == 0
+    assert card["sources"]["web"]["doc_share"] == round(1 / 3, 6)
+    assert [d["domain"] for d in card["top_domains"]] == ["a.com"]
+    # the render survives the null-source key
+    assert "| null | 1 |" in render_dataset_card(card)
+
+
 def test_dataset_card_empty_corpus(spark):
     """The empty case is every new partition at scale: zero counts and
     a renderable card, not a next()/int(None)/ZeroDivision traceback."""
