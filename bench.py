@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -184,6 +185,54 @@ def compare_snapshots(old: dict, new: dict) -> dict:
     }
 
 
+def load_snapshot(path: str) -> dict:
+    """Load a bench snapshot for --compare: bench.py's own JSON, a
+    driver-wrapped BENCH_r{N}.json, OR a truncated wrapped file
+    recovered through its sidecar (r8 judge item 1: the driver keeps
+    only the last N bytes of stdout, so a long result line arrives with
+    ``parsed: null`` and a ``tail`` that begins mid-object —
+    BENCH_r08.json was unparseable and round-over-round comparison
+    silently degraded to an empty per_query). Every benchmark run now
+    writes its full result to a uniquely-named sidecar file and puts
+    the sidecar path LAST in the JSON line, so it survives tail
+    truncation; recovery resolves the reference relative to the
+    wrapped file's directory."""
+    with open(path) as f:
+        snap = json.load(f)
+    if "parsed" not in snap or isinstance(snap["parsed"], dict):
+        return snap  # bench.py's own line, or a cleanly-parsed wrap
+    m = re.search(r'"sidecar":\s*"([^"]+)"', snap.get("tail", "") or "")
+    if m:
+        cand = m.group(1)
+        if not os.path.isabs(cand):
+            cand = os.path.join(
+                os.path.dirname(os.path.abspath(path)), cand
+            )
+        if os.path.exists(cand):
+            with open(cand) as f2:
+                return json.load(f2)
+        print(
+            f"# {path}: truncated wrap references missing sidecar "
+            f"{cand}; falling back to the wrap itself",
+            file=sys.stderr,
+        )
+    return snap
+
+
+def write_sidecar(out: dict, repo_dir: str) -> str:
+    """Persist the full result JSON beside the repo (bench_runs/ + a
+    BENCH_LAST.json convenience copy) and return the repo-relative
+    sidecar path to embed as the result line's LAST key."""
+    runs_dir = os.path.join(repo_dir, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    rel = f"bench_runs/bench_{int(time.time())}.json"
+    with open(os.path.join(repo_dir, rel), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    with open(os.path.join(repo_dir, "BENCH_LAST.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    return rel
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--compare":
         # python bench.py --compare BENCH_r07.json BENCH_r08.json
@@ -195,10 +244,8 @@ def main() -> None:
                 file=sys.stderr,
             )
             sys.exit(2)
-        with open(sys.argv[2]) as f:
-            old = json.load(f)
-        with open(sys.argv[3]) as f:
-            new = json.load(f)
+        old = load_snapshot(sys.argv[2])
+        new = load_snapshot(sys.argv[3])
         print(json.dumps(compare_snapshots(old, new)))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -340,6 +387,12 @@ def main() -> None:
     out["noisy"] = bool(
         loadavg[-1] >= LOADAVG_GATE
         or any(v >= MIDRUN_LOADAVG_NOISY for v in la_mid.values())
+    )
+    # Sidecar LAST in key order: the driver's BENCH_r{N}.json capture
+    # keeps only the tail of stdout, so a truncated result line must
+    # still end with the sidecar reference --compare recovers through.
+    out["sidecar"] = write_sidecar(
+        out, os.path.dirname(os.path.abspath(__file__))
     )
     print(json.dumps(out))
     spark.stop()
