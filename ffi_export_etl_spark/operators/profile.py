@@ -305,20 +305,28 @@ def dataset_card(
         {"docs": 0, "tokens": 0, "chars": 0, "distinct_ids": 0,
          "p": None},
     )
-    sources = {
-        ("null" if r["source"] is None else r["source"]): {
-            "docs": r["docs"],
-            "tokens": int(r["tokens"] or 0),
-            "chars": int(r["chars"] or 0),
-            "doc_share": round(r["docs"] / total["docs"], 6),
-            "token_share": round(
-                int(r["tokens"] or 0) / int(total["tokens"]), 6
-            )
+    # NULL source cards under the "(null)" sentinel; if the corpus ALSO
+    # contains a source literally named "(null)" the two rows MERGE
+    # count-preservingly instead of one silently overwriting the other
+    # (r8 ADVICE — any fixed string key can collide with a real source
+    # name, and a None dict key would re-collide at json.dumps, which
+    # renders it as "null")
+    sources: dict[str, dict] = {}
+    for r in agg:
+        if r["is_total"] != 0:
+            continue
+        key = "(null)" if r["source"] is None else r["source"]
+        prev = sources.get(key, {"docs": 0, "tokens": 0, "chars": 0})
+        docs_n = prev["docs"] + r["docs"]
+        tokens_n = prev["tokens"] + int(r["tokens"] or 0)
+        sources[key] = {
+            "docs": docs_n,
+            "tokens": tokens_n,
+            "chars": prev["chars"] + int(r["chars"] or 0),
+            "doc_share": round(docs_n / total["docs"], 6),
+            "token_share": round(tokens_n / int(total["tokens"]), 6)
             if total["tokens"] else None,
         }
-        for r in agg
-        if r["is_total"] == 0
-    }
     card = {
         "n_docs": total["docs"],
         "n_tokens": int(total["tokens"]) if total["tokens"] else 0,

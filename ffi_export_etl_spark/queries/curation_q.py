@@ -447,8 +447,18 @@ E2E_DEFAULT_FRACTION = 0.4
 def cur_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """plans/curation.curate_documents end to end over the documents
     table (reshaped into E2E_LINE_TOKENS-token lines so the boilerplate
-    stage has line structure to strip): one row per surviving document
-    with its cluster id and packed-stream position."""
+    stage has line structure to strip): kind='doc' rows — one per
+    surviving document with its cluster id and packed-stream position —
+    union-tagged with kind='funnel' rows (r9 judge item 5), the
+    per-stage survival audit (stage ordinal, docs, chars) priced from
+    the very frames the SAME pipeline run flowed through the funnel
+    collector kwarg. One execution serves both arms, and the
+    packed_output funnel row counts the exact frame the doc rows come
+    from, so the drop-rate monitor's arithmetic is gate-pinned against
+    per-stage COUNT CTEs over the oracle's existing stage fragments
+    (not only against hand-built stores in pytest)."""
+    from ..plans.curation import count_funnel_stages
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\s+")
     relined = F.array_join(
@@ -459,7 +469,8 @@ def cur_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n",
     )
     reshaped = docs.withColumn("text", relined)
-    return curate_documents(
+    stages: list = []
+    out = curate_documents(
         reshaped,
         id_col="doc_id",
         text_col="text",
@@ -470,7 +481,31 @@ def cur_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold_pct=E2E_JACCARD_PCT,
         capacity=E2E_CAPACITY,
         boilerplate_min_docs=E2E_BOILER_MIN_DOCS,
+        funnel=stages,
     )
+    report = count_funnel_stages(stages, out)
+    doc_rows = out.select(
+        F.lit("doc").alias("kind"),
+        "id",
+        "source",
+        "text",
+        "n_words",
+        "cluster_id",
+        "tok_offset",
+        "first_seq",
+        "last_seq",
+    )
+    funnel_rows = spark.createDataFrame(
+        [
+            ("funnel", i, r["stage"], None, r["docs"], r["chars"], None,
+             None, None)
+            for i, r in enumerate(report)
+        ],
+        "kind: string, id: bigint, source: string, text: string,"
+        " n_words: int, cluster_id: bigint, tok_offset: bigint,"
+        " first_seq: bigint, last_seq: bigint",
+    )
+    return doc_rows.unionByName(funnel_rows)
 
 
 QUERIES = {
@@ -858,7 +893,7 @@ def _e2e_oracle() -> str:
     )
     return f"""
     WITH RECURSIVE
-    rl AS (
+    rl AS MATERIALIZED (
         SELECT doc_id, source,
                array_to_string(list_transform(
                    generate_series(1, len(tk), {E2E_LINE_TOKENS}),
@@ -877,9 +912,9 @@ def _e2e_oracle() -> str:
                HAVING count(DISTINCT doc_id) >= {E2E_BOILER_MIN_DOCS}),
     lkept AS (SELECT doc_id, pos, line FROM lns
               WHERE trim(line) NOT IN (SELECT bline FROM boiler)),
-    rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    rebuilt AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
                 FROM lkept GROUP BY doc_id),
-    scrubbed AS (SELECT r.doc_id AS id, r.source,
+    scrubbed AS MATERIALIZED (SELECT r.doc_id AS id, r.source,
                         {scrub_sql_expr("coalesce(b.text, '')")} AS text
                  FROM rl r LEFT JOIN rebuilt b USING (doc_id)),
     {_minhash_pairs_sql("scrubbed", "id")},
@@ -893,8 +928,8 @@ def _e2e_oracle() -> str:
         UNION
         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
     ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-    quality AS (
+    comp AS MATERIALIZED (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    quality AS MATERIALIZED (
         SELECT s.id, s.source, s.text,
                CAST(len(regexp_split_to_array(s.text, '\\s+')) AS INTEGER)
                    AS n_words,
@@ -903,7 +938,7 @@ def _e2e_oracle() -> str:
         WHERE s.id = coalesce(c.component, s.id)
           AND len(regexp_split_to_array(s.text, '\\s+')) >= {E2E_MIN_WORDS}
     ),
-    mixed AS (
+    mixed AS MATERIALIZED (
         SELECT * FROM quality
         WHERE {key_hash_sql("id")} <
               CASE source {mix_when}
@@ -916,11 +951,43 @@ def _e2e_oracle() -> str:
                     AS BIGINT) AS cum
         FROM mixed
     )
-    SELECT m.id, m.source, m.text, m.n_words, m.cluster_id,
+    SELECT 'doc' AS kind, m.id, m.source, m.text, m.n_words, m.cluster_id,
            p.cum - p.n_words AS tok_offset,
            CAST((p.cum - p.n_words) // {E2E_CAPACITY} AS BIGINT) AS first_seq,
            CAST((p.cum - 1) // {E2E_CAPACITY} AS BIGINT) AS last_seq
     FROM mixed m JOIN packed p USING (id)
+    UNION ALL
+    -- the funnel arm (r9): per-stage survival counts straight off the
+    -- SAME CTE chain — each funnel boundary is one COUNT/SUM over the
+    -- stage fragment the doc rows already flow through
+    SELECT 'funnel', CAST(ord AS BIGINT), stage, CAST(NULL AS VARCHAR),
+           CAST(docs AS INTEGER), CAST(chars AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+        SELECT 0 AS ord, 'input' AS stage, count(*) AS docs,
+               coalesce(sum(length(text)), 0) AS chars FROM rl
+        UNION ALL
+        SELECT 1, 'boilerplate_lines', count(*),
+               coalesce(sum(length(coalesce(b.text, ''))), 0)
+        FROM rl r LEFT JOIN rebuilt b USING (doc_id)
+        UNION ALL
+        SELECT 2, 'scrub', count(*), coalesce(sum(length(text)), 0)
+        FROM scrubbed
+        UNION ALL
+        SELECT 3, 'neardup_keepers', count(*),
+               coalesce(sum(length(s.text)), 0)
+        FROM scrubbed s LEFT JOIN comp c ON s.id = c.id
+        WHERE s.id = coalesce(c.component, s.id)
+        UNION ALL
+        SELECT 4, 'min_words', count(*), coalesce(sum(length(text)), 0)
+        FROM quality
+        UNION ALL
+        SELECT 5, 'mixture_sample', count(*), coalesce(sum(length(text)), 0)
+        FROM mixed
+        UNION ALL
+        SELECT 6, 'packed_output', count(*), coalesce(sum(length(text)), 0)
+        FROM mixed
+    )
     """
 
 

@@ -146,19 +146,68 @@ def a_first_seqnum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count aggregates (A7), sorted-distinct string aggregation (A8,
     deterministic vs the reference's Python-set order quirk Q9), and
-    exact interpolated percentiles (A10) in one grouped pass."""
+    exact interpolated percentiles (A10) in one grouped pass, PLUS the
+    two TPC-H counting shapes formerly in q_count_pack — q4 (EXISTS
+    semijoin count per priority) and q12 (conditional-sum
+    classification) — folded in as tagged-union arms (r9 registry
+    surgery: the freed slot hosts ann_pq_pack; precedent: samp_pack).
+    All three arms are count-aggregation shapes; the union schema is
+    (kind, k, n_a, n_b, segments, p25, median, p90, max_bal) with the
+    string/percentile columns NULL on the counting arms."""
+    from .relational3 import q4_order_priority, q12_priority_classes
+
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_b = F.lit(None).cast("bigint")
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("c_mktsegment").alias("n_segments"),
-        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ", ").alias(
-            "segments"
-        ),
-        F.round(F.expr("percentile(c_acctbal, 0.25)"), 2).alias("p25"),
-        F.round(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("median"),
-        F.round(F.expr("percentile(c_acctbal, 0.9)"), 2).alias("p90"),
-        money(F.max(dec("c_acctbal")), "max_bal"),
+    nation = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ", "
+            ).alias("segments"),
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("median"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 2).alias("p90"),
+            money(F.max(dec("c_acctbal")), "max_bal"),
+        )
+        .select(
+            F.lit("nation_agg").alias("kind"),
+            F.col("c_nationkey").cast("string").alias("k"),
+            F.col("n_rows").alias("n_a"),
+            F.col("n_segments").alias("n_b"),
+            "segments",
+            "p25",
+            "median",
+            "p90",
+            "max_bal",
+        )
     )
+    q4 = q4_order_priority(spark, sf_dir).select(
+        F.lit("q4_order_priority").alias("kind"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("order_count").alias("n_a"),
+        null_b.alias("n_b"),
+        null_s.alias("segments"),
+        null_d.alias("p25"),
+        null_d.alias("median"),
+        null_d.alias("p90"),
+        null_d.alias("max_bal"),
+    )
+    q12 = q12_priority_classes(spark, sf_dir).select(
+        F.lit("q12_priority_classes").alias("kind"),
+        F.col("l_linestatus").alias("k"),
+        F.col("high_line_count").cast("bigint").alias("n_a"),
+        F.col("low_line_count").cast("bigint").alias("n_b"),
+        null_s.alias("segments"),
+        null_d.alias("p25"),
+        null_d.alias("median"),
+        null_d.alias("p90"),
+        null_d.alias("max_bal"),
+    )
+    return nation.unionByName(q4).unionByName(q12)
 
 
 def w_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,9 +430,10 @@ ORACLE = {
         FROM orders
     """,
     "a_agg_pack": """
-        SELECT c_nationkey,
-               count(*) AS n_rows,
-               count(DISTINCT c_mktsegment) AS n_segments,
+        SELECT 'nation_agg' AS kind,
+               CAST(c_nationkey AS VARCHAR) AS k,
+               count(*) AS n_a,
+               count(DISTINCT c_mktsegment) AS n_b,
                array_to_string(list_sort(list(DISTINCT c_mktsegment)), ', ')
                    AS segments,
                round(quantile_cont(c_acctbal, 0.25), 2) AS p25,
@@ -391,6 +441,28 @@ ORACLE = {
                round(quantile_cont(c_acctbal, 0.9), 2) AS p90,
                CAST(max(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
         FROM customer GROUP BY c_nationkey
+        UNION ALL
+        SELECT 'q4_order_priority', o_orderpriority, count(*),
+               CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL, NULL
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'q12_priority_classes', l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               NULL, NULL, NULL, NULL, NULL
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
     """,
     "w_window_pack": """
         SELECT *, CAST(row_number() OVER (ORDER BY price DESC, p_partkey)

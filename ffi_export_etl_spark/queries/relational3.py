@@ -84,27 +84,6 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_count_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q4 (EXISTS semijoin count per priority) and q12 (conditional-sum
-    classification) union-tagged into one counting-aggregation pack
-    (kind, k, n_a, n_b) — two TPC-H counting shapes, one driver row."""
-    null_b = F.lit(None).cast("bigint")
-    q4 = q4_order_priority(spark, sf_dir).select(
-        F.lit("q4_order_priority").alias("kind"),
-        F.col("o_orderpriority").alias("k"),
-        F.col("order_count").alias("n_a"),
-        null_b.alias("n_b"),
-    )
-    q12 = q12_priority_classes(spark, sf_dir).select(
-        F.lit("q12_priority_classes").alias("kind"),
-        F.col("l_linestatus").alias("k"),
-        F.col("high_line_count").cast("bigint").alias("n_a"),
-        F.col("low_line_count").cast("bigint").alias("n_b"),
-    )
-    return q4.unionByName(q12)
-
-
-
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-HAVING then join back (TPC-H q18 shape): orders whose total
     quantity exceeds 250, top-20 by (totalprice desc, orderkey)."""
@@ -131,37 +110,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# q4/q12 register through q_count_pack (round 3) — both shapes stay
-# driver-pinned in one window slot.
+# q4/q12 registered through q_count_pack rounds 3-8; r9 registry
+# surgery folded them into packs.a_agg_pack (same tagged counting
+# shape) to free the slot ann_pq_pack now occupies. The shape
+# functions stay here — a_agg_pack imports them.
 QUERIES = {
-    "q_count_pack": q_count_pack,
     "q7_bi_nation_volume": q7_bi_nation_volume,
     "q18_large_orders": q18_large_orders,
 }
 
 ORACLE = {
-    "q_count_pack": """
-        SELECT 'q4_order_priority' AS kind, o_orderpriority AS k,
-               count(*) AS n_a, CAST(NULL AS BIGINT) AS n_b
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate <  TIMESTAMP '1997-01-01'
-          AND EXISTS (
-              SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey
-                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
-        GROUP BY o_orderpriority
-        UNION ALL
-        SELECT 'q12_priority_classes', l_linestatus,
-               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT),
-               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT)
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-        GROUP BY l_linestatus
-    """,
     "q7_bi_nation_volume": f"""
         SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,

@@ -367,52 +367,60 @@ def _pcasem_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both cell-probed IVF variants, the PCA->SemDeDup chain, and the
-    product-quantization ADC search union-tagged into one driver row
-    (registry-slot fold, precedent: samp_pack): 'ivf' probes the given
-    label cells, 'kmeans' probes deterministic Lloyd cells over
-    unlabeled data, 'pcasem' (r6) projects embeddings onto a fixed
-    literal PCA basis and reports within-grid-cell semantic near-dup
-    pairs, 'pq' (r6) encodes the corpus against fixed literal codebooks
-    and ranks by ADC lookup-sum distance (operators/pq.py), 'ivfpq'
-    (r7) composes the coarse-prune -> ADC serving path over the same
-    codebooks + fixed literal coarse centroids, 'ivfpq_rr' (r8) pins
-    the FULL composed IVFADC+R serving stack — coarse prune -> ADC
-    shortlist -> exact re-rank (operators/pq.ivfpq_topk_rerank), the
-    shape a billion-vector deployment actually runs, and 'opq' (r8)
-    pins the OPQ serving composition — plan-literal rotate
-    (reduce_embeddings fold, fixed OPQ-P signed permutation) -> encode
-    -> ADC in the rotated space. Same (query_id,
-    nbr_id, cos, rnk) grain — 'pcasem' carries the cell id in rnk,
-    'pq'/'ivfpq' carry the ascending ADC distance in cos,
-    'rerank'/'ivfpq_rr' the exact squared L2; each arm's oracle is
-    unchanged, just tagged.
+    """Both cell-probed IVF variants and the PCA->SemDeDup chain
+    union-tagged into one driver row (registry-slot fold, precedent:
+    samp_pack): 'ivf' probes the given label cells, 'kmeans' probes
+    deterministic Lloyd cells over unlabeled data, 'pcasem' (r6)
+    projects embeddings onto a fixed literal PCA basis and reports
+    within-grid-cell semantic near-dup pairs. Same (query_id, nbr_id,
+    cos, rnk) grain — 'pcasem' carries the cell id in rnk.
 
-    The three PQ-family arms share ONE encode (review r7): the corpus
-    codes are built once and persisted, each arm's tiny result (<=
-    queries x k rows) is materialized via eager localCheckpoint, and
-    the codes cache is released before returning — three independent
-    arm constructions paid the scan + two encode shuffles three times,
-    and exchange reuse across union branches is not guaranteed under
-    AQE (measured: zero ReusedExchange nodes in the static plan). The
-    cur_pack _incr_arms pattern."""
-    # (the 'pq' arm rides the same grain: cos carries the ADC distance,
-    # ascending — kind disambiguates)
-    from ..operators.pq import pq_encode
-
+    r9 registry surgery (judge item 2): the five product-quantization
+    arms moved to ann_pq_pack — eight arms in one row cost ~24s of
+    warm materialization per gate pass, dominating the sweep; the two
+    packs now split the cell-probe family from the PQ codec family at
+    roughly equal cost. The freed registry slot came from folding
+    q_count_pack into a_agg_pack."""
     ivf = ann_topk_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("kind"), "*"
     )
     km = ann_topk_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("kind"), "*"
     )
+    return ivf.unionByName(km).unionByName(_pcasem_arm(spark, sf_dir))
+
+
+def ann_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-quantization serving family union-tagged into one
+    driver row (split out of ann_cell_pack, r9): 'pq' (r6) encodes the
+    corpus against fixed literal codebooks and ranks by ADC lookup-sum
+    distance (operators/pq.py), 'ivfpq' (r7) composes the coarse-prune
+    -> ADC serving path over the same codebooks + fixed literal coarse
+    centroids, 'rerank' (r7) cuts the exhaustive-ADC shortlist and
+    re-scores with the exact squared L2, 'ivfpq_rr' (r8) pins the FULL
+    composed IVFADC+R serving stack — coarse prune -> ADC shortlist ->
+    exact re-rank (operators/pq.ivfpq_topk_rerank), the shape a
+    billion-vector deployment actually runs, and 'opq' (r8) pins the
+    OPQ serving composition — plan-literal rotate (reduce_embeddings
+    fold, fixed OPQ-P signed permutation) -> encode -> ADC in the
+    rotated space. Same (query_id, nbr_id, cos, rnk) grain —
+    'pq'/'ivfpq' carry the ascending ADC distance in cos,
+    'rerank'/'ivfpq_rr' the exact squared L2; each arm's oracle is
+    unchanged, just tagged.
+
+    The ADC-family arms share ONE encode (review r7): the corpus codes
+    are built once and persisted, each arm's tiny result (<= queries x
+    k rows) is materialized via eager localCheckpoint, and the codes
+    cache is released before returning — independent arm constructions
+    paid the scan + two encode shuffles per arm, and exchange reuse
+    across union branches is not guaranteed under AQE (measured: zero
+    ReusedExchange nodes in the static plan). The coarse cell map is
+    likewise shared by the two IVF+PQ arms (review r8)."""
+    from ..operators.pq import pq_encode
+
     e = load_table(spark, sf_dir, "embeddings")
     cb = _pq_codebooks_df(spark)
     codes = pq_encode(e, cb, DIM, m=PQ_M).persist()
-    # the coarse cell map (corpus x literal-centroids assignment scan)
-    # is shared by the two IVF+PQ arms the same way codes are shared by
-    # all four PQ arms — review r8: two independent _ivfpq_coarse calls
-    # re-ran the assignment per arm per gate pass
     cents, cells = _ivfpq_coarse(spark, e)
     cells = cells.persist()
     try:
@@ -432,10 +440,7 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.unpersist()
         cells.unpersist()
     return (
-        ivf.unionByName(km)
-        .unionByName(_pcasem_arm(spark, sf_dir))
-        .unionByName(pq_rows)
-        .unionByName(ivfpq_rows)
+        pq_rows.unionByName(ivfpq_rows)
         .unionByName(rerank_rows)
         .unionByName(ivfpq_rr_rows)
         .unionByName(opq_rows)
@@ -446,6 +451,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_cell_pack": ann_cell_pack,
+    "ann_pq_pack": ann_pq_pack,
     "ann_label_centroids": ann_label_centroids,
 }
 
@@ -869,7 +875,8 @@ ORACLE = {
         SELECT 'kmeans' AS kind, * FROM ({_kmeans_sql()})
         UNION ALL
         SELECT 'pcasem' AS kind, * FROM ({_pcasem_sql()})
-        UNION ALL
+    """,
+    "ann_pq_pack": f"""
         SELECT 'pq' AS kind, * FROM ({_pq_sql()})
         UNION ALL
         SELECT 'ivfpq' AS kind, * FROM ({_ivfpq_sql()})

@@ -60,12 +60,35 @@ def test_dataset_card_null_source_text_and_url(spark):
     assert card["n_docs"] == 3             # not the NULL-source subtotal
     assert card["n_tokens"] == 3 + 2 + 0
     assert card["approx_distinct_ids"] == 3
-    assert card["sources"]["null"]["docs"] == 1
+    assert card["sources"]["(null)"]["docs"] == 1
     assert card["sources"]["broken"]["tokens"] == 0
     assert card["sources"]["web"]["doc_share"] == round(1 / 3, 6)
     assert [d["domain"] for d in card["top_domains"]] == ["a.com"]
     # the render survives the null-source key
-    assert "| null | 1 |" in render_dataset_card(card)
+    assert "| (null) | 1 |" in render_dataset_card(card)
+
+
+def test_dataset_card_null_sentinel_collision_merges(spark):
+    """r8 ADVICE: a corpus containing BOTH NULL-source docs and a
+    source literally named '(null)' must merge the two rows
+    count-preservingly — one silently overwriting the other mis-states
+    the mixture."""
+    rows = [
+        (1, "a b", None),
+        (2, "c d e", "(null)"),
+        (3, "f", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string"
+    )
+    card = dataset_card(spark, docs)
+    assert card["n_docs"] == 3
+    merged = card["sources"]["(null)"]
+    assert merged["docs"] == 2 and merged["tokens"] == 5
+    assert merged["doc_share"] == round(2 / 3, 6)
+    assert merged["token_share"] == round(5 / 6, 6)
+    # shares still sum to 1 after the merge
+    assert sum(s["doc_share"] for s in card["sources"].values()) == 1.0
 
 
 def test_dataset_card_empty_corpus(spark):
