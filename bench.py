@@ -49,18 +49,24 @@ BENCH_QUERIES = [
 
 LOADAVG_GATE = 4.0  # r5 judge item 3: don't snapshot BENCH under load
 LOADAVG_WAIT_SEC = 90
-# r7 judge item 7: host load dominated cross-round deltas twice (same-
-# day same-code med3 13.2 vs 16.1 under loadavg 0.14 vs 5.2). The
-# start-of-run gate can't see load arriving MID-run, so every query now
-# records the 1-min loadavg after it finishes and the JSON carries a
-# mechanical `noisy` flag when any mid-run reading exceeds this
-# threshold — round-over-round comparisons can discard contaminated
-# snapshots without forensics. Calibration: the bench's OWN work lifts
-# the 1-min average to ~4-6 by the tail of a quiet-host run (local[32],
-# ~90s of short bursts; measured r8), so the threshold sits above the
-# self-load ceiling — it catches a co-running build/test sweep (which
-# adds 5-10), not the bench itself.
-MIDRUN_LOADAVG_NOISY = 9.0
+# r7 judge item 7 -> r9 redesign: host load dominated cross-round
+# deltas twice (same-day same-code med3 13.2 vs 16.1 under loadavg
+# 0.14 vs 5.2), so r8 added a mid-run loadavg threshold — but loadavg
+# cannot attribute load, and the bench's OWN heavy packs legitimately
+# push the 1-min average past any fixed threshold on a 32-core host
+# (r8 calibrated the self-load ceiling at ~6.5; the very next
+# quiet-host run hit 9.7 during cur_train_pack and self-flagged). The
+# mid-run criterion is now CPU attribution from /proc: snapshot every
+# user process's cumulative CPU jiffies at run start and end, and
+# charge the delta of processes OUTSIDE this bench's process tree
+# (python driver + Spark JVM + pyspark worker daemons; reaped
+# children roll into their parents' cutime/cstime so short-lived
+# workers stay attributed) as foreign work. A snapshot is `noisy` when
+# foreign work averages >= this many full cores across the run — a
+# co-running build/test sweep burns 10-30 cores, idle-host daemons
+# burn ~0.01. The per-query 1-min loadavg is still recorded for
+# context; it just no longer decides the flag.
+OTHER_CPU_NOISY_CORES = 2.0
 
 
 def _load_gate() -> list[float]:
@@ -83,6 +89,65 @@ def _load_gate() -> list[float]:
                 file=sys.stderr,
             )
     return readings
+
+
+def proc_cpu_snapshot() -> tuple[dict[int, int], set[int]]:
+    """(pid -> cumulative CPU jiffies incl. reaped children, pids in
+    THIS process's tree). Kernel threads (PF_KTHREAD in the stat flags
+    — NOT the empty-cmdline heuristic, which also matches zombies
+    whose unreaped CPU time must stay visible) are excluded entirely:
+    their IO/flush work is mostly caused by the bench itself and must
+    not count as foreign."""
+    me = os.getpid()
+    pf_kthread = 0x00200000
+    ppid: dict[int, int] = {}
+    times: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced with process exit
+        # comm may contain spaces/parens: parse after the LAST ')'
+        rest = s[s.rindex(")") + 2:].split()
+        if int(rest[6]) & pf_kthread:
+            continue  # kernel thread (flags field; zombies keep 0)
+        pid = int(d)
+        ppid[pid] = int(rest[1])
+        # utime + stime + cutime + cstime (fields 14-17)
+        times[pid] = sum(int(rest[i]) for i in (11, 12, 13, 14))
+    tree: set[int] = set()
+    for pid in times:
+        p, seen = pid, set()
+        while p > 1 and p not in seen:
+            if p == me:
+                tree.add(pid)
+                break
+            seen.add(p)
+            p = ppid.get(p, 0)
+    return times, tree
+
+
+def foreign_cpu_sec(
+    t0: tuple[dict[int, int], set[int]],
+    t1: tuple[dict[int, int], set[int]],
+) -> float:
+    """CPU seconds burned during the run by processes outside the
+    bench's tree at either snapshot (a worker that joins or leaves the
+    tree mid-run is never charged as foreign). Pid reuse clamps at the
+    end-snapshot value."""
+    times0, tree0 = t0
+    times1, tree1 = t1
+    clk = os.sysconf("SC_CLK_TCK")
+    total = 0
+    for pid, after in times1.items():
+        if pid in tree0 or pid in tree1:
+            continue
+        before = times0.get(pid, 0)
+        total += after - before if after >= before else after
+    return total / clk
 
 
 REGRESSION_RATIO = 1.25  # warm-med3 worse than this = flagged regression
@@ -251,6 +316,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     loadavg = _load_gate()
+    cpu0 = proc_cpu_snapshot()
+    wall0 = time.perf_counter()
     spark = get_spark(app_name="ffi-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -380,13 +447,18 @@ def main() -> None:
     out["text_langfp_pack"] = langfp_sec
     out["loadavg_1m"] = loadavg
     out["loadavg_per_query"] = la_mid
-    # mechanical contamination flag (see MIDRUN_LOADAVG_NOISY): true
-    # when the host was loaded at the (post-wait) start gate or any
-    # mid-run reading crossed the threshold — consumers can discard
-    # noisy snapshots from round-over-round comparisons outright
+    # mechanical contamination flag (see OTHER_CPU_NOISY_CORES): true
+    # when the host was loaded at the (post-wait) start gate or when
+    # foreign processes burned a sustained multi-core share of CPU
+    # during the run — consumers can discard noisy snapshots from
+    # round-over-round comparisons outright
+    wall = time.perf_counter() - wall0
+    other_sec = foreign_cpu_sec(cpu0, proc_cpu_snapshot())
+    out["cpu_foreign_sec"] = round(other_sec, 1)
+    out["cpu_foreign_cores_avg"] = round(other_sec / wall, 3) if wall else 0.0
     out["noisy"] = bool(
         loadavg[-1] >= LOADAVG_GATE
-        or any(v >= MIDRUN_LOADAVG_NOISY for v in la_mid.values())
+        or other_sec >= OTHER_CPU_NOISY_CORES * wall
     )
     # Sidecar LAST in key order: the driver's BENCH_r{N}.json capture
     # keeps only the tail of stdout, so a truncated result line must

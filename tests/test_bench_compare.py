@@ -161,6 +161,46 @@ def test_load_snapshot_passthrough_shapes(tmp_path):
     assert out["per_query"] == {}
 
 
+def test_cpu_attribution_tree_vs_foreign():
+    """r9 noisy-flag redesign: CPU burned inside the bench's own
+    process tree must NOT count as foreign; CPU burned by an orphaned
+    (out-of-tree) process must. Loadavg could not make this
+    distinction — the bench's own heavy packs tripped the r8
+    threshold on a quiet host."""
+    import os
+    import subprocess
+    import time
+
+    from bench import foreign_cpu_sec, proc_cpu_snapshot
+
+    t0 = proc_cpu_snapshot()
+    assert os.getpid() in t0[1]
+
+    # burn ~0.5s of CPU in a CHILD (in-tree at both snapshots)
+    subprocess.run(
+        ["python", "-c",
+         "import time;t=time.time()\nwhile time.time()-t<0.5: pass"],
+        check=True,
+    )
+    t1 = proc_cpu_snapshot()
+    own_burn_foreign = foreign_cpu_sec(t0, t1)
+    # daemons may tick a little; the 0.5s child burn must not appear
+    assert own_burn_foreign < 0.3
+
+    # burn ~1s of CPU in an ORPHAN (setsid + parent exits -> reparented
+    # out of our tree): must be charged as foreign
+    subprocess.run(
+        ["bash", "-c",
+         "setsid python -c 'import time\n"
+         "t=time.time()\n"
+         "while time.time()-t<1.0: pass' </dev/null >/dev/null 2>&1 &"],
+        check=True,
+    )
+    time.sleep(1.3)
+    t2 = proc_cpu_snapshot()
+    assert foreign_cpu_sec(t1, t2) > 0.5
+
+
 def test_zero_old_timing_yields_null_ratio():
     out = compare_snapshots(
         _snap({"a": 0.0}, noisy=False), _snap({"a": 1.0}, noisy=False)
