@@ -309,7 +309,7 @@ def span_digest_store(
     """(key) — the persistable DISTINCT window-digest index of a corpus,
     the span-grain member of the engine's signature-store family
     (exact / minhash / simhash / sign-LSH stores). At scale write it
-    bucketed on ``key`` (streaming/dedup.compact_store) so the daily
+    bucketed on ``key`` (streaming/dedup.compact_signature_store) so the daily
     increment join co-locates without shuffling the stored side; the
     stored corpus is never re-windowed."""
     return (

@@ -24,7 +24,7 @@ re-reading or re-curating the accumulated corpus.
 
 Cost is proportional to the ARRIVAL, not the corpus: the stored side
 contributes one bucket/digest join per family (bucketed store tables
-co-locate it — see streaming/dedup.compact_store) and is never
+co-locate it — see streaming/dedup.compact_signature_store) and is never
 re-sketched. The keeper policy matches the batch pipeline: a new doc
 near-dup to ANY stored doc loses (the stored copy is the canonical one);
 within the new batch, min id wins. Store deltas carry only surviving
@@ -89,7 +89,8 @@ def curate_increment(
     with scrubbed text. ``minhash_store`` must be the sig-carrying store
     (minhash_signature_store_with_sigs).
     ``exact_delta`` / ``minhash_delta``: the store rows for the
-    survivors; append them (or feed streaming/dedup.compact_store) so
+    survivors; append them (folded nightly by streaming/dedup.
+    compact_signature_store) so
     tomorrow's increment sees today's corpus.
 
     ``input_html`` / ``c4_line_clean`` / ``gopher_rules`` mirror the

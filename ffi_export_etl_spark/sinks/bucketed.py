@@ -21,8 +21,18 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 16,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (optionally sorted) catalog table."""
+    """Persist ``df`` as a bucketed (optionally sorted) catalog table.
+
+    ``path``: write an EXTERNAL table whose parquet data lives at the
+    given location instead of inside the session warehouse. The catalog
+    entry then carries only the bucket metadata — a consumer whose
+    metastore cannot resolve the table (different working directory ->
+    different derby metastore_db) can still read the location as plain
+    parquet, trading bucket co-location for correctness (the
+    signature-store folds ride this: the store root stays
+    self-contained)."""
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -30,6 +40,8 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

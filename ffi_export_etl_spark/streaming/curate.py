@@ -17,8 +17,9 @@ streaming/dedup.py — a replayed micro-batch overwrites its own
 execute serially so each joins exactly the stores its predecessors
 wrote. Compact the stores between sessions with
 dedup.compact_signature_store (generation-aware: the daemon reads the
-folded bucketed table + post-fold batch dirs back transparently);
-dedup.compact_store remains the one-shot snapshot form.
+folded bucketed generation + post-fold batch dirs back
+transparently); since r9 it is the ONE fold path (the one-shot
+compact_store snapshot sibling is gone).
 
 Small-file story (r6): the kept corpus accumulates one parquet dir per
 micro-batch per drain — a cron-driven daemon would grow thousands of
@@ -72,13 +73,19 @@ def _kept_max_id(spark: SparkSession, kept_path: str) -> int | None:
         # names, which Spark 4 raises eagerly at partition discovery as
         # SparkRuntimeException CONFLICTING_PARTITION_COLUMN_NAMES (the
         # root shape nightly compaction plus a fresh drain produces;
-        # caught by the daily-ops lifecycle test). The max SCAN below
-        # stays OUTSIDE the guard: on a dir-listing-blind root (hdfs://,
-        # s3a://) the scan is the ONLY id source, and swallowing a
-        # genuine runtime failure there would restart the base at 0 and
-        # overwrite existing batch dirs (review r8s2).
+        # caught by the daily-ops lifecycle test). ONLY that condition
+        # is swallowed (r8 ADVICE): on a dir-listing-blind root
+        # (hdfs://, s3a://) the scan is the ONLY id source, so any
+        # other runtime read failure must surface — treating it as
+        # "no store" would restart the base at 0 and overwrite
+        # existing batch dirs. The max SCAN below stays OUTSIDE the
+        # guard for the same reason (review r8s2).
         store = spark.read.parquet(kept_path)
-    except (AnalysisException, SparkRuntimeException):
+    except AnalysisException:
+        store = None
+    except SparkRuntimeException as e:
+        if e.getCondition() != "CONFLICTING_PARTITION_COLUMN_NAMES":
+            raise
         store = None
     if store is not None and "batch_id" in store.columns:
         top = store.select(F.max("batch_id")).first()[0]
@@ -220,9 +227,9 @@ def streaming_curate(
         roots.append(span_store_path)
         names.append("span")
     if on_existing_store == "continue":
-        # the kept root needs the generation-aware probe (the stores are
-        # never compacted in place — compact_store writes a separate
-        # bucketed table — so their plain batch_id scan stays correct)
+        # the kept root needs the generation-aware probe; the stores'
+        # folds keep a _session_base-visible sidecar max, so their
+        # plain batch_id scan stays correct
         bases = {
             root: _session_base(
                 spark, checkpoint, name, root,

@@ -64,7 +64,45 @@ def _folded_meta(spark: SparkSession, store_path: str) -> dict | None:
     row = spark.read.json(
         os.path.join(folded_dir, f"gen={gens[-1]}")
     ).first()
-    return {"table": row["table"], "max_batch_id": int(row["max_batch_id"])}
+    return {
+        "table": row["table"],
+        "max_batch_id": int(row["max_batch_id"]),
+        # the generation's parquet data under the store root (r9: the
+        # store is self-contained; the catalog table is derived bucket
+        # metadata). Derived, not recorded — relocating the store root
+        # keeps the reference valid. r8 folds predate the data dir; for
+        # them only the table resolves.
+        "location": os.path.join(
+            store_path, "_folded_data", f"gen={gens[-1]}"
+        ),
+    }
+
+
+def _read_folded(spark: SparkSession, meta: dict) -> DataFrame:
+    """Rows of the folded generation. Prefers the bucketed catalog
+    table (join co-location), but the table is DERIVED metadata: the
+    sidecar's generation data lives under <store>/_folded_data, so a
+    session whose metastore cannot resolve the recorded name (derby
+    metastore_db is working-directory-dependent; a drain daemon or
+    curate-maintain launched from another cwd, or after a metastore
+    reset) still reads the store correctly — it just pays the join
+    shuffle the bucket metadata would have avoided. Raises only when
+    BOTH the table and the data location are unreadable (a genuinely
+    corrupt store must surface, not read as empty)."""
+    try:
+        return spark.table(meta["table"])
+    except AnalysisException:
+        try:
+            return spark.read.parquet(meta["location"])
+        except AnalysisException as e:
+            raise ValueError(
+                f"folded store generation unreadable: table "
+                f"{meta['table']!r} is not in this session's catalog "
+                f"and no parquet data at {meta['location']!r} (an r8 "
+                f"fold's data lives only in the original session's "
+                f"warehouse — re-run compact_signature_store from the "
+                f"owning working directory to migrate it)"
+            ) from e
 
 
 def _read_store(
@@ -114,7 +152,7 @@ def _read_store(
                 f"original checkpoint or use on_existing_store="
                 f"'continue'"
             )
-        folded = spark.table(meta["table"]).select(*cols)
+        folded = _read_folded(spark, meta).select(*cols)
         try:
             tail = spark.read.parquet(store_path)
         except AnalysisException:  # every dir consumed by the fold
@@ -140,7 +178,7 @@ def store_row_count(spark: SparkSession, store_path: str) -> int:
     under-counts a folded store (the consumed dirs live in the table)
     — the CLI summary bug this helper replaces."""
     meta = _folded_meta(spark, store_path)
-    total = 0 if meta is None else spark.table(meta["table"]).count()
+    total = 0 if meta is None else _read_folded(spark, meta).count()
     try:
         tail = spark.read.parquet(store_path)
     except AnalysisException:
@@ -312,55 +350,41 @@ def _store_bucket_cols(cols: list[str]) -> list[str]:
     return [c for c in cols if c != "id"]
 
 
-def compact_store(
-    spark: SparkSession,
-    store_path: str,
-    table: str,
-    num_buckets: int = 64,
-) -> None:
-    """One-shot form: the whole store dir -> ONE bucketed catalog table
-    on the store's join key, so the daily increment join co-locates
-    without shuffling the stored side. batch_id is dropped — the store's
-    identity is its signature rows. The table is a SNAPSHOT the caller
-    owns (seed a fresh store dir from it, or join it via bucketed_join);
-    the store dir itself is untouched. For the maintained form the
-    curate daemon reads back transparently across sessions, use
-    :func:`compact_signature_store`."""
-    from ..sinks.bucketed import write_bucketed
-
-    store = spark.read.parquet(store_path)
-    cols = [c for c in store.columns if c != "batch_id"]
-    write_bucketed(
-        store.select(*cols), table, _store_bucket_cols(cols), num_buckets
-    )
-
-
 def compact_signature_store(
     spark: SparkSession,
     store_path: str,
     table: str,
     num_buckets: int = 64,
 ) -> dict:
-    """Between-sessions maintenance for a streaming-grown signature
-    store (nightly, like curate.compact_kept for the kept corpus): fold
-    the committed ``batch_id=N`` dirs — plus the previous folded
-    generation — into ONE bucketed catalog table on the family's join
-    key, then remove the consumed dirs. File count stays
-    O(num_buckets + batches-since-last-fold) instead of O(total
+    """THE between-sessions maintenance for a streaming-grown signature
+    store (nightly, like curate.compact_kept for the kept corpus; the
+    one-shot ``compact_store`` sibling was removed in r9 — it wrote a
+    snapshot table the daemon could not read back, a second
+    half-orphaned fold path): fold the committed ``batch_id=N`` dirs —
+    plus the previous folded generation — into ONE bucketed generation
+    on the family's join key, then remove the consumed dirs. File count
+    stays O(num_buckets + batches-since-last-fold) instead of O(total
     batches), and the fold is transparent to the daemon: ``_read_store``
-    reads the newest committed generation table unioned with the dirs
+    reads the newest committed generation unioned with the dirs
     written after it, and a ``continue``-mode session base stays
     monotone via the sidecar max.
 
-    Generation discipline (the window-sink rules, with catalog tables as
-    generations): each fold writes a VERSIONED table ``<table>_g<max>``
-    and commits it via a JSON sidecar ``<store>/_folded/gen=<max>/``
-    (_SUCCESS marker = committed, same as events._sink_ids). A fold that
-    crashes after the table write but before the sidecar commit leaves
-    the old view intact (orphan tables are GC'd on the next run); a
-    crash after the commit but before cleanup leaves consumed dirs <=
-    the folded max, which the reader rule already excludes and the next
-    fold removes. No transaction log needed.
+    Generation discipline (the window-sink rules): each fold writes its
+    parquet data UNDER THE STORE ROOT at ``<store>/_folded_data/
+    gen=<max>/`` with an EXTERNAL bucketed catalog table
+    ``<table>_g<max>`` over it, and commits via a JSON sidecar
+    ``<store>/_folded/gen=<max>/`` (_SUCCESS marker = committed, same
+    as events._sink_ids). The catalog entry is DERIVED bucket metadata:
+    derby's metastore_db resolves relative to the launch directory, so
+    a reader in another working directory (or after a metastore reset)
+    falls back to the location read — the store root is always
+    self-contained (r8 ADVICE; r8's managed tables put the only copy of
+    the folded rows inside the session warehouse). A fold that crashes
+    after the data/table write but before the sidecar commit leaves the
+    old view intact (orphan tables and data dirs are GC'd on the next
+    run); a crash after the commit but before cleanup leaves consumed
+    dirs <= the folded max, which the reader rule already excludes and
+    the next fold removes. No transaction log needed.
 
     Only COMMITTED batch dirs fold (a crashed batch write has no
     _SUCCESS and will be overwritten by the stream's replay — freezing
@@ -410,10 +434,12 @@ def compact_signature_store(
             shutil.rmtree(loc, ignore_errors=True)
 
     folded_dir = os.path.join(store_path, "_folded")
+    data_root = os.path.join(store_path, "_folded_data")
     gens = sorted(_sink_ids(folded_dir, "gen", committed_only=True))
     cur = gens[-1] if gens else -1
-    # GC: uncommitted/stale sidecars and their tables, plus orphan
-    # tables from a fold that crashed BEFORE its sidecar write started
+    cur_meta = _folded_meta(spark, store_path)
+    # GC: uncommitted/stale sidecars, their tables AND their data dirs,
+    # plus orphan tables from a fold that crashed BEFORE its sidecar write started
     # (table exists, no sidecar dir at all)
     for g in _sink_ids(folded_dir, "gen"):
         if g != cur:
@@ -421,15 +447,27 @@ def compact_signature_store(
             shutil.rmtree(
                 os.path.join(folded_dir, f"gen={g}"), ignore_errors=True
             )
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            if d.startswith("gen=") and d != f"gen={cur}":
+                shutil.rmtree(
+                    os.path.join(data_root, d), ignore_errors=True
+                )
     # orphan-table scan in the table's OWN database (listTables defaults
     # to the current db, which would miss db-qualified generations)
     db = table.rsplit(".", 1)[0] if "." in table else None
     qual = (lambda n: f"{db}.{n}") if db else (lambda n: n)
     prefix = table.split(".")[-1] + "_g"
-    for t in spark.catalog.listTables(db) if db else spark.catalog.listTables():
-        if t.name.startswith(prefix) and t.name[len(prefix):].isdigit():
-            if int(t.name[len(prefix):]) != cur:
-                _drop_gen_table(qual(t.name))
+    own_tables = [
+        t.name
+        for t in (
+            spark.catalog.listTables(db) if db else spark.catalog.listTables()
+        )
+    ]
+    for name in own_tables:
+        if name.startswith(prefix) and name[len(prefix):].isdigit():
+            if int(name[len(prefix):]) != cur:
+                _drop_gen_table(qual(name))
     eligible = sorted(
         i
         for i in _sink_ids(store_path, "batch_id", committed_only=True)
@@ -448,7 +486,7 @@ def compact_signature_store(
     if not eligible:
         return {
             "generation": cur,
-            "table": _gen_table(table, cur) if cur >= 0 else None,
+            "table": cur_meta["table"] if cur_meta is not None else None,
             "folded_dirs": 0,
         }
     new_gen = eligible[-1]
@@ -456,20 +494,31 @@ def compact_signature_store(
     rows = spark.read.parquet(*paths)
     cols = [c for c in rows.columns if c != "batch_id"]
     rows = rows.select(*cols)
-    if cur >= 0:
-        rows = spark.table(_gen_table(table, cur)).select(*cols).unionByName(
-            rows
-        )
-    if _gen_table(table, new_gen).split(".")[-1] not in [
-        t.name for t in spark.catalog.listTables()
-    ]:
-        _drop_gen_table(_gen_table(table, new_gen))  # orphan location
+    if cur_meta is not None:
+        # prior generation through the SIDECAR's recorded name (a run
+        # with a changed table prefix must fold and GC the generation
+        # it actually recorded, not a reconstructed name — r8 ADVICE),
+        # falling back to the generation's parquet data when this
+        # session's metastore cannot resolve it
+        rows = _read_folded(spark, cur_meta).select(*cols).unionByName(rows)
+    new_table = _gen_table(table, new_gen)
+    if new_table.split(".")[-1] not in own_tables:
+        _drop_gen_table(new_table)  # orphan location (db-aware listing)
+    # the generation's parquet data lives UNDER THE STORE ROOT; the
+    # catalog entry is an EXTERNAL table over it (r8 ADVICE: a managed
+    # table made the folded rows cwd-dependent — derby's metastore_db
+    # resolves relative to the launch dir, so a daemon started
+    # elsewhere lost the whole folded store; now losing the metastore
+    # costs only bucket co-location, never data)
     write_bucketed(
-        rows, _gen_table(table, new_gen), _store_bucket_cols(cols),
+        rows,
+        new_table,
+        _store_bucket_cols(cols),
         num_buckets,
+        path=os.path.join(data_root, f"gen={new_gen}"),
     )
     spark.createDataFrame(
-        [(_gen_table(table, new_gen), new_gen)],
+        [(new_table, new_gen)],
         "table: string, max_batch_id: long",
     ).coalesce(1).write.mode("overwrite").json(
         os.path.join(folded_dir, f"gen={new_gen}")
@@ -477,13 +526,14 @@ def compact_signature_store(
     # consumed inputs are redundant the moment the sidecar committed
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
-    if cur >= 0:
-        _drop_gen_table(_gen_table(table, cur))
+    if cur_meta is not None:
+        _drop_gen_table(cur_meta["table"])
+        shutil.rmtree(cur_meta["location"], ignore_errors=True)
         shutil.rmtree(
             os.path.join(folded_dir, f"gen={cur}"), ignore_errors=True
         )
     return {
         "generation": new_gen,
-        "table": _gen_table(table, new_gen),
+        "table": new_table,
         "folded_dirs": len(paths),
     }

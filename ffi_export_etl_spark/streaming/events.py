@@ -240,7 +240,7 @@ def compact_window_sink(
     inputs it was folding), and deletion order cannot lose or duplicate
     rows for ``read_window_sink``. Returns the current generation id
     (-1 = nothing compacted yet). Also callable between sessions as
-    nightly maintenance, like streaming/dedup.compact_store.
+    nightly maintenance, like streaming/dedup.compact_signature_store.
     """
     import shutil
 
