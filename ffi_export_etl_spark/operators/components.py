@@ -53,6 +53,22 @@ def _persistent_ids(spark) -> set[int]:
         return set()
 
 
+def _ckpt_ids(df: DataFrame) -> set[int]:
+    """RDD ids OWNED by a just-``localCheckpoint()``-ed DataFrame, read
+    directly off its LogicalRDD plan node. This replaces the old
+    global before/after set-diff of _persistent_ids for round GC (r9):
+    the diff form attributed ANY checkpoint that materialized during
+    the window to the round — under concurrent chains (the threaded
+    gate packs run three iterative arms at once) one chain freed a
+    sibling's round blocks and the sibling died with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Exact ownership has no window.
+    Best-effort: empty set on sessions without a JVM plan handle."""
+    try:
+        return {int(df._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:
+        return set()
+
+
 def _free_rdds(spark, ids: set[int]) -> None:
     """Unpersist the given RDD ids NOW (non-blocking). localCheckpoint
     persists each round's RDD; without this, every round's blocks linger
@@ -94,13 +110,12 @@ def connected_components(
     adj = fwd.union(rev).distinct()
     adj.persist()
 
-    seen = _persistent_ids(spark)
     labels = (
         adj.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     ).localCheckpoint()
-    prev_ids = _persistent_ids(spark) - seen
+    prev_ids = _ckpt_ids(labels)
 
     changed = 0
     for _ in range(max_iter):
@@ -109,7 +124,6 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        seen = _persistent_ids(spark)
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
@@ -119,7 +133,7 @@ def connected_components(
                 ).alias("label"),
             )
         ).localCheckpoint()  # materialize + truncate lineage (see module doc)
-        cur_ids = _persistent_ids(spark) - seen
+        cur_ids = _ckpt_ids(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -166,7 +180,6 @@ def connected_components_alternating(
     checksum (count + sum of per-edge md5) — one tiny aggregate.
     """
     spark = edges.sparkSession
-    seen = _persistent_ids(spark)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -175,7 +188,7 @@ def connected_components_alternating(
         )
         .distinct()
     ).localCheckpoint()
-    prev_ids = _persistent_ids(spark) - seen
+    prev_ids = _ckpt_ids(e)
 
     def checksum(df: DataFrame) -> tuple:
         # order-insensitive set fingerprint: count + two independent sums
@@ -239,9 +252,8 @@ def connected_components_alternating(
             )
             .distinct()
         )
-        seen = _persistent_ids(spark)
         e2 = e2.localCheckpoint()  # truncate lineage (see module doc)
-        cur_ids = _persistent_ids(spark) - seen
+        cur_ids = _ckpt_ids(e2)
         cur = checksum(e2)
         # previous round's edge set is dead once e2 is materialized —
         # release its checkpoint blocks instead of waiting on the cleaner

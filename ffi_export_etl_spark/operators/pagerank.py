@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .components import _free_rdds, _persistent_ids
+from .components import _ckpt_ids, _free_rdds
 
 
 def pagerank(
@@ -67,11 +67,10 @@ def pagerank(
         empty = base.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
         base.unpersist()  # nothing cached may outlive the call
         return empty
-    seen = _persistent_ids(spark)
     ranks = base.select(
         "node", "deg", F.lit(1.0 / n).alias("rank")
     ).localCheckpoint()
-    prev_ids = _persistent_ids(spark) - seen
+    prev_ids = _ckpt_ids(ranks)
     for _ in range(iterations):
         # one-row aggregate -> driver scalar: mass parked on dangling
         # nodes this round, redistributed uniformly
@@ -83,7 +82,6 @@ def pagerank(
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("_c"))
         )
-        seen = _persistent_ids(spark)
         ranks = (
             base.join(contribs, "node", "left")
             .select(
@@ -99,7 +97,7 @@ def pagerank(
                 ).alias("rank"),
             )
         ).localCheckpoint()
-        cur_ids = _persistent_ids(spark) - seen
+        cur_ids = _ckpt_ids(ranks)
         _free_rdds(spark, prev_ids)
         prev_ids = cur_ids
     base.unpersist()

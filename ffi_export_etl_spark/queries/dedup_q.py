@@ -293,37 +293,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
         threshold_pct=JACCARD_PCT,
     ).localCheckpoint(eager=True)
-    comp_rows = dedup_clusters(
-        d, pairs.select("id_a", "id_b"), "doc_id"
-    ).select(
-        F.lit("component").alias("arm"),
-        F.col("doc_id").alias("node"),
-        "cluster_id",
-        F.lit(None).cast("double").alias("rank_scaled"),
-    )
     # one-row aggregate -> driver SCALAR (n_docs feeds the edge moduli
     # and the rank scaling) — bounded, never data-sized, the same
     # contract as pagerank's own per-round dangling-mass collect; a
     # crossJoin scalar attach would put a BroadcastNestedLoopJoin in a
     # plan the no-theta-join hygiene test pins clean
     n_docs = d.count()
-    edges = d.filter(F.col("doc_id") % 3 != 0).select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * 7 + 1) % n_docs).alias("dst"),
-    ).unionAll(
-        d.filter(F.col("doc_id") % 3 == 1).select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 13 + 3) % n_docs).alias("dst"),
+
+    # The three arms are independent chains over the already-hot
+    # checkpointed pair set (and d's cached scan), and each runs a
+    # DRIVER-PACED iterative loop (contraction rounds / pagerank
+    # rounds) whose per-round jobs underfill the cluster — so they run
+    # on a thread pool (the cur_train_pack / ann_pq_pack precedent;
+    # measured 17 -> see PERFORMANCE.md r9). The shared inputs are
+    # materialized BEFORE the threads start (pairs is an eager
+    # checkpoint above, n_docs counted here), so no concurrent
+    # first-touch can recompute them.
+    def _comp():
+        return dedup_clusters(
+            d, pairs.select("id_a", "id_b"), "doc_id"
+        ).select(
+            F.lit("component").alias("arm"),
+            F.col("doc_id").alias("node"),
+            "cluster_id",
+            F.lit(None).cast("double").alias("rank_scaled"),
         )
-    )
-    pr_rows = pagerank(
-        edges, iterations=PR_ITERS, damping=PR_DAMPING
-    ).select(
-        F.lit("pagerank").alias("arm"),
-        "node",
-        F.lit(None).cast("bigint").alias("cluster_id"),
-        F.round(F.col("rank") * n_docs, 6).alias("rank_scaled"),
-    )
+
+    def _pr():
+        edges = d.filter(F.col("doc_id") % 3 != 0).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 1) % n_docs).alias("dst"),
+        ).unionAll(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 13 + 3) % n_docs).alias("dst"),
+            )
+        )
+        return pagerank(
+            edges, iterations=PR_ITERS, damping=PR_DAMPING
+        ).select(
+            F.lit("pagerank").alias("arm"),
+            "node",
+            F.lit(None).cast("bigint").alias("cluster_id"),
+            F.round(F.col("rank") * n_docs, 6).alias("rank_scaled"),
+        )
+
     # 'incr' rows (r8): the INCREMENT is what a 100 TB dedup store
     # actually runs — you never recontract history. Split the near-dup
     # edges deterministically in two, cluster batch 1, fold batch 2
@@ -331,20 +345,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components: old labels re-enter as depth-1 star edges); the
     # oracle is the FULL recompute over the union, which the increment
     # must equal exactly.
-    p1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
-    p2 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
-    stored = dedup_clusters(d, p1.select("id_a", "id_b"), "doc_id").select(
-        F.col("doc_id").alias("id"),
-        F.col("cluster_id").alias("component"),
-    )
-    incr_rows = incremental_components(
-        stored, p2.select("id_a", "id_b")
-    ).select(
-        F.lit("incr").alias("arm"),
-        F.col("id").alias("node"),
-        F.col("component").alias("cluster_id"),
-        F.lit(None).cast("double").alias("rank_scaled"),
-    )
+    def _incr():
+        p1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+        p2 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+        stored = dedup_clusters(
+            d, p1.select("id_a", "id_b"), "doc_id"
+        ).select(
+            F.col("doc_id").alias("id"),
+            F.col("cluster_id").alias("component"),
+        )
+        return incremental_components(
+            stored, p2.select("id_a", "id_b")
+        ).select(
+            F.lit("incr").alias("arm"),
+            F.col("id").alias("node"),
+            F.col("component").alias("cluster_id"),
+            F.lit(None).cast("double").alias("rank_scaled"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_comp = pool.submit(_comp)
+        f_pr = pool.submit(_pr)
+        f_incr = pool.submit(_incr)
+        comp_rows, pr_rows, incr_rows = (
+            f_comp.result(), f_pr.result(), f_incr.result()
+        )
     return comp_rows.unionByName(pr_rows).unionByName(incr_rows)
 
 

@@ -409,13 +409,22 @@ def ann_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged, just tagged.
 
     The ADC-family arms share ONE encode (review r7): the corpus codes
-    are built once and persisted, each arm's tiny result (<= queries x
-    k rows) is materialized via eager localCheckpoint, and the codes
-    cache is released before returning — independent arm constructions
-    paid the scan + two encode shuffles per arm, and exchange reuse
-    across union branches is not guaranteed under AQE (measured: zero
-    ReusedExchange nodes in the static plan). The coarse cell map is
-    likewise shared by the two IVF+PQ arms (review r8)."""
+    are built once, persisted and MATERIALIZED up front, each arm's
+    tiny result (<= queries x k rows) is materialized via eager
+    localCheckpoint, and the codes cache is released before returning
+    — independent arm constructions paid the scan + two encode
+    shuffles per arm, and exchange reuse across union branches is not
+    guaranteed under AQE (measured: zero ReusedExchange nodes in the
+    static plan). The coarse cell map is likewise shared by the two
+    IVF+PQ arms (review r8). The five arm builds are fully independent
+    once the shared caches are hot, so they run on a thread pool (the
+    cur_train_pack precedent: Spark accepts concurrent job submission
+    from one session, and overlap cuts the row's wall time toward the
+    slowest arm — measured 13.8 -> see PERFORMANCE.md r9). The caches
+    are counted BEFORE the threads start: concurrent first-touch of an
+    unmaterialized persist would recompute the encode per thread."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.pq import pq_encode
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -424,26 +433,33 @@ def ann_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, cells = _ivfpq_coarse(spark, e)
     cells = cells.persist()
     try:
-        pq_rows = _pq_arm(spark, e, cb, codes).localCheckpoint(eager=True)
-        ivfpq_rows = _ivfpq_arm(
-            spark, e, cb, codes, cents, cells
-        ).localCheckpoint(eager=True)
-        rerank_rows = _rerank_arm(spark, e, cb, codes).localCheckpoint(
-            eager=True
-        )
-        ivfpq_rr_rows = _ivfpq_rr_arm(
-            spark, e, cb, codes, cents, cells
-        ).localCheckpoint(eager=True)
-        # own encode over the ROTATED vectors — cannot share `codes`
-        opq_rows = _opq_arm(spark, e, cb).localCheckpoint(eager=True)
+        codes.count()
+        cells.count()
+        builds = {
+            "pq": lambda: _pq_arm(spark, e, cb, codes),
+            "ivfpq": lambda: _ivfpq_arm(spark, e, cb, codes, cents, cells),
+            "rerank": lambda: _rerank_arm(spark, e, cb, codes),
+            "ivfpq_rr": lambda: _ivfpq_rr_arm(
+                spark, e, cb, codes, cents, cells
+            ),
+            # own encode over the ROTATED vectors — cannot share `codes`
+            "opq": lambda: _opq_arm(spark, e, cb),
+        }
+        with ThreadPoolExecutor(max_workers=len(builds)) as pool:
+            futs = {
+                k: pool.submit(lambda fn=fn: fn().localCheckpoint(eager=True))
+                for k, fn in builds.items()
+            }
+            done = {k: f.result() for k, f in futs.items()}
     finally:
         codes.unpersist()
         cells.unpersist()
     return (
-        pq_rows.unionByName(ivfpq_rows)
-        .unionByName(rerank_rows)
-        .unionByName(ivfpq_rr_rows)
-        .unionByName(opq_rows)
+        done["pq"]
+        .unionByName(done["ivfpq"])
+        .unionByName(done["rerank"])
+        .unionByName(done["ivfpq_rr"])
+        .unionByName(done["opq"])
     )
 
 
