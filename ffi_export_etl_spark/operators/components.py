@@ -27,8 +27,18 @@ same truncation, fault-tolerant storage.)
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # the expected py4j-side failure class for the plan probe below
+    from py4j.protocol import Py4JError as _Py4JError
+except Exception:  # pragma: no cover — connect-only installs lack py4j
+    class _Py4JError(Exception):
+        pass
+
+_CKPT_PROBE_WARNED = False
 
 
 def _persistent_ids(spark) -> set[int]:
@@ -62,10 +72,29 @@ def _ckpt_ids(df: DataFrame) -> set[int]:
     gate packs run three iterative arms at once) one chain freed a
     sibling's round blocks and the sibling died with
     CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Exact ownership has no window.
-    Best-effort: empty set on sessions without a JVM plan handle."""
+
+    Best-effort — but NOT silently so: an empty set here disables round
+    GC entirely (checkpoint blocks then accumulate every iteration
+    until the ContextCleaner catches up), so only the two expected
+    probe failures are swallowed — no JVM plan handle (connect-style
+    sessions: AttributeError) or a py4j-side error — and the first
+    failure warns once so a Spark upgrade that stops resolving the
+    analyzed plan to a LogicalRDD is visible instead of a slow memory
+    leak (ADVICE r9)."""
     try:
         return {int(df._jdf.queryExecution().analyzed().rdd().id())}
-    except Exception:
+    except (AttributeError, TypeError, _Py4JError) as e:
+        global _CKPT_PROBE_WARNED
+        if not _CKPT_PROBE_WARNED:
+            _CKPT_PROBE_WARNED = True
+            warnings.warn(
+                "checkpoint-ownership probe failed (%s: %s); iterative "
+                "round GC is disabled — localCheckpoint blocks will "
+                "accumulate until Spark's ContextCleaner collects them"
+                % (type(e).__name__, e),
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return set()
 
 

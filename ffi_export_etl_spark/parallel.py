@@ -1,0 +1,80 @@
+"""Driver-side concurrent job submission on pyspark.InheritableThread.
+
+One shared implementation of the pattern the r8 review mandated
+(plans/batch_driver.py): under PYSPARK_PIN_THREAD (the default since
+Spark 3.2), every plain Python thread that touches py4j pins a JVM
+thread that is only released when InheritableThread's cleanup runs at
+thread exit. A ThreadPoolExecutor keeps its workers alive until pool
+shutdown and never runs that cleanup hook, so each pooled submission
+leaks a pinned JVM thread for the life of the process — a bench
+warm-med3 sweep calling a 5-arm pack 4x leaks ~20 threads, and a
+long-lived session accumulates unboundedly (ADVICE r9). Fresh
+InheritableThreads per call are cheap (the tasks here are multi-second
+Spark jobs) and release their JVM peer on join.
+
+Callers: the threaded gate-pack arm builds (queries/dedup_q.py,
+queries/similarity_q.py, queries/curation_q.py) and the per-table
+upsert fan-out (plans/batch_driver.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, TypeVar
+
+T = TypeVar("T")
+
+
+def run_parallel(
+    tasks: Mapping[str, Callable[[], T]],
+    max_workers: int | None = None,
+    collect_errors: bool = False,
+) -> tuple[dict[str, T], dict[str, BaseException]]:
+    """Run independent zero-arg callables concurrently; return
+    ({key: result}, {key: error}).
+
+    Each worker is a fresh pyspark.InheritableThread so its pinned JVM
+    thread is released on join (see module docstring). With
+    ``max_workers`` unset one thread runs per task (the gate packs
+    submit 2-5 multi-second Spark builds); bounded, the task list is
+    sliced round-robin across ``max_workers`` threads (the batch
+    driver's ~17 upserts on 8 threads).
+
+    ``collect_errors=False`` (default) re-raises the first failure
+    after all threads join — every task still runs to completion or
+    failure, so shared caches are never unpersisted under a live
+    sibling job. ``collect_errors=True`` returns the error map instead
+    (per-item failure isolation, the batch driver's contract). A key
+    absent from BOTH maps means its worker died without reaching it
+    (only possible for later slice items after a BaseException that
+    escaped the per-item catch; callers treating that as failure should
+    check membership, as batch_driver does).
+    """
+    from pyspark import InheritableThread
+
+    keys = list(tasks)
+    n = len(keys)
+    results: dict[str, T] = {}
+    errors: dict[str, BaseException] = {}
+    if n == 0:
+        return results, errors
+    workers = n if max_workers is None else max(1, min(max_workers, n))
+
+    def _slice(start: int) -> None:
+        for i in range(start, n, workers):
+            k = keys[i]
+            try:
+                results[k] = tasks[k]()
+            except BaseException as e:  # noqa: BLE001 — reported per-key
+                errors[k] = e
+
+    threads = [
+        InheritableThread(target=_slice, args=(s,), daemon=True)
+        for s in range(workers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors and not collect_errors:
+        raise next(iter(errors.values()))
+    return results, errors

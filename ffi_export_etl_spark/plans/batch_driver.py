@@ -270,10 +270,11 @@ def process_exports_glob(
     # Python thread that touches py4j pins a JVM thread that is only
     # released when InheritableThread's cleanup runs, so a daemon
     # calling this per arriving glob would leak 8 JVM threads per
-    # batch; review r8). Spark's scheduler interleaves the jobs; the
-    # shared upstream persists are read-only. Failure isolation stays
-    # per-table, exactly as in the serial loop.
-    from pyspark import InheritableThread
+    # batch; review r8, shared helper r10: parallel.run_parallel).
+    # Spark's scheduler interleaves the jobs; the shared upstream
+    # persists are read-only. Failure isolation stays per-table,
+    # exactly as in the serial loop.
+    from ..parallel import run_parallel
 
     work: list[tuple[str, object, tuple[str, ...]]] = []
     for name in list(pipe.tables):
@@ -288,40 +289,30 @@ def process_exports_glob(
             continue
         work.append((target_name, df, keys))
 
-    results: list = [None] * len(work)
+    def _upsert(target_name: str, df, keys) -> int:
+        return parquet_upsert(
+            spark, df, os.path.join(warehouse_dir, target_name),
+            list(keys),
+        )
 
-    def _slice(start: int, step: int) -> None:
-        for i in range(start, len(work), step):
-            target_name, df, keys = work[i]
-            try:
-                results[i] = (target_name, parquet_upsert(
-                    spark, df, os.path.join(warehouse_dir, target_name),
-                    list(keys),
-                ), None)
-            except Exception as e:
-                results[i] = (target_name, None, e)
-
-    n_threads = min(8, max(1, len(work)))
-    threads = [
-        InheritableThread(target=_slice, args=(s, n_threads))
-        for s in range(n_threads)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    for i, res in enumerate(results):
-        if res is None:
-            # a worker died before reaching this item (non-Exception
-            # exit) — the table was never attempted: count it failed so
-            # the ledger records it for the next batch's retry
-            failed.append(work[i][0])
-            continue
-        target_name, n, err = res
-        if err is not None:
-            failed.append(target_name)
+    # Keyed by slot index (a fieldmap could alias two source tables to
+    # one target name); collect_errors keeps per-table failure
+    # isolation, and a key absent from both maps means its worker died
+    # before reaching the item — the table was never attempted, so it
+    # counts failed and the ledger records it for the next batch retry.
+    counts, _errs = run_parallel(
+        {
+            str(i): (lambda t=t, df=df, k=k: _upsert(t, df, k))
+            for i, (t, df, k) in enumerate(work)
+        },
+        max_workers=8,
+        collect_errors=True,
+    )
+    for i, (target_name, _df, _keys) in enumerate(work):
+        if str(i) in counts:
+            loaded[target_name] = counts[str(i)]
         else:
-            loaded[target_name] = n
+            failed.append(target_name)
     audit_log_append(
         spark,
         [

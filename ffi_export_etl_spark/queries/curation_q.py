@@ -177,14 +177,17 @@ def cur_train_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully independent, so they're built on two threads — Spark accepts
     concurrent job submission from one session, and overlapping the
     builds cuts the row's wall time to ~max of the two families."""
-    from concurrent.futures import ThreadPoolExecutor
+    # InheritableThread workers, not a pool: pooled threads never run
+    # the pinned-JVM-thread cleanup (see parallel.run_parallel).
+    from ..parallel import run_parallel
 
     docs = load_table(spark, sf_dir, "documents")
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_incr = pool.submit(_incr_arms, docs)
-        f_bpe = pool.submit(_bpe_arms, spark, docs)
-        incr, incrsig = f_incr.result()
-        bpe_merge, bpe_tok = f_bpe.result()
+    done, _ = run_parallel({
+        "incr": lambda: _incr_arms(docs),
+        "bpe": lambda: _bpe_arms(spark, docs),
+    })
+    incr, incrsig = done["incr"]
+    bpe_merge, bpe_tok = done["bpe"]
     return (
         incr.unionByName(incrsig)
         .unionByName(bpe_merge)

@@ -363,16 +363,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("rank_scaled"),
         )
 
-    from concurrent.futures import ThreadPoolExecutor
+    # InheritableThread workers, not a pool: pooled threads never run
+    # the pinned-JVM-thread cleanup (see parallel.run_parallel).
+    from ..parallel import run_parallel
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_comp = pool.submit(_comp)
-        f_pr = pool.submit(_pr)
-        f_incr = pool.submit(_incr)
-        comp_rows, pr_rows, incr_rows = (
-            f_comp.result(), f_pr.result(), f_incr.result()
-        )
-    return comp_rows.unionByName(pr_rows).unionByName(incr_rows)
+    done, _ = run_parallel({"comp": _comp, "pr": _pr, "incr": _incr})
+    return (
+        done["comp"].unionByName(done["pr"]).unionByName(done["incr"])
+    )
 
 
 # dedup_jaccard_pairs re-entered the registry in round 4: the round-3

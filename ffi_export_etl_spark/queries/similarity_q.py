@@ -423,9 +423,8 @@ def ann_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     slowest arm — measured 13.8 -> see PERFORMANCE.md r9). The caches
     are counted BEFORE the threads start: concurrent first-touch of an
     unmaterialized persist would recompute the encode per thread."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..operators.pq import pq_encode
+    from ..parallel import run_parallel
 
     e = load_table(spark, sf_dir, "embeddings")
     cb = _pq_codebooks_df(spark)
@@ -445,12 +444,12 @@ def ann_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             # own encode over the ROTATED vectors — cannot share `codes`
             "opq": lambda: _opq_arm(spark, e, cb),
         }
-        with ThreadPoolExecutor(max_workers=len(builds)) as pool:
-            futs = {
-                k: pool.submit(lambda fn=fn: fn().localCheckpoint(eager=True))
-                for k, fn in builds.items()
-            }
-            done = {k: f.result() for k, f in futs.items()}
+        # InheritableThread workers, not a pool: pooled threads never
+        # run the pinned-JVM-thread cleanup (parallel.run_parallel).
+        done, _ = run_parallel({
+            k: (lambda fn=fn: fn().localCheckpoint(eager=True))
+            for k, fn in builds.items()
+        })
     finally:
         codes.unpersist()
         cells.unpersist()

@@ -169,34 +169,51 @@ def test_cpu_attribution_tree_vs_foreign():
     threshold on a quiet host."""
     import os
     import subprocess
+    import sys
     import time
+
+    import pytest
 
     from bench import foreign_cpu_sec, proc_cpu_snapshot
 
     t0 = proc_cpu_snapshot()
     assert os.getpid() in t0[1]
 
-    # burn ~0.5s of CPU in a CHILD (in-tree at both snapshots)
+    # burn ~0.5s of CPU in a CHILD (in-tree at both snapshots);
+    # sys.executable, not a bare "python" (absent on python3-only
+    # hosts, ADVICE r9)
     subprocess.run(
-        ["python", "-c",
+        [sys.executable, "-c",
          "import time;t=time.time()\nwhile time.time()-t<0.5: pass"],
         check=True,
     )
     t1 = proc_cpu_snapshot()
     own_burn_foreign = foreign_cpu_sec(t0, t1)
-    # daemons may tick a little; the 0.5s child burn must not appear
-    assert own_burn_foreign < 0.3
+    # the 0.5s child burn must not appear as foreign; the margin only
+    # needs to distinguish daemon ticks from the full 0.5s burn
+    assert own_burn_foreign < 0.45
+
+    # The orphan half asserts a positive foreign reading against real
+    # host daemons and scheduler share — only meaningful on a quiet
+    # host (a loaded box can starve the orphan's busy-loop below the
+    # threshold, or daemons can blur the baseline).
+    if own_burn_foreign > 0.1:
+        pytest.skip(
+            f"host not quiet (foreign burn {own_burn_foreign:.2f}s "
+            "during the child window) — orphan attribution needs a "
+            "quiet baseline"
+        )
 
     # burn ~1s of CPU in an ORPHAN (setsid + parent exits -> reparented
     # out of our tree): must be charged as foreign
     subprocess.run(
         ["bash", "-c",
-         "setsid python -c 'import time\n"
+         f"setsid {sys.executable} -c 'import time\n"
          "t=time.time()\n"
          "while time.time()-t<1.0: pass' </dev/null >/dev/null 2>&1 &"],
         check=True,
     )
-    time.sleep(1.3)
+    time.sleep(1.5)
     t2 = proc_cpu_snapshot()
     assert foreign_cpu_sec(t1, t2) > 0.5
 
