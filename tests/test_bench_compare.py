@@ -225,3 +225,37 @@ def test_zero_old_timing_yields_null_ratio():
     assert out["per_query"]["a"]["ratio"] is None
     assert out["median_ratio"] is None
     assert out["regressions"] == []
+
+
+def test_aux_med3_rows_merge_into_per_query():
+    """r10: the heavy non-headline rows (and the ffi plan points) carry
+    their own warm-med3 grid, compared alongside the headline grid —
+    r9's only real movements were in exactly these rows and the
+    comparator never saw them."""
+    old = {
+        "queries_warm_med3": {"a": 1.0},
+        "aux_warm_med3": {"cur_e2e": 8.0, "ffi_glob_x16": 13.0},
+        "noisy": False,
+    }
+    new = {
+        "queries_warm_med3": {"a": 1.0},
+        "aux_warm_med3": {"cur_e2e": 12.0, "ffi_glob_x16": 12.8},
+        "noisy": False,
+    }
+    out = compare_snapshots(old, new)
+    assert out["per_query"]["cur_e2e"]["ratio"] == 1.5
+    assert "cur_e2e" in out["regressions"]
+    assert "ffi_glob_x16" in out["per_query"]
+    assert out["median_ratio"] == 1.0
+
+
+def test_pre_aux_snapshot_lists_aux_rows_as_added():
+    old = {"queries_warm_med3": {"a": 1.0}, "noisy": False}
+    new = {
+        "queries_warm_med3": {"a": 1.0},
+        "aux_warm_med3": {"cur_e2e": 9.0},
+        "noisy": False,
+    }
+    out = compare_snapshots(old, new)
+    assert out["added"] == ["cur_e2e"]
+    assert set(out["per_query"]) == {"a"}
