@@ -581,3 +581,63 @@ def test_opq_beats_pq_on_anisotropic_corpus(spark):
         i_opq_err, i_pq_err,
     )
     assert abs(i_opq_rec - i_pq_rec) <= 0.15, (i_opq_rec, i_pq_rec)
+
+
+def test_opq_arm_gather_rotation_equals_reduce_embeddings_fold(spark):
+    """r10: the opq arm rotates via a signed-permutation GATHER
+    (rotated[j] = SIGN[j] * x[PERM[j]]) instead of the general
+    reduce_embeddings matmul fold — the two must be exactly equal on
+    real float data (every dropped fold term is an exact x*0.0, and
+    adding exact zeros cannot perturb the surviving product)."""
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.operators.reduce import reduce_embeddings
+    from ffi_export_etl_spark.queries.similarity_q import (
+        DIM, OPQ_PERM, OPQ_ROT, OPQ_SIGN,
+    )
+
+    vecs = [
+        (i, [((i * 31 + j * 7) % 17 - 8) / 3.0 for j in range(DIM)])
+        for i in range(20)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    fold = reduce_embeddings(
+        e, "embedding", k=DIM, components=OPQ_ROT, out_col="_rot"
+    ).select("vec_id", "_rot")
+    x = F.col("embedding").cast("array<double>")
+    gather = e.select(
+        "vec_id",
+        F.array(
+            *[
+                F.lit(OPQ_SIGN[j]) * F.element_at(x, OPQ_PERM[j] + 1)
+                for j in range(DIM)
+            ]
+        ).alias("_rot"),
+    )
+    got = {r["vec_id"]: r["_rot"] for r in gather.collect()}
+    want = {r["vec_id"]: r["_rot"] for r in fold.collect()}
+    assert got == want  # exact float equality, not approx
+
+
+def test_pq_codes_literal_equals_pq_encode(spark):
+    """r10: ann_pq_pack builds its corpus codes with the zero-shuffle
+    plan-literal argmin (_pq_codes_literal); it must equal the general
+    pq_encode (explode + broadcast join + two shuffles) on real data,
+    code for code — same slice, same rounded fold, same tiebreak."""
+    from ffi_export_etl_spark.operators.pq import pq_encode
+    from ffi_export_etl_spark.queries.similarity_q import (
+        DIM, PQ_M, _pq_codebooks_df, _pq_codes_literal,
+    )
+    from ffi_export_etl_spark.sources.parquet import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb = _pq_codebooks_df(spark)
+    want = {
+        r["id"]: list(r["codes"]) for r in pq_encode(
+            e, cb, DIM, m=PQ_M
+        ).collect()
+    }
+    got = {
+        r["id"]: list(r["codes"]) for r in _pq_codes_literal(e).collect()
+    }
+    assert got == want and len(got) > 0
