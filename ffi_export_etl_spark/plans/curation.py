@@ -359,6 +359,15 @@ def curate_documents(
             scrubbed, "id", "text", n=shingle_n,
             threshold_pct=jaccard_threshold_pct, shingle_mode=shingle_mode,
         ).select("id_a", "id_b")
+    # audit mode also caches the near-dup PAIR SET: its lineage is
+    # deterministic off the scrubbed cache (unlike everything downstream
+    # of the cluster attach, whose fresh localCheckpoint RDD ids defeat
+    # cross-call plan equality), so repeated audit/measurement calls in
+    # one session skip the LSH band/bucket shuffles entirely — the
+    # single first consumer is dedup_clusters' eager edge checkpoint
+    if _funnel_persists:
+        pairs = pairs.persist()
+        _funnel_persists.append(pairs)
     clusters = dedup_clusters(scrubbed, pairs, id_col="id")
     keepers = scrubbed.join(
         clusters.filter("is_keeper").select("id", "cluster_id"), "id"

@@ -259,3 +259,22 @@ def test_pre_aux_snapshot_lists_aux_rows_as_added():
     out = compare_snapshots(old, new)
     assert out["added"] == ["cur_e2e"]
     assert set(out["per_query"]) == {"a"}
+
+
+def test_flagged_ffi_row_carries_adjudication_note():
+    old = {
+        "queries_warm_med3": {"a": 1.0},
+        "aux_warm_med3": {"ffi_glob_x64": 13.0},
+        "noisy": False,
+    }
+    new = {
+        "queries_warm_med3": {"a": 1.0},
+        "aux_warm_med3": {"ffi_glob_x64": 20.0},
+        "noisy": False,
+    }
+    out = compare_snapshots(old, new)
+    assert "ffi_glob_x64" in out["regressions"]
+    assert any("bench_ffi" in n for n in out["notes"])
+    # no note when nothing ffi regressed
+    clean = compare_snapshots(old, old)
+    assert "notes" not in clean
