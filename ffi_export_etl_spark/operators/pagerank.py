@@ -47,11 +47,17 @@ def pagerank(
     (a page linking itself keeps mass); duplicate edges are collapsed —
     multiplicity is link spam, not authority."""
     spark = edges.sparkSession
+    # Materialize the edge set ONCE (r10): it is joined every round,
+    # and a live plan re-runs the scan + distinct shuffle per
+    # iteration — the same entry-checkpoint discipline as
+    # connected_components_alternating. Blocks are freed before
+    # returning (the result is its own checkpoint).
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
+    e_ids = _ckpt_ids(e)
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -66,6 +72,7 @@ def pagerank(
     if n == 0:
         empty = base.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
         base.unpersist()  # nothing cached may outlive the call
+        _free_rdds(spark, e_ids)
         return empty
     ranks = base.select(
         "node", "deg", F.lit(1.0 / n).alias("rank")
@@ -101,4 +108,5 @@ def pagerank(
         _free_rdds(spark, prev_ids)
         prev_ids = cur_ids
     base.unpersist()
+    _free_rdds(spark, e_ids)
     return ranks.select("node", "rank")
