@@ -173,3 +173,19 @@ def test_bm25_plan_broadcasts_query_side(spark):
     # the corpus text is read once for scoring (the bounded scalar agg
     # is a separate driver-side action, not part of this plan)
     assert plan.count("documents.parquet") == 1, plan[:400]
+
+
+def test_literal_pq_encode_is_exchange_free(spark):
+    """r10: ann_pq_pack builds its corpus codes with the plan-literal
+    argmin — the whole encode must be a projection over the scan (zero
+    Exchange, zero join; the general pq_encode pays an explode +
+    broadcast join + two aggregation shuffles for data-borne
+    codebooks). This is the 100 TB contract: encoding against a FIXED
+    model artifact never reshuffles the corpus."""
+    from ffi_export_etl_spark.queries.similarity_q import _pq_codes_literal
+    from ffi_export_etl_spark.sources.parquet import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = _pq_codes_literal(e)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:600]
+    assert "Join" not in plan, plan[:600]
