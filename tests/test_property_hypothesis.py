@@ -461,3 +461,41 @@ def test_plan_shard_assignment_invariants(spark, weights, world):
     loads = [sum(wmap[f] for f in plan[r]) for r in range(world)]
     assert max(loads) - min(loads) <= max(weights), (loads, weights)
     assert plan_shard_assignment(manifest, world) == plan
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-8.0, 8.0, allow_nan=False, allow_infinity=False,
+                      width=32),
+            min_size=64, max_size=64,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_literal_pq_encode_matches_general_encode_property(spark, vecs):
+    """r10: _pq_codes_literal (zero-shuffle plan-literal argmin) must
+    equal pq_encode (explode + broadcast join + two shuffles) on
+    ARBITRARY float vectors, code for code — the fixed-corpus equality
+    test pins the shipped path; this sweeps the space (ties included:
+    equal rounded distances must break to the same cell both ways)."""
+    from ffi_export_etl_spark.operators.pq import pq_encode
+    from ffi_export_etl_spark.queries.similarity_q import (
+        DIM, PQ_M, _pq_codebooks_df, _pq_codes_literal,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cb = _pq_codebooks_df(spark)
+    want = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(e, cb, DIM, m=PQ_M).collect()
+    }
+    got = {
+        r["id"]: list(r["codes"]) for r in _pq_codes_literal(e).collect()
+    }
+    assert got == want
