@@ -363,3 +363,47 @@ spark.stop()
     assert sorted(tuple(r) for r in got["rows"]) == [
         tuple(r) for r in expect
     ]
+
+
+def test_r8_migration_with_db_qualified_table(spark, tmp_path):
+    """The generation table may be db-qualified (the GC's orphan scan
+    already lists the table's own database); the r8-layout migration
+    must handle that too — the rename targets the QUALIFIED name, since
+    a bare target would resolve against the current database."""
+    roots = _session1(spark, tmp_path, "f6")
+    spark.sql("CREATE DATABASE IF NOT EXISTS tsfdb")
+    qual = "tsfdb.tsf6_exact"
+    fold = compact_signature_store(spark, roots["exact"], qual,
+                                   num_buckets=4)
+    meta = _folded_meta(spark, roots["exact"])
+    assert meta["table"] == f"{qual}_g{fold['generation']}"
+    like = spark.table(meta["table"])
+    expect = sorted(
+        tuple(r) for r in _read_store(spark, roots["exact"], like).collect()
+    )
+    gen_rows = sorted(tuple(r) for r in spark.table(meta["table"]).collect())
+    schema = spark.table(meta["table"]).schema
+
+    # devolve to the r8 layout (qualified MANAGED table, no store data)
+    spark.sql(f"DROP TABLE {meta['table']}")
+    shutil.rmtree(os.path.join(roots["exact"], "_folded_data"))
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(
+            os.path.join(wh, "tsfdb.db", meta["table"].split(".")[-1]),
+            ignore_errors=True,
+        )
+    spark.createDataFrame(gen_rows, schema).write.mode(
+        "overwrite"
+    ).saveAsTable(meta["table"])
+
+    out = compact_signature_store(spark, roots["exact"], qual,
+                                  num_buckets=4)
+    assert out.get("migrated") is True
+    assert os.path.isdir(meta["location"])
+    assert sorted(
+        tuple(r) for r in spark.table(meta["table"]).collect()
+    ) == gen_rows
+    assert sorted(
+        tuple(r) for r in _read_store(spark, roots["exact"], like).collect()
+    ) == expect
