@@ -79,11 +79,17 @@ def pagerank(
     ).localCheckpoint()
     prev_ids = _ckpt_ids(ranks)
     for _ in range(iterations):
-        # one-row aggregate -> driver scalar: mass parked on dangling
-        # nodes this round, redistributed uniformly
-        dangling = ranks.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()[0][0]
+        # mass parked on dangling nodes this round, redistributed
+        # uniformly. Kept IN-PLAN as a one-row broadcast attach (the
+        # repo's scalar-attach crossJoin pattern) rather than a driver
+        # collect: the round is then ONE job (the checkpoint) instead
+        # of two sequential driver round-trips — at 10 iterations that
+        # halves the loop's job-submission latency, and on a cluster it
+        # removes a per-round driver synchronization barrier. Both
+        # traversals of `ranks` read its checkpoint blocks.
+        dang = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
         contribs = (
             ranks.join(e, ranks["node"] == e["u"])
             .groupBy(F.col("v").alias("node"))
@@ -91,6 +97,7 @@ def pagerank(
         )
         ranks = (
             base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 "deg",
@@ -99,7 +106,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("_dang") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )

@@ -53,6 +53,61 @@ def _keys_for(table: str, columns: list[str]) -> tuple[str, ...] | None:
     return tuple(keys) or None
 
 
+def _upsert_concurrently(
+    spark: SparkSession,
+    work: list[tuple[str, object, tuple[str, ...]]],
+    warehouse_dir: str,
+) -> tuple[dict[str, int], list[str]]:
+    """Run ``work`` — (target_name, df, key_cols) triples — as CONCURRENT
+    per-table upserts; returns ({target: rows_inserted}, [failed targets]).
+
+    The ~17 table loads are independent jobs over disjoint target dirs,
+    each small enough that the scheduler never saturates — run serially
+    they WERE the batch floor (each pays its own job-submission + plan
+    execution latency while the cluster idles). One bounded
+    InheritableThread worker per TARGET (NOT a ThreadPoolExecutor: under
+    PYSPARK_PIN_THREAD — the default since 3.2 — every plain Python
+    thread that touches py4j pins a JVM thread that is only released
+    when InheritableThread's cleanup runs, so a daemon calling this per
+    arriving batch would otherwise leak threads per batch; review r8,
+    shared helper r10: parallel.run_parallel). A single wave beats two
+    8-wide waves (alternating A/B at x16: median upsert phase ~5.0s ->
+    ~4.6s). Items that share a target name (a fieldmap can alias two
+    source tables to one target) CHAIN inside that target's worker —
+    parquet_upsert is single-writer per target dir — and their counts
+    sum. collect_errors keeps per-table failure isolation, exactly as
+    in the serial loop; a worker that died before reaching its target
+    leaves it absent from the result map, which counts as failed so the
+    ledger records it for the next batch retry.
+    """
+    from ..parallel import run_parallel
+
+    by_target: dict[str, list[tuple[object, tuple[str, ...]]]] = {}
+    for target_name, df, keys in work:
+        by_target.setdefault(target_name, []).append((df, keys))
+
+    def _load(target_name: str, items) -> int:
+        total = 0
+        for df, keys in items:
+            total += parquet_upsert(
+                spark, df, os.path.join(warehouse_dir, target_name),
+                list(keys),
+            )
+        return total
+
+    counts, _errs = run_parallel(
+        {
+            t: (lambda t=t, items=items: _load(t, items))
+            for t, items in by_target.items()
+        },
+        max_workers=16,
+        collect_errors=True,
+    )
+    loaded = {t: counts[t] for t in by_target if t in counts}
+    failed = [t for t in by_target if t not in counts]
+    return loaded, failed
+
+
 def process_exports(
     spark: SparkSession,
     export_glob: str,
@@ -76,8 +131,14 @@ def process_exports(
             # on the next run once fixed.
             results[path] = {}
             continue
-        loaded: dict[str, int] = {}
-        failed: list[str] = []
+        # CONCURRENT per-table upserts (r10), same helper as the glob
+        # mode: the loads read this file's warm shared persists, and
+        # run serially they were the per-file floor (~14 tables x the
+        # job-submission + plan latency each). Per-table failure
+        # isolation (xml.py:699-707) is preserved bitwise: a failed
+        # table lands in `failed` and blocks the ledger mark, exactly
+        # as the serial loop did.
+        work: list[tuple[str, object, tuple[str, ...]]] = []
         for name in list(pipe.tables):
             if name in EXCLUDED_TABLES:
                 continue
@@ -88,15 +149,8 @@ def process_exports(
             keys = _keys_for(name, df.columns)
             if keys is None:
                 continue  # no stable key -> not a warehouse table
-            try:
-                loaded[target_name] = parquet_upsert(
-                    spark,
-                    df,
-                    os.path.join(warehouse_dir, target_name),
-                    list(keys),
-                )
-            except Exception:  # per-table isolation (xml.py:699-707)
-                failed.append(target_name)
+            work.append((target_name, df, keys))
+        loaded, failed = _upsert_concurrently(spark, work, warehouse_dir)
         audit_log_append(
             spark,
             [
@@ -258,24 +312,11 @@ def process_exports_glob(
     tables = read_ffi_export(spark, pending)
     pipe = FFIPipeline(spark, tables)
     pipe.run()
-    loaded: dict[str, int] = {}
-    failed: list[str] = []
-    # CONCURRENT per-table upserts (r8): the ~17 table loads are
-    # independent jobs over disjoint target dirs, each small enough
-    # that the scheduler never saturates — run serially they WERE the
-    # batch floor (each pays its own job-submission + plan execution
-    # latency while the cluster idles). Bounded driver-side
-    # InheritableThreads submit them together (NOT a ThreadPoolExecutor:
-    # under PYSPARK_PIN_THREAD — the default since 3.2 — every plain
-    # Python thread that touches py4j pins a JVM thread that is only
-    # released when InheritableThread's cleanup runs, so a daemon
-    # calling this per arriving glob would leak 8 JVM threads per
-    # batch; review r8, shared helper r10: parallel.run_parallel).
-    # Spark's scheduler interleaves the jobs; the shared upstream
-    # persists are read-only. Failure isolation stays per-table,
-    # exactly as in the serial loop.
-    from ..parallel import run_parallel
-
+    # CONCURRENT per-table upserts (r8; shared helper r10 — see
+    # _upsert_concurrently for the full contract: one InheritableThread
+    # worker per target, same-target aliases chained, per-table failure
+    # isolation). Spark's scheduler interleaves the jobs; the shared
+    # upstream persists are read-only.
     work: list[tuple[str, object, tuple[str, ...]]] = []
     for name in list(pipe.tables):
         if name in EXCLUDED_TABLES:
@@ -288,31 +329,7 @@ def process_exports_glob(
         if keys is None:
             continue
         work.append((target_name, df, keys))
-
-    def _upsert(target_name: str, df, keys) -> int:
-        return parquet_upsert(
-            spark, df, os.path.join(warehouse_dir, target_name),
-            list(keys),
-        )
-
-    # Keyed by slot index (a fieldmap could alias two source tables to
-    # one target name); collect_errors keeps per-table failure
-    # isolation, and a key absent from both maps means its worker died
-    # before reaching the item — the table was never attempted, so it
-    # counts failed and the ledger records it for the next batch retry.
-    counts, _errs = run_parallel(
-        {
-            str(i): (lambda t=t, df=df, k=k: _upsert(t, df, k))
-            for i, (t, df, k) in enumerate(work)
-        },
-        max_workers=8,
-        collect_errors=True,
-    )
-    for i, (target_name, _df, _keys) in enumerate(work):
-        if str(i) in counts:
-            loaded[target_name] = counts[str(i)]
-        else:
-            failed.append(target_name)
+    loaded, failed = _upsert_concurrently(spark, work, warehouse_dir)
     audit_log_append(
         spark,
         [

@@ -135,16 +135,11 @@ class FFIPipeline:
 
     def extract(self) -> None:
         self._parse_idents()
-        # header scalars (W2 positional head, xml.py:715-716)
-        if "Schema_Version" in self.tables:
-            row = self.tables["Schema_Version"].select("Schema_Version").first()
-            self.version = row[0] if row else None
-        row = (
-            self.tables["RegistrationUnit"]
-            .select("RegistrationUnit_Name")
-            .first()
-        )
-        self.admin_unit = row[0] if row else None
+        # header scalars (W2 positional head, xml.py:715-716) are
+        # collected inside _discover's concurrent round — a standalone
+        # .first() here was a full driver job round that warmed only ONE
+        # partition of the parse cache (limit pushdown), so it paid
+        # latency without even serving as the cache fill.
 
     def _parse_idents(self) -> None:
         """PlotID / EventID synthesis (xml.py:126-195).
@@ -202,6 +197,7 @@ class FFIPipeline:
     # ------------------------------------------------------------------
 
     def transform(self) -> None:
+        self._discover()
         self._attr_to_many()
         self._sample_to_many()
 
@@ -283,35 +279,99 @@ class FFIPipeline:
             "Method_UnitSystem",
         )
 
-    def _attr_to_many(self) -> None:
-        attr_long = self._attr_long()
+    def _discover(self) -> None:
+        """Every eager driver-side discovery the transform needs, in TWO
+        job rounds instead of six (r10).
+
+        Round 1 is ONE collect — attr_long's methods+units — that fully
+        materializes the shared XML parse cache and the attr_long
+        persist. A ``.first()`` warmer is NOT enough: limit pushdown
+        computes a single cache partition, and every later concurrent
+        job would re-parse the rest — the r8 double-parse negative
+        (PERFORMANCE.md) in concurrent form. Round 2 runs the four
+        remaining independent discovery actions concurrently on
+        InheritableThread workers, each riding the warm parse cache;
+        the sample_long persist has exactly ONE consumer in the round
+        (the cache-ordering rule), and the two fields collects touch
+        only dictionary tags, never the long sides.
+
+        Discovery stays collect-based by design (A6 distinct-collect is
+        driver-side; pivot domains must be known before plan building) —
+        this only collapses the job-round latency, not the jobs' work.
+        """
+        from ..parallel import run_parallel
+
         # cache: every per-method branch filters this same plan
-        attr_long.persist()
+        attr_long = self._attr_long().persist()
         # ONE collect discovers methods AND their unit systems (A6
-        # distinct-collect; previously the unit fan-out re-collected per
-        # method — a Spark job each). Do NOT merge this with the
-        # fields_by_method collect below: this collect populates the
-        # rootdf/attr_long persists, and the dictionary collect then
-        # rides the cache — a combined one-job join puts two uncached
-        # XML-parse subtrees in one DAG and runs the parse twice
-        # (measured r8: warm x16 11.7 -> 13.4s, cold 22.8 -> 52s;
-        # PERFORMANCE.md "Negative result").
-        methods, units_by_method = _methods_and_units(attr_long)
+        # distinct-collect). Do NOT merge this with the fields collect:
+        # this collect populates the rootdf/attr_long persists, and the
+        # dictionary collects then ride the cache — a combined one-job
+        # join puts two uncached XML-parse subtrees in one DAG and runs
+        # the parse twice (measured r8: warm x16 11.7 -> 13.4s, cold
+        # 22.8 -> 52s; PERFORMANCE.md "Negative result").
+        attr_methods, attr_units = _methods_and_units(attr_long)
+
+        sample_long = self._sample_long().persist()
         # Known pivot domain per method (scale path: no distinct-collect
         # inside the pivot; schema is stable and declared). ONE aggregated
-        # collect builds every method's field list — not one Spark job per
-        # method — with a sorted (deterministic) pivot-column order.
-        fields_by_method = {
-            r["Method_Name"]: sorted(r["fields"])
-            for r in self.tables["MethodAttribute"]
+        # collect per family builds every method's field list — not one
+        # Spark job per method — with a sorted deterministic order.
+        attr_fields = (
+            self.tables["MethodAttribute"]
             .join(
                 self.tables["Method"],
                 F.col("MethodAtt_Method_GUID") == F.col("Method_GUID"),
             )
             .groupBy("Method_Name")
             .agg(F.collect_set("MethodAtt_FieldName").alias("fields"))
-            .collect()
+        )
+        samp_fields = (
+            self.tables["SampleAttribute"]
+            .join(
+                self.tables["Method"],
+                F.col("SampleAtt_Method_GUID") == F.col("Method_GUID"),
+            )
+            .groupBy("Method_Name")
+            .agg(F.collect_set("SampleAtt_FieldName").alias("fields"))
+        )
+        tasks = {
+            "admin": (
+                self.tables["RegistrationUnit"]
+                .select("RegistrationUnit_Name")
+                .first
+            ),
+            "attr_fields": attr_fields.collect,
+            "samp_mu": lambda: _methods_and_units(sample_long),
+            "samp_fields": samp_fields.collect,
         }
+        if "Schema_Version" in self.tables:
+            tasks["version"] = (
+                self.tables["Schema_Version"].select("Schema_Version").first
+            )
+        done, _ = run_parallel(tasks)
+        row = done.get("version")
+        self.version = row[0] if row else None
+        row = done["admin"]
+        self.admin_unit = row[0] if row else None
+        self._attr_discovery = (
+            attr_long,
+            attr_methods,
+            attr_units,
+            {r["Method_Name"]: sorted(r["fields"]) for r in done["attr_fields"]},
+        )
+        samp_methods, samp_units = done["samp_mu"]
+        self._samp_discovery = (
+            sample_long,
+            samp_methods,
+            samp_units,
+            {r["Method_Name"]: sorted(r["fields"]) for r in done["samp_fields"]},
+        )
+
+    def _attr_to_many(self) -> None:
+        attr_long, methods, units_by_method, fields_by_method = (
+            self._attr_discovery
+        )
         species = self.tables.get("LocalSpecies")
         for method in methods:
             subset = attr_long.filter(F.col("Method_Name") == method).distinct()
@@ -439,21 +499,9 @@ class FFIPipeline:
         )
 
     def _sample_to_many(self) -> None:
-        sample_long = self._sample_long()
-        sample_long.persist()
-        methods, units_by_method = _methods_and_units(sample_long)
-        # ONE aggregated collect (see _attr_to_many) — not a job per method.
-        fields_by_method = {
-            r["Method_Name"]: sorted(r["fields"])
-            for r in self.tables["SampleAttribute"]
-            .join(
-                self.tables["Method"],
-                F.col("SampleAtt_Method_GUID") == F.col("Method_GUID"),
-            )
-            .groupBy("Method_Name")
-            .agg(F.collect_set("SampleAtt_FieldName").alias("fields"))
-            .collect()
-        }
+        sample_long, methods, units_by_method, fields_by_method = (
+            self._samp_discovery
+        )
         for method in methods:
             subset = sample_long.filter(F.col("Method_Name") == method)
             wide = eav_pivot(

@@ -368,21 +368,30 @@ def _incr_arms(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     day1 = docs.filter(F.col("doc_id") % INCR_MOD != 0)
     day2 = docs.filter(F.col("doc_id") % INCR_MOD == 0)
     # day-1 store build: scrub exactly like the increment will, so the
-    # digests/sketches compare like with like (the store contract)
+    # digests/sketches compare like with like (the store contract).
+    # Persisted: BOTH day-1 consumers (the minhash sketch below and the
+    # exact-store anti side inside curate_increment) traverse this
+    # scrub; the consumers run strictly sequentially, so the first
+    # fills the cache and the second reads it (the cache-ordering
+    # rule). Released with the curation caches at the end.
     cleaned1 = day1.select(
         F.col("doc_id").alias("id"),
         "source",
         normalize_whitespace(scrub_text("text")).alias("text"),
-    )
+    ).persist()
     exact_store = exact_signature_store(cleaned1, "id", "text")
     # The increment traverses the stored index FOUR times (bucket-cap
     # census, capped join, signature union, stored-id anti side). In
     # production the store is a materialized parquet/bucketed table; a
     # live sketch plan here would re-scrub and re-sketch day 1 per
     # traversal (measured 4x ~5.5s at sf0.1) — checkpoint it once.
+    # eager=False: the blocks land on first use, inside the pairs job
+    # (off the already-cached day-1 scrub by then), instead of costing
+    # a separate up-front job submission; traversals 2-4 read the
+    # checkpoint either way.
     mh_store = minhash_signature_store_with_sigs(
         cleaned1, "id", "text", num_perm=NUM_PERM, bands=BANDS
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     res = curate_increment(
         day2,
         exact_store,
@@ -429,6 +438,7 @@ def _incr_arms(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     incrsig = incrsig.localCheckpoint()
     for cached in getattr(res["kept"], "_curation_persisted", []):
         cached.unpersist()
+    cleaned1.unpersist()
     return incr, incrsig
 
 
