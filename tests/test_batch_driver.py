@@ -181,3 +181,45 @@ def test_glob_mode_file_scoped_surrogate_ids(spark, tmp_path):
     )
     assert glob_loaded == totals
     assert glob_loaded["Trees_Individuals_Attribute"] == 6
+
+
+def test_upsert_concurrently_chains_aliased_targets(spark, tmp_path):
+    """_upsert_concurrently (r10): items sharing a target name (a
+    fieldmap can alias two source tables to one warehouse table) CHAIN
+    inside that target's worker — parquet_upsert is single-writer per
+    target dir, so they must never run concurrently — with summed
+    counts and sequential MERGE semantics (the second item's duplicate
+    keys anti-join away against what the first just wrote). Distinct
+    targets still load, and a target whose plan fails at execution is
+    isolated into `failed` without touching the others."""
+    from ffi_export_etl_spark.plans.batch_driver import _upsert_concurrently
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    df2 = spark.createDataFrame([(2, "DUP"), (3, "c")], "k int, v string")
+    df3 = spark.createDataFrame([(9, "z")], "k int, v string")
+    from pyspark.sql import functions as F
+
+    broken = spark.createDataFrame([(1,)], "k int").select(
+        "k", F.expr("CAST(raise_error('boom') AS STRING)").alias("v")
+    )
+    loaded, failed = _upsert_concurrently(
+        spark,
+        [
+            ("T", df1, ("k",)),
+            ("T", df2, ("k",)),
+            ("U", df3, ("k",)),
+            ("Bad", broken, ("k",)),
+        ],
+        wh,
+    )
+    # chained alias: df1's two rows + df2's k=3 (k=2 merged away) = 3
+    assert loaded == {"T": 3, "U": 1}
+    assert failed == ["Bad"]
+    back = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(os.path.join(wh, "T")).collect()
+    }
+    assert back == {1: "a", 2: "b", 3: "c"}  # first writer won on k=2
+    assert not os.path.isdir(os.path.join(wh, "Bad"))
