@@ -316,6 +316,43 @@ def curate_maintain_main(argv: list[str]) -> int:
     return 0
 
 
+def warehouse_maintain_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark warehouse-maintain``: fold the
+    parquet warehouse's accumulated per-batch append files into sized
+    files (sinks/files.compact_warehouse) — the batch-loader twin of
+    curate-maintain, cron-able between loader runs. Prints one JSON
+    line of {table: {files_before, files_after, rows, action}}."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark warehouse-maintain",
+        description="Compact the parquet warehouse's small append files "
+                    "(idempotent; run between loader batches).",
+    )
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: every table "
+                         "dir under the warehouse)")
+    ap.add_argument("--target-file-mb", type=int, default=128,
+                    help="target parquet file size after the fold")
+    ap.add_argument("--min-files", type=int, default=8,
+                    help="leave tables with fewer files untouched")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark, tune
+    from .sinks.files import compact_warehouse
+
+    spark = tune(get_spark(app_name="ffi-etl-warehouse-maintain"))
+    spark.sparkContext.setLogLevel("ERROR")
+    out = compact_warehouse(
+        spark,
+        args.warehouse,
+        tables=(args.tables.split(",") if args.tables else None),
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+        min_files=args.min_files,
+    )
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def dataset_card_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark dataset-card``: the release
     datasheet for a document corpus — overall counts, per-source
@@ -1112,6 +1149,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_replay_main(argv[1:])
     if argv and argv[0] == "curate-maintain":
         return curate_maintain_main(argv[1:])
+    if argv and argv[0] == "warehouse-maintain":
+        return warehouse_maintain_main(argv[1:])
     if argv and argv[0] == "funnel-report":
         return funnel_report_main(argv[1:])
     if argv and argv[0] == "dataset-card":

@@ -111,3 +111,123 @@ def audit_log_append(
         return
     df = spark.createDataFrame(rows)
     df.write.mode("append").parquet(target_dir)
+
+
+def compact_warehouse(
+    spark: SparkSession,
+    warehouse_dir: str,
+    tables: Sequence[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+) -> dict[str, dict]:
+    """Fold each warehouse table's accumulated small append files into
+    ~``target_file_bytes``-sized files; returns
+    {table: {"files_before", "files_after", "rows", "action"}}.
+
+    parquet_upsert appends one small file set per batch, so a daily
+    loader grows every table's file count without bound — the classic
+    small-files problem: at scale the NEXT upsert's existing-keys scan
+    (and every reader) pays per-file open/footer latency that dwarfs the
+    data. This is the batch-warehouse twin of the signature-store fold
+    (streaming/dedup.compact_signature_store): run it between batches
+    (cron-able via the warehouse-maintain CLI), idempotent, rows
+    preserved exactly.
+
+    Mechanics per table (only dirs holding >= ``min_files`` parquet
+    files are touched; names starting with ``_`` — ledgers, staging —
+    are never tables):
+
+    - read with mergeSchema (append batches may have evolved the column
+      set; absent columns come back NULL exactly like the upsert path's
+      readers), ``coalesce`` — NOT repartition — down to
+      ceil(bytes/target): compaction is a rewrite, not a shuffle; at
+      100 TB the fold moves each byte once, executor-local.
+    - write to a sibling ``<table>._compact_tmp`` dir, then atomically
+      swap: rename table -> ``<table>._compact_old``, tmp -> table,
+      delete old. Readers never see a partial table; the instant
+      between the two renames is the only window and it is crash-REPAIRED,
+      not crash-safe: on entry, a missing table dir next to a completed
+      tmp (``_SUCCESS`` present) promotes the tmp, otherwise a surviving
+      ``_compact_old`` is restored; stale tmp/old dirs from finished or
+      aborted runs are cleared before refolding.
+
+    Single-writer like parquet_upsert: do not run concurrently with a
+    loader batch writing the same tables.
+    """
+    import math
+    import shutil
+
+    out: dict[str, dict] = {}
+    if tables is not None:
+        names = list(tables)
+    else:
+        # a crashed fold may have left ONLY tmp/old dirs (the table dir
+        # itself renamed away) — derive the table name from those too,
+        # or the repair path below could never run for it
+        cands: set[str] = set()
+        for n in os.listdir(warehouse_dir):
+            if n.startswith(("_", ".")) or not os.path.isdir(
+                os.path.join(warehouse_dir, n)
+            ):
+                continue
+            for suffix in ("._compact_tmp", "._compact_old"):
+                if n.endswith(suffix):
+                    cands.add(n[: -len(suffix)])
+                    break
+            else:
+                cands.add(n)
+        names = sorted(cands)
+    for name in names:
+        table_dir = os.path.join(warehouse_dir, name)
+        tmp_dir = table_dir + "._compact_tmp"
+        old_dir = table_dir + "._compact_old"
+        # crash repair (see docstring): finish or unwind a prior run
+        if not os.path.isdir(table_dir):
+            if os.path.isdir(tmp_dir) and os.path.exists(
+                os.path.join(tmp_dir, "_SUCCESS")
+            ):
+                os.rename(tmp_dir, table_dir)  # promote completed fold
+            elif os.path.isdir(old_dir):
+                os.rename(old_dir, table_dir)  # unwind incomplete fold
+            else:
+                continue  # never a table
+        for stale in (tmp_dir, old_dir):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        parts = [
+            f for f in os.listdir(table_dir) if f.endswith(".parquet")
+        ]
+        if len(parts) < min_files:
+            out[name] = {
+                "files_before": len(parts), "files_after": len(parts),
+                "rows": None, "action": "skipped",
+            }
+            continue
+        total_bytes = sum(
+            os.path.getsize(os.path.join(table_dir, f)) for f in parts
+        )
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        df = (
+            spark.read.option("mergeSchema", "true").parquet(table_dir)
+        )
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
+        # row count from the written footers (driver-side metadata read,
+        # no second scan job over the folded data)
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
+            for f in os.listdir(tmp_dir)
+            if f.endswith(".parquet")
+        )
+        os.rename(table_dir, old_dir)
+        os.rename(tmp_dir, table_dir)
+        shutil.rmtree(old_dir)
+        after = len(
+            [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+        )
+        out[name] = {
+            "files_before": len(parts), "files_after": after,
+            "rows": rows, "action": "compacted",
+        }
+    return out
