@@ -1,0 +1,165 @@
+"""Persisted IVF-PQ ANN index (operators/annstore.py): the stored form
+must equal the in-memory ivfpq_topk composition exactly, the search scan
+must be partition-pruned to the probed cells, and incremental adds must
+encode with the STORED model (no retrain) and become searchable."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ffi_export_etl_spark.operators.annstore import (
+    ann_index_add,
+    ann_index_search,
+    build_ann_index,
+    read_ann_index_meta,
+)
+from ffi_export_etl_spark.operators.pq import ivfpq_topk, pq_encode
+
+DIM, M, PQ_K, COARSE_K, ITERS = 8, 4, 8, 8, 2
+
+
+def _mkvecs(n, seed=7, offset=0, spread=3.0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(COARSE_K, DIM) * spread
+    v = centers[rng.randint(0, COARSE_K, n)] + rng.randn(n, DIM) * 0.3
+    return {offset + i: [float(x) for x in np.round(v[i], 4)] for i in range(n)}
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def index_fix(spark, tmp_path_factory):
+    vecs = _mkvecs(80)
+    df = _df(spark, vecs)
+    queries = _df(spark, _mkvecs(5, seed=99, offset=1000)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index_dir = str(tmp_path_factory.mktemp("annidx") / "idx")
+    meta = build_ann_index(
+        df, index_dir, DIM, coarse_k=COARSE_K, m=M, pq_k=PQ_K, iters=ITERS
+    )
+    return vecs, df, queries, index_dir, meta
+
+
+def test_stored_search_equals_in_memory_ivfpq(spark, index_fix):
+    """The persisted index is a storage format, not a different
+    algorithm: searching it must reproduce ivfpq_topk over the SAME
+    stored artifacts row for row."""
+    _vecs, _df_, queries, index_dir, _meta = index_fix
+    stored_codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    got = sorted(
+        map(
+            str,
+            ann_index_search(
+                spark, index_dir, queries, k=10, nprobe=3
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            str,
+            ivfpq_topk(
+                None,
+                stored_codes.select("id", "codes"),
+                spark.read.parquet(os.path.join(index_dir, "codebooks")),
+                queries,
+                DIM,
+                cells=stored_codes.select("id", "cell"),
+                centroids=spark.read.parquet(
+                    os.path.join(index_dir, "centroids")
+                ),
+                nprobe=3,
+                k=10,
+                m=M,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_search_scan_is_partition_pruned(spark, index_fix):
+    """The 100 TB contract: the codes scan carries a PartitionFilters
+    cell predicate (probed cells only), never a full scan + filter."""
+    _vecs, _df_, queries, index_dir, _meta = index_fix
+    out = ann_index_search(spark, index_dir, queries, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "cell" in m.group(1)  # non-empty partition predicate on cell
+
+
+def test_rerank_path_matches_exact_distances(spark, index_fix):
+    """IVFADC+R through the store: handing the raw vectors back re-scores
+    the shortlist with exact rounded squared L2."""
+    vecs, df, queries, index_dir, _meta = index_fix
+    out = ann_index_search(
+        spark, index_dir, queries, k=5, nprobe=3, rerank_vectors=df
+    ).collect()
+    assert out
+    qv = {
+        r["query_id"]: np.array(r["embedding"])
+        for r in queries.select(
+            "query_id", "embedding"
+        ).collect()
+    }
+    for r in out:
+        exact = round(
+            float(((np.array(vecs[r["nbr_id"]]) - qv[r["query_id"]]) ** 2).sum()),
+            6,
+        )
+        assert r["dist"] == pytest.approx(exact, abs=1e-9)
+
+
+def test_incremental_add_uses_stored_model(spark, index_fix):
+    """Day-2 arrivals: encoded with the stored codebooks (pinned equal to
+    pq_encode on the read-back model — NO retrain) and immediately
+    searchable; a query equal to an added vector must retrieve it."""
+    _vecs, _df_, _queries, index_dir, meta = index_fix
+    day2 = _mkvecs(12, seed=31, offset=500)
+    d2 = _df(spark, day2)
+    report = ann_index_add(spark, index_dir, d2)
+    assert report == {"added": 12}
+
+    stored = {
+        r["id"]: list(r["codes"])
+        for r in spark.read.parquet(os.path.join(index_dir, "codes"))
+        .filter(F.col("id") >= 500)
+        .collect()
+    }
+    books = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    want = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(d2, books, meta["dim"], m=meta["m"]).collect()
+    }
+    assert stored == want
+
+    probe_id = 500
+    q = spark.createDataFrame(
+        [(0, day2[probe_id])], "query_id long, embedding array<double>"
+    )
+    hits = ann_index_search(spark, index_dir, q, k=3, nprobe=2).collect()
+    assert probe_id in {r["nbr_id"] for r in hits}
+    # the added vector IS the query -> it must be the rank-1 neighbor
+    assert min(hits, key=lambda r: r["rnk"])["nbr_id"] == probe_id
+
+
+def test_meta_guards(spark, index_fix, tmp_path):
+    _vecs, _df_, _queries, index_dir, meta = index_fix
+    assert read_ann_index_meta(index_dir) == meta
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "_meta.json"), "w") as f:
+        json.dump({"version": 999}, f)
+    with pytest.raises(ValueError, match="version"):
+        read_ann_index_meta(bad)
