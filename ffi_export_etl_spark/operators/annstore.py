@@ -176,6 +176,29 @@ def ann_index_add(
     return {"added": n}
 
 
+def ann_index_compact(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+) -> dict:
+    """Fold the code table's accumulated per-add append files, per cell
+    partition (sinks/files.compact_warehouse's partitioned path) — every
+    ``ann_index_add`` appends a file set into each touched cell dir, so
+    a daily-add deployment needs the same bounded-file-count maintenance
+    as the warehouse and the signature stores. The partition layout (and
+    its scan pruning) is preserved; the model artifacts never accumulate
+    (they are overwritten, not appended). Returns the per-table report
+    for "codes"."""
+    from ..sinks.files import compact_warehouse
+
+    read_ann_index_meta(index_dir)  # only a complete index is foldable
+    return compact_warehouse(
+        spark, index_dir, tables=["codes"],
+        target_file_bytes=target_file_bytes, min_files=min_files,
+    )
+
+
 def ann_index_search(
     spark: SparkSession,
     index_dir: str,

@@ -151,83 +151,143 @@ def compact_warehouse(
       ``_compact_old`` is restored; stale tmp/old dirs from finished or
       aborted runs are cleared before refolding.
 
+    Hive-partitioned tables (no top-level parquet, ``key=value``
+    subdirs — e.g. the ANN index's per-cell code dirs) fold each
+    partition dir INDEPENDENTLY, preserving the partition layout and
+    therefore the scan pruning that layout exists for; the report row
+    aggregates across partitions and adds a ``partitions`` count.
+    One partition level deep — the repo's own partitioned stores are
+    single-level.
+
     Single-writer like parquet_upsert: do not run concurrently with a
     loader batch writing the same tables.
     """
-    import math
-    import shutil
-
     out: dict[str, dict] = {}
     if tables is not None:
         names = list(tables)
     else:
-        # a crashed fold may have left ONLY tmp/old dirs (the table dir
-        # itself renamed away) — derive the table name from those too,
-        # or the repair path below could never run for it
-        cands: set[str] = set()
-        for n in os.listdir(warehouse_dir):
-            if n.startswith(("_", ".")) or not os.path.isdir(
-                os.path.join(warehouse_dir, n)
-            ):
-                continue
-            for suffix in ("._compact_tmp", "._compact_old"):
-                if n.endswith(suffix):
-                    cands.add(n[: -len(suffix)])
-                    break
-            else:
-                cands.add(n)
-        names = sorted(cands)
+        names = sorted(_fold_candidates(warehouse_dir))
     for name in names:
         table_dir = os.path.join(warehouse_dir, name)
-        tmp_dir = table_dir + "._compact_tmp"
-        old_dir = table_dir + "._compact_old"
-        # crash repair (see docstring): finish or unwind a prior run
-        if not os.path.isdir(table_dir):
-            if os.path.isdir(tmp_dir) and os.path.exists(
-                os.path.join(tmp_dir, "_SUCCESS")
-            ):
-                os.rename(tmp_dir, table_dir)  # promote completed fold
-            elif os.path.isdir(old_dir):
-                os.rename(old_dir, table_dir)  # unwind incomplete fold
-            else:
-                continue  # never a table
-        for stale in (tmp_dir, old_dir):
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
-        parts = [
-            f for f in os.listdir(table_dir) if f.endswith(".parquet")
-        ]
-        if len(parts) < min_files:
+        if not _repair_dir(table_dir):
+            continue  # never a table
+        part_names = sorted(_fold_candidates(table_dir, partitions=True))
+        if part_names and not any(
+            f.endswith(".parquet") for f in os.listdir(table_dir)
+        ):
+            # hive-partitioned table (e.g. the ANN index's cell=N code
+            # dirs): fold each partition dir independently — the
+            # partition layout (and its pruning) is the point of the
+            # table, so the fold must never merge across partitions
+            reports = []
+            for pn in part_names:
+                pd = os.path.join(table_dir, pn)
+                if _repair_dir(pd):
+                    reports.append(
+                        _compact_dir(spark, pd, target_file_bytes, min_files)
+                    )
             out[name] = {
-                "files_before": len(parts), "files_after": len(parts),
-                "rows": None, "action": "skipped",
+                "files_before": sum(r["files_before"] for r in reports),
+                "files_after": sum(r["files_after"] for r in reports),
+                "rows": sum(r["rows"] or 0 for r in reports) or None,
+                "action": (
+                    "compacted"
+                    if any(r["action"] == "compacted" for r in reports)
+                    else "skipped"
+                ),
+                "partitions": len(reports),
             }
-            continue
-        total_bytes = sum(
-            os.path.getsize(os.path.join(table_dir, f)) for f in parts
-        )
-        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-        df = (
-            spark.read.option("mergeSchema", "true").parquet(table_dir)
-        )
-        df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
-        # row count from the written footers (driver-side metadata read,
-        # no second scan job over the folded data)
-        import pyarrow.parquet as pq
-
-        rows = sum(
-            pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
-            for f in os.listdir(tmp_dir)
-            if f.endswith(".parquet")
-        )
-        os.rename(table_dir, old_dir)
-        os.rename(tmp_dir, table_dir)
-        shutil.rmtree(old_dir)
-        after = len(
-            [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
-        )
-        out[name] = {
-            "files_before": len(parts), "files_after": after,
-            "rows": rows, "action": "compacted",
-        }
+        else:
+            out[name] = _compact_dir(
+                spark, table_dir, target_file_bytes, min_files
+            )
     return out
+
+
+def _fold_candidates(root: str, partitions: bool = False) -> set[str]:
+    """Dir names under ``root`` that are (or were — a crashed fold may
+    have left ONLY tmp/old dirs, the real dir renamed away) fold
+    targets: table dirs of a warehouse, or ``key=value`` hive partition
+    dirs of one table when ``partitions``."""
+    cands: set[str] = set()
+    for n in os.listdir(root):
+        if n.startswith(("_", ".")) or not os.path.isdir(
+            os.path.join(root, n)
+        ):
+            continue
+        base = n
+        for suffix in ("._compact_tmp", "._compact_old"):
+            if n.endswith(suffix):
+                base = n[: -len(suffix)]
+                break
+        if partitions == ("=" in base):
+            cands.add(base)
+    return cands
+
+
+def _repair_dir(target_dir: str) -> bool:
+    """Crash repair for one fold target (see compact_warehouse): promote
+    a completed tmp over a missing dir, else restore the old dir, then
+    clear stale residue. Returns False when no dir exists at all."""
+    import shutil
+
+    tmp_dir = target_dir + "._compact_tmp"
+    old_dir = target_dir + "._compact_old"
+    if not os.path.isdir(target_dir):
+        if os.path.isdir(tmp_dir) and os.path.exists(
+            os.path.join(tmp_dir, "_SUCCESS")
+        ):
+            os.rename(tmp_dir, target_dir)  # promote completed fold
+        elif os.path.isdir(old_dir):
+            os.rename(old_dir, target_dir)  # unwind incomplete fold
+        else:
+            return False
+    for stale in (tmp_dir, old_dir):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    return True
+
+
+def _compact_dir(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int,
+    min_files: int,
+) -> dict:
+    """Fold ONE flat parquet dir (repair already done by the caller)."""
+    import math
+    import shutil
+
+    tmp_dir = table_dir + "._compact_tmp"
+    old_dir = table_dir + "._compact_old"
+    parts = [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    if len(parts) < min_files:
+        return {
+            "files_before": len(parts), "files_after": len(parts),
+            "rows": None, "action": "skipped",
+        }
+    total_bytes = sum(
+        os.path.getsize(os.path.join(table_dir, f)) for f in parts
+    )
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.option("mergeSchema", "true").parquet(table_dir)
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
+    # row count from the written footers (driver-side metadata read,
+    # no second scan job over the folded data)
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
+        for f in os.listdir(tmp_dir)
+        if f.endswith(".parquet")
+    )
+    os.rename(table_dir, old_dir)
+    os.rename(tmp_dir, table_dir)
+    shutil.rmtree(old_dir)
+    after = len(
+        [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    )
+    return {
+        "files_before": len(parts), "files_after": after,
+        "rows": rows, "action": "compacted",
+    }

@@ -163,3 +163,58 @@ def test_meta_guards(spark, index_fix, tmp_path):
         json.dump({"version": 999}, f)
     with pytest.raises(ValueError, match="version"):
         read_ann_index_meta(bad)
+
+
+def test_index_compact_bounds_files_and_preserves_search(spark, tmp_path):
+    """Daily adds grow each cell dir's file count; ann_index_compact
+    folds per PARTITION (layout preserved — the scan pruning must
+    survive) and search results are bit-identical across the fold."""
+    from ffi_export_etl_spark.operators.annstore import ann_index_compact
+
+    vecs = _mkvecs(60, seed=3)
+    df = _df(spark, vecs)
+    idx = str(tmp_path / "idx")
+    build_ann_index(df, idx, DIM, coarse_k=4, m=M, pq_k=PQ_K, iters=ITERS)
+    for day in range(4):  # four arrival batches append into the cells
+        ann_index_add(
+            spark, idx, _df(spark, _mkvecs(10, seed=50 + day,
+                                           offset=1000 + 100 * day))
+        )
+    codes_dir = os.path.join(idx, "codes")
+
+    def _files_per_cell():
+        return {
+            n: len([f for f in os.listdir(os.path.join(codes_dir, n))
+                    if f.endswith(".parquet")])
+            for n in os.listdir(codes_dir) if n.startswith("cell=")
+        }
+
+    before = _files_per_cell()
+    assert max(before.values()) > 2  # adds really did accumulate files
+    queries = _df(spark, _mkvecs(4, seed=77, offset=9000)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(map(str, ann_index_search(
+        spark, idx, queries, k=8, nprobe=2
+    ).collect()))
+
+    report = ann_index_compact(spark, idx, min_files=2)
+    assert report["codes"]["action"] == "compacted"
+    assert report["codes"]["partitions"] == len(before)
+    after = _files_per_cell()
+    assert set(after) == set(before)  # partition layout intact
+    assert sum(after.values()) < sum(before.values())
+    got = sorted(map(str, ann_index_search(
+        spark, idx, queries, k=8, nprobe=2
+    ).collect()))
+    assert got == want
+    # still partition-pruned after the fold
+    plan = (
+        ann_index_search(spark, idx, queries, k=8, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m_ = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m_ and "cell" in m_.group(1)
+    # idempotent: next fold is a no-op report
+    again = ann_index_compact(spark, idx, min_files=2)
+    assert again["codes"]["action"] == "skipped"
