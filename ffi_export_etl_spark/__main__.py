@@ -353,6 +353,101 @@ def warehouse_maintain_main(argv: list[str]) -> int:
     return 0
 
 
+def ann_index_main(argv: list[str]) -> int:
+    """``python -m ffi_export_etl_spark ann-index``: the persisted
+    IVF-PQ similarity index (operators/annstore.py) as a CLI — build it
+    from an embedding table, grow it with arrival batches (no retrain),
+    search it (optionally exact-reranked), and fold its per-add append
+    files. Prints one JSON line per action."""
+    ap = argparse.ArgumentParser(
+        prog="python -m ffi_export_etl_spark ann-index",
+        description="Persisted IVF-PQ ANN index: build / add / search / "
+                    "compact.",
+    )
+    ap.add_argument("action", choices=["build", "add", "search", "compact"])
+    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--input", default=None,
+                    help="embedding parquet: the corpus (build), the "
+                         "arrival batch (add), or the queries (search)")
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--dim", type=int, default=None,
+                    help="build: vector width (default: probed from the "
+                         "input's first row)")
+    ap.add_argument("--coarse-k", type=int, default=16)
+    ap.add_argument("--m", type=int, default=4)
+    ap.add_argument("--pq-k", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--nprobe", type=int, default=3)
+    ap.add_argument("--output", default=None,
+                    help="search: write (query_id, nbr_id, dist, rnk) "
+                         "parquet here instead of echoing rows")
+    ap.add_argument("--rerank-with", default=None,
+                    help="search: raw-vector parquet for exact re-scoring "
+                         "of the ADC shortlist (IVFADC+R)")
+    ap.add_argument("--min-files", type=int, default=8)
+    ap.add_argument("--target-file-mb", type=int, default=128)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.annstore import (
+        ann_index_add,
+        ann_index_compact,
+        ann_index_search,
+        build_ann_index,
+    )
+    from .session import get_spark, tune
+
+    spark = tune(get_spark(app_name="ffi-etl-ann-index"))
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.action == "compact":
+        out = ann_index_compact(
+            spark, args.index, min_files=args.min_files,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+    else:
+        if args.input is None:
+            ap.error(f"--input is required for {args.action}")
+        table = spark.read.parquet(args.input)
+        if args.action == "build":
+            dim = args.dim or len(
+                table.select(args.vec_col).first()[args.vec_col]
+            )
+            out = build_ann_index(
+                table, args.index, dim, coarse_k=args.coarse_k, m=args.m,
+                pq_k=args.pq_k, iters=args.iters, id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+        elif args.action == "add":
+            out = ann_index_add(
+                spark, args.index, table, id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+        else:  # search
+            queries = table.select(
+                F.col(args.id_col).alias("query_id"),
+                F.col(args.vec_col).alias("embedding"),
+            )
+            rerank = (
+                spark.read.parquet(args.rerank_with)
+                if args.rerank_with else None
+            )
+            hits = ann_index_search(
+                spark, args.index, queries, k=args.k, nprobe=args.nprobe,
+                rerank_vectors=rerank, rerank_id_col=args.id_col,
+            )
+            if args.output:
+                hits.write.mode("overwrite").parquet(args.output)
+                out = {"queries": queries.count(), "k": args.k,
+                       "output": args.output}
+            else:
+                out = {"hits": [r.asDict() for r in hits.collect()]}
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def dataset_card_main(argv: list[str]) -> int:
     """``python -m ffi_export_etl_spark dataset-card``: the release
     datasheet for a document corpus — overall counts, per-source
@@ -1151,6 +1246,8 @@ def main(argv: list[str] | None = None) -> int:
         return curate_maintain_main(argv[1:])
     if argv and argv[0] == "warehouse-maintain":
         return warehouse_maintain_main(argv[1:])
+    if argv and argv[0] == "ann-index":
+        return ann_index_main(argv[1:])
     if argv and argv[0] == "funnel-report":
         return funnel_report_main(argv[1:])
     if argv and argv[0] == "dataset-card":

@@ -218,3 +218,40 @@ def test_index_compact_bounds_files_and_preserves_search(spark, tmp_path):
     # idempotent: next fold is a no-op report
     again = ann_index_compact(spark, idx, min_files=2)
     assert again["codes"]["action"] == "skipped"
+
+
+def test_ann_index_cli_roundtrip(spark, tmp_path, capsys):
+    """The ann-index subcommand drives build -> add -> search -> compact
+    against one index dir, each action printing one JSON line."""
+    from ffi_export_etl_spark.__main__ import main
+
+    corpus = str(tmp_path / "corpus")
+    day2 = str(tmp_path / "day2")
+    idx = str(tmp_path / "idx")
+    _df(spark, _mkvecs(40, seed=5)).write.parquet(corpus)
+    _df(spark, _mkvecs(10, seed=6, offset=700)).write.parquet(day2)
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    meta = run("ann-index", "build", "--index", idx, "--input", corpus,
+               "--coarse-k", "4", "--m", str(M), "--pq-k", str(PQ_K))
+    assert meta["dim"] == DIM and meta["coarse_k"] == 4
+    assert run("ann-index", "add", "--index", idx, "--input", day2) == {
+        "added": 10
+    }
+    hits = run("ann-index", "search", "--index", idx, "--input", day2,
+               "--k", "3", "--nprobe", "2")["hits"]
+    assert hits and all(
+        set(h) == {"query_id", "nbr_id", "adc_dist", "rnk"} for h in hits
+    )
+    # an added id is findable through the CLI path too (query ids are the
+    # day2 ids themselves -> self is excluded; its batch-mates are not)
+    rep = run("ann-index", "compact", "--index", idx, "--min-files", "2")
+    assert rep["codes"]["action"] == "compacted"
+    out_dir = str(tmp_path / "hits")
+    rep = run("ann-index", "search", "--index", idx, "--input", day2,
+              "--k", "3", "--nprobe", "2", "--output", out_dir)
+    assert rep["queries"] == 10
+    assert spark.read.parquet(out_dir).count() == len(hits)
