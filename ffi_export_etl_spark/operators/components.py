@@ -186,6 +186,65 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+_OBSERVE_PROBE_WARNED = False
+
+
+def _checkpoint_with_checksum(df: DataFrame) -> tuple[DataFrame, tuple]:
+    """``(checkpointed_df, (n, h1, h2))`` — eager localCheckpoint of a
+    canonical ``(u, v)`` edge frame with its order-insensitive set
+    fingerprint (count + two independent sums of 32-bit md5 prefixes;
+    32-bit terms keep the BIGINT sums ANSI-safe up to ~2^31 edges, two
+    sums make a false match ~2^-64) computed DURING the checkpoint
+    materialization as observed metrics.
+
+    One pass per round instead of two: the fingerprint used to be a
+    separate aggregate scan after every round's checkpoint — at scale
+    that is a full extra pass over the (shrinking) edge set per
+    iteration, and at test scale a full extra driver job round.
+    Guarded non-blockingly: if the observation did not fire (a future
+    Spark where localCheckpoint stops counting as an action for
+    CollectMetrics — probed via getOrEmpty, never Observation.get,
+    which would hang), warn once and fall back to the standalone
+    aggregate, degrading to the old two-pass shape instead of wrong
+    results or a hang."""
+    from pyspark.sql import Observation
+
+    def h(salt: str):
+        return F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit(salt), "u", "v")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+
+    exprs = [F.count(F.lit(1)).alias("n"), h("").alias("h1"), h("2").alias("h2")]
+    obs = Observation()
+    ck = df.observe(obs, *exprs).localCheckpoint()
+    fired = False
+    try:
+        fired = not obs._jo.getOrEmpty().isEmpty()
+    except (AttributeError, TypeError, _Py4JError) as e:
+        global _OBSERVE_PROBE_WARNED
+        if not _OBSERVE_PROBE_WARNED:
+            _OBSERVE_PROBE_WARNED = True
+            warnings.warn(
+                "observed-checksum probe failed (%s: %s); falling back "
+                "to a standalone fingerprint aggregate per round (one "
+                "extra pass over the edge set)"
+                % (type(e).__name__, e),
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if fired:
+        m = obs.get  # non-blocking: getOrEmpty above proved it fired
+        return ck, (m["n"], m["h1"], m["h2"])
+    row = ck.agg(*exprs).collect()[0]
+    return ck, (row["n"], row["h1"], row["h2"])
+
+
 def connected_components_alternating(
     edges: DataFrame,
     src: str = "id_a",
@@ -206,40 +265,20 @@ def connected_components_alternating(
     smaller endpoint; link each smaller neighbor and u itself to
     m(u) = min(N-(u) + {u}). Both preserve connectivity; the fixed point
     is a forest of depth-1 stars. Convergence check per round: edge-set
-    checksum (count + sum of per-edge md5) — one tiny aggregate.
+    checksum (count + sum of per-edge md5), observed DURING the round's
+    checkpoint materialization (_checkpoint_with_checksum) — no extra
+    pass over the edge set.
     """
     spark = edges.sparkSession
-    e = (
+    e, prev = _checkpoint_with_checksum(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-    ).localCheckpoint()
+    )
     prev_ids = _ckpt_ids(e)
-
-    def checksum(df: DataFrame) -> tuple:
-        # order-insensitive set fingerprint: count + two independent sums
-        # of 32-bit md5 prefixes (32-bit terms keep the BIGINT sums ANSI-
-        # safe up to ~2^31 edges; two sums make a false match ~2^-64)
-        def h(salt: str):
-            return F.sum(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("_", F.lit(salt), "u", "v")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-            )
-
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"), h("").alias("h1"), h("2").alias("h2")
-        ).collect()[0]
-        return (row["n"], row["h1"], row["h2"])
-
-    prev = checksum(e)
     for _ in range(max_rounds):
         # ---- large-star ----
         nbrs = e.select("u", "v").union(
@@ -281,9 +320,10 @@ def connected_components_alternating(
             )
             .distinct()
         )
-        e2 = e2.localCheckpoint()  # truncate lineage (see module doc)
+        # truncate lineage (see module doc); the convergence fingerprint
+        # rides the same materialization
+        e2, cur = _checkpoint_with_checksum(e2)
         cur_ids = _ckpt_ids(e2)
-        cur = checksum(e2)
         # previous round's edge set is dead once e2 is materialized —
         # release its checkpoint blocks instead of waiting on the cleaner
         _free_rdds(spark, prev_ids)
