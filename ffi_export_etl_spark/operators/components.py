@@ -14,8 +14,10 @@ practice; ``max_iter`` guards pathological chains). At extreme scale the
 large-star/small-star variant (Kiveris et al.) halves round counts; the
 join shape below is the same.
 
-The per-round convergence check is a count of changed labels — an action,
-so the loop materializes each round. Each round's result is
+The per-round convergence check is a set fingerprint of the round's
+output, OBSERVED during the round's own checkpoint materialization
+(_checkpoint_with_checksum) — convergence costs no extra pass over the
+data. Each round's result is
 ``localCheckpoint``-ed: persist alone caches data but leaves the LOGICAL
 plan growing one join deeper per round, and ~20 rounds overflow the JVM
 stack just generating the plan tree. localCheckpoint truncates the plan
@@ -139,49 +141,52 @@ def connected_components(
     adj = fwd.union(rev).distinct()
     adj.persist()
 
-    labels = (
+    labels, prev = _checkpoint_with_checksum(
         adj.select(F.col("u").alias("id"))
         .distinct()
-        .withColumn("label", F.col("id"))
-    ).localCheckpoint()
+        .withColumn("label", F.col("id")),
+        cols=("id", "label"),
+    )
     prev_ids = _ckpt_ids(labels)
 
-    changed = 0
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             adj.join(labels, adj.v == labels.id)
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # materialize + truncate lineage (see module doc); convergence =
+        # (id, label) set fingerprint unchanged, observed during the
+        # SAME materialization — ids are unique keys, so set equality is
+        # exactly "no label changed", replacing the old separate
+        # changed-count join+count pass per round
+        new_labels, cur = _checkpoint_with_checksum(
             labels.join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            )
-        ).localCheckpoint()  # materialize + truncate lineage (see module doc)
-        cur_ids = _ckpt_ids(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            ),
+            cols=("id", "label"),
         )
-        # the convergence count above was the last read of the previous
-        # round — release its checkpoint blocks immediately
+        cur_ids = _ckpt_ids(new_labels)
+        # the checkpoint join above was the last read of the previous
+        # round — release its blocks immediately
         _free_rdds(spark, prev_ids)
         prev_ids = cur_ids
         labels = new_labels
-        if changed == 0:
+        if cur == prev:
+            converged = True
             break
+        prev = cur
     adj.unpersist()
-    if changed and require_convergence:
+    if not converged and require_convergence:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the graph's diameter "
-            "exceeds max_iter; use connected_components_alternating"
+            "(labels still changing) — the graph's diameter exceeds "
+            "max_iter; use connected_components_alternating"
         )
     return labels.select("id", F.col("label").alias("component"))
 
@@ -189,10 +194,12 @@ def connected_components(
 _OBSERVE_PROBE_WARNED = False
 
 
-def _checkpoint_with_checksum(df: DataFrame) -> tuple[DataFrame, tuple]:
+def _checkpoint_with_checksum(
+    df: DataFrame, cols: tuple[str, str] = ("u", "v")
+) -> tuple[DataFrame, tuple]:
     """``(checkpointed_df, (n, h1, h2))`` — eager localCheckpoint of a
-    canonical ``(u, v)`` edge frame with its order-insensitive set
-    fingerprint (count + two independent sums of 32-bit md5 prefixes;
+    frame with the order-insensitive set fingerprint of its ``cols``
+    pair (count + two independent sums of 32-bit md5 prefixes;
     32-bit terms keep the BIGINT sums ANSI-safe up to ~2^31 edges, two
     sums make a false match ~2^-64) computed DURING the checkpoint
     materialization as observed metrics.
@@ -209,11 +216,13 @@ def _checkpoint_with_checksum(df: DataFrame) -> tuple[DataFrame, tuple]:
     results or a hang."""
     from pyspark.sql import Observation
 
+    a, b = cols
+
     def h(salt: str):
         return F.sum(
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws("_", F.lit(salt), "u", "v")), 1, 8
+                    F.md5(F.concat_ws("_", F.lit(salt), a, b)), 1, 8
                 ),
                 16,
                 10,
