@@ -660,7 +660,8 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--capacity", type=int, default=512,
                     help="tokens per packed training sequence")
     ap.add_argument("--rows-per-shard", type=int, default=100_000)
-    ap.add_argument("--shard-format", choices=("parquet", "orc"),
+    ap.add_argument("--shard-format",
+                    choices=("parquet", "orc", "jsonl"),
                     default="parquet",
                     help="training-shard file format (manifest stays "
                          "parquet either way)")
@@ -926,7 +927,11 @@ def curate_main(argv: list[str]) -> int:
     # checked against
     from pyspark.sql import functions as F
 
-    written = spark.read.format(args.shard_format).load(args.output)
+    from .sinks.shards import _SPARK_FMT
+
+    written = spark.read.format(
+        _SPARK_FMT.get(args.shard_format, args.shard_format)
+    ).load(args.output)
     per_source = {
         r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
         for r in written.groupBy("source").agg(
@@ -1153,7 +1158,7 @@ def verify_shards_main(argv: list[str]) -> int:
                     "sizes).",
     )
     ap.add_argument("--path", required=True, help="shard directory")
-    ap.add_argument("--format", choices=("parquet", "orc"),
+    ap.add_argument("--format", choices=("parquet", "orc", "jsonl"),
                     default="parquet", dest="data_format")
     args = ap.parse_args(argv)
 

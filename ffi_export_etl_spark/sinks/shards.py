@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 from ..operators.sampling import _key_hash, deterministic_shuffle
 
 
-FORMATS = ("parquet", "orc")
+FORMATS = ("parquet", "orc", "jsonl")
+# "jsonl" is Spark's line-delimited json source; the sink name says
+# what training loaders call the layout
+_SPARK_FMT = {"jsonl": "json"}
 
 
 def write_training_shards(
@@ -44,6 +47,7 @@ def write_training_shards(
     checksums: bool = False,
     order_col: str | None = None,
     shuffle_key=None,
+    compression: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as ordered training shards under ``path``; returns
     the manifest DataFrame (file, n_rows, first_key, last_key — in
@@ -56,9 +60,18 @@ def write_training_shards(
 
     ``data_format`` selects the shard file format — ``parquet`` or
     ``orc`` (both Spark-native vectorized readers; maxRecordsPerFile
-    and the within-partition physical order work identically). The
-    manifest is ALWAYS parquet: it is a control-plane artifact the
-    loader reads driver-side, not training data.
+    and the within-partition physical order work identically) or
+    ``jsonl`` (line-delimited JSON, the layout most LLM training
+    loaders stream; pair with ``compression="gzip"`` for the usual
+    .jsonl.gz shards). The manifest is ALWAYS parquet: it is a
+    control-plane artifact the loader reads driver-side, not training
+    data. jsonl semantics: the sink's own read-back (manifest ranges,
+    digests) uses schema INFERENCE over the written bytes — write-time
+    and verify-time digests read identically, so integrity checks stay
+    self-consistent — and per JSON-lines convention null fields are
+    omitted row-wise, so an all-null column does not survive a round
+    trip. ``compression`` passes through to the writer for any format
+    (e.g. ``zstd`` parquet, ``gzip`` jsonl).
 
     ``order_col`` switches the stream order from the deterministic
     shuffle to CURRICULUM order: ascending ``order_col`` (e.g. a
@@ -101,16 +114,24 @@ def write_training_shards(
         ordered = deterministic_shuffle(
             df, skey, salt=salt, num_partitions=num_partitions
         )
-    (
+    fmt = _SPARK_FMT.get(data_format, data_format)
+    writer = (
         ordered.write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_shard)
-        .format(data_format)
-        .save(path)
+        .format(fmt)
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.save(path)
     spark = df.sparkSession
-    written = spark.read.format(data_format).load(path)
+    written = spark.read.format(fmt).load(path)
     files = sorted(written.inputFiles())
-    manifest = _manifest_from_footers(spark, files, key_col, data_format)
+    # jsonl has no footer metadata — straight to the distributed scan
+    manifest = (
+        None
+        if data_format == "jsonl"
+        else _manifest_from_footers(spark, files, key_col, data_format)
+    )
     if manifest is None:
         # non-pyarrow-reachable store: fall back to one distributed scan.
         # first/last IN STREAM ORDER = min/max along whatever axis the
@@ -244,7 +265,9 @@ def verify_training_shards(
         raise ValueError(
             "manifest has no checksums — write with checksums=True"
         )
-    written = spark.read.format(data_format).load(path)
+    written = spark.read.format(
+        _SPARK_FMT.get(data_format, data_format)
+    ).load(path)
     # ONE distributed scan: digests and row counts come from the same
     # aggregation (review finding — a second count scan doubled verify
     # I/O on exactly the corpora this exists for)

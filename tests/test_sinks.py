@@ -419,3 +419,76 @@ def test_plan_shard_assignment_balanced_and_deterministic(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="file_bytes"):
         plan_shard_assignment(withnull, 3, weight_col="file_bytes")
+
+
+def test_write_training_shards_jsonl_format(spark, tmp_path):
+    """data_format='jsonl' (+gzip): the layout most LLM training loaders
+    stream — same deterministic stream order and manifest contract, the
+    manifest coming from the distributed-scan path (no footers in
+    JSON), and checksum verify self-consistent across the write-time
+    and verify-time inference read-backs."""
+    import json as _json
+
+    from ffi_export_etl_spark.operators.sampling import deterministic_shuffle
+    from ffi_export_etl_spark.sinks.shards import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "jsonl_shards")
+    manifest = write_training_shards(
+        df, out, "doc_id", rows_per_shard=40, num_partitions=3,
+        data_format="jsonl", compression="gzip", checksums=True,
+    ).collect()
+
+    import glob as _glob
+    import gzip as _gzip
+
+    files = sorted(_glob.glob(out + "/part-*.json.gz"))
+    assert len(files) == len(manifest) >= 4
+    # the shards ARE plain gzipped JSON lines a non-Spark loader can eat
+    streamed = []
+    for f in files:
+        with _gzip.open(f, "rt") as fh:
+            rows = [_json.loads(line) for line in fh]
+        assert len(rows) <= 40
+        assert all(set(r) == {"doc_id", "text"} for r in rows)
+        streamed.extend(r["doc_id"] for r in rows)
+    want = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id").collect()]
+    assert streamed == want
+
+    by_file = {m["file"]: m for m in manifest}
+    assert set(by_file) == {os.path.basename(f) for f in files}
+    assert sum(m["n_rows"] for m in manifest) == 200
+    assert by_file[os.path.basename(files[0])]["first_key"] == want[0]
+    assert by_file[os.path.basename(files[-1])]["last_key"] == want[-1]
+
+    report = verify_training_shards(spark, out, data_format="jsonl")
+    rows = report.collect()
+    assert rows and all(r["ok"] for r in rows)
+    # corrupt one shard -> that entry (and only that entry) fails
+    victim = files[0]
+    with _gzip.open(victim, "rt") as fh:
+        lines = fh.readlines()
+    with _gzip.open(victim, "wt") as fh:
+        fh.writelines(lines[:-1])
+    # drop Hadoop's local-FS .crc sidecar (see the parquet corruption
+    # test: object stores have no sidecar; the manifest check is the
+    # integrity layer under test, not ChecksumFileSystem)
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    report2 = {
+        r["file"]: r["ok"]
+        for r in verify_training_shards(
+            spark, out, data_format="jsonl"
+        ).collect()
+    }
+    assert report2[os.path.basename(victim)] is False
+    assert sum(1 for ok in report2.values() if not ok) == 1
