@@ -152,7 +152,14 @@ def ann_index_add(
 ) -> dict:
     """Encode ``new_vectors`` with the STORED model and append them to
     the partitioned code table — the daily-increment shape: no retrain,
-    cost proportional to the arrival. Returns {"added": n}."""
+    cost proportional to the arrival. Returns {"added": n}.
+
+    Crash semantics: the append commits at JOB level (Spark's default
+    v1 file committer stages task files under ``_temporary`` until the
+    job commits), so a crashed add leaves only uncommitted staging
+    droppings — rerun the add. Replaying an ALREADY-committed batch
+    duplicates its rows (same contract as the signature-store deltas:
+    ledger the arrival batches upstream, e.g. ProcessedLedger)."""
     meta = read_ann_index_meta(index_dir)
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     codebooks = spark.read.parquet(os.path.join(index_dir, "codebooks"))

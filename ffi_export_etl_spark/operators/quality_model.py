@@ -130,7 +130,32 @@ def train_quality_model(
         maxIter=max_iter,
         standardization=True,
     )
-    return Pipeline(stages=[assembler, lr]).fit(feats)
+    fitted = Pipeline(stages=[assembler, lr]).fit(feats)
+    # Strip the LR training summary by round-tripping the fitted model
+    # through ML persistence (loaded models carry no summary; public
+    # API, coefficients identical — pinned by the determinism test).
+    # The summary holds a SparkSession reference that Spark serializes
+    # INTO the transform UDF's task closure; that closure only stays
+    # serializable while the session's lazy observationManager field is
+    # untouched, and any DataFrame.observe in the session (the CC
+    # convergence fingerprints ride checkpoints that way) materializes
+    # it — after which scoring dies with NotSerializableException:
+    # ObservationManager. The summary is training-diagnostics the
+    # scorer never reads; dropping it also keeps data-sized prediction
+    # frames out of every task broadcast.
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    tmp = tempfile.mkdtemp(prefix="qm_model_")
+    try:
+        path = os.path.join(tmp, "pm")
+        fitted.save(path)
+        return PipelineModel.load(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality(

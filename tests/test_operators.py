@@ -1766,3 +1766,44 @@ def test_stratified_take_prefilter_matches_plain_window(spark):
             ).collect()
         }
         assert forced == want, n
+
+
+def test_quality_scoring_survives_session_observations(spark):
+    """Regression (r10s2): once ANY DataFrame.observe runs in the
+    session — the CC convergence fingerprints ride checkpoints that way
+    — the session's lazy observationManager materializes, and an LR
+    model whose training summary still holds the SparkSession can no
+    longer serialize into score_quality's task closure
+    (NotSerializableException: ObservationManager; surfaced as an
+    order-dependent full-suite-only failure). train_quality_model now
+    strips the summary via ML persistence; this pins the interaction
+    explicitly rather than via file ordering."""
+    from ffi_export_etl_spark.operators.components import (
+        _checkpoint_with_checksum,
+    )
+    from ffi_export_etl_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+
+    # materialize the session's observationManager, as any CC/pagerank
+    # round in the same session would
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    _ck, fp = _checkpoint_with_checksum(edges)
+    assert fp[0] == 2
+
+    labeled = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3, 1)
+         for i in range(6)]
+        + [(100 + i, "buy now " * 20 + "!!!! $$$$", 0) for i in range(6)],
+        ["doc_id", "text", "label"],
+    )
+    model = train_quality_model(labeled)
+    assert not model.stages[-1].hasSummary  # the strip is the fix
+    held = spark.createDataFrame(
+        [(0, "a quick gray wolf walks to the old barn " * 3)],
+        ["doc_id", "text"],
+    )
+    probs = {r["id"]: r["quality_prob"] for r in
+             score_quality(held, model).collect()}  # must not raise
+    assert 0 in probs

@@ -167,3 +167,61 @@ def test_warehouse_maintain_cli(spark, warehouse):
     report = json.loads(p.stdout.strip().splitlines()[-1])
     assert report["T"]["action"] == "compacted"
     assert report["T"]["rows"] == 20
+
+
+# ---- property sweep: arbitrary append-batch histories fold losslessly
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# each batch: (n_rows, has_extra_col, write_partitions)
+_BATCH = st.tuples(
+    st.integers(min_value=0, max_value=6),
+    st.booleans(),
+    st.integers(min_value=1, max_value=3),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_BATCH, min_size=1, max_size=4), st.booleans())
+def test_compact_property_lossless_any_history(spark, tmp_path_factory,
+                                               batches, partitioned):
+    """For ANY append history — varying batch sizes (including empty
+    appends), schema widening mid-history, varying file counts, flat or
+    hive-partitioned layout — the fold preserves the exact row multiset
+    and a second fold is a no-op."""
+    wh = str(tmp_path_factory.mktemp("prop"))
+    t = os.path.join(wh, "T")
+    base = 0
+    wrote_any = False
+    for n, extra, parts in batches:
+        if n == 0:
+            continue
+        rows = [
+            (base + i, f"v{base + i}", f"w{base + i}" if extra else None)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k int, v string, w string")
+        if not extra:
+            df = df.drop("w")
+        if partitioned:
+            df = df.withColumn("part", (df.k % 2).cast("int"))
+            df.repartition(parts).write.mode("append").partitionBy(
+                "part"
+            ).parquet(t)
+        else:
+            df.repartition(parts).write.mode("append").parquet(t)
+        base += n
+        wrote_any = True
+    if not wrote_any:
+        return
+    before = _rows(spark, t)
+    out = compact_warehouse(spark, wh, min_files=1)
+    assert _rows(spark, t) == before
+    assert (out["T"]["rows"] or 0) == len(before)
+    again = compact_warehouse(spark, wh, min_files=1)
+    assert _rows(spark, t) == before
+    # a fold of a fold never grows files
+    assert again["T"]["files_after"] <= out["T"]["files_after"]
