@@ -201,6 +201,17 @@ def vanished_cpu_sec(
 REGRESSION_RATIO = 1.25  # warm-med3 worse than this = flagged regression
 IMPROVEMENT_RATIO = 0.80
 
+# Section-order generation of the run loop. Bump whenever the EXECUTION
+# ORDER around the timed rows changes (not when rows are added/removed —
+# the comparator already lists those): layout 2 = r10's move of the ffi
+# section BEFORE the headline cold/warm passes, which makes headline
+# rows run on a JIT-warmed JVM (~0.85x on identical code, measured
+# 12.3s vs 16.3s, PERFORMANCE.md r10). Snapshots without the field are
+# layout 1. compare_snapshots downgrades cross-layout compares to
+# weakly comparable so a reorder is never silently scored as a
+# per-query code win (ADVICE r10).
+BENCH_LAYOUT = 2
+
 
 def compare_snapshots(old: dict, new: dict) -> dict:
     """Mechanical round-over-round comparator (r7 judge item 7 follow-
@@ -270,9 +281,29 @@ def compare_snapshots(old: dict, new: dict) -> dict:
         # even-count comparison toward whichever side it fell on
         mid = len(ratios) // 2
         median_ratio = round((ratios[mid - 1] + ratios[mid]) / 2, 3)
+    def _layout(snap: dict) -> int:
+        if "bench_layout" in snap:
+            return snap["bench_layout"]
+        # stampless inference: the ffi-first reorder (layout 2) landed
+        # in the same r10 commit as the aux med3 grid, so a pre-stamp
+        # snapshot whose aux grid carries ffi_* plan points was cut
+        # post-reorder (BENCH_SIDECAR_r10.json); anything else is the
+        # old headline-first loop
+        if any(k.startswith("ffi_") for k in snap.get("aux_warm_med3", {})):
+            return 2
+        return 1
+
     noise = (_noise(old), _noise(new))
-    comparable = noise == ("clean", "clean")
-    if comparable:
+    layouts = (_layout(old), _layout(new))
+    comparable = noise == ("clean", "clean") and layouts[0] == layouts[1]
+    if noise == ("clean", "clean") and layouts[0] != layouts[1]:
+        verdict = (
+            f"weakly comparable: bench_layout {layouts[0]} vs "
+            f"{layouts[1]} — the run-loop section order changed between "
+            "these snapshots, so per-query ratios mix a one-time regime "
+            "shift (JVM warmth at row time) with code movement"
+        )
+    elif comparable:
         verdict = "comparable: both snapshots clean"
     elif "noisy" in noise:
         verdict = (
@@ -291,6 +322,7 @@ def compare_snapshots(old: dict, new: dict) -> dict:
     out = {
         "comparable": comparable,
         "noise": {"old": noise[0], "new": noise[1]},
+        "bench_layout": {"old": layouts[0], "new": layouts[1]},
         "verdict": verdict,
         "median_ratio": median_ratio,
         "per_query": per_query,
@@ -496,6 +528,7 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "value_warm_med3": round(sum(warm_med3.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_layout": BENCH_LAYOUT,
     }
     out["aux_cold"] = aux_cold
     out["aux_warm_med3"] = aux_med3

@@ -8,9 +8,11 @@ canonicalization produce; output is (node, rank) summing to ~1.
 Spark-first power iteration with the same discipline as
 operators/components.py:
 
-- each iteration is ONE shuffle (contributions grouped by destination)
-  plus two driver-side SCALARS (total node count, dangling rank mass) —
-  the collect()s are one-row aggregates, model-sized, never data-sized;
+- each iteration is ONE shuffle (contributions grouped by destination);
+  the dangling rank mass is attached IN-PLAN as a one-row broadcast
+  (aggregate -> crossJoin — no per-round driver barrier, r10), leaving
+  a single driver-side scalar for the whole run: the total node count,
+  collected once before the loop (one-row aggregate, model-sized);
 - the rank frame is ``localCheckpoint``-ed per round (materialize +
   truncate lineage — an iterative plan otherwise grows super-linearly
   in Catalyst) and the PREVIOUS round's blocks are freed eagerly

@@ -151,7 +151,11 @@ def train_quality_model(
 
     tmp = tempfile.mkdtemp(prefix="qm_model_")
     try:
-        path = os.path.join(tmp, "pm")
+        # explicit file: scheme — a schemeless path resolves against
+        # fs.defaultFS, so on a cluster whose default FS is not local
+        # the model would land remotely while rmtree cleans only the
+        # empty local dir (one leaked model dir per training call)
+        path = "file:" + os.path.join(tmp, "pm")
         fitted.save(path)
         return PipelineModel.load(path)
     finally:

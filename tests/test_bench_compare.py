@@ -278,3 +278,32 @@ def test_flagged_ffi_row_carries_adjudication_note():
     # no note when nothing ffi regressed
     clean = compare_snapshots(old, old)
     assert "notes" not in clean
+
+
+def test_cross_layout_compare_is_weak_even_when_clean():
+    """ADVICE r10: the r10 reorder (ffi section before the headline
+    passes) made headline rows run JIT-warm (~0.85x on identical code).
+    A cross-layout compare must say so instead of scoring the regime
+    shift as per-query improvements."""
+    old = _snap({"a": 1.0}, noisy=False)
+    new = _snap({"a": 0.85}, noisy=False)
+    new["bench_layout"] = 2
+    out = compare_snapshots(old, new)
+    assert out["comparable"] is False
+    assert out["bench_layout"] == {"old": 1, "new": 2}
+    assert "bench_layout" in out["verdict"]
+    # ratios still reported for the caller's judgment
+    assert out["per_query"]["a"]["ratio"] == 0.85
+
+
+def test_stampless_post_reorder_sidecar_is_inferred_layout_2():
+    """BENCH_SIDECAR_r10.json predates the stamp but was cut by the
+    reordered loop; its ffi_* aux plan points identify it so the
+    r10->r11 compare is NOT spuriously downgraded."""
+    old = _snap({"a": 1.0}, noisy=False)
+    old["aux_warm_med3"] = {"ffi_glob_x16": 9.8, "cur_e2e": 5.0}
+    new = _snap({"a": 1.0}, noisy=False)
+    new["bench_layout"] = 2
+    out = compare_snapshots(old, new)
+    assert out["bench_layout"] == {"old": 2, "new": 2}
+    assert out["comparable"] is True
