@@ -216,6 +216,7 @@ def ann_index_search(
     vec_col: str = "embedding",
     rerank_vectors: DataFrame | None = None,
     rerank_id_col: str = "vec_id",
+    include_self: bool = False,
 ) -> DataFrame:
     """(query_id, nbr_id, adc_dist, rnk) — top-``k`` per query over the
     stored index, probing each query's ``nprobe`` nearest cells.
@@ -229,10 +230,13 @@ def ann_index_search(
     raw corpus vectors) the ADC shortlist is re-scored exactly
     (IVFADC+R): per query, ``k`` exact distance evaluations.
 
-    Inherited family semantics: a candidate whose id EQUALS the
-    query_id is excluded (_adc_scores' self-pair cut — the near-dup
-    convention). Give queries their own id space when "retrieve
-    yourself" must be possible."""
+    Inherited family semantics: by default a candidate whose id EQUALS
+    the query_id is excluded (_adc_scores' self-pair cut — the near-dup
+    convention), so a RETRIEVAL caller probing with corpus ids silently
+    never gets the query's own row back. Pass ``include_self=True`` for
+    retrieval semantics (a stored corpus vector queried by its own id
+    comes back at rank 1, ADC distance ~0), or give queries their own
+    id space."""
     meta = read_ann_index_meta(index_dir)
     rd = meta["round_digits"]
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -262,7 +266,7 @@ def ann_index_search(
     scored = _adc_scores(
         sliced.select("id", "codes"), codebooks, queries,
         query_id_col=query_id_col, vec_col=vec_col, dim=meta["dim"],
-        m=meta["m"], round_digits=rd,
+        m=meta["m"], round_digits=rd, include_self=include_self,
     ).join(allowed, ["query_id", "nbr_id"], "left_semi")
     w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
     shortlist = (

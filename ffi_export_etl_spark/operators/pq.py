@@ -191,15 +191,18 @@ def pq_topk(
     dim: int | None = None,
     m: int | None = None,
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """ADC top-k: (query_id, nbr_id, adc_dist, rnk), ascending squared-L2
     estimate. ``codes`` is pq_encode output; queries stay exact. The LUT
     (query x sub x cell) broadcasts; candidate cost is M lookups summed
-    map-side."""
+    map-side. ``include_self``: see :func:`_adc_scores` — default keeps
+    the dedup convention (a corpus-id query never retrieves itself)."""
     scored = _adc_scores(
         codes, codebooks, queries,
         query_id_col=query_id_col, vec_col=vec_col,
         dim=dim, m=m, round_digits=round_digits,
+        include_self=include_self,
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
     return (
@@ -222,6 +225,7 @@ def pq_topk_rerank(
     dim: int | None = None,
     m: int | None = None,
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """ADC shortlist -> EXACT re-rank: (query_id, nbr_id, dist, rnk),
     ascending true squared L2. The recall fix from Jegou et al. 2011
@@ -242,6 +246,7 @@ def pq_topk_rerank(
         codes, codebooks, queries, k=rerank,
         query_id_col=query_id_col, vec_col=vec_col,
         dim=dim, m=m, round_digits=round_digits,
+        include_self=include_self,
     ).select("query_id", "nbr_id")
     return _exact_rerank(
         short, vectors, queries, k,
@@ -307,6 +312,7 @@ def ivfpq_topk_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """The full billion-vector serving stack (IVFADC+R, Jegou et al.
     2011): coarse cells prune the corpus to nprobe cells per query, ADC
@@ -325,7 +331,7 @@ def ivfpq_topk_rerank(
         cells=cells, centroids=centroids, coarse_k=coarse_k,
         nprobe=nprobe, k=rerank, m=m,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-        round_digits=round_digits,
+        round_digits=round_digits, include_self=include_self,
     ).select("query_id", "nbr_id")
     return _exact_rerank(
         short, vectors, queries, k,
@@ -343,10 +349,18 @@ def _adc_scores(
     dim: int | None = None,
     m: int | None = None,
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """All (query_id, nbr_id, adc_dist) pairs — the unranked ADC core
     shared by exhaustive :func:`pq_topk` and :func:`ivfpq_topk` (which
-    must apply its per-query cell cut BEFORE any truncation)."""
+    must apply its per-query cell cut BEFORE any truncation).
+
+    ``include_self=False`` (default) drops candidates whose id EQUALS
+    the query_id — the near-dup convention every dedup caller relies
+    on, and a sharp edge for retrieval: a corpus-id query can never
+    retrieve its own row. A retrieval caller probing with corpus ids
+    passes ``include_self=True`` (or gives queries their own id
+    space)."""
     # one-row aggregate over the model-sized codebook table -> driver
     # scalar (never data-sized)
     mm = m if m is not None else codebooks.agg(
@@ -370,9 +384,11 @@ def _adc_scores(
         F.col("id").alias("nbr_id"),
         F.posexplode("codes").alias("sub", "cell"),
     )
+    scored = cand.join(F.broadcast(lut), ["sub", "cell"])
+    if not include_self:
+        scored = scored.filter(F.col("nbr_id") != F.col("query_id"))
     return (
-        cand.join(F.broadcast(lut), ["sub", "cell"])
-        .filter(F.col("nbr_id") != F.col("query_id"))
+        scored
         .groupBy("query_id", "nbr_id")
         # ordered fold, not SUM: float addition is order-sensitive and
         # an engine-replaying oracle must add the M terms in the same
@@ -540,6 +556,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """IVF+PQ — the billion-vector ANN shape: a coarse quantizer prunes
     the corpus to the ``nprobe`` cells nearest each query, and ADC ranks
@@ -603,7 +620,7 @@ def ivfpq_topk(
     scored = _adc_scores(
         sliced.select("id", "codes"), codebooks, queries,
         query_id_col=query_id_col, vec_col=vec_col, dim=dim, m=m,
-        round_digits=round_digits,
+        round_digits=round_digits, include_self=include_self,
     ).join(allowed, ["query_id", "nbr_id"], "left_semi")
     w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
     return (

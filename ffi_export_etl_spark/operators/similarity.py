@@ -73,6 +73,7 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     k: int = 10,
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -80,6 +81,9 @@ def brute_force_topk(
     corpus is scanned once with no shuffle until the final per-query top-k
     window (partitioned by query_id, deterministic tiebreak on id).
     Cosine is rounded before ranking so rank order is engine-portable.
+    ``include_self=False`` (default) keeps the family's near-dup
+    convention — a corpus-id query never retrieves its own row; pass
+    True for retrieval semantics.
     """
     v = vectors.select(
         F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v")
@@ -87,8 +91,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    on = (
+        F.lit(True) if include_self
+        else F.col("nbr_id") != F.col("query_id")
+    )
     scored = (
-        v.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        v.join(F.broadcast(q), on)
         .withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
@@ -126,6 +134,7 @@ def lsh_topk(
     planes: int = 8,
     probe_hamming: int = 1,
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share (or nearly share) the query's
     LSH bucket.
@@ -155,9 +164,11 @@ def lsh_topk(
                 for r in range(p + 1, planes)
             ]
         q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    scored = v.join(F.broadcast(q), ["bucket"])
+    if not include_self:
+        scored = scored.filter(F.col("nbr_id") != F.col("query_id"))
     scored = (
-        v.join(F.broadcast(q), ["bucket"])
-        .filter(F.col("nbr_id") != F.col("query_id"))
+        scored
         .drop("bucket")
         .dropDuplicates(["query_id", "nbr_id"])
         .withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits))
@@ -444,6 +455,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 3,
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     cells around centroids, probe only the ``nprobe`` cells nearest each
@@ -466,10 +478,11 @@ def ivf_topk(
     )
     # rank cells per query by ROUNDED centroid cosine; keep nprobe nearest
     probes = probe_cells(q, cents, nprobe, round_digits)
-    scored = (
-        v.join(F.broadcast(probes), ["cell"])
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits))
+    scored = v.join(F.broadcast(probes), ["cell"])
+    if not include_self:
+        scored = scored.filter(F.col("nbr_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "cos", F.round(cosine(F.col("v"), F.col("qv")), round_digits)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
     return (
@@ -488,6 +501,7 @@ def quantized_topk(
     k: int = 10,
     rescore_factor: int = 4,
     round_digits: int = 6,
+    include_self: bool = False,
 ) -> DataFrame:
     """Two-stage ANN over int8-quantized embeddings — the memory-bandwidth
     scale path (operators/quantize.py composed with top-k search).
@@ -536,8 +550,12 @@ def quantized_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    on = (
+        F.lit(True) if include_self
+        else F.col("nbr_id") != F.col("query_id")
+    )
     approx = (
-        corpus8.join(F.broadcast(query8), F.col("nbr_id") != F.col("query_id"))
+        corpus8.join(F.broadcast(query8), on)
         .withColumn(
             "ascore",
             F.round(

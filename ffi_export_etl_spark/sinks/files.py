@@ -142,14 +142,24 @@ def compact_warehouse(
       readers), ``coalesce`` — NOT repartition — down to
       ceil(bytes/target): compaction is a rewrite, not a shuffle; at
       100 TB the fold moves each byte once, executor-local.
-    - write to a sibling ``<table>._compact_tmp`` dir, then atomically
-      swap: rename table -> ``<table>._compact_old``, tmp -> table,
-      delete old. Readers never see a partial table; the instant
-      between the two renames is the only window and it is crash-REPAIRED,
-      not crash-safe: on entry, a missing table dir next to a completed
-      tmp (``_SUCCESS`` present) promotes the tmp, otherwise a surviving
-      ``_compact_old`` is restored; stale tmp/old dirs from finished or
-      aborted runs are cleared before refolding.
+    - write to a sibling ``.compact_tmp.<name>`` dir, then atomically
+      swap: rename table -> ``.compact_old.<name>``, tmp -> table,
+      delete old. The staging names are DOT-prefixed (ADVICE r10):
+      Spark's listing filter drops ``.``-prefixed paths unconditionally
+      (an ``_`` prefix is NOT enough — names containing ``=`` keep the
+      partition-dir exemption, so ``_compact_tmp.cell=3`` would still
+      be discovered as a conflicting partition column), so a concurrent
+      reader of the ENCLOSING dir — a whole hive-partitioned table
+      while one partition folds, or the warehouse root — never sees
+      staging residue as data or as a bogus partition value. Readers of the
+      folding dir itself never see a partial table; the instant between
+      the two renames is the only window and it is crash-REPAIRED, not
+      crash-safe: on entry, a missing table dir next to a completed tmp
+      (``_SUCCESS`` present) promotes the tmp, otherwise a surviving
+      old dir is restored; stale tmp/old dirs from finished or aborted
+      runs are cleared before refolding (both this naming and the r10
+      ``<name>._compact_tmp`` suffix form, so pre-r11 crash residue
+      still repairs).
 
     Hive-partitioned tables (no top-level parquet, ``key=value``
     subdirs — e.g. the ANN index's per-cell code dirs) fold each
@@ -204,6 +214,18 @@ def compact_warehouse(
     return out
 
 
+def _staging_paths(target_dir: str) -> tuple[str, str]:
+    """(tmp, old) staging dirs for one fold target — dot-prefixed
+    SIBLINGS (``.compact_tmp.<name>``) so Spark's listing of the parent
+    dir ignores them even when ``<name>`` is a ``key=value`` partition
+    dir (see compact_warehouse)."""
+    parent, name = os.path.split(target_dir.rstrip("/"))
+    return (
+        os.path.join(parent, ".compact_tmp." + name),
+        os.path.join(parent, ".compact_old." + name),
+    )
+
+
 def _fold_candidates(root: str, partitions: bool = False) -> set[str]:
     """Dir names under ``root`` that are (or were — a crashed fold may
     have left ONLY tmp/old dirs, the real dir renamed away) fold
@@ -211,15 +233,23 @@ def _fold_candidates(root: str, partitions: bool = False) -> set[str]:
     dirs of one table when ``partitions``."""
     cands: set[str] = set()
     for n in os.listdir(root):
-        if n.startswith(("_", ".")) or not os.path.isdir(
-            os.path.join(root, n)
-        ):
+        if not os.path.isdir(os.path.join(root, n)):
             continue
-        base = n
-        for suffix in ("._compact_tmp", "._compact_old"):
-            if n.endswith(suffix):
-                base = n[: -len(suffix)]
+        base = None
+        for prefix in (".compact_tmp.", ".compact_old."):
+            if n.startswith(prefix):
+                base = n[len(prefix):]
                 break
+        if base is None:
+            # r10 suffix naming — recognized so pre-r11 residue repairs
+            for suffix in ("._compact_tmp", "._compact_old"):
+                if n.endswith(suffix):
+                    base = n[: -len(suffix)]
+                    break
+        if base is None:
+            if n.startswith(("_", ".")):
+                continue
+            base = n
         if partitions == ("=" in base):
             cands.add(base)
     return cands
@@ -228,21 +258,29 @@ def _fold_candidates(root: str, partitions: bool = False) -> set[str]:
 def _repair_dir(target_dir: str) -> bool:
     """Crash repair for one fold target (see compact_warehouse): promote
     a completed tmp over a missing dir, else restore the old dir, then
-    clear stale residue. Returns False when no dir exists at all."""
+    clear stale residue — in BOTH staging namings (the r11 underscore
+    prefix and the r10 suffix), preferring the current one. Returns
+    False when no dir exists at all."""
     import shutil
 
-    tmp_dir = target_dir + "._compact_tmp"
-    old_dir = target_dir + "._compact_old"
+    tmp_dir, old_dir = _staging_paths(target_dir)
+    tmp_legacy = target_dir + "._compact_tmp"
+    old_legacy = target_dir + "._compact_old"
     if not os.path.isdir(target_dir):
-        if os.path.isdir(tmp_dir) and os.path.exists(
-            os.path.join(tmp_dir, "_SUCCESS")
-        ):
-            os.rename(tmp_dir, target_dir)  # promote completed fold
-        elif os.path.isdir(old_dir):
-            os.rename(old_dir, target_dir)  # unwind incomplete fold
+        for tmp in (tmp_dir, tmp_legacy):
+            if os.path.isdir(tmp) and os.path.exists(
+                os.path.join(tmp, "_SUCCESS")
+            ):
+                os.rename(tmp, target_dir)  # promote completed fold
+                break
         else:
-            return False
-    for stale in (tmp_dir, old_dir):
+            for old in (old_dir, old_legacy):
+                if os.path.isdir(old):
+                    os.rename(old, target_dir)  # unwind incomplete fold
+                    break
+            else:
+                return False
+    for stale in (tmp_dir, old_dir, tmp_legacy, old_legacy):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
     return True
@@ -258,8 +296,7 @@ def _compact_dir(
     import math
     import shutil
 
-    tmp_dir = table_dir + "._compact_tmp"
-    old_dir = table_dir + "._compact_old"
+    tmp_dir, old_dir = _staging_paths(table_dir)
     parts = [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
     if len(parts) < min_files:
         return {

@@ -106,11 +106,64 @@ def test_crash_repair_promotes_completed_tmp(spark, warehouse):
     before = _rows(spark, t)
     compact_warehouse(spark, warehouse, min_files=2)
     # re-enact the crash: the freshly folded table IS a completed tmp
-    os.rename(t, t + "._compact_tmp")
+    os.rename(t, os.path.join(warehouse, ".compact_tmp.T"))
     out = compact_warehouse(spark, warehouse, min_files=2)
     assert os.path.isdir(t)
     assert _rows(spark, t) == before
     assert out["T"]["action"] == "skipped"  # promoted, already compact
+
+
+def test_crash_repair_promotes_legacy_suffix_tmp(spark, warehouse):
+    """Pre-r11 crash residue used the ``<name>._compact_tmp`` SUFFIX
+    naming; its repair path is kept so an r10-era crashed fold still
+    promotes after the upgrade."""
+    t = os.path.join(warehouse, "T")
+    before = _rows(spark, t)
+    compact_warehouse(spark, warehouse, min_files=2)
+    os.rename(t, t + "._compact_tmp")
+    out = compact_warehouse(spark, warehouse, min_files=2)
+    assert os.path.isdir(t)
+    assert _rows(spark, t) == before
+    assert out["T"]["action"] == "skipped"
+
+
+def test_partitioned_staging_invisible_to_whole_table_readers(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): a hive-partitioned table mid-fold (or with
+    unrepaired crash residue) must still read correctly as a WHOLE
+    table — the dot-prefixed staging names are skipped by
+    Spark's listing, so no duplicate rows, no partition-type widening
+    to string, and partition-pruning filters keep working."""
+    wh = str(tmp_path / "wh")
+    t = os.path.join(wh, "P")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{i}", i % 2) for i in range(6)],
+            "k int, v string, cell int",
+        )
+        df.repartition(2).write.mode("append").partitionBy("cell").parquet(t)
+    before = _rows(spark, t)
+    # mid-fold state for partition cell=0: a staged tmp copy AND an old
+    # copy sitting inside the TABLE dir under the new naming
+    shutil.copytree(
+        os.path.join(t, "cell=0"), os.path.join(t, ".compact_tmp.cell=0")
+    )
+    shutil.copytree(
+        os.path.join(t, "cell=0"), os.path.join(t, ".compact_old.cell=0")
+    )
+    df = spark.read.parquet(t)
+    assert dict(df.dtypes)["cell"] == "int"     # not widened to string
+    assert _rows(spark, t) == before            # no duplicate rows
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.col("cell").isin([0])).count() == 6
+    # and the next fold clears the residue without reading it as data
+    out = compact_warehouse(spark, wh, min_files=1)
+    assert out["P"]["rows"] == 12
+    assert _rows(spark, t) == before
+    assert not os.path.isdir(os.path.join(t, ".compact_tmp.cell=0"))
+    assert not os.path.isdir(os.path.join(t, ".compact_old.cell=0"))
 
 
 def test_crash_repair_restores_old_when_tmp_incomplete(spark, warehouse):
