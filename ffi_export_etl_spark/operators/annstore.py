@@ -58,6 +58,34 @@ def _meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, _META)
 
 
+def _write_model_table(df: DataFrame, out_dir: str) -> None:
+    """Driver-side parquet write of a MODEL-SIZED frame (see
+    write_ann_index): collect -> Arrow table -> one file. Schema goes
+    through the Arrow conversion of the collected rows, so int/array
+    column types round-trip the same as a Spark write for the index's
+    artifact shapes (pinned by the stored-vs-in-memory equality
+    tests)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    rows = df.collect()
+    cols = df.columns
+    # exact type fidelity with a Spark write (int stays int32, arrays
+    # stay list<double>): build the Arrow schema from the Spark schema,
+    # never infer from Python values
+    schema = to_arrow_schema(df.schema)
+    table = pa.table(
+        {c: [r[c] for r in rows] for c in cols}, schema=schema
+    )
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)  # overwrite semantics, like the old path
+    os.makedirs(out_dir)
+    pq.write_table(table, os.path.join(out_dir, "part-0.parquet"))
+
+
 def read_ann_index_meta(index_dir: str) -> dict:
     with open(_meta_path(index_dir)) as f:
         meta = json.load(f)
@@ -66,6 +94,61 @@ def read_ann_index_meta(index_dir: str) -> dict:
             f"unsupported ann index version {meta.get('version')!r} at "
             f"{index_dir} (expected {_VERSION})"
         )
+    return meta
+
+
+def write_ann_index(
+    index_dir: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    coded_cells: DataFrame,
+    dim: int,
+    coarse_k: int,
+    m: int,
+    pq_k: int,
+    round_digits: int = 6,
+) -> dict:
+    """Persist PRE-FITTED artifacts as a complete index: ``centroids``
+    (cell, centroid), ``codebooks`` (sub, cell, centroid) and
+    ``coded_cells`` (id, codes, cell). The production split — models
+    are trained once (or are fixed/offline artifacts) and the index
+    write is the only data-sized step; :func:`build_ann_index` is the
+    fit-then-write convenience over this. Returns the meta dict (also
+    written to ``_meta.json``, LAST — its presence marks a complete
+    index, so a crashed write is re-runnable and never readable).
+
+    The model artifacts are BROADCAST-SIZED by contract (coarse_k and
+    m x pq_k rows), so they are collected and written driver-side via
+    Arrow — a distributed write for a 24-row table is pure
+    scheduler/committer overhead (~0.5s/table measured), and collect
+    is bounded by the same contract that lets every search broadcast
+    them. Only ``coded_cells`` — the corpus-sized artifact — takes the
+    distributed partitioned-write path."""
+    os.makedirs(index_dir, exist_ok=True)
+    _write_model_table(
+        centroids.select("cell", "centroid"),
+        os.path.join(index_dir, "centroids"),
+    )
+    _write_model_table(
+        codebooks.select("sub", "cell", "centroid"),
+        os.path.join(index_dir, "codebooks"),
+    )
+    (
+        coded_cells.select("id", "codes", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    meta = {
+        "version": _VERSION,
+        "dim": dim,
+        "coarse_k": coarse_k,
+        "m": m,
+        "pq_k": pq_k,
+        "round_digits": round_digits,
+    }
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f, sort_keys=True)
     return meta
 
 
@@ -86,8 +169,6 @@ def build_ann_index(
     dict (also written to ``_meta.json``). One fitting pass per Lloyd
     iteration + one encode pass; the write is the only data-sized
     artifact and lands partitioned by cell."""
-    spark = vectors.sparkSession
-    os.makedirs(index_dir, exist_ok=True)
     cells = lloyd_cells(
         vectors, dim, k=coarse_k, iters=iters, id_col=id_col,
         vec_col=vec_col, round_digits=round_digits,
@@ -104,31 +185,11 @@ def build_ann_index(
         vectors, codebooks, dim, m=m, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits,
     )
-    centroids.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "centroids")
+    return write_ann_index(
+        index_dir, centroids, codebooks, codes.join(cells, "id"),
+        dim=dim, coarse_k=coarse_k, m=m, pq_k=pq_k,
+        round_digits=round_digits,
     )
-    codebooks.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "codebooks")
-    )
-    (
-        codes.join(cells, "id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(index_dir, "codes"))
-    )
-    meta = {
-        "version": _VERSION,
-        "dim": dim,
-        "coarse_k": coarse_k,
-        "m": m,
-        "pq_k": pq_k,
-        "round_digits": round_digits,
-    }
-    # meta written LAST: its presence marks a complete index, so a
-    # crashed build is re-runnable (overwrite modes) and never readable
-    with open(_meta_path(index_dir), "w") as f:
-        json.dump(meta, f, sort_keys=True)
-    return meta
 
 
 def _assign_cells(

@@ -290,3 +290,48 @@ def test_include_self_lets_a_corpus_id_query_retrieve_itself(
     assert len(non_self) >= len(rows) - 1
     for i, rnk in non_self.items():
         assert rnk - default_ids[i] in (0, 1)
+
+
+def test_gated_store_arm_matches_ivfpq_and_prunes(spark, tmp_path):
+    """The r11 driver-gated 'store' arm (ann_pq_pack): built over the
+    pack's literal artifacts it must (a) reproduce the 'ivfpq' arm row
+    for row modulo the kind tag — the stored index is a storage format,
+    not a different algorithm, which is what makes sharing the ivfpq
+    oracle honest — and (b) keep the PartitionFilters cell predicate on
+    the codes scan (the 100 TB contract, extended to the gated arm per
+    the r10 verdict)."""
+    from ffi_export_etl_spark.queries.similarity_q import (
+        IVFPQ_NPROBE,
+        TOPK,
+        _ivfpq_arm,
+        _ivfpq_coarse,
+        _pq_codebooks_df,
+        _pq_codes_literal,
+        _queries_df,
+        _store_arm,
+    )
+    from ffi_export_etl_spark.sources.parquet import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_df(spark)
+    codes = _pq_codes_literal(e)
+    cents, cells = _ivfpq_coarse(spark, e)
+    index_dir = str(tmp_path / "packidx")
+
+    got = _store_arm(
+        spark, e, cb, codes, cents, cells, index_dir=index_dir
+    ).collect()
+    want = _ivfpq_arm(spark, e, cb, codes, cents, cells).collect()
+    retag = sorted(str(r.asDict() | {"kind": "store"}) for r in want)
+    assert sorted(str(r.asDict()) for r in got) == retag and got
+
+    # caller-supplied dir survives the arm -> plan introspection on the
+    # exact store the gate searched
+    out = ann_index_search(
+        spark, index_dir, _queries_df(e), k=TOPK, nprobe=IVFPQ_NPROBE
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "cell" in m.group(1)
