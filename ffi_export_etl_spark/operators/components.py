@@ -29,9 +29,7 @@ same truncation, fault-tolerant storage.)
 
 from __future__ import annotations
 
-import threading
 import warnings
-from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -256,41 +254,6 @@ def _checkpoint_with_checksum(
     return ck, (row["n"], row["h1"], row["h2"])
 
 
-# Content-addressed cross-call result cache (r11, judge item 6). The
-# returned labels frame embeds the FINAL round's localCheckpoint RDD id,
-# so two calls over an identical edge set produce plan-UNEQUAL frames —
-# every downstream persist (curation's cluster attach) then misses
-# CacheManager's plan-equality reuse and re-materializes per call. The
-# entry fingerprint (count + two 32-bit md5 sums, collision ~2^-64) is
-# already observed during the entry checkpoint, so keying the finished
-# labels frame by it makes a repeat call return the SAME DataFrame
-# object — identical RDD id, downstream plan equality restored, zero
-# contraction rounds. Session-scoped (keyed by applicationId; a
-# restarted context can never resurrect stale blocks); bounded LRU —
-# eviction only DROPS the reference (the ContextCleaner reclaims the
-# blocks once unreferenced), never force-frees, because a caller may
-# still hold the evicted frame.
-_CC_CACHE_MAX = 4
-_CC_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
-_CC_CACHE_LOCK = threading.Lock()
-
-
-def _cc_cache_get(key: tuple) -> DataFrame | None:
-    with _CC_CACHE_LOCK:
-        hit = _CC_CACHE.get(key)
-        if hit is not None:
-            _CC_CACHE.move_to_end(key)
-        return hit
-
-
-def _cc_cache_put(key: tuple, labels: DataFrame) -> None:
-    with _CC_CACHE_LOCK:
-        _CC_CACHE[key] = labels
-        _CC_CACHE.move_to_end(key)
-        while len(_CC_CACHE) > _CC_CACHE_MAX:
-            _CC_CACHE.popitem(last=False)
-
-
 def connected_components_alternating(
     edges: DataFrame,
     src: str = "id_a",
@@ -325,22 +288,6 @@ def connected_components_alternating(
         .distinct()
     )
     prev_ids = _ckpt_ids(e)
-    # content-addressed reuse: an identical edge SET (same fingerprint,
-    # same session) already has a finished labels frame — return that
-    # very object so downstream persists stay plan-equal across calls.
-    # The just-made entry checkpoint is this call's only residue; free
-    # it now (the cached result references the final round's RDD, never
-    # a later call's entry blocks).
-    try:
-        app_id = spark.sparkContext.applicationId
-    except Exception:
-        app_id = None
-    cache_key = (app_id, prev, max_rounds) if app_id else None
-    if cache_key:
-        hit = _cc_cache_get(cache_key)
-        if hit is not None:
-            _free_rdds(spark, prev_ids)
-            return hit
     for _ in range(max_rounds):
         # ---- large-star ----
         nbrs = e.select("u", "v").union(
@@ -407,8 +354,6 @@ def connected_components_alternating(
         .groupBy("id")
         .agg(F.min("component").alias("component"))
     )
-    if cache_key:
-        _cc_cache_put(cache_key, labels)
     return labels
 
 
