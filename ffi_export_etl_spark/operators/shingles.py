@@ -217,10 +217,13 @@ def jaccard_pairs(
     # The array table feeds four subplans (doc-frequency ranking via
     # its explode, the prefix, both verification sides).
     # cache_shingles=True persists it — right when the corpus scan
-    # dominates (real 100 TB runs) — but the caller owns the release;
-    # default False recomputes like minhash's same-named default, so a
-    # registry/bench run never pins the largest intermediate for the
-    # session lifetime.
+    # dominates (real 100 TB runs) — plus the (small) prefix table,
+    # whose self-join otherwise duplicates the whole
+    # explode->doc-frequency->window subtree once per side. The caller
+    # owns the release: the persisted handles ride on the result as
+    # ``result._jaccard_persisted`` (the curate_documents pattern);
+    # default False recomputes so ad-hoc callers never pin the largest
+    # intermediate for the session lifetime.
     arr = build_shingle_arrays(docs, id_col, text_col, n, mode)
     if cache_shingles:
         arr.persist()
@@ -236,6 +239,8 @@ def jaccard_pairs(
     prefix = ranked.filter(
         F.col("_rk") <= F.col("n_sh") - F.floor(need).cast("long") + 1
     ).select("id", "shingle", "n_sh")
+    if cache_shingles:
+        prefix = prefix.persist()
     a = prefix.alias("a")
     b = prefix.alias("b")
     # Size filter INSIDE the candidate join (lossless): J >= t forces
@@ -259,7 +264,7 @@ def jaccard_pairs(
     # intersection by shuffling candidate_pairs x shingles rows.
     va = arr.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
     vb = arr.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
-    return (
+    out = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
@@ -276,3 +281,6 @@ def jaccard_pairs(
             (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
         )
     )
+    # release handles for long-lived sessions (see cache_shingles note)
+    out._jaccard_persisted = [arr, prefix] if cache_shingles else []
+    return out

@@ -138,7 +138,14 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification touches candidates only. Same integer Jaccard test as
     minhash verification, so the two paths are directly comparable."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=JACCARD_PCT)
+    # cache_shingles: the shingle-array and prefix subtrees feed 4 and 2
+    # consumers respectively (r11 plan audit: six scans of the corpus,
+    # four shingle explodes in one query) — persisting them is the
+    # operator docstring's own 100 TB advice; values unchanged.
+    return jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold_pct=JACCARD_PCT,
+        cache_shingles=True,
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
