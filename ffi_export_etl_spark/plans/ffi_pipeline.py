@@ -128,6 +128,10 @@ class FFIPipeline:
         self.tables = TableRegistry(spark, tables)
         self.admin_unit: str | None = None
         self.version: str | None = None
+        # frames this pipeline persisted (the two discovery caches) —
+        # the overlapped per-file driver releases them per FILE instead
+        # of clearCache()-ing the whole session (r11)
+        self.persists: list[DataFrame] = []
 
     # ------------------------------------------------------------------
     # extract
@@ -303,6 +307,7 @@ class FFIPipeline:
 
         # cache: every per-method branch filters this same plan
         attr_long = self._attr_long().persist()
+        self.persists.append(attr_long)
         # ONE collect discovers methods AND their unit systems (A6
         # distinct-collect). Do NOT merge this with the fields collect:
         # this collect populates the rootdf/attr_long persists, and the
@@ -313,6 +318,7 @@ class FFIPipeline:
         attr_methods, attr_units = _methods_and_units(attr_long)
 
         sample_long = self._sample_long().persist()
+        self.persists.append(sample_long)
         # Known pivot domain per method (scale path: no distinct-collect
         # inside the pivot; schema is stable and declared). ONE aggregated
         # collect per family builds every method's field list — not one

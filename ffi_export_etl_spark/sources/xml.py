@@ -101,6 +101,7 @@ def read_ffi_export(
     path: str | list[str],
     tags: Iterable[str] | None = None,
     apply_casts: bool = True,
+    persists: list | None = None,
 ) -> dict[str, DataFrame]:
     """Read one FFI export (or a glob of exports) into {table: DataFrame}.
 
@@ -159,7 +160,13 @@ def read_ffi_export(
         rootdf = rootdf.withColumn("_file", F.input_file_name())
     # ONE distributed parse feeds every per-tag select below (storage is
     # MEMORY_AND_DISK; evicted LRU once the batch driver moves on).
+    # ``persists`` (r11): callers that process many files in one session
+    # get the cached-frame handle back for a TARGETED release — the
+    # overlapped per-file driver can no longer clearCache() between
+    # files without nuking the next file's freshly built caches.
     rootdf.persist()
+    if persists is not None:
+        persists.append(rootdf)
     out: dict[str, DataFrame] = {}
     lead = ["_file"] if multi else []
     for tag in tags:
