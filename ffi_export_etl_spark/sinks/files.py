@@ -46,6 +46,8 @@ def parquet_upsert(
     protocol (Delta/Iceberg) — single-writer here, like the reference's
     one-process loader.
     """
+    from pyspark.sql import Observation
+
     if os.path.isdir(target_dir) and any(
         f.endswith(".parquet") for f in os.listdir(target_dir)
     ):
@@ -56,19 +58,27 @@ def parquet_upsert(
     # dropDuplicates: source may carry internal dupes on the key; MERGE
     # targets reject those, we keep-first deterministically.
     new_rows = new_rows.dropDuplicates(list(key_cols))
-    # persist across the count + write pair (r8): the upstream plan can
-    # be a whole pipeline chain (the FFI 6-way EAV join), and running
-    # it TWICE — once for the count, once for the write — was the
-    # larger half of the batch loader's fixed floor. The cached set is
-    # the delta being appended (batch-sized, not warehouse-sized).
-    new_rows.persist()
+    # ONE action (r11): the inserted-row count rides the append itself
+    # as an Observation (the components.py checkpoint-checksum
+    # mechanism), so the upstream plan — potentially a whole pipeline
+    # chain (the FFI 6-way EAV join) — executes exactly once. This
+    # replaces r8's persist-across-count-then-write pair: two driver
+    # job rounds and a cache fill/release per table were the batch
+    # loader's per-upsert fixed floor. An all-duplicates batch now
+    # appends an empty part file instead of skipping the write (rows
+    # identical; compact_warehouse folds the residue), and a write
+    # whose plan collapsed to zero tasks reports 0 via getOrEmpty —
+    # nothing ran, nothing appended.
+    obs = Observation()
+    observed = new_rows.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("append").parquet(target_dir)
+    # JVM-side getOrEmpty (the components.py probe): Observation.get
+    # would BLOCK forever on a plan that collapsed to zero tasks
     try:
-        count = new_rows.count()
-        if count:
-            new_rows.write.mode("append").parquet(target_dir)
-    finally:
-        new_rows.unpersist()
-    return count
+        fired = not obs._jo.getOrEmpty().isEmpty()
+    except Exception:
+        fired = True  # conservatively read through the blocking path
+    return int(obs.get["n"]) if fired else 0
 
 
 class ProcessedLedger:
