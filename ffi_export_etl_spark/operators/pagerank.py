@@ -8,11 +8,17 @@ canonicalization produce; output is (node, rank) summing to ~1.
 Spark-first power iteration with the same discipline as
 operators/components.py:
 
-- each iteration is ONE shuffle (contributions grouped by destination);
-  the dangling rank mass is attached IN-PLAN as a one-row broadcast
-  (aggregate -> crossJoin — no per-round driver barrier, r10), leaving
-  a single driver-side scalar for the whole run: the total node count,
-  collected once before the loop (one-row aggregate, model-sized);
+- each iteration is ONE shuffle (contributions grouped by destination)
+  and ONE job: the dangling rank mass rides the PREVIOUS round's
+  checkpoint materialization as an observed metric (r11 — the
+  components.py checkpoint-checksum mechanism) and enters the next
+  round as a literal. r10 attached it in-plan as a one-row broadcast
+  (aggregate -> crossJoin), which still executed a broadcast-exchange
+  job per round and referenced the rank frame twice — the double
+  reference is also what made lazy K-chaining go exponential
+  (PERFORMANCE.md r10 cont. 4). One driver-side scalar for the whole
+  run remains: the total node count, collected once before the loop
+  (one-row aggregate, model-sized);
 - the rank frame is ``localCheckpoint``-ed per round (materialize +
   truncate lineage — an iterative plan otherwise grows super-linearly
   in Catalyst) and the PREVIOUS round's blocks are freed eagerly
@@ -35,6 +41,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .components import _ckpt_ids, _free_rdds
+
+
+def _ckpt_with_dang(df: DataFrame):
+    """Eager localCheckpoint of a (node, deg, rank) frame returning
+    ``(checkpointed_df, dangling_mass)`` — the dangling-node rank sum is
+    OBSERVED during the checkpoint materialization itself (the
+    components.py _checkpoint_with_checksum mechanism), so reading it
+    costs no extra pass and no broadcast subtree in the next round's
+    plan. getOrEmpty guards the degenerate zero-task plan the same way
+    components.py does; the blocking ``get`` path is the fallback."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = df.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+            F.lit(0.0),
+        ).alias("_dang"),
+    ).localCheckpoint()
+    try:
+        row = obs._jo.getOrEmpty()
+        if row.isEmpty():
+            return ck, 0.0
+        return ck, float(obs.get["_dang"])
+    except Exception:  # private-API drift — read the blocking path
+        return ck, float(obs.get["_dang"])
 
 
 def pagerank(
@@ -76,31 +109,27 @@ def pagerank(
         base.unpersist()  # nothing cached may outlive the call
         _free_rdds(spark, e_ids)
         return empty
-    ranks = base.select(
-        "node", "deg", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint()
+    # The init checkpoint's observation prices round 1's dangling mass
+    # (n_dang/n) without a separate aggregate job.
+    ranks, dang = _ckpt_with_dang(
+        base.select("node", "deg", F.lit(1.0 / n).alias("rank"))
+    )
     prev_ids = _ckpt_ids(ranks)
     for _ in range(iterations):
-        # mass parked on dangling nodes this round, redistributed
-        # uniformly. Kept IN-PLAN as a one-row broadcast attach (the
-        # repo's scalar-attach crossJoin pattern) rather than a driver
-        # collect: the round is then ONE job (the checkpoint) instead
-        # of two sequential driver round-trips — at 10 iterations that
-        # halves the loop's job-submission latency, and on a cluster it
-        # removes a per-round driver synchronization barrier. Both
-        # traversals of `ranks` read its checkpoint blocks.
-        dang = ranks.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
-        )
+        # Mass parked on dangling nodes last round, redistributed
+        # uniformly. `dang` was observed during the previous round's
+        # checkpoint materialization, so it enters this plan as a
+        # LITERAL: the round is ONE job with ONE reference to the rank
+        # frame (the contribution join) — no dangling-aggregate
+        # broadcast subtree and no per-round driver barrier beyond the
+        # checkpoint action itself.
         contribs = (
             ranks.join(e, ranks["node"] == e["u"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("_c"))
         )
-        ranks = (
-            base.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
+        ranks, dang = _ckpt_with_dang(
+            base.join(contribs, "node", "left").select(
                 "node",
                 "deg",
                 (
@@ -108,11 +137,11 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
+                        + F.lit(dang) / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
-        ).localCheckpoint()
+        )
         cur_ids = _ckpt_ids(ranks)
         _free_rdds(spark, prev_ids)
         prev_ids = cur_ids
