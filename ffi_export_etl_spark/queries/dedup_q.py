@@ -293,13 +293,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pagerank import pagerank
 
     d = load_table(spark, sf_dir, "documents")
-    # eager checkpoint: the pair set is tiny (near-dup pairs, not the
-    # corpus) and is traversed by THREE arms below — a live minhash
-    # plan would re-run the sketch build per traversal
-    pairs = minhash_near_duplicates(
-        d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
-        threshold_pct=JACCARD_PCT,
-    ).localCheckpoint(eager=True)
     # one-row aggregate -> driver SCALAR (n_docs feeds the edge moduli
     # and the rank scaling) — bounded, never data-sized, the same
     # contract as pagerank's own per-round dangling-mass collect; a
@@ -307,16 +300,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan the no-theta-join hygiene test pins clean
     n_docs = d.count()
 
-    # The three arms are independent chains over the already-hot
-    # checkpointed pair set (and d's cached scan), and each runs a
-    # DRIVER-PACED iterative loop (contraction rounds / pagerank
-    # rounds) whose per-round jobs underfill the cluster — so they run
-    # on a thread pool (the cur_train_pack / ann_pq_pack precedent;
-    # measured 17 -> see PERFORMANCE.md r9). The shared inputs are
-    # materialized BEFORE the threads start (pairs is an eager
-    # checkpoint above, n_docs counted here), so no concurrent
-    # first-touch can recompute them.
-    def _comp():
+    # eager checkpoint: the pair set is tiny (near-dup pairs, not the
+    # corpus) and is traversed by the comp/incr arms below — a live
+    # minhash plan would re-run the sketch build per traversal. Built
+    # INSIDE the graph-family worker (r11): pagerank's synthetic link
+    # graph does not read the pair set, so the ~2s sketch build now
+    # overlaps the pagerank loop instead of serializing ahead of all
+    # three arms (phase profile in PERFORMANCE.md r11 — the row's wall
+    # was pairs + max(arms), now max(pagerank, pairs + max(comp,
+    # incr))). The checkpoint is materialized before the two dependent
+    # arms start, so no concurrent first-touch can recompute it.
+    def _pairs():
+        return minhash_near_duplicates(
+            d, "doc_id", "text", n=3, num_perm=NUM_PERM, bands=BANDS,
+            threshold_pct=JACCARD_PCT,
+        ).localCheckpoint(eager=True)
+
+    # The arms are independent chains over the checkpointed pair set
+    # (and d's cached scan), and each runs a DRIVER-PACED iterative
+    # loop (contraction rounds / pagerank rounds) whose per-round jobs
+    # underfill the cluster — so they run on a thread pool (the
+    # cur_train_pack / ann_pq_pack precedent; measured 17 -> see
+    # PERFORMANCE.md r9).
+    def _comp(pairs):
         return dedup_clusters(
             d, pairs.select("id_a", "id_b"), "doc_id"
         ).select(
@@ -352,7 +358,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components: old labels re-enter as depth-1 star edges); the
     # oracle is the FULL recompute over the union, which the increment
     # must equal exactly.
-    def _incr():
+    def _incr(pairs):
         p1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
         p2 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
         stored = dedup_clusters(
@@ -372,11 +378,25 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # InheritableThread workers, not a pool: pooled threads never run
     # the pinned-JVM-thread cleanup (see parallel.run_parallel).
+    # Two top-level workers: the pagerank loop, and the pair-dependent
+    # graph family (pairs checkpoint, then comp/incr on a nested pair
+    # of workers — InheritableThread inherits the session context, so
+    # nesting is safe and the two contraction loops overlap too).
     from ..parallel import run_parallel
 
-    done, _ = run_parallel({"comp": _comp, "pr": _pr, "incr": _incr})
+    def _graph_family():
+        pairs = _pairs()
+        sub, _ = run_parallel({
+            "comp": lambda: _comp(pairs),
+            "incr": lambda: _incr(pairs),
+        })
+        return sub
+
+    done, _ = run_parallel({"graph": _graph_family, "pr": _pr})
     return (
-        done["comp"].unionByName(done["pr"]).unionByName(done["incr"])
+        done["graph"]["comp"]
+        .unionByName(done["pr"])
+        .unionByName(done["graph"]["incr"])
     )
 
 
