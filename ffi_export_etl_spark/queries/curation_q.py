@@ -434,12 +434,16 @@ def _incr_arms(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # arms union into the pack), and without the release every
     # cur_pack build in a long-lived session would strand two cached
     # plans in the CacheManager (the repo's documented cache contract).
-    incr = incr.localCheckpoint()
-    incrsig = incrsig.localCheckpoint()
+    # ONE materialization for both arms (r11): they share a schema and
+    # union into the pack anyway, so checkpointing the union halves the
+    # job rounds here (two sequential eager checkpoints -> one).
+    both = incr.unionByName(incrsig).localCheckpoint()
     for cached in getattr(res["kept"], "_curation_persisted", []):
         cached.unpersist()
     cleaned1.unpersist()
-    return incr, incrsig
+    return both.filter(F.col("kind") == "incr"), both.filter(
+        F.col("kind") == "incrsig"
+    )
 
 
 # ---------------------------------------------------------------------------
