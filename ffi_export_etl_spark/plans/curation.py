@@ -630,19 +630,37 @@ def count_funnel_stages(stages: list, out: DataFrame | None = None) -> list[dict
     after the scrub rides the pipeline's own caches. Call AFTER the
     main output has been written/collected so the persisted boundaries
     are already hot."""
-    report = []
     frames = list(stages) + ([("packed_output", out, "text")] if out is not None else [])
-    for name, df, tcol in frames:
-        row = df.agg(
+    if not frames:
+        return []
+    # ONE action for the whole funnel (r11): each boundary used to pay
+    # its own .first() job round-trip, serializing ~a dozen one-row
+    # aggregates; unioned they run as ONE job whose independent
+    # aggregate subtrees execute concurrently. The _i column pins the
+    # stage order (union output order is not a contract).
+    from functools import reduce
+
+    aggs = [
+        df.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.length(F.col(tcol))).alias("chars"),
-        ).first()
-        report.append({
-            "stage": name,
-            "docs": int(row["docs"]),
-            "chars": int(row["chars"]) if row["chars"] is not None else 0,
-        })
-    return report
+        ).select(F.lit(i).alias("_i"), "docs", "chars")
+        for i, (_, df, tcol) in enumerate(frames)
+    ]
+    rows = {
+        r["_i"]: r
+        for r in reduce(lambda a, b: a.unionByName(b), aggs).collect()
+    }
+    return [
+        {
+            "stage": frames[i][0],
+            "docs": int(rows[i]["docs"]),
+            "chars": int(rows[i]["chars"])
+            if rows[i]["chars"] is not None
+            else 0,
+        }
+        for i in range(len(frames))
+    ]
 
 
 def curation_funnel(docs: DataFrame, **kwargs) -> list[dict]:
