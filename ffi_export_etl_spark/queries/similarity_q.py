@@ -557,24 +557,13 @@ def ann_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, cells = _ivfpq_coarse(spark, e)
     cells = cells.persist()
     try:
-        # Two-phase overlap (r10, judge item 5): the opq chain consumes
-        # NEITHER shared cache (it encodes the rotated vectors itself),
-        # so it builds concurrently with the two cache fills — which
-        # are themselves independent lineages filled in parallel. The
-        # cache-ordering rule is untouched: each persist still has
-        # exactly ONE first consumer (its own count), and the four
-        # dependent arms start only after both fills return.
-        #
-        # r11: the 'store' arm (persisted-index serving path) ALSO
-        # rides phase 1, on its own INDEPENDENT lineage — the literal
-        # encode is a zero-shuffle projection and the cell map one
-        # probe pass, so rebuilding both inline costs less than the
-        # phase-2 wall its ~3-job chain (partitioned write + probes
-        # collect + search) would otherwise add; touching the shared
-        # persists here would race their first materialization instead
-        # (the concurrent-first-touch recompute hazard). Its eager
-        # checkpoint happens inside the arm, before the temp index dir
-        # is deleted.
+        # Two-wave overlap (r11 A/B, PERFORMANCE.md: 7.85s appended-to-
+        # phase-2 / 9.23s independent-lineage / 6.15s this shape): wait
+        # only on the ~1s cache fills — two independent lineages filled
+        # in parallel — then ALL SIX arms contend once on the thread
+        # pool. The cache-ordering rule is untouched: each persist has
+        # exactly ONE first consumer (its own count), and every
+        # cache-reading arm starts only after both fills return.
         run_parallel({"codes": codes.count, "cells": cells.count})
         builds = {
             "opq": lambda: _opq_arm(spark, e, cb),
