@@ -146,6 +146,14 @@ def write_ann_index(
         "m": m,
         "pq_k": pq_k,
         "round_digits": round_digits,
+        # The code table's schema rides the meta (r11): an EMPTY corpus
+        # writes zero part files under codes/ (partitionBy writes only
+        # _SUCCESS), so a schema-inferring read of the index would
+        # throw UNABLE_TO_INFER_SCHEMA — and on non-empty indexes the
+        # stored schema lets every search skip footer inference.
+        "codes_schema": coded_cells.select(
+            "id", "codes", "cell"
+        ).schema.jsonValue(),
     }
     with open(_meta_path(index_dir), "w") as f:
         json.dump(meta, f, sort_keys=True)
@@ -190,6 +198,21 @@ def build_ann_index(
         dim=dim, coarse_k=coarse_k, m=m, pq_k=pq_k,
         round_digits=round_digits,
     )
+
+
+def _read_codes(spark: SparkSession, index_dir: str, meta: dict):
+    """The partitioned code table, read with the schema stored in the
+    index meta when present (works for an EMPTY index, whose codes/
+    dir has no schema-bearing part file, and skips footer inference
+    otherwise). Pre-r11 indexes without the stamp fall back to
+    inference, exactly the old behavior."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    cs = meta.get("codes_schema")
+    if cs is not None:
+        reader = reader.schema(StructType.fromJson(cs))
+    return reader.parquet(os.path.join(index_dir, "codes"))
 
 
 def _assign_cells(
@@ -315,7 +338,7 @@ def ann_index_search(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
     sliced = (
-        spark.read.parquet(os.path.join(index_dir, "codes"))
+        _read_codes(spark, index_dir, meta)
         .filter(F.col("cell").isin(probed))
     )
     allowed = (

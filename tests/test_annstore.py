@@ -335,3 +335,19 @@ def test_gated_store_arm_matches_ivfpq_and_prunes(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan[:2000]
     assert "cell" in m.group(1)
+
+
+def test_empty_corpus_index_roundtrip(spark, tmp_path):
+    """An index built from ZERO vectors must still be searchable: the
+    partitioned codes write leaves no schema-bearing part file, so the
+    search reads codes with the schema stamped in the meta (r11) and
+    returns an empty result instead of UNABLE_TO_INFER_SCHEMA."""
+    idx = str(tmp_path / "empty_idx")
+    empty = _df(spark, {}).limit(0)
+    meta = build_ann_index(
+        empty, idx, DIM, coarse_k=COARSE_K, m=M, pq_k=PQ_K, iters=ITERS
+    )
+    assert "codes_schema" in meta
+    q = _df(spark, _mkvecs(3, seed=11, offset=1000))
+    out = ann_index_search(spark, idx, q, k=5, query_id_col="vec_id")
+    assert out.count() == 0
