@@ -223,3 +223,62 @@ def test_upsert_concurrently_chains_aliased_targets(spark, tmp_path):
     }
     assert back == {1: "a", 2: "b", 3: "c"}  # first writer won on k=2
     assert not os.path.isdir(os.path.join(wh, "Bad"))
+
+
+def test_batched_partial_staging_isolated(spark, tmp_path, monkeypatch):
+    """r11 staging layout: a file that fails HALFWAY through its staging
+    writes leaves `<table>/_file_seq=<seq>` dirs that the final scan
+    partition-prunes away — its rows must never load, and the file must
+    stay pending for the next run (the pre-r11 shared-append layout let
+    such partial rows load under a colliding seq)."""
+    import ffi_export_etl_spark.plans.batch_driver as bd
+    from pyspark.sql import functions as F
+
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    write_export_xml(str(exports / "export1.xml"))
+    _second_export(str(exports / "export2.xml"))
+    warehouse = str(tmp_path / "warehouse")
+
+    real_pipeline = bd.FFIPipeline
+    calls = {"n": 0}
+
+    class PoisonedSecondFile(real_pipeline):
+        """File 2 stages its real tables PLUS one whose write throws —
+        partial staging: good dirs exist, the file still fails."""
+
+        def __init__(self, *a, **kw):
+            calls["n"] += 1
+            self._poison = calls["n"] == 2
+            super().__init__(*a, **kw)
+
+        def run(self):
+            out = super().run()
+            if self._poison:
+                self.tables["PoisonTable"] = spark.createDataFrame(
+                    [(1,)], "k int"
+                ).select(
+                    "k",
+                    F.expr("CAST(raise_error('stage-boom') AS STRING)")
+                    .alias("v"),
+                )
+            return out
+
+    monkeypatch.setattr(bd, "FFIPipeline", PoisonedSecondFile)
+    loaded = bd.process_exports_batched(
+        spark, str(exports / "*.xml"), warehouse
+    )
+    # only file 1 landed: its 2 events, not file 2's 2025 replay
+    ev = spark.read.parquet(os.path.join(warehouse, "SampleEvent"))
+    ids = sorted(r["EventID"] for r in ev.select("EventID").collect())
+    assert ids == ["NORTHPLOT120230515", "NORTHPLOT120240601"]
+    assert loaded.get("SampleEvent", 0) == 2
+
+    # file 2 stayed pending; an unpoisoned rerun loads exactly its delta
+    monkeypatch.setattr(bd, "FFIPipeline", real_pipeline)
+    again = bd.process_exports_batched(
+        spark, str(exports / "*.xml"), warehouse
+    )
+    assert again.get("SampleEvent", 0) == 1
+    ev2 = spark.read.parquet(os.path.join(warehouse, "SampleEvent"))
+    assert ev2.count() == 3

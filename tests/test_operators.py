@@ -1807,3 +1807,31 @@ def test_quality_scoring_survives_session_observations(spark):
     probs = {r["id"]: r["quality_prob"] for r in
              score_quality(held, model).collect()}  # must not raise
     assert 0 in probs
+
+
+def test_jaccard_cache_shingles_equivalent(docs):
+    """r11: cache_shingles=True persists the shingle-array and prefix
+    subtrees (they feed 4 and 2 consumers in one query — the plan-audit
+    fix behind the registry row's opt-in). Values must be identical to
+    the uncached path, the release handles must be real persisted
+    frames, and unpersisting them must actually release."""
+    plain = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["n_union"])
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, 50).collect()
+    }
+    cached_df = jaccard_pairs(
+        docs, "doc_id", "text", 3, 50, cache_shingles=True
+    )
+    cached = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["n_union"])
+        for r in cached_df.collect()
+    }
+    assert cached == plain
+    handles = cached_df._jaccard_persisted
+    assert len(handles) == 2  # shingle-array + prefix boundaries
+    assert all(h.storageLevel.useMemory for h in handles)
+    for h in handles:
+        h.unpersist()
+    assert all(not h.storageLevel.useMemory for h in handles)
+    # uncached path hands back no live persists to manage
+    assert jaccard_pairs(docs, "doc_id", "text", 3, 50)._jaccard_persisted == []

@@ -492,3 +492,24 @@ def test_write_training_shards_jsonl_format(spark, tmp_path):
     }
     assert report2[os.path.basename(victim)] is False
     assert sum(1 for ok in report2.values() if not ok) == 1
+
+
+def test_parquet_upsert_single_action_zero_inserts(spark, tmp_path):
+    """r11: the inserted count rides the append as an Observation (one
+    action per upsert). The two edges that regression-guard it: an
+    all-duplicates batch reports 0 (its empty append is folded later by
+    compact_warehouse), and a plan that collapses to zero tasks
+    (limit 0) reports 0 via getOrEmpty instead of blocking forever on
+    Observation.get."""
+    target = str(tmp_path / "warehouse" / "plot")
+    df1 = spark.createDataFrame(
+        [("P1", "a"), ("P2", "b")], ["PlotID", "attr"]
+    )
+    assert parquet_upsert(spark, df1, target, ["PlotID"]) == 2
+    # all-duplicates replay: nothing inserted, rows unchanged
+    assert parquet_upsert(spark, df1, target, ["PlotID"]) == 0
+    # zero-task plan: must return 0, not hang
+    assert parquet_upsert(spark, df1.limit(0), target, ["PlotID"]) == 0
+    final = spark.read.parquet(target)
+    assert final.count() == 2
+    assert {r["PlotID"] for r in final.collect()} == {"P1", "P2"}
