@@ -98,7 +98,19 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     same nprobe probing as ann_topk_ivf. Full oracle: the seeding and
     both Lloyd iterations are replayed in SQL."""
     e = load_table(spark, sf_dir, "embeddings")
-    cells = lloyd_cells(e, dim=DIM, k=KMEANS_K, iters=KMEANS_ITERS)
+    # Eager checkpoint of the (id, cell) assignment (r11, the CC
+    # pair-set precedent): ivf_topk references its corpus argument on
+    # the scan side, inside the centroid derivation, AND on the
+    # broadcast query/probe side — with a lazy plan each reference
+    # re-executes the whole 2-iteration Lloyd chain (plan audit: the
+    # chain ran 4x per action, making this one arm ~80% of the
+    # ann_cell_pack row). The checkpoint is narrow (two columns, one
+    # row per vector), values are unchanged (Lloyd is fully
+    # deterministic: rounded cosines, rounded means, explicit
+    # tiebreaks), and fresh RDD ids mean no cross-call reuse.
+    cells = lloyd_cells(
+        e, dim=DIM, k=KMEANS_K, iters=KMEANS_ITERS
+    ).localCheckpoint()
     with_cells = e.join(cells, e.vec_id == cells.id).select(
         "vec_id", "embedding", "cell"
     )
