@@ -143,6 +143,24 @@ def a_first_seqnum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_first", F.col("visit_seq") == 1)
 
 
+def _round2_double(c: F.Column) -> F.Column:
+    """round(x, 2) over DOUBLE with the ORACLE's arithmetic.
+
+    DuckDB rounds a double on its binary value (round(x*100)/100, C
+    half-away-from-zero); Spark's round() instead rounds the SHORTEST
+    DECIMAL representation of the double (BigDecimal.valueOf). The two
+    diverge when an interpolated percentile lands on a .xx5 midpoint:
+    sf0.001 customer nationkey=1 has an even group whose middle pair
+    means to the double nearest 4651.275 — Spark round -> 4651.28, the
+    oracle -> 4651.27. Reproducing the multiply-then-half-away fold
+    in-plan makes the value engine-portable for every double, tie or
+    not (probed against DuckDB on adversarial midpoints both signs).
+    Scoped to the exact-percentile columns — money paths round
+    DECIMALs, which are exact in both engines."""
+    scaled = F.abs(c) * F.lit(100.0)
+    return F.signum(c) * (F.floor(scaled + F.lit(0.5)) / F.lit(100.0))
+
+
 def a_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count aggregates (A7), sorted-distinct string aggregation (A8,
     deterministic vs the reference's Python-set order quirk Q9), and
@@ -168,9 +186,9 @@ def a_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.array_sort(F.collect_set("c_mktsegment")), ", "
             ).alias("segments"),
-            F.round(F.expr("percentile(c_acctbal, 0.25)"), 2).alias("p25"),
-            F.round(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("median"),
-            F.round(F.expr("percentile(c_acctbal, 0.9)"), 2).alias("p90"),
+            _round2_double(F.expr("percentile(c_acctbal, 0.25)")).alias("p25"),
+            _round2_double(F.expr("percentile(c_acctbal, 0.5)")).alias("median"),
+            _round2_double(F.expr("percentile(c_acctbal, 0.9)")).alias("p90"),
             money(F.max(dec("c_acctbal")), "max_bal"),
         )
         .select(

@@ -38,3 +38,38 @@ def test_oracle_has_no_hugeint_columns(duck, name):
         f"fetches these as float64, which fails the driver's stringified "
         f"hash against Spark ints; CAST them (e.g. AS BIGINT) in the oracle"
     )
+
+
+def test_round2_double_matches_oracle_arithmetic(spark):
+    """r11: Spark's round() rounds a double's shortest-decimal string,
+    DuckDB rounds the binary value — an interpolated percentile on a
+    .xx5 midpoint diverges by 0.01 (found live: sf0.001 customer
+    nationkey=1 median). _round2_double reproduces the oracle's
+    multiply-then-half-away fold; pin it against DuckDB's answers on
+    the adversarial midpoints, both signs, plus the live case."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ffi_export_etl_spark.queries.packs import _round2_double
+
+    cases = [
+        (4013.54 + 5289.01) / 2,  # the live sf0.001 tie: -> 4651.27
+        2.675, 2.665, 0.125, -2.675, -0.125, 1.005, -1.005, 2.5,
+        9302.55, 0.0,
+    ]
+    con = duckdb.connect()
+    expected = [
+        con.execute("SELECT round(CAST(? AS DOUBLE), 2)", [x]).fetchone()[0]
+        for x in cases
+    ]
+    df = spark.createDataFrame([(x,) for x in cases], "x double")
+    got = [
+        r["r"]
+        for r in df.select(_round2_double(F.col("x")).alias("r")).collect()
+    ]
+    assert got == expected
+    # NULL propagates
+    nul = spark.createDataFrame([(None,)], "x double").select(
+        _round2_double(F.col("x")).alias("r")
+    ).collect()
+    assert nul[0]["r"] is None
