@@ -234,8 +234,11 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two r8 review passes each found live silent-mis-total bugs in
     # exactly this rollup (NULL-source row mistaken for the grand
     # total; int(None)) — the bug class an oracle pins. hll_ok on the
-    # total row is the approx-distinct-ids-within-5%-of-exact
-    # tolerance boolean (the 'profile' arm precedent).
+    # total row is the approx-distinct-ids tolerance boolean at the
+    # family's TOL = 3*rsd (the 'profile' arm precedent; the oracle
+    # hardcodes TRUE, i.e. asserts the estimate is in-band — a 1*rsd
+    # band is a 68% bet and lost it at sf0.1's 5000-id cardinality,
+    # err 6.6%, r11).
     import math
 
     from ..operators.profile import dataset_card
@@ -272,7 +275,7 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             bool(
                 abs(card["approx_distinct_ids"] - exact_ids)
                 / max(exact_ids, 1)
-                <= 0.05
+                <= TOL
             ),
         )
     )
