@@ -4,7 +4,16 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ..., "bench_layout": N,
+   "noisy": bool, "sidecar": "bench_runs/bench_<ts>.json"}
+
+The printed line is deliberately MINIMAL (r12): the warm grids, aux
+rows, ffi samples and load diagnostics grew the line past the driver's
+stdout tail window (r11 — PERF's whole round-over-round table nulled
+because the r10 capture began mid-line). They all live in the sidecar
+file, which every run writes in full and the line references LAST so a
+tail-truncated capture still resolves it; load_snapshot prefers the
+sidecar whenever it exists.
 
 Each query is timed end-to-end including the action (count/collect of a
 small result), after a warmup pass of one query to amortize session/JIT
@@ -362,7 +371,22 @@ def load_snapshot(path: str) -> dict:
     with open(path) as f:
         snap = json.load(f)
     if "parsed" not in snap or isinstance(snap["parsed"], dict):
-        return snap  # bench.py's own line, or a cleanly-parsed wrap
+        # bench.py's own line, or a cleanly-parsed wrap. Since r12 the
+        # printed line is minimal (no warm grids), so prefer the
+        # referenced sidecar — the full result — whenever it resolves;
+        # a snapshot without the reference (or whose sidecar is gone)
+        # loads as-is, exactly the pre-r12 behavior.
+        inner = snap.get("parsed", snap)
+        cand = inner.get("sidecar") if isinstance(inner, dict) else None
+        if cand:
+            if not os.path.isabs(cand):
+                cand = os.path.join(
+                    os.path.dirname(os.path.abspath(path)), cand
+                )
+            if os.path.exists(cand):
+                with open(cand) as f2:
+                    return json.load(f2)
+        return snap
     m = re.search(r'"sidecar":\s*"([^"]+)"', snap.get("tail", "") or "")
     if m:
         cand = m.group(1)
@@ -379,6 +403,33 @@ def load_snapshot(path: str) -> dict:
             file=sys.stderr,
         )
     return snap
+
+
+# Keys of the printed one-line JSON (r12): the driver's capture keeps
+# only the TAIL of stdout, and by r11 the full result line (warm grids,
+# aux rows, ffi samples, per-query loadavg) had outgrown that window —
+# the r10 capture began mid-line and PERF's entire round-over-round
+# table nulled out. The printed line now carries exactly the driver
+# contract (metric/value/unit/queries/sf) plus the layout stamp, the
+# noise flag, and the sidecar reference; everything else is
+# sidecar-only. `queries` itself is unchanged — same names, same cold
+# timings, same methodology.
+PRINTED_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "sf",
+    "bench_layout",
+    "noisy",
+    "sidecar",
+)
+
+
+def printed_line(out: dict) -> dict:
+    """The minimal result line actually printed to stdout; the full
+    ``out`` dict is what the sidecar file keeps."""
+    return {k: out[k] for k in PRINTED_KEYS if k in out}
 
 
 def write_sidecar(out: dict, repo_dir: str) -> str:
@@ -565,7 +616,7 @@ def main() -> None:
     out["sidecar"] = write_sidecar(
         out, os.path.dirname(os.path.abspath(__file__))
     )
-    print(json.dumps(out))
+    print(json.dumps(printed_line(out)))
     spark.stop()
 
 

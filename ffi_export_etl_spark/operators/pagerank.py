@@ -53,6 +53,8 @@ def _ckpt_with_dang(df: DataFrame):
     components.py does; the blocking ``get`` path is the fallback."""
     from pyspark.sql import Observation
 
+    from ..parallel import observation_fired
+
     obs = Observation()
     ck = df.observe(
         obs,
@@ -61,13 +63,12 @@ def _ckpt_with_dang(df: DataFrame):
             F.lit(0.0),
         ).alias("_dang"),
     ).localCheckpoint()
-    try:
-        row = obs._jo.getOrEmpty()
-        if row.isEmpty():
-            return ck, 0.0
-        return ck, float(obs.get["_dang"])
-    except Exception:  # private-API drift — read the blocking path
-        return ck, float(obs.get["_dang"])
+    fired = observation_fired(obs)
+    if fired is False:  # zero-task plan: no metrics row, no mass
+        return ck, 0.0
+    # fired (read is non-blocking) or probe drift (blocking fallback is
+    # safe: the checkpoint above proved the plan has tasks)
+    return ck, float(obs.get["_dang"])
 
 
 def pagerank(

@@ -253,6 +253,7 @@ def dataset_card(
     source_col: str = "source",
     url_col: str | None = None,
     top_domains: int = 10,
+    rsd: float = 0.05,
 ) -> dict:
     """One JSON-able "datasheet" for a document corpus — the release
     artifact a data team publishes alongside training shards: overall
@@ -289,7 +290,11 @@ def dataset_card(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_words").alias("tokens"),
             F.sum("n_chars").alias("chars"),
-            F.approx_count_distinct("id").alias("distinct_ids"),
+            # rsd explicit (r12, ADVICE r11): consumers size their
+            # tolerance band off the accuracy parameter (prof_pack's
+            # hll_ok uses 3*rsd), so the two must not drift apart —
+            # 0.05 is also Spark's default, keeping estimates identical
+            F.approx_count_distinct("id", rsd).alias("distinct_ids"),
             F.expr(
                 "approx_percentile(n_words, array(0.1, 0.5, 0.9))"
             ).alias("p"),

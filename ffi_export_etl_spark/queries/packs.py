@@ -153,12 +153,22 @@ def _round2_double(c: F.Column) -> F.Column:
     sf0.001 customer nationkey=1 has an even group whose middle pair
     means to the double nearest 4651.275 — Spark round -> 4651.28, the
     oracle -> 4651.27. Reproducing the multiply-then-half-away fold
-    in-plan makes the value engine-portable for every double, tie or
-    not (probed against DuckDB on adversarial midpoints both signs).
-    Scoped to the exact-percentile columns — money paths round
-    DECIMALs, which are exact in both engines."""
+    in-plan makes the value engine-portable (probed against DuckDB on
+    adversarial midpoints both signs). Scoped to the exact-percentile
+    columns — money paths round DECIMALs, exact in both engines.
+
+    r12 (ADVICE r11): ``floor(scaled + 0.5)`` alone over-rounds when
+    ``scaled`` sits within half an ULP BELOW a .5 midpoint — IEEE
+    addition carries 0.49999999999999994 + 0.5 up to 1.0, where C
+    round() (DuckDB) truncates to 0. The standard correction checks
+    the candidate against the unadded value: if ``r - 0.5 > scaled``
+    the addition rounded up spuriously, so take ``r - 1``. floor()
+    yields BIGINT, so |x| >= ~9.2e16 would overflow — out of range for
+    every percentile column this is scoped to (acctbal magnitudes)."""
     scaled = F.abs(c) * F.lit(100.0)
-    return F.signum(c) * (F.floor(scaled + F.lit(0.5)) / F.lit(100.0))
+    r = F.floor(scaled + F.lit(0.5))
+    r = F.when(r.cast("double") - F.lit(0.5) > scaled, r - F.lit(1)).otherwise(r)
+    return F.signum(c) * (r / F.lit(100.0))
 
 
 def a_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:

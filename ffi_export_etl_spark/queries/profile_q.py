@@ -243,8 +243,13 @@ def prof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.profile import dataset_card
 
+    # rsd threaded explicitly (r12, ADVICE r11): TOL = 3*RSD must scale
+    # with the sketch's actual accuracy parameter, not coincide with a
+    # default; RSD == Spark's default 0.05, so the estimate (and the
+    # gate hash) is unchanged.
     card = dataset_card(
-        spark, d, id_col="doc_id", text_col="text", source_col="source"
+        spark, d, id_col="doc_id", text_col="text", source_col="source",
+        rsd=RSD,
     )
     exact_ids = d.agg(F.count_distinct("doc_id")).first()[0]
     card_py = [

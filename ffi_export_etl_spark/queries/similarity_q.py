@@ -114,10 +114,19 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cells = e.join(cells, e.vec_id == cells.id).select(
         "vec_id", "embedding", "cell"
     )
-    return ivf_topk(
+    out = ivf_topk(
         with_cells, _queries_df(with_cells), DIM, "vec_id", "embedding",
         "query_id", cell_col="cell", k=TOPK, nprobe=IVF_NPROBE,
     )
+    # Lifecycle handle (r12, ADVICE r11): construction is EAGER (the
+    # localCheckpoint runs the Lloyd chain at build time) and the
+    # checkpointed RDD lives until session end unless released — a
+    # looping harness frees it via components._free_rdds(spark, ids)
+    # AFTER consuming the result (the _jaccard_persisted precedent).
+    from ..operators.components import _ckpt_ids
+
+    out._kmeans_ckpt_ids = _ckpt_ids(cells)
+    return out
 
 
 # --- 'pcasem' arm (r6): PCA reduction feeding SemDeDup --------------
@@ -516,10 +525,12 @@ def ann_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann_topk_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("kind"), "*"
     )
-    km = ann_topk_kmeans(spark, sf_dir).select(
-        F.lit("kmeans").alias("kind"), "*"
-    )
-    return ivf.unionByName(km).unionByName(_pcasem_arm(spark, sf_dir))
+    km_raw = ann_topk_kmeans(spark, sf_dir)
+    km = km_raw.select(F.lit("kmeans").alias("kind"), "*")
+    out = ivf.unionByName(km).unionByName(_pcasem_arm(spark, sf_dir))
+    # propagate the kmeans arm's checkpoint-release handle (ADVICE r11)
+    out._kmeans_ckpt_ids = getattr(km_raw, "_kmeans_ckpt_ids", set())
+    return out
 
 
 def ann_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:

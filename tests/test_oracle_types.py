@@ -56,6 +56,10 @@ def test_round2_double_matches_oracle_arithmetic(spark):
         (4013.54 + 5289.01) / 2,  # the live sf0.001 tie: -> 4651.27
         2.675, 2.665, 0.125, -2.675, -0.125, 1.005, -1.005, 2.5,
         9302.55, 0.0,
+        # r12 (ADVICE r11): scaled value half-an-ULP BELOW the .5
+        # midpoint — naive floor(x*100+0.5) carries up to 0.01 where C
+        # round() (DuckDB) gives 0.0; both signs
+        0.0049999999999999994, -0.0049999999999999994,
     ]
     con = duckdb.connect()
     expected = [
