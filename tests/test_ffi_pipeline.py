@@ -245,3 +245,130 @@ def test_glob_read_unions_files(spark, tmp_path):
     assert "MP-9001" in guids and "MP-0002" in guids
     # both files contribute full row sets
     assert tables["MacroPlot"].count() == 6
+
+
+def test_sliced_reader_matches_per_file_reads(spark, tmp_path):
+    """r12 (judge item 3): read_ffi_export_sliced parses a WAVE of
+    files once and slices per-file table dicts back out; each file's
+    tables/columns/rows must equal what a single-file read_ffi_export
+    produces (only *_ID values differ — they carry the multi-read
+    file-scope suffix, constant within a file)."""
+    from ffi_export_etl_spark.sources.xml import (
+        discover_columns,
+        read_ffi_export_sliced,
+        sliceable_paths,
+    )
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"e{i}.xml")
+        write_export_xml(p, uniq=f"f{i}")
+        paths.append(p)
+    assert sliceable_paths(paths)
+    colsets = {}
+    root = None
+    for p in paths:
+        _ns, root, cols = discover_columns(p)
+        colsets[p] = cols
+    sliced = read_ffi_export_sliced(spark, paths, root, colsets)
+
+    def _strip(rows, cols):
+        out = []
+        for r in rows:
+            vals = [
+                (r[c].split("#")[0] if c.endswith("_ID")
+                 and isinstance(r[c], str) else r[c])
+                for c in cols
+            ]
+            out.append(str(tuple(vals)))
+        return sorted(out)
+
+    for p in paths:
+        single = read_ffi_export(spark, p)
+        assert set(single) == set(sliced[p])
+        for t in single:
+            a, b = single[t], sliced[p][t]
+            assert a.columns == b.columns, (p, t)
+            assert _strip(a.collect(), a.columns) == _strip(
+                b.collect(), b.columns
+            ), (p, t)
+
+
+def test_sliced_reader_isolates_heterogeneous_columns(spark, tmp_path):
+    """A tag's struct fields UNION across files in the shared parse;
+    the slice must restrict each file to its OWN discovered columns
+    (and own tags) — a file must never see a sibling's column."""
+    from ffi_export_etl_spark.sources.xml import (
+        discover_columns,
+        read_ffi_export_sliced,
+    )
+
+    a = tmp_path / "a.xml"
+    a.write_text(
+        "<FFIData>"
+        "<T><K>1</K><OnlyA>x</OnlyA></T>"
+        "<U><J>9</J></U>"
+        "</FFIData>"
+    )
+    b = tmp_path / "b.xml"
+    b.write_text(
+        "<FFIData>"
+        "<T><K>2</K><OnlyB>y</OnlyB></T>"
+        "</FFIData>"
+    )
+    paths = [str(a), str(b)]
+    colsets = {}
+    for p in paths:
+        _ns, root, cols = discover_columns(p)
+        colsets[p] = cols
+    sliced = read_ffi_export_sliced(spark, paths, "FFIData", colsets)
+    assert set(sliced[str(a)]) == {"T", "U"}
+    assert set(sliced[str(b)]) == {"T"}  # no U leaked from a.xml
+    assert sliced[str(a)]["T"].columns == ["K", "OnlyA"]
+    assert sliced[str(b)]["T"].columns == ["K", "OnlyB"]
+    rows_a = sliced[str(a)]["T"].collect()
+    rows_b = sliced[str(b)]["T"].collect()
+    assert [(r["K"], r["OnlyA"]) for r in rows_a] == [("1", "x")]
+    assert [(r["K"], r["OnlyB"]) for r in rows_b] == [("2", "y")]
+
+
+def test_batched_mode_dup_basenames_fall_back_per_file(spark, tmp_path):
+    """Two pending files with the SAME basename (different subdirs)
+    cannot be sliced apart by input_file_name basename — batched mode
+    must fall back to per-file reads and still land the right rows."""
+    import os
+
+    from ffi_export_etl_spark.plans.batch_driver import (
+        process_exports_batched,
+    )
+    from ffi_export_etl_spark.sources.xml import sliceable_paths
+
+    d1 = tmp_path / "w1"
+    d2 = tmp_path / "w2"
+    d1.mkdir()
+    d2.mkdir()
+    write_export_xml(str(d1 / "export.xml"))
+    _p2 = str(d2 / "export.xml")
+    from tests.ffi_fixture import build_export_xml as _bx
+
+    with open(_p2, "w") as f:
+        f.write(
+            _bx()
+            .replace(
+                "<SampleEvent_GUID>se-0004</SampleEvent_GUID>",
+                "<SampleEvent_GUID>se-0006</SampleEvent_GUID>",
+            )
+            .replace(
+                "<SampleEvent_Date>2024-06-01T09:30:00</SampleEvent_Date>",
+                "<SampleEvent_Date>2026-01-01T09:30:00</SampleEvent_Date>",
+            )
+        )
+    paths = sorted(str(p) for p in tmp_path.glob("w*/export.xml"))
+    assert not sliceable_paths(paths)
+    wh = str(tmp_path / "wh")
+    loaded = process_exports_batched(
+        spark, str(tmp_path / "w*" / "export.xml"), wh
+    )
+    assert loaded.get("SampleEvent", 0) == 3  # 2 shared + 1 new event
+    ev = spark.read.parquet(os.path.join(wh, "SampleEvent"))
+    assert ev.count() == 3
