@@ -100,6 +100,30 @@ def visit_id(
     )
 
 
+# SQL rendering of parse_list_val, used to build the whole expression
+# tree in ONE py4j round-trip (r12): the Column-API construction below
+# costs ~170 gateway round-trips per call (split/when/size/transform/
+# filter each go through the socket, and the two lambdas are the
+# heaviest), which profiled at ~0.75s per FILE in the batch loader's
+# _process_events — pure driver-side construction latency, multiplied
+# by every file of a batch. The SQL tree is operator-for-operator the
+# Column tree (split's default limit is -1 in both; the delimiters are
+# regex-literal-safe), pinned value-identical by the reference-parity
+# and hypothesis property tests.
+_PARSE_LIST_SQL = (
+    "CASE WHEN {c} IS NULL OR {c} = 'nan' OR {c} = '' OR {c} = ' ' "
+    "THEN CAST(array() AS ARRAY<STRING>) "
+    "ELSE filter(transform("
+    "CASE WHEN size(split({c}, ',')) > 1 THEN split({c}, ',') "
+    "WHEN size(split({c}, ' ')) > 1 THEN split({c}, ' ') "
+    "WHEN size(split({c}, '/')) > 1 THEN split({c}, '/') "
+    "ELSE split({c}, ',') END, "
+    "x -> trim(x)), x -> x != '') END"
+)
+
+_EMPTY_LIST_SQL = "CAST(array() AS ARRAY<STRING>)"
+
+
 def parse_list_val(col: Column | str) -> Column:
     """Multi-delimiter personnel-list split (parser/xml.py:375-395).
 
@@ -108,8 +132,14 @@ def parse_list_val(col: Column | str) -> Column:
     whole (trimmed) value. Null/'nan'/''/' ' -> empty list. Items are
     trimmed; empties dropped (reference keeps ''-items only in the
     degenerate single-token case, where trimming makes it moot).
+
+    Given a column NAME, the expression is built as one SQL string
+    (single py4j round-trip — see _PARSE_LIST_SQL); a Column argument
+    takes the equivalent Column-API path.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return F.expr(_PARSE_LIST_SQL.format(c=f"`{col}`"))
+    c = col
     by_comma = F.split(c, ",")
     by_space = F.split(c, " ")
     by_slash = F.split(c, "/")
@@ -128,13 +158,31 @@ def parse_list_val(col: Column | str) -> Column:
     return F.when(empty_ish, F.array().cast("array<string>")).otherwise(cleaned)
 
 
-def combine_teams(*cols: Column | str) -> Column:
+def combine_teams(*cols: Column | str | None) -> Column:
     """Union of personnel lists across columns -> sorted, deduped,
     comma-joined string (parser/xml.py:413-450).
 
     The reference joins a Python ``set`` — nondeterministic order (quirk
     Q9); we sort (array_sort) so output is deterministic and set-equal.
+
+    With column NAMES (or None for an absent column, which contributes
+    an empty list exactly like the old ``parse_list_val(lit(None))``),
+    the whole tree is ONE SQL expression / one py4j round-trip (r12 —
+    this call was the single biggest expression-construction cost in
+    the batch loader's per-file driver phase); Column arguments take
+    the equivalent Column-API path.
     """
+    if all(c is None or isinstance(c, str) for c in cols):
+        parts = [
+            _PARSE_LIST_SQL.format(c=f"`{c}`")
+            if c is not None
+            else _EMPTY_LIST_SQL
+            for c in cols
+        ]
+        inner = parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
+        return F.expr(
+            f"array_join(array_sort(array_distinct({inner})), ', ')"
+        )
     arrays = [parse_list_val(c) for c in cols]
     combined = arrays[0]
     for a in arrays[1:]:

@@ -293,6 +293,7 @@ def process_exports_batched(
         except Exception:
             continue  # malformed: stays pending, exactly as before
     shared: dict[str, dict] = {}
+    shared_slices: dict[str, object] = {}
     shared_persists: list = []
     wave = [p for p in pending if p in colsets]
     if (
@@ -300,7 +301,7 @@ def process_exports_batched(
         and len(set(roots[p] for p in wave)) == 1
         and sliceable_paths(wave)
     ):
-        shared = read_ffi_export_sliced(
+        shared, shared_slices = read_ffi_export_sliced(
             spark, wave, roots[wave[0]],
             {p: colsets[p] for p in wave},
             persists=shared_persists,
@@ -313,6 +314,9 @@ def process_exports_batched(
         try:
             if path in shared:
                 tables = shared[path]
+                # the file's 1-row root slice is released with the
+                # file's own persists once it is staged
+                persists.append(shared_slices[path])
             elif path in colsets:
                 # non-sliceable wave (single file / dup basenames):
                 # per-file read, discovery already paid by the pre-scan

@@ -266,7 +266,7 @@ def read_ffi_export_sliced(
     colsets: dict[str, dict[str, list[str]]],
     apply_casts: bool = True,
     persists: list | None = None,
-) -> dict[str, dict[str, DataFrame]]:
+) -> tuple[dict[str, dict[str, DataFrame]], dict[str, DataFrame]]:
     """ONE distributed parse of MANY export files, sliced back into
     per-file ``{table: DataFrame}`` dicts — the batch driver's shared
     wave parse (r12, judge item 3).
@@ -291,9 +291,19 @@ def read_ffi_export_sliced(
       untouched; ids are join-only plumbing that never reaches
       warehouse output — the glob-mode precedent).
 
-    The shared parse cache handle is appended to ``persists`` (the
-    caller releases it after the wave; per-file ``clearCache()`` would
-    evict the sibling slices' shared cache).
+    Cache layout (the A/B that picked it is in PERFORMANCE.md r12): a
+    first cut filtered each TABLE off the shared wave cache, which made
+    every per-file discovery collect and staging job rescan the whole
+    wave's fat rows and carried the filter into every table plan —
+    measured SLOWER than per-file reads. Instead the wave frame is
+    sliced ONCE per file at the root-row level and each 1-row slice is
+    persisted, so every downstream job of a file reads exactly its own
+    row (the same shape as a single-file read's rootdf persist). The
+    shared parse cache handle is appended to ``persists`` (the caller
+    releases it after the wave); the return value is
+    ``(tables_by_path, slice_handle_by_path)`` so the caller can
+    release each file's slice TARGETED once that file is staged —
+    per-file ``clearCache()`` would evict the sibling slices.
     """
     from pyspark.sql.types import ArrayType, StructType
 
@@ -309,47 +319,52 @@ def read_ffi_export_sliced(
     if persists is not None:
         persists.append(rootdf)
     field_types = {f.name: f.dataType for f in rootdf.schema.fields}
-    fid = F.substring(F.md5(F.col("_file")), 1, 8)
-    out: dict[str, dict[str, DataFrame]] = {p: {} for p in paths}
-    # build each tag's exploded frame ONCE (plan reuse across files);
-    # per-file frames are filter+project over it
-    for tag, dt in field_types.items():
-        if tag == "_file":
-            continue
-        if isinstance(dt, ArrayType):
-            rows = rootdf.select(
-                "_file", F.explode(F.col(tag)).alias("_r")
+    basename = F.element_at(F.split(F.col("_file"), "/"), -1)
+    out: dict[str, dict[str, DataFrame]] = {}
+    slices: dict[str, DataFrame] = {}
+    for path in paths:
+        slice_df = rootdf.filter(
+            basename == os.path.basename(path)
+        ).persist()
+        slices[path] = slice_df
+        fid = F.substring(F.md5(F.col("_file")), 1, 8)
+        tables: dict[str, DataFrame] = {}
+        for tag, file_cols in colsets[path].items():
+            dt = field_types.get(tag)
+            if dt is None:
+                continue  # tag parsed to nothing in every file
+            if isinstance(dt, ArrayType):
+                flat = slice_df.select(
+                    "_file", F.explode(F.col(tag)).alias("_r")
+                ).select("_file", "_r.*")
+            elif isinstance(dt, StructType):
+                flat = (
+                    slice_df.select("_file", F.col(tag).alias("_r"))
+                    .filter(F.col("_r").isNotNull())
+                    .select("_file", "_r.*")
+                )
+            else:  # value-only element
+                flat = slice_df.select(
+                    "_file", F.col(tag).cast("string").alias(tag)
+                ).filter(F.col(tag).isNotNull())
+            avail = [c for c in flat.columns if c != "_file"]
+            # restrict to the file's OWN columns (value-only elements
+            # discover no children; their single column is the tag)
+            keep = (
+                [c for c in avail if c in set(file_cols)]
+                if file_cols
+                else avail
             )
-            flat = rows.select("_file", "_r.*")
-        elif isinstance(dt, StructType):
-            rows = rootdf.select("_file", F.col(tag).alias("_r")).filter(
-                F.col("_r").isNotNull()
-            )
-            flat = rows.select("_file", "_r.*")
-        else:  # value-only element
-            flat = rootdf.select(
-                "_file", F.col(tag).cast("string").alias(tag)
-            ).filter(F.col(tag).isNotNull())
-        avail = [c for c in flat.columns if c != "_file"]
-        for path in paths:
-            file_cols = colsets[path].get(tag)
-            if file_cols is None:
-                continue  # tag absent from this file
-            base = F.element_at(F.split(F.col("_file"), "/"), -1)
-            sliced = flat.filter(base == os.path.basename(path))
-            if file_cols:  # restrict to the file's OWN columns
-                keep = [c for c in avail if c in set(file_cols)]
-            else:  # value-only element: the single value column
-                keep = avail
             exprs = [
                 F.concat(F.col(c).cast("string"), F.lit("#"), fid).alias(c)
                 if c.endswith("_ID")
                 else F.col(c).cast("string").alias(c)
                 for c in keep
             ]
-            df = sliced.select(*exprs)
-            out[path][tag] = ingest_casts(df) if apply_casts else df
-    return out
+            df = flat.select(*exprs)
+            tables[tag] = ingest_casts(df) if apply_casts else df
+        out[path] = tables
+    return out, slices
 
 
 def read_ffi_export_tagcol(

@@ -282,3 +282,63 @@ def test_batched_partial_staging_isolated(spark, tmp_path, monkeypatch):
     assert again.get("SampleEvent", 0) == 1
     ev2 = spark.read.parquet(os.path.join(warehouse, "SampleEvent"))
     assert ev2.count() == 3
+
+
+def test_batched_wave_discovery_is_per_file(spark, tmp_path):
+    """r12: batched mode collects discovery (method/unit/field sets,
+    admin, version) at WAVE level — it must still be per-file: a method
+    renamed in file 2 only must produce file 2's table under the new
+    name and file 1's under the old, with the whole warehouse equal to
+    the sequential loop's, table for table."""
+    from tests.ffi_fixture import build_export_xml, uniquify_export_xml
+
+    exports = tmp_path / "exports"
+    exports.mkdir()
+    write_export_xml(str(exports / "e0.xml"), uniq="f0")
+    x2 = uniquify_export_xml(build_export_xml(), "f1").replace(
+        "Trees - Individuals", "Trees - Xtra"
+    )
+    (exports / "e1.xml").write_text(x2)
+
+    wh_seq = str(tmp_path / "wh_seq")
+    wh_bat = str(tmp_path / "wh_bat")
+    process_exports(spark, str(exports / "*.xml"), wh_seq)
+    from ffi_export_etl_spark.plans.batch_driver import (
+        process_exports_batched,
+    )
+
+    process_exports_batched(spark, str(exports / "*.xml"), wh_bat)
+
+    def _tables(wh):
+        return sorted(
+            d for d in os.listdir(wh)
+            if os.path.isdir(os.path.join(wh, d))
+            and not d.startswith("_")
+        )
+
+    assert _tables(wh_seq) == _tables(wh_bat)
+    assert "Trees_Xtra_Attribute" in _tables(wh_seq)
+    assert "Trees_Individuals_Attribute" in _tables(wh_seq)
+    for table in _tables(wh_seq):
+        if table == "UpdateLog":  # timestamps differ by construction
+            continue
+        # mergeSchema on BOTH sides: with heterogeneous files the two
+        # modes write per-append column subsets in different groupings
+        # (sequential appends per file, batched once per table), and a
+        # plain read infers from an arbitrary footer — the union schema
+        # is the well-defined comparison basis
+        a = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(wh_seq, table)
+        )
+        b = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(wh_bat, table)
+        )
+        # generated GUIDs (uuid() per run, quirk Q3) are random by
+        # design — equal columns, not equal values
+        cols = sorted(
+            c for c in a.columns if c != "SampleData_Original_GUID"
+        )
+        assert sorted(a.columns) == sorted(b.columns), table
+        rows_a = sorted(map(str, a.select(*cols).collect()))
+        rows_b = sorted(map(str, b.select(*cols).collect()))
+        assert rows_a == rows_b, table

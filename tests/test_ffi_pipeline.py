@@ -270,7 +270,7 @@ def test_sliced_reader_matches_per_file_reads(spark, tmp_path):
     for p in paths:
         _ns, root, cols = discover_columns(p)
         colsets[p] = cols
-    sliced = read_ffi_export_sliced(spark, paths, root, colsets)
+    sliced, _slices = read_ffi_export_sliced(spark, paths, root, colsets)
 
     def _strip(rows, cols):
         out = []
@@ -321,7 +321,7 @@ def test_sliced_reader_isolates_heterogeneous_columns(spark, tmp_path):
     for p in paths:
         _ns, root, cols = discover_columns(p)
         colsets[p] = cols
-    sliced = read_ffi_export_sliced(spark, paths, "FFIData", colsets)
+    sliced, _slices = read_ffi_export_sliced(spark, paths, "FFIData", colsets)
     assert set(sliced[str(a)]) == {"T", "U"}
     assert set(sliced[str(b)]) == {"T"}  # no U leaked from a.xml
     assert sliced[str(a)]["T"].columns == ["K", "OnlyA"]
