@@ -109,9 +109,16 @@ def simhash_fingerprints(
         count_b = F.shiftright(F.col(f"s{s}"), k * LANE_BITS).bitwiseAND(
             F.lit(LANE_MASK)
         )
-        term = F.when(
-            count_b * 2 >= F.col("_n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        # branchless bit term (r12): shiftleft(cast(bool as long), b)
+        # instead of CASE WHEN — the 60-term chain generated 60 branches
+        # whose bytecode dominated this row's per-session JIT ramp (the
+        # 2.8-5.2s warm band was progressive C2 compilation: fresh-
+        # session probe walls 3.8 -> 3.7 -> 2.7 -> 2.7 on identical
+        # plans/partitioning). Value-identical: the comparison is never
+        # NULL (counts of non-null tokens), true -> 1L << b, false -> 0.
+        term = F.shiftleft(
+            (count_b * 2 >= F.col("_n")).cast("long"), b
+        )
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select("id", fingerprint.alias("simhash"))
 
