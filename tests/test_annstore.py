@@ -165,6 +165,7 @@ def test_meta_guards(spark, index_fix, tmp_path):
         read_ann_index_meta(bad)
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_index_compact_bounds_files_and_preserves_search(spark, tmp_path):
     """Daily adds grow each cell dir's file count; ann_index_compact
     folds per PARTITION (layout preserved — the scan pruning must
@@ -220,6 +221,7 @@ def test_index_compact_bounds_files_and_preserves_search(spark, tmp_path):
     assert again["codes"]["action"] == "skipped"
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_ann_index_cli_roundtrip(spark, tmp_path, capsys):
     """The ann-index subcommand drives build -> add -> search -> compact
     against one index dir, each action printing one JSON line."""

@@ -4,6 +4,8 @@ rerun via the ledger."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -160,6 +162,7 @@ def test_cli_curate_containment_requires_benchmark(tmp_path, capsys):
     assert "--benchmark" in capsys.readouterr().err
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_cli_curate_quality_threshold_flags(spark, tmp_path, capsys):
     """The repetition-threshold and LM flags reach curate_documents: a
     top-bigram spam doc is dropped only when the flag is passed, and a
@@ -228,6 +231,7 @@ def test_cli_curate_quality_threshold_flags(spark, tmp_path, capsys):
     assert lm["docs_out"] == 8  # gibberish dropped by the LM cut
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_cli_curate_stream_subcommand(spark, tmp_path, capsys):
     """curate-stream subcommand: two waves drained through the
     incremental pipeline with all four stores; the cross-wave exact dup
@@ -294,6 +298,7 @@ def test_cli_curate_stream_subcommand(spark, tmp_path, capsys):
     assert noop["kept_rows"] == 0 and "note" in noop
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_cli_curate_stream_quality_gate(spark, tmp_path, capsys):
     """curate-stream --require-input-quality --quarantine: the bad wave
     (duplicate ids) is diverted and reported; the clean wave curates."""
@@ -579,6 +584,7 @@ def test_verify_shards_cli(spark, tmp_path, capsys):
     assert rc == 2 and "error" in rep
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_cli_curate_replay_quarantine(spark, tmp_path, capsys):
     """curate-replay-quarantine subcommand: a wave diverted by a broken
     ad-hoc rule re-enters the kept corpus under the CLI's (correct)
@@ -644,6 +650,7 @@ def test_cli_curate_replay_quarantine(spark, tmp_path, capsys):
     assert not _glob.glob(os.path.join(quarantine, "compacted=*"))
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_cli_curate_maintain(spark, tmp_path, capsys):
     """curate-maintain: folds the kept corpus's (and quarantine's)
     committed batch dirs into single generations; row counts preserved;

@@ -12,7 +12,12 @@ its serial twin exactly."""
 
 from __future__ import annotations
 
+import pytest
+
 from ffi_export_etl_spark.parallel import run_parallel
+
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
 
 SF = "/root/testdata/sf0.001"
 

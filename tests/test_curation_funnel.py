@@ -100,6 +100,7 @@ def test_funnel_epoch_stage_grows_docs(spark, docs):
     assert by["packed_output"]["docs"] == by["epoch_upsample"]["docs"]
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_funnel_marks_structural_stages(spark):
     """Mark-coverage, structural group: url dedup, blocklist,
     decontamination, boilerplate, paragraph dedup, span dedup (the

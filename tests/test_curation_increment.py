@@ -5,6 +5,8 @@ across two days."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ffi_export_etl_spark.operators.exactdedup import exact_signature_store
@@ -17,6 +19,9 @@ from ffi_export_etl_spark.operators.textproc import (
     scrub_text,
 )
 from ffi_export_etl_spark.plans.curation_increment import curate_increment
+
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
 
 
 def _doc(i: int, tail: str = "") -> str:

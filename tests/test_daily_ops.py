@@ -13,6 +13,8 @@ non-continue path the replay-headroom rule exists for).
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -26,6 +28,9 @@ from ffi_export_etl_spark.streaming.curate import (
     streaming_curate,
 )
 from ffi_export_etl_spark.streaming.dedup import compact_signature_store
+
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
 
 TEXT_A = " ".join(f"a{i}" for i in range(30))
 TEXT_B = " ".join(f"b{i}" for i in range(30))

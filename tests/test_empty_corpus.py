@@ -20,6 +20,9 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
+
 QUERIES = entrymod.queries()
 
 

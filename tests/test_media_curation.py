@@ -4,6 +4,8 @@ end on a mixed-format corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from ffi_export_etl_spark.operators.media_codecs import (
@@ -16,6 +18,9 @@ from ffi_export_etl_spark.operators.media_codecs import (
     encode_ppm,
 )
 from tests.test_media_codecs import _flac_bytes, _wav_bytes
+
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
 
 
 def _media_df(spark, rows):

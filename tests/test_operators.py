@@ -1257,6 +1257,7 @@ def test_bigram_lm_scoring_matches_pure_python(spark):
     assert got[2].n_bigrams == 1
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_quality_model_separates_and_is_deterministic(spark):
     """Model-based quality filtering (operators/quality_model.py):
     trained on clean-vs-spam labels it separates a held-out pair, two
@@ -1529,6 +1530,7 @@ def test_bpe_approximate_batching_cuts_rounds_same_quality(
     assert t_ap <= t_seq * 1.02, (t_ap, t_seq)
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_bpe_exact_batching_grows_on_zipf_corpus(spark):
     """Judge r7 item 6: the exact-mode batch-growth claim measured on a
     REALISTIC corpus, not just the maximally-tied synthetic one where

@@ -113,6 +113,7 @@ def test_registered_dedup_bucket_cap_in_plan(spark, name):
     assert "<= 100" in plan, name
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_no_row_udfs_anywhere_in_registry(spark):
     # Sweep EVERY registered query (not just hand-picked hot paths):
     # no row-at-a-time Python (BatchEvalPython) in any plan; Arrow-batched

@@ -519,6 +519,7 @@ def _quant_err_and_recall(spark, df, books, queries_n=10, topk=5):
     return err, hits / tot
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_opq_beats_pq_on_anisotropic_corpus(spark):
     """OPQ's WIN case, pinned (judge r7 item 4): on a deliberately
     anisotropic corpus — isotropic base vectors stretched by a fixed

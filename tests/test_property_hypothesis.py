@@ -8,12 +8,17 @@ strategy generates LISTS of inputs (the batch is the example).
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ffi_export_etl_spark.operators.shingles import word_shingles
 from tests.test_reference_parity_funcs import py_parse_list_val
+
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
 
 TOKEN = st.text(
     alphabet="abcdefgh XY/.,'-", min_size=0, max_size=24

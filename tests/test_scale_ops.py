@@ -20,6 +20,9 @@ from ffi_export_etl_spark.operators.components import (
 )
 from ffi_export_etl_spark.operators.skew import salted_join
 
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
+
 
 def _max_partition_rows(df) -> int:
     counts = (

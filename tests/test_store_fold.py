@@ -334,6 +334,9 @@ import json, sys
 sys.path.insert(0, {json.dumps(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
 from pyspark.sql import SparkSession
 from ffi_export_etl_spark.streaming.dedup import (
+
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
     _folded_meta, _read_store, compact_signature_store,
 )
 spark = (SparkSession.builder.master("local[4]")

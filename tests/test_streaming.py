@@ -5,6 +5,8 @@ sessionization vs the batch oracle, foreachBatch -> upsert idempotence.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ffi_export_etl_spark.sinks.files import parquet_upsert
@@ -345,6 +347,7 @@ def _dedup_corpus(spark):
     return spark.createDataFrame(rows, "doc_id: long, text: string")
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_streaming_incremental_dedup_equals_one_shot(spark, tmp_path):
     """streaming/dedup.py: draining the corpus file-by-file through the
     foreachBatch signature store must land EXACTLY the one-shot LSH
@@ -462,6 +465,7 @@ def test_streaming_exact_ingest_dedup(spark, tmp_path):
     assert store.count() == 7 and store.select("key").distinct().count() == 4
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_streaming_simhash_family(spark, tmp_path):
     """The simhash store satisfies the pluggable streaming contract too:
     draining the 3-wave corpus emits the same verified pair set as the
@@ -737,6 +741,7 @@ def test_streaming_verified_minhash_family(spark, tmp_path):
     assert got == want and len(want) >= 15
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_compacting_window_sink_bounds_file_count(spark, tmp_path):
     """r5 judge item 8: the windowed file sink's small-file growth is
     bounded. Split the events table into 12 source files driven one per
@@ -821,6 +826,7 @@ def test_compacting_window_sink_bounds_file_count(spark, tmp_path):
     assert not os.path.isdir(stale)
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_compaction_ignores_uncommitted_generation(spark, tmp_path):
     """Crash-tolerance of the generation scheme: a compacted=<id> dir
     WITHOUT _SUCCESS (a generation write that died midway) must never
@@ -918,6 +924,7 @@ def _ssj_stream(spark, src):
     )
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_interval_join_streams_state_eviction_across_batches(
     spark, tmp_path
 ):
@@ -978,6 +985,7 @@ def test_interval_join_streams_state_eviction_across_batches(
     assert got == {(2, 55, 57)}, got
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_interval_join_checkpoint_resume_exactly_once(spark, tmp_path):
     """Exactly-once both directions for the stream-stream join: a resume
     from the SAME checkpoint processes only new files, restores the join
@@ -1053,6 +1061,7 @@ def test_interval_join_checkpoint_resume_exactly_once(spark, tmp_path):
     assert len(rows) == len(set(got))
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_interval_join_left_outer_null_extension(spark, tmp_path):
     """leftOuter stream-stream join: an unmatched left row emits its
     NULL extension only once the watermark CLOSES its join window (one
@@ -1116,6 +1125,7 @@ def test_interval_join_left_outer_null_extension(spark, tmp_path):
     assert len([r for r in rows if r["k"] == 1]) == 1
 
 
+@pytest.mark.slow_tail  # r12 suite split
 def test_interval_join_span_watermark_is_layout_independent(
     spark, tmp_path
 ):

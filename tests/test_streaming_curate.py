@@ -4,9 +4,14 @@ exact and near duplicates."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from ffi_export_etl_spark.streaming.curate import streaming_curate
+
+# r12 suite split: end-to-end/property sweep module — runs with SPARK_GRAFT_SLOW_TESTS=1
+pytestmark = pytest.mark.slow_tail
 
 BASE = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa "
